@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 dev/compare.py <sfDir> <verifyOutDir>
+
+Runs each SQL in <verifyOutDir>/oracle_sql.json against DuckDB views over the
+sf tables, loads the Spark parquet result, normalizes both (columns sorted by
+name, rows sorted by all columns), and reports exact/approx equality per query.
+Dev-only tooling — the engine itself is pure Scala/Spark.
+"""
+import sys, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    if len(df):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"SKIP {name}: no spark output")
+            n_skip += 1
+            continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
+        e, g = norm(exp), norm(got)
+        if sorted(e.columns) != sorted(g.columns):
+            print(f"FAIL {name}: columns exp={sorted(e.columns)} got={sorted(g.columns)}")
+            n_fail += 1
+            continue
+        if len(e) != len(g):
+            print(f"FAIL {name}: rows exp={len(e)} got={len(g)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in e.columns:
+            ec, gc = e[c], g[c]
+            if np.issubdtype(ec.dtype, np.number) and np.issubdtype(gc.dtype, np.number):
+                ev, gv = ec.to_numpy(dtype=float), gc.to_numpy(dtype=float)
+                both_nan = np.isnan(ev) & np.isnan(gv)
+                neq = ~both_nan & (ev != gv)
+                if neq.any():
+                    d = np.nanmax(np.abs(ev[neq] - gv[neq]))
+                    bad.append(f"{c}: {neq.sum()} diffs, maxabs={d:.3e}")
+            else:
+                neq = ec.astype(str) != gc.astype(str)
+                if neq.any():
+                    i = int(np.argmax(neq.to_numpy()))
+                    bad.append(f"{c}: {int(neq.sum())} diffs, e.g. exp={ec.iloc[i]!r} got={gc.iloc[i]!r}")
+        if bad:
+            print(f"FAIL {name}: " + "; ".join(bad))
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(e)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip")
+    sys.exit(1 if n_fail or n_skip else 0)
+
+
+if __name__ == "__main__":
+    main()

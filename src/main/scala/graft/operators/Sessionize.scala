@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered-stream sessionization ("region splitting") — the reference's
+  * signature operator, re-expressed as gaps-and-islands window algebra.
+  *
+  * The reference walks the per-sounding table linearly, opening a region when
+  * `operation_mode` enters SAM/Target and closing it on mode or target change
+  * (`sam_extract/processors/OCO3SamProcessor.py:353-432`), merging two
+  * consecutive same-target runs separated by fewer than `margin` rows
+  * (`OCO3SamProcessor.py:365-376`). Here each pass is one window scan:
+  * `break = key != lag(key) [|| gap > margin]`, `region_id = sum(break)`.
+  *
+  * Scale note: `partitionCols` MUST be supplied at scale (granule / mission /
+  * day); with no partition columns Spark falls back to a single-partition
+  * global window, which is only acceptable for small per-granule slices.
+  * At 100 TB the stream is partitioned per granule-day, so every window here
+  * stays within one shuffle partition per day.
+  */
+object Sessionize {
+
+  private def w(orderCol: String, partitionCols: Seq[String]) = {
+    val base =
+      if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
+    base.orderBy(col(orderCol))
+  }
+
+  private def keyChanged(keyCols: Seq[String], win: org.apache.spark.sql.expressions.WindowSpec): Column =
+    keyCols
+      .map { k =>
+        val prev = lag(col(k), 1).over(win)
+        // null-safe inequality: first row (lag null) counts as a change
+        !(col(k) <=> prev)
+      }
+      .reduce(_ || _)
+
+  /** Run detection (R1/R3/R4): contiguous runs of identical `keyCols` values
+    * ordered by `orderCol` get one `region_id` (0-based, dense per partition).
+    */
+  def byKeyChange(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      partitionCols: Seq[String] = Nil,
+      regionCol: String = "region_id"): DataFrame = {
+    val win = w(orderCol, partitionCols)
+    df.withColumn("_brk", keyChanged(keyCols, win).cast("long"))
+      .withColumn(regionCol, sum(col("_brk")).over(win) - lit(1))
+      .drop("_brk")
+  }
+
+  /** Run detection with margin merge (R1+R2): rows have already been filtered
+    * to the modes of interest, so consecutive kept rows may be separated by a
+    * gap in `orderCol` (the dropped rows). A new region starts when the key
+    * changes OR the gap exceeds `margin` (the reference merges when
+    * `next.start - prev.end < margin`, i.e. strictly fewer than `margin`
+    * intervening rows — `OCO3SamProcessor.py:365-376`, margin = 2).
+    */
+  def byKeyChangeWithMargin(
+      df: DataFrame,
+      orderCol: String,
+      keyCols: Seq[String],
+      margin: Long,
+      partitionCols: Seq[String] = Nil,
+      regionCol: String = "region_id"): DataFrame = {
+    val win = w(orderCol, partitionCols)
+    val gap = col(orderCol) - lag(col(orderCol), 1).over(win)
+    val brk = keyChanged(keyCols, win) || gap > lit(margin)
+    df.withColumn("_brk", brk.cast("long"))
+      .withColumn(regionCol, sum(col("_brk")).over(win) - lit(1))
+      .drop("_brk")
+  }
+
+  /** Time-gap sessionization: a new session starts when the event is more
+    * than `gapSeconds` after the previous one (whole-second boundary count,
+    * matching DuckDB's date_diff('second', ...)).
+    */
+  def byTimeGap(
+      df: DataFrame,
+      tsCol: String,
+      gapSeconds: Long,
+      partitionCols: Seq[String] = Nil,
+      sessionCol: String = "session_id"): DataFrame = {
+    val win = w(tsCol, partitionCols)
+    val prev = lag(col(tsCol), 1).over(win)
+    val brk = prev.isNull || (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > lit(gapSeconds)
+    df.withColumn("_brk", brk.cast("long"))
+      .withColumn(sessionCol, sum(col("_brk")).over(win) - lit(1))
+      .drop("_brk")
+  }
+
+  /** Wildcard coalescing (R5, SIF 'none' targets): rows whose `keyCol` equals
+    * `wildcard` inherit the nearest preceding non-wildcard value in
+    * `orderCol` order (forward fill), falling back to the nearest following
+    * value for a leading wildcard run (`OCO3SifProcessor.py:377-477`).
+    */
+  def coalesceWildcard(
+      df: DataFrame,
+      orderCol: String,
+      keyCol: String,
+      wildcard: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val base =
+      if (partitionCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(partitionCols.map(col): _*)
+    val fwd = base.orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, 0)
+    val bwd = base.orderBy(col(orderCol)).rowsBetween(0, Window.unboundedFollowing)
+    val v = when(col(keyCol) === lit(wildcard), lit(null)).otherwise(col(keyCol))
+    df.withColumn("_v", v)
+      .withColumn("_f", last(col("_v"), ignoreNulls = true).over(fwd))
+      .withColumn("_b", first(col("_v"), ignoreNulls = true).over(bwd))
+      .withColumn(keyCol, coalesce(col("_f"), col("_b"), col(keyCol)))
+      .drop("_v", "_f", "_b")
+  }
+}
