@@ -17,8 +17,12 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.RelationalQueries.queries
+    graft.queries.RelationalQueries.queries ++
+      graft.queries.SessionQueries.queries ++
+      graft.queries.AggregateQueries.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.RelationalQueries.oracles
+    graft.queries.RelationalQueries.oracles ++
+      graft.queries.SessionQueries.oracles ++
+      graft.queries.AggregateQueries.oracles
 }

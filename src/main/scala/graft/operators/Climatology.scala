@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Portable._
+
+/** Temporal-aggregate climatology (SURVEY A7/A8,
+  * `tools/climatology/main.py:151-486`).
+  *
+  * The reference's companion tool computes per-span temporal means over the
+  * output store (monthly / seasonal / annual), plus a "monthly consolidated"
+  * second level that averages the monthly means per month-of-year —
+  * explicitly mean-of-monthly-means, not mean-of-days
+  * (`tools/climatology/main.py:281-329`).
+  *
+  * In Spark each level is one hash aggregate with map-side partial
+  * aggregation; on a time-partitioned store the span filter prunes
+  * partitions before the scan.
+  */
+object Climatology {
+
+  /** Per-span mean/count over a value column, grouped by extra keys.
+    * `span` is a date_trunc unit ("month", "quarter", "year"). */
+  def temporalMean(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      span: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val spanCol = date_format(date_trunc(span, col(tsCol)), "yyyy-MM-dd").as("span_start")
+    df.groupBy(spanCol +: keyCols.map(col): _*)
+      .agg(
+        avg2(col(valueCol)).as("mean_value"),
+        count(col(valueCol)).as("valid_count"),
+        countDistinct(col(tsCol).cast("date")).as("n_days"))
+  }
+
+  /** Second-level consolidation: group first-level monthly means by
+    * month-of-year and average the means (mean-of-means), summing counts.
+    * `monthOf` must extract the month number from span_start. */
+  def consolidateMonthly(monthly: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
+    val m = month(to_date(col("span_start"))).as("month_of_year")
+    monthly
+      .groupBy(m +: keyCols.map(col): _*)
+      .agg(
+        // decimal-exact mean of the (double) monthly means
+        (sum(col("mean_value").cast("decimal(28,10)")).cast("double") / count(col("mean_value")))
+          .as("mean_of_means"),
+        sum(col("valid_count")).as("valid_count"),
+        sum(col("n_days")).as("n_days"))
+  }
+}

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `keepFirst` reproduces the reference's keep-first dedup-on-append
+  * semantics (`sam_extract/writers/ZarrWriter.py:355-378`) with an explicit
+  * order column — Spark has no implicit row order, so "first" must be
+  * defined by data (SURVEY §7.4 hard part 2).
+  *
+  * `exactByHash` is content-addressed exact dedup for document pipelines:
+  * group by a hash of the normalized content, keep the lowest id. The
+  * hash-groupBy shuffles only (hash, id) pairs, not the documents themselves,
+  * and the final semi-join prunes columns until the last moment — the shape
+  * that scales to 100 TB of text.
+  */
+object Dedup {
+
+  /** Keep the first row per key, "first" = smallest `orderCol`. */
+  def keepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact content dedup: canonical row per distinct `contentHash`, choosing
+    * the smallest `idCol`. Returns the full surviving rows. */
+  def exactByHash(df: DataFrame, contentHash: Column, idCol: String): DataFrame = {
+    val hashed = df.withColumn("_h", contentHash)
+    val w      = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "_h")
+  }
+
+  /** Normalized text hash used for exact document dedup: lowercase, collapse
+    * whitespace runs, md5. Matches DuckDB
+    * `md5(regexp_replace(lower(text), '\s+', ' ', 'g'))`. */
+  def normalizedTextHash(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+}

@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+import graft.operators.{Checksum, Climatology}
+
+/** Aggregation-family coverage (SURVEY §2.5: climatology A7/A8, rollups A10,
+  * coverage A6, checksum A12; §2.8 sort/limit).
+  */
+object AggregateQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A7: monthly climatology — per (month, event_type) temporal mean,
+    * valid count, distinct active days. */
+  private val q12: Q = (s, dir) =>
+    Climatology
+      .temporalMean(Tables.events(s, dir), "ts", "value", "month", Seq("event_type"))
+      .orderBy(col("span_start"), col("event_type"))
+
+  private val q12Sql =
+    """SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS span_start, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+      |  COUNT(value) AS valid_count,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY span_start, event_type""".stripMargin
+
+  /** A8: monthly-consolidated climatology — mean of monthly means per
+    * month-of-year (explicitly NOT mean of days). */
+  private val q13: Q = (s, dir) => {
+    val monthly = Climatology.temporalMean(Tables.events(s, dir), "ts", "value", "month", Seq("event_type"))
+    Climatology
+      .consolidateMonthly(monthly, Seq("event_type"))
+      .orderBy(col("month_of_year"), col("event_type"))
+  }
+
+  private val q13Sql =
+    """WITH monthly AS (
+      |  SELECT strftime(date_trunc('month', ts), '%Y-%m-%d') AS span_start, event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+      |    COUNT(value) AS valid_count,
+      |    COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |  FROM events GROUP BY 1, 2)
+      |SELECT CAST(MONTH(CAST(span_start AS DATE)) AS INT) AS month_of_year, event_type,
+      |  CAST(SUM(CAST(mean_value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(mean_value) AS mean_of_means,
+      |  SUM(valid_count) AS valid_count,
+      |  SUM(n_days) AS n_days
+      |FROM monthly
+      |GROUP BY 1, 2
+      |ORDER BY month_of_year, event_type""".stripMargin
+
+  /** A10: hierarchical rollup — per (event_type, user_id) with subtotal and
+    * grand-total rows in one pass. */
+  private val q14: Q = (s, dir) =>
+    Tables
+      .events(s, dir)
+      .rollup(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("total_value"))
+      .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
+
+  private val q14Sql =
+    """SELECT event_type, user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY ROLLUP(event_type, user_id)
+      |ORDER BY event_type NULLS FIRST, user_id NULLS FIRST""".stripMargin
+
+  /** Top-k with deterministic tie-break (§2.8: the rank-1 argmin family). */
+  private val q15: Q = (s, dir) =>
+    Tables
+      .orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_totalprice"),
+        col("o_orderdate").cast("date").as("order_date"))
+
+  private val q15Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, CAST(o_orderdate AS DATE) AS order_date
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 20""".stripMargin
+
+  /** A6: coverage window — store-level min/max time + cardinalities. */
+  private val q16: Q = (s, dir) =>
+    Tables
+      .events(s, dir)
+      .agg(
+        tsStr(min(col("ts"))).as("coverage_start"),
+        tsStr(max(col("ts"))).as("coverage_end"),
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"))
+
+  private val q16Sql =
+    """SELECT strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS coverage_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS coverage_end,
+      |  COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+      |FROM events""".stripMargin
+
+  /** A12: order-sensitive store fingerprint (golden-output compare). */
+  private val q17: Q = (s, dir) =>
+    Checksum.merkle(
+      Tables.events(s, dir),
+      "event_id",
+      md5(concat_ws("|", col("event_id"), col("user_id"), col("event_type")).cast("binary")))
+
+  private val q17Sql =
+    """WITH h AS (
+      |  SELECT event_id, md5(concat_ws('|', event_id, user_id, event_type)) AS rh
+      |  FROM events)
+      |SELECT COUNT(*) AS n_rows,
+      |  md5(string_agg(rh, '' ORDER BY event_id)) AS checksum
+      |FROM h""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q12_climatology_monthly"     -> q12,
+    "q13_climatology_consolidated" -> q13,
+    "q14_rollup"                  -> q14,
+    "q15_topk"                    -> q15,
+    "q16_coverage"                -> q16,
+    "q17_merkle_checksum"         -> q17
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q12_climatology_monthly"     -> q12Sql,
+    "q13_climatology_consolidated" -> q13Sql,
+    "q14_rollup"                  -> q14Sql,
+    "q15_topk"                    -> q15Sql,
+    "q16_coverage"                -> q16Sql,
+    "q17_merkle_checksum"         -> q17Sql
+  )
+}
