@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.SessionQueries.queries ++
-      graft.queries.AggregateQueries.queries
+      graft.queries.AggregateQueries.queries ++
+      graft.queries.GridQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.SessionQueries.oracles ++
-      graft.queries.AggregateQueries.oracles
+      graft.queries.AggregateQueries.oracles ++
+      graft.queries.GridQueries.oracles
 }

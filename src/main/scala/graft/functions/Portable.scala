@@ -38,6 +38,28 @@ object Portable {
   def avg2(c: Column): Column =
     sum(dec2(c)).cast("double") / count(c)
 
+  /** Order-deterministic sum of arbitrary doubles (aggregate context).
+    *
+    * Decimal casts are only portable for conceptually low-scale values
+    * (money-like data); an arbitrary double cast to decimal rounds via
+    * shortest-representation in Spark but exact-binary in DuckDB, which
+    * diverges near scale boundaries. For arbitrary doubles the portable form
+    * is a sequential left fold in a deterministic order — identical operand
+    * order + identical IEEE adds = identical bits in both engines.
+    *
+    * Oracle SQL equivalent:
+    *   list_reduce(list(v ORDER BY k1, k2, ...), (a,b) -> a + b)
+    *
+    * `orderKeys` must totally order the group's rows.
+    */
+  def orderedSumDouble(value: Column, orderKeys: Seq[Column]): Column = {
+    val fields = orderKeys.zipWithIndex.map { case (c, i) => c.as(s"_k$i") } :+ value.as("_v")
+    aggregate(
+      transform(array_sort(collect_list(struct(fields: _*))), x => x("_v")),
+      lit(0.0),
+      (acc, v) => acc + v)
+  }
+
   /** Timestamp → 'yyyy-MM-dd HH:mm:ss' string (second precision).
     * Oracle: strftime(ts, '%Y-%m-%d %H:%M:%S'). */
   def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")

@@ -40,11 +40,12 @@ object Climatology {
     * `monthOf` must extract the month number from span_start. */
   def consolidateMonthly(monthly: DataFrame, keyCols: Seq[String] = Nil): DataFrame = {
     val m = month(to_date(col("span_start"))).as("month_of_year")
+    import graft.functions.Portable.orderedSumDouble
     monthly
       .groupBy(m +: keyCols.map(col): _*)
       .agg(
-        // decimal-exact mean of the (double) monthly means
-        (sum(col("mean_value").cast("decimal(28,10)")).cast("double") / count(col("mean_value")))
+        // order-deterministic fold of the (double) monthly means
+        (orderedSumDouble(col("mean_value"), Seq(col("span_start"))) / count(col("mean_value")))
           .as("mean_of_means"),
         sum(col("valid_count")).as("valid_count"),
         sum(col("n_days")).as("n_days"))

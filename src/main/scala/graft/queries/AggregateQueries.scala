@@ -46,7 +46,7 @@ object AggregateQueries {
       |    COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
       |  FROM events GROUP BY 1, 2)
       |SELECT CAST(MONTH(CAST(span_start AS DATE)) AS INT) AS month_of_year, event_type,
-      |  CAST(SUM(CAST(mean_value AS DECIMAL(28,10))) AS DOUBLE) / COUNT(mean_value) AS mean_of_means,
+      |  list_reduce(list(mean_value ORDER BY span_start), (a,b) -> a + b) / COUNT(mean_value) AS mean_of_means,
       |  SUM(valid_count) AS valid_count,
       |  SUM(n_days) AS n_days
       |FROM monthly
