@@ -20,11 +20,15 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.SessionQueries.queries ++
       graft.queries.AggregateQueries.queries ++
-      graft.queries.GridQueries.queries
+      graft.queries.GridQueries.queries ++
+      graft.queries.TextQueries.queries ++
+      graft.queries.EmbeddingQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.SessionQueries.oracles ++
       graft.queries.AggregateQueries.oracles ++
-      graft.queries.GridQueries.oracles
+      graft.queries.GridQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.EmbeddingQueries.oracles
 }

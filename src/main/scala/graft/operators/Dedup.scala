@@ -38,4 +38,10 @@ object Dedup {
     * `md5(regexp_replace(lower(text), '\s+', ' ', 'g'))`. */
   def normalizedTextHash(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " ").cast("binary"))
+
+  /** Duplicate-group stats: one row per distinct content hash with its
+    * canonical (minimum) id and copy count. */
+  def exactStats(df: DataFrame, contentHash: Column, idCol: String): DataFrame =
+    df.groupBy(contentHash.as("content_hash"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 }

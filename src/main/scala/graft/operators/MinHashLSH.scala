@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection over documents.
+  *
+  * Pipeline: word n-gram shingles → per-seed minhash signatures → banded
+  * LSH keys → bucket self-join for candidate pairs → exact Jaccard
+  * verification of candidates only.
+  *
+  * Scale design: the only joins are (a) the band-key self-join, which
+  * shuffles 32-byte digests keyed by band (near-dup buckets are tiny, so no
+  * quadratic blowup outside genuinely duplicated content), and (b) the
+  * candidate⋈shingle verification join, proportional to candidate count —
+  * never all-pairs. This is the standard web-scale dedup shape.
+  *
+  * Hashing uses md5 hex strings ordered lexicographically (a uniform hash
+  * with a total order is all MinHash needs), which DuckDB reproduces
+  * exactly — no engine-specific hash functions.
+  */
+object MinHashLSH {
+
+  /** Distinct word n-gram shingles per document (docs shorter than n words
+    * produce none). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val words = split(col(textCol), " ")
+    df.select(col(idCol), words.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(
+        col(idCol),
+        explode(transform(
+          sequence(lit(0), size(col("w")) - n),
+          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signatures: for seeds 0..numHashes-1, the lexicographic min of
+    * md5(seed || '|' || shingle). Output (id, seed, minhash). */
+  def signatures(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val seeds = sh.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
+    sh.crossJoin(broadcast(seeds))
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")).cast("binary")))
+        .as("minhash"))
+  }
+
+  /** Banded LSH keys: rowsPerBand consecutive signature rows concatenate
+    * (in seed order) into one bucket key per band. */
+  def bandKeys(sig: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame =
+    sig
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy(col(idCol), col("band"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seed"), col("minhash")))), x => x("minhash")),
+          "|").as("band_key"))
+
+  /** Candidate pairs: distinct (a < b) document pairs sharing ≥1 band key. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
+    val r = bands.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle sets:
+    * |A∩B| via a two-sided shingle join, sizes via per-doc counts. */
+  def verifyJaccard(pairs: DataFrame, sh: DataFrame, idCol: String, minJaccard: Double): DataFrame = {
+    val sa = sh.select(col(idCol).as("doc_a"), col("shingle"))
+    val sb = sh.select(col(idCol).as("doc_b"), col("shingle"))
+    val common = pairs
+      .join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    common
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** Full near-dup pipeline: shingle → sign → band → candidates → verify. */
+  def nearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sh    = shingles(df, idCol, textCol, shingleLen)
+    val sig   = signatures(sh, idCol, numHashes)
+    val bands = bandKeys(sig, idCol, rowsPerBand)
+    val cand  = candidatePairs(bands, idCol)
+    verifyJaccard(cand, sh, idCol, minJaccard)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: opaque binary payloads with typed metadata
+  * and a partition-wise feature-extraction kernel.
+  *
+  * The Spark-side shape is real — binary column, typed Dataset, batched
+  * per-partition kernel invocation (where an image/audio decoder would run).
+  * The decode step itself is a clearly-marked deterministic stub
+  * ([[FakeDecoder]]): this container has no media libraries, so the stub
+  * computes (byte length, first byte, md5) — exactly the metadata a real
+  * decoder would surface alongside features, and exactly reproducible by the
+  * oracle.
+  *
+  * Scale notes: `mapPartitions` keeps the decoder amortized per partition
+  * (load model/codec once per partition, not per row), payloads never pass
+  * through a shuffle (extract features first, then drop the payload), and
+  * partitioning stays whatever the upstream source chose.
+  */
+object Multimodal {
+
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(doc_id: Long, byte_len: Int, first_byte: Int, content_md5: String)
+
+  /** Deterministic stand-in for a media decoder. A real implementation
+    * (image resize, audio frames, …) replaces `decode` only — the Spark
+    * plumbing around it is unchanged. */
+  object FakeDecoder {
+    def decode(payload: Array[Byte]): (Int, Int, String) = {
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      (payload.length, if (payload.isEmpty) -1 else payload(0) & 0xff, hex)
+    }
+  }
+
+  /** Attach the binary payload column (here: UTF-8 of the text column —
+    * the corpus has no real media; the column type and flow are what's
+    * exercised). */
+  def withPayload(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("doc_id"), col(textCol).cast("binary").as("payload"))
+
+  /** Partition-wise feature extraction over binary payloads. */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      // per-partition init happens here (codec / model load in real use)
+      rows.map { r =>
+        val (len, first, hex) = FakeDecoder.decode(r.payload)
+        MediaFeatures(r.doc_id, len, first, hex)
+      }
+    }
+  }
+}

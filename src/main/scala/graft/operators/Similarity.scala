@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search: brute-force cosine top-k as the exact
+  * baseline and a bucket-partitioned (IVF-style) near-duplicate variant as
+  * the scale path.
+  *
+  * Vector math uses codegen'd higher-order functions (`zip_with` /
+  * `aggregate`) over double arrays with a sequential left fold — both
+  * deterministic and exactly reproducible by the DuckDB oracle's
+  * `list_reduce(list_transform(...))`.
+  *
+  * Scale notes: brute force is O(|Q|·|C|) with the query side broadcast —
+  * correct for small query batches against any corpus size, since the corpus
+  * never shuffles. The bucketed variant turns all-pairs near-dup into
+  * per-bucket self-joins (the coarse quantizer bounds each bucket), which is
+  * the IVF/LSH shape that survives 10⁹ vectors.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm (sequential fold of squares). */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+
+  /** Cosine similarity, association fixed as dot / (normA * normB). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors per query vector (brute force over the corpus;
+    * queries broadcast). Ties broken by corpus id. */
+  def bruteForceTopK(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      corpus: DataFrame,  // (cid, cvec: array<double>)
+      k: Int): DataFrame = {
+    val joined = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
+  /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
+    * self-join (a < b) keeping pairs with cosine ≥ minCos. */
+  def nearDupPairsBucketed(
+      df: DataFrame, // (id, vec: array<double>, bucket)
+      minCos: Double): DataFrame = {
+    val l = df.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
+    val r = df.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= lit(minCos))
+      .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality stats, heuristic language ID, fingerprinting.
+  *
+  * All are narrow per-document transforms or one explode + hash-aggregate —
+  * no shuffle wider than (doc_id, token), so they scale linearly over a
+  * 100 TB document store. Every function has an exact DuckDB-SQL mirror for
+  * the oracle gate (word-split tokenization, integer-exact ratios).
+  */
+object TextAnalysis {
+
+  /** Single-space word tokenizer (the corpus is single-spaced; keep the
+    * split rule identical to the oracle's string_split(text, ' ')). */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
+
+  /** Per-document quality stats: token count, distinct tokens, mean token
+    * length, stopword ratio (integer-exact double divisions). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame =
+    tokens(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col("token")).as("n_distinct"),
+        (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"),
+        (sum(when(col("token").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("stopword_ratio"))
+
+  /** Heuristic language ID: per-language stopword hit count, argmax with
+    * deterministic (score desc, lang asc) tie-break; no hits → 'und'. */
+  def languageId(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwordTable: DataFrame // (lang, word)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = tokens(df, idCol, textCol)
+    val scores = toks
+      .join(broadcast(stopwordTable), toks("token") === stopwordTable("word"))
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("lang").asc)
+    val best = scores.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    df.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("lang"), lit("und")).as("pred_lang"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** Content fingerprint: md5 over the sorted distinct token set — a
+    * canonical-form document hash (word-order-insensitive). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      md5(array_join(array_sort(array_distinct(split(col(textCol), " "))), " ").cast("binary"))
+        .as("fingerprint"))
+
+  /** SimHash over `bits` bits (≤ 16): per-token hash = first 4 hex chars of
+    * md5 (16-bit), per-bit majority vote, reassembled into one integer.
+    * Computed as `bits` parallel conditional sums in a single aggregate —
+    * no per-bit row explosion, so one hash-aggregate pass at any scale. */
+  def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 16)
+    val toks = tokens(df, idCol, textCol)
+      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 4), 16, 10).cast("long"))
+    val bitSums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"_b$b"))
+    val grouped = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
+    val hash = (0 until bits)
+      .map(b => when(col(s"_b$b") * 2 >= col("n_tokens"), lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    grouped.select(col(idCol), col("n_tokens"), hash.as("simhash"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Embedding similarity coverage on the `embeddings` table: exact
+  * brute-force cosine top-k and cluster-bucketed (IVF-style) near-duplicate
+  * pairs. All vector math is double-precision sequential folds, exactly
+  * mirrored by the oracle's list_reduce/list_transform.
+  */
+object EmbeddingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).withColumn("vec", col("embedding").cast("array<double>"))
+
+  /** The oracle's dot-product fold:
+    * list_reduce(list_transform(generate_series(1, len(a)), i -> a[i]*b[i]), +). */
+  private def dotSql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)"
+
+  private def cosSql(a: String, b: String) =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Brute-force exact top-5 cosine neighbors for query vectors vec_id<10. */
+  private val q29: Q = (s, dir) => {
+    val e       = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val corpus  = e.select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    Similarity
+      .bruteForceTopK(queries, corpus, k = 5)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q29Sql =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, vec AS cvec FROM e),
+      |d AS (
+      |  SELECT qid, cid, ${cosSql("qvec", "cvec")} AS cos
+      |  FROM c CROSS JOIN q WHERE qid <> cid),
+      |r AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM d)
+      |SELECT qid, cid, rank, cos FROM r WHERE rank <= 5
+      |ORDER BY qid, rank""".stripMargin
+
+  /** Embedding near-dup pairs within label buckets (label = coarse
+    * quantizer), cosine ≥ 0.35 (the corpus has no true near-dups; the threshold exercises the pipeline). */
+  private val q30: Q = (s, dir) => {
+    val e = emb(s, dir).select(col("label").as("bucket"), col("vec_id").as("id"), col("vec"))
+    Similarity
+      .nearDupPairsBucketed(e, minCos = 0.35)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q30Sql =
+    s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |p AS (
+      |  SELECT l.label AS bucket, l.vec_id AS id_a, r.vec_id AS id_b,
+      |    ${cosSql("l.vec", "r.vec")} AS cos
+      |  FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
+      |SELECT bucket, id_a, id_b, cos FROM p WHERE cos >= 0.35
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q29_ann_topk"       -> q29,
+    "q30_embed_neardup"  -> q30
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q29_ann_topk"       -> q29Sql,
+    "q30_embed_neardup"  -> q30Sql
+  )
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, MinHashLSH, Multimodal, TextAnalysis}
+
+/** Training-data text-pipeline coverage on the `documents` table: exact
+  * dedup, MinHash-LSH near-dup with exact-Jaccard verification, SimHash,
+  * token/quality stats, heuristic language ID, fingerprinting, multimodal
+  * binary plumbing.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact content dedup by md5 (hash-groupBy; only digests shuffle). */
+  private val q22: Q = (s, dir) =>
+    Dedup
+      .exactStats(Tables.documents(s, dir), md5(col("text").cast("binary")), "doc_id")
+      .orderBy(col("canonical_id"))
+
+  private val q22Sql =
+    """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY canonical_id""".stripMargin
+
+  /** Token / quality statistics per document. */
+  private val q23: Q = (s, dir) =>
+    TextAnalysis
+      .tokenStats(Tables.documents(s, dir), "doc_id", "text", Seq("the", "a"))
+      .orderBy(col("doc_id"))
+
+  private val q23Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+      |  CAST(SUM(LENGTH(token)) AS DOUBLE) / COUNT(*) AS avg_token_len,
+      |  CAST(SUM(CASE WHEN token IN ('the','a') THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS stopword_ratio
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def stopwordTable(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "a"),
+      ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "de"), ("fr", "un"),
+      ("de", "der"), ("de", "die"), ("de", "und"), ("de", "ein"), ("de", "das"),
+      ("es", "el"), ("es", "los"), ("es", "y"), ("es", "de"), ("es", "un")
+    ).toDF("lang", "word")
+  }
+
+  private val stopwordSql =
+    """SELECT * FROM (VALUES
+      |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
+      |  ('fr','le'),('fr','la'),('fr','et'),('fr','de'),('fr','un'),
+      |  ('de','der'),('de','die'),('de','und'),('de','ein'),('de','das'),
+      |  ('es','el'),('es','los'),('es','y'),('es','de'),('es','un')) sw(lang, word)""".stripMargin
+
+  /** Heuristic n-gram language ID: per-language stopword hits, argmax. */
+  private val q24: Q = (s, dir) =>
+    TextAnalysis
+      .languageId(Tables.documents(s, dir), "doc_id", "text", stopwordTable(s))
+      .orderBy(col("doc_id"))
+
+  private val q24Sql =
+    s"""WITH sw AS ($stopwordSql),
+      |t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |sc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS score
+      |  FROM t JOIN sw ON t.token = sw.word
+      |  GROUP BY doc_id, lang),
+      |best AS (
+      |  SELECT doc_id, lang, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      |  FROM sc)
+      |SELECT d.doc_id, COALESCE(b.lang, 'und') AS pred_lang, COALESCE(b.score, 0) AS score
+      |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Canonical-form fingerprint (md5 of sorted distinct token set). */
+  private val q25: Q = (s, dir) =>
+    TextAnalysis
+      .fingerprint(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q25Sql =
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |    AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** MinHash-LSH near-duplicate pairs, exact-Jaccard verified. */
+  private val q26: Q = (s, dir) =>
+    MinHashLSH
+      .nearDuplicates(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 8, rowsPerBand = 2, minJaccard = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q26Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |sig AS (
+      |  SELECT doc_id, seed, MIN(md5(seed::VARCHAR || '|' || shingle)) AS minhash
+      |  FROM sh CROSS JOIN UNNEST(generate_series(0, 7)) AS s(seed)
+      |  GROUP BY doc_id, seed),
+      |bands AS (
+      |  SELECT doc_id, seed // 2 AS band, string_agg(minhash, '|' ORDER BY seed) AS band_key
+      |  FROM sig GROUP BY doc_id, seed // 2),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.doc_a
+      |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+      |FROM common
+      |  JOIN sizes na ON na.doc_id = doc_a
+      |  JOIN sizes nb ON nb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash (16-bit, majority vote, no row explosion). */
+  private val q27: Q = (s, dir) =>
+    TextAnalysis
+      .simHash(Tables.documents(s, dir), "doc_id", "text", bits = 16)
+      .orderBy(col("doc_id"))
+
+  private val q27Sql = {
+    val sums = (0 until 16).map(b => s"SUM((hv >> $b) & 1) AS b$b").mkString(",\n      |    ")
+    val bits = (0 until 16).map(b => s"(CASE WHEN 2*b$b >= n_tokens THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS hv FROM t),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    $sums
+      |  FROM h GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, $bits AS simhash
+      |FROM g ORDER BY doc_id""".stripMargin
+  }
+
+  /** Multimodal plumbing: binary payload + partition-wise feature kernel
+    * (deterministic stub decoder — see Multimodal.FakeDecoder). */
+  private val q28: Q = (s, dir) =>
+    Multimodal
+      .extractFeatures(Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private val q28Sql =
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  ascii(substr(text, 1, 1)) AS first_byte,
+      |  md5(text) AS content_md5
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q22_dedup_exact"     -> q22,
+    "q23_token_stats"     -> q23,
+    "q24_lang_id"         -> q24,
+    "q25_fingerprint"     -> q25,
+    "q26_minhash_neardup" -> q26,
+    "q27_simhash"         -> q27,
+    "q28_multimodal_meta" -> q28
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact"     -> q22Sql,
+    "q23_token_stats"     -> q23Sql,
+    "q24_lang_id"         -> q24Sql,
+    "q25_fingerprint"     -> q25Sql,
+    "q26_minhash_neardup" -> q26Sql,
+    "q27_simhash"         -> q27Sql,
+    "q28_multimodal_meta" -> q28Sql
+  )
+}
