@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.AggregateQueries.queries ++
       graft.queries.GridQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.EmbeddingQueries.queries
+      graft.queries.EmbeddingQueries.queries ++
+      graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Exact geometry predicate for footprint masking (SURVEY M2,
+  * `OCO3SamProcessor.py:279-295`).
+  *
+  * The reference tests `box(pixel).intersects(footprint_polygon)` with
+  * shapely after a coarse bbox prefilter. Our two-phase mask keeps the bbox
+  * band join as phase 1 (plain range predicates, SURVEY M1) and applies this
+  * expression as phase 2: standard even-odd ray casting of the pixel center
+  * against the footprint ring (vertex arrays, auto-closed). Points exactly
+  * on an edge follow the ray-cast parity convention.
+  *
+  * A native Catalyst `Expression` (not a Scala UDF) so null handling is
+  * uniform and the input arrays arrive as raw `ArrayData` without
+  * serialization; falls back to interpreted eval (`CodegenFallback`) — the
+  * predicate sits behind the phase-1 prefilter, so it evaluates on candidate
+  * pairs only.
+  */
+case class PointInPolygon(px: Expression, py: Expression, xs: Expression, ys: Expression)
+    extends Expression
+    with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(px, py, xs, ys)
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val xv = px.eval(input)
+    val yv = py.eval(input)
+    val xa = xs.eval(input)
+    val ya = ys.eval(input)
+    if (xv == null || yv == null || xa == null || ya == null) return null
+    val x   = xv.asInstanceOf[Double]
+    val y   = yv.asInstanceOf[Double]
+    val pxs = xa.asInstanceOf[ArrayData].toDoubleArray()
+    val pys = ya.asInstanceOf[ArrayData].toDoubleArray()
+    val n   = math.min(pxs.length, pys.length)
+    if (n < 3) return false
+    var inside = false
+    var i      = 0
+    var j      = n - 1
+    while (i < n) {
+      val xi = pxs(i); val yi = pys(i)
+      val xj = pxs(j); val yj = pys(j)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) {
+        inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(px = c(0), py = c(1), xs = c(2), ys = c(3))
+}
+
+object PointInPolygon {
+  import org.apache.spark.sql.GraftSqlBridge._
+  /** Column API: point_in_polygon(x, y, ring_xs, ring_ys). Inputs are cast
+    * to double / array<double> (the expression skips analyzer type checks). */
+  def apply(px: Column, py: Column, xs: Column, ys: Column): Column =
+    column(new PointInPolygon(
+      expression(px.cast("double")),
+      expression(py.cast("double")),
+      expression(xs.cast("array<double>")),
+      expression(ys.cast("array<double>"))))
+}

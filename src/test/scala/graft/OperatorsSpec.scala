@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PointInPolygon
+import graft.operators._
+import graft.domain.TargetCatalog
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("PointInPolygon: ray casting on a square") {
+    val df = Seq(
+      (0.5, 0.5, true),   // inside
+      (1.5, 0.5, false),  // outside
+      (-0.1, -0.1, false) // outside corner
+    ).toDF("x", "y", "want")
+      .withColumn("xs", array(lit(0.0), lit(1.0), lit(1.0), lit(0.0)))
+      .withColumn("ys", array(lit(0.0), lit(0.0), lit(1.0), lit(1.0)))
+    val got = df.withColumn("got", PointInPolygon($"x", $"y", $"xs", $"ys"))
+      .filter($"got" =!= $"want").count()
+    assert(got === 0)
+  }
+
+  test("Dedup.keepFirst keeps smallest order value per key") {
+    val df  = Seq((1, "a", 10), (1, "a", 5), (2, "b", 7)).toDF("k1", "k2", "ord")
+    val got = Dedup.keepFirst(df, Seq("k1", "k2"), "ord").orderBy($"k1")
+      .collect().map(r => (r.getInt(0), r.getInt(2)))
+    assert(got === Array((1, 5), (2, 7)))
+  }
+
+  test("MinHashLSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 40) "changed" else s"w$i").mkString(" ")
+    val other = (100 to 140).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = MinHashLSH.nearDuplicates(df, "doc_id", "text", minJaccard = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs === Array((1L, 2L)))
+  }
+
+  test("SimHash: identical docs hash identically, disjoint docs differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota")).toDF("doc_id", "text")
+    val m = TextAnalysis.simHash(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(m(1L) === m(2L))
+    assert(m(1L) !== m(3L))
+  }
+
+  test("Similarity.cosine: identity and orthogonality") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0)
+    ).toDF("a", "b", "want")
+    val bad = df.withColumn("got", Similarity.cosine($"a", $"b"))
+      .filter(abs($"got" - $"want") > 1e-15).count()
+    assert(bad === 0)
+  }
+
+  test("Climatology consolidation is mean-of-monthly-means, not mean-of-days") {
+    // Jan: values 0,0,0 (mean 0); Feb of next year... use two Januaries:
+    // 2023-01 has 3 days of 0, 2024-01 has 1 day of 6 → mean of means = 3,
+    // while mean-of-days would be 1.5
+    val df = Seq(
+      ("2023-01-01 00:00:00", 0.0), ("2023-01-02 00:00:00", 0.0), ("2023-01-03 00:00:00", 0.0),
+      ("2024-01-05 00:00:00", 6.0)
+    ).toDF("s", "value").withColumn("ts", to_timestamp($"s")).withColumn("k", lit("x"))
+    val monthly = Climatology.temporalMean(df, "ts", "value", "month", Seq("k"))
+    val got = Climatology.consolidateMonthly(monthly, Seq("k")).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Double]("mean_of_means") === 3.0)
+    assert(got(0).getAs[Long]("valid_count") === 4L)
+  }
+
+  test("TargetCatalog id classification and numeric extraction") {
+    val df = Seq("fossil0005", "volcano0020", "tccon0012", "weird_site", "ecostress_x7")
+      .toDF("id")
+      .select(
+        $"id",
+        TargetCatalog.idType($"id").as("ty"),
+        TargetCatalog.extractNumericId($"id").as("num"))
+    val m = df.collect().map(r => r.getString(0) -> ((r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
+    assert(m("fossil0005") === (("fossil", 5)))
+    assert(m("volcano0020") === (("volcano", 20)))
+    assert(m("tccon0012") === (("tccon", 12)))
+    assert(m("weird_site") === (("other", -1)))
+    assert(m("ecostress_x7") === (("ecostress", 7)))
+  }
+
+  test("Checksum.merkle is order-insensitive to input partitioning but order-sensitive to keys") {
+    val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val df2 = df1.repartition(3).sortWithinPartitions(desc("k"))
+    val h = (d: org.apache.spark.sql.DataFrame) =>
+      Checksum.merkle(d, "k", md5($"v".cast("binary"))).collect()(0).getString(1)
+    assert(h(df1) === h(df2))
+  }
+
+  test("Multimodal feature extraction matches direct computation") {
+    val df  = Seq((1L, "hello")).toDF("doc_id", "text")
+    val got = Multimodal.extractFeatures(Multimodal.withPayload(df, "doc_id", "text")).collect()(0)
+    assert(got.byte_len === 5)
+    assert(got.first_byte === 'h'.toInt)
+    assert(got.content_md5 === "5d41402abc4b2a76b9719d911017c592")
+  }
+}

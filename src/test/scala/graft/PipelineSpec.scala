@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.domain.{Pipeline, TargetCatalog}
+import graft.domain.TargetCatalog.Target
+import graft.sources.SyntheticGranule
+import graft.sources.SyntheticGranule.sounding
+
+/** End-to-end domain pipeline over a synthetic granule (FIXTURES §A1
+  * scenarios 3, 4 plus the happy path). */
+class PipelineSpec extends SparkSpec {
+
+  private lazy val catalog = TargetCatalog.toDF(
+    spark,
+    Seq(
+      Target("fossil0001", "Plant A", 10.0, 40.0, 12.0, 42.0),
+      Target("volcano0002", "Volcano B", -5.0, -1.0, -3.0, 1.0)))
+
+  private lazy val granule = SyntheticGranule.toDF(
+    spark,
+    // region 1: SAM on fossil0001, 5 good soundings clustered in-bbox
+    (0 until 5).map(i => sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", xco2 = 400.0 + i)) ++
+      // nadir gap (not a kept mode)
+      Seq(sounding(5, 0.0, 0.0, mode = 0, target = "Missing")) ++
+      // region 2: Target mode on volcano0002
+      (6 until 10).map(i => sounding(i, -0.5 + 0.2 * (i - 6), -4.5 + 0.2 * (i - 6), mode = 2, target = "volcano0002", xco2 = 410.0 + i)) ++
+      // scenario 3: region with every sounding bad-quality → dropped
+      (10 until 13).map(i => sounding(i, 41.0, 11.0, mode = 4, target = "fossil0001", qf = 1)) ++
+      // scenario 4: target absent from catalog → dropped at association
+      (13 until 16).map(i => sounding(i, 50.0, 50.0, mode = 4, target = "tccon9999")))
+
+  test("pipeline produces masked long-form output for valid regions only") {
+    val out = Pipeline.process(granule, catalog, Pipeline.Config(gridN = 8)).cache()
+    val targets = out.select("target_id").distinct().collect().map(_.getString(0)).sorted
+    assert(targets === Array("fossil0001", "volcano0002"))
+    // two variables per masked pixel
+    val vars = out.select("variable").distinct().collect().map(_.getString(0)).sorted
+    assert(vars === Array("xco2", "xco2_uncertainty"))
+    // every xco2 value must equal one of the region's sounding values
+    // (nearest interpolation reproduces inputs exactly at sample points)
+    val xs = out.filter(col("variable") === "xco2" && col("target_id") === "fossil0001")
+      .select("value").distinct().collect().map(_.getDouble(0)).toSet
+    assert(xs.nonEmpty && xs.subsetOf((0 until 5).map(400.0 + _).toSet))
+    assert(out.count() > 0)
+  }
+
+  test("all-bad-quality region contributes nothing (scenario 3)") {
+    // isolate: granule with ONLY the bad region
+    val g = SyntheticGranule.toDF(
+      spark,
+      (0 until 3).map(i => sounding(i, 41.0, 11.0, mode = 4, target = "fossil0001", qf = 1)))
+    assert(Pipeline.process(g, catalog).count() === 0)
+  }
+
+  test("unknown target dropped at catalog association (scenario 4)") {
+    val g = SyntheticGranule.toDF(
+      spark,
+      (0 until 3).map(i => sounding(i, 50.0, 50.0, mode = 4, target = "tccon9999")))
+    assert(Pipeline.process(g, catalog).count() === 0)
+  }
+
+  test("pre-QF branch keeps regions that have at least one good sounding") {
+    val g = SyntheticGranule.toDF(
+      spark,
+      Seq(
+        sounding(0, 41.0, 11.0, mode = 4, target = "fossil0001", qf = 0),
+        sounding(1, 41.1, 11.1, mode = 4, target = "fossil0001", qf = 1)))
+    val sess = Pipeline.qualityFilter(
+      Pipeline.sessionize(g, Pipeline.Config()),
+      Pipeline.Config(qfFilter = false))
+    // both rows survive (region guard passes), including the bad one
+    assert(sess.count() === 2)
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+
+/** Edge cases from FIXTURES.md §A1 scenarios and SURVEY §2.3. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runs(rows: Seq[(Long, Int, String)], margin: Long) = {
+    val df = rows.toDF("idx", "mode", "target")
+    Sessionize
+      .byKeyChangeWithMargin(df, "idx", Seq("mode", "target"), margin)
+      .groupBy($"region_id")
+      .agg(min($"target").as("target"), min($"idx").as("lo"), max($"idx").as("hi"), count(lit(1)).as("n"))
+      .orderBy($"region_id")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+  }
+
+  test("contiguous same-key run is one region") {
+    assert(runs(Seq((0L, 4, "t1"), (1L, 4, "t1"), (2L, 4, "t1")), 2) ===
+      Array(("t1", 0L, 2L, 3L)))
+  }
+
+  test("target change mid-run splits the region (scenario 2)") {
+    assert(runs(Seq((0L, 4, "t1"), (1L, 4, "t1"), (2L, 4, "t2"), (3L, 4, "t2")), 2) ===
+      Array(("t1", 0L, 1L, 2L), ("t2", 2L, 3L, 2L)))
+  }
+
+  test("gap < margin merges same-target runs (scenario 1)") {
+    // rows 0-1 and 3-4 same target: gap of one skipped row (idx 2) merges
+    assert(runs(Seq((0L, 4, "t1"), (1L, 4, "t1"), (3L, 4, "t1"), (4L, 4, "t1")), 2) ===
+      Array(("t1", 0L, 4L, 4L)))
+  }
+
+  test("gap > margin does NOT merge") {
+    assert(runs(Seq((0L, 4, "t1"), (1L, 4, "t1"), (4L, 4, "t1")), 2) ===
+      Array(("t1", 0L, 1L, 2L), ("t1", 4L, 4L, 1L)))
+  }
+
+  test("region ending at granule end closes (scenario 6)") {
+    assert(runs(Seq((0L, 2, "t1"), (1L, 4, "t2")), 2) ===
+      Array(("t1", 0L, 0L, 1L), ("t2", 1L, 1L, 1L)))
+  }
+
+  test("time-gap sessionization splits on inactivity") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00"),
+      (1L, "2024-01-01 00:10:00"),
+      (1L, "2024-01-01 01:10:01"), // > 3600s after previous
+      (2L, "2024-01-01 00:00:00")
+    ).toDF("uid", "s").withColumn("ts", to_timestamp($"s"))
+    val got = Sessionize
+      .byTimeGap(df, "ts", 3600, Seq("uid"))
+      .groupBy($"uid", $"session_id")
+      .count()
+      .orderBy($"uid", $"session_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Array((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
+  }
+
+  test("wildcard coalescing inherits neighbor target (R5 'none' semantics)") {
+    val df = Seq(
+      (0L, "none"), (1L, "a"), (2L, "none"), (3L, "none"), (4L, "b"), (5L, "none")
+    ).toDF("idx", "target")
+    val got = Sessionize
+      .coalesceWildcard(df, "idx", "target", "none")
+      .orderBy($"idx")
+      .collect()
+      .map(_.getString(1))
+    // leading 'none' back-fills from 'a'; interior forward-fills; trailing
+    // forward-fills from 'b'
+    assert(got === Array("a", "a", "a", "a", "b", "b"))
+  }
+}
