@@ -33,15 +33,19 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Exact top-k neighbors per query vector (brute force over the corpus;
-    * queries broadcast). Ties broken by corpus id. */
+    * queries broadcast). Norms are computed once per vector, not per pair —
+    * cos = dot / (qnorm * cnorm), numerically identical to the inline form.
+    * Ties broken by corpus id. */
   def bruteForceTopK(
       queries: DataFrame, // (qid, qvec: array<double>)
       corpus: DataFrame,  // (cid, cvec: array<double>)
       k: Int): DataFrame = {
-    val joined = corpus
-      .crossJoin(broadcast(queries))
+    val q = queries.withColumn("_qn", norm(col("qvec")))
+    val c = corpus.withColumn("_cn", norm(col("cvec")))
+    val joined = c
+      .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
-      .withColumn("cos", cosine(col("qvec"), col("cvec")))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
     joined
       .withColumn("rank", row_number().over(w))
@@ -50,15 +54,17 @@ object Similarity {
   }
 
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
-    * self-join (a < b) keeping pairs with cosine ≥ minCos. */
+    * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
+    * precomputed per vector. */
   def nearDupPairsBucketed(
       df: DataFrame, // (id, vec: array<double>, bucket)
       minCos: Double): DataFrame = {
-    val l = df.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"))
-    val r = df.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"))
+    val withN = df.withColumn("_n", norm(col("vec")))
+    val l = withN.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"), col("_n").as("_na"))
+    val r = withN.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"), col("_n").as("_nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("_na") * col("_nb")))
       .filter(col("cos") >= lit(minCos))
       .select(col("bucket"), col("id_a"), col("id_b"), col("cos"))
   }

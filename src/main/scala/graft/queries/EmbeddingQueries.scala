@@ -22,8 +22,11 @@ object EmbeddingQueries {
   private def dotSql(a: String, b: String) =
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i]*$b[i]), (x,y) -> x+y)"
 
-  private def cosSql(a: String, b: String) =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  /** Pairwise cosine with per-vector precomputed norms na/nb (identical
+    * doubles to the inline form; the oracle precomputes them in a CTE just
+    * like the Spark side computes them once per row). */
+  private def cosSql(a: String, b: String, na: String, nb: String) =
+    s"${dotSql(a, b)} / ($na * $nb)"
 
   /** Brute-force exact top-5 cosine neighbors for query vectors vec_id<10. */
   private val q29: Q = (s, dir) => {
@@ -36,11 +39,13 @@ object EmbeddingQueries {
   }
 
   private val q29Sql =
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-      |q AS (SELECT vec_id AS qid, vec AS qvec FROM e WHERE vec_id < 10),
-      |c AS (SELECT vec_id AS cid, vec AS cvec FROM e),
+    s"""WITH e AS (
+      |  SELECT vec_id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm
+      |  FROM (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)),
+      |q AS (SELECT vec_id AS qid, vec AS qvec, nrm AS qn FROM e WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS cid, vec AS cvec, nrm AS cn FROM e),
       |d AS (
-      |  SELECT qid, cid, ${cosSql("qvec", "cvec")} AS cos
+      |  SELECT qid, cid, ${cosSql("qvec", "cvec", "qn", "cn")} AS cos
       |  FROM c CROSS JOIN q WHERE qid <> cid),
       |r AS (
       |  SELECT qid, cid, cos,
@@ -59,10 +64,12 @@ object EmbeddingQueries {
   }
 
   private val q30Sql =
-    s"""WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    s"""WITH e AS (
+      |  SELECT label, vec_id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm
+      |  FROM (SELECT label, vec_id, embedding::DOUBLE[] AS vec FROM embeddings)),
       |p AS (
       |  SELECT l.label AS bucket, l.vec_id AS id_a, r.vec_id AS id_b,
-      |    ${cosSql("l.vec", "r.vec")} AS cos
+      |    ${cosSql("l.vec", "r.vec", "l.nrm", "r.nrm")} AS cos
       |  FROM e l JOIN e r ON l.label = r.label AND l.vec_id < r.vec_id)
       |SELECT bucket, id_a, id_b, cos FROM p WHERE cos >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
