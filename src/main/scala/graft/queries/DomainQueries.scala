@@ -35,10 +35,19 @@ object DomainQueries {
         Target("fossil0001", "Plant A", 10.0, 40.0, 12.0, 42.0),
         Target("volcano0002", "Volcano B", -5.0, -1.0, -3.0, 1.0)))
 
-  private val q31: Q = (s, _) =>
-    Pipeline
-      .process(demoGranule(s), demoCatalog(s), Pipeline.Config(gridN = 16))
+  /** Runs the pipeline AND round-trips the result through the idempotent
+    * product store (write partition-overwrite, read back) so the sink layer
+    * is exercised at the driver surface. */
+  private val q31: Q = (s, _) => {
+    val out = Pipeline.process(demoGranule(s), demoCatalog(s), Pipeline.Config(gridN = 16))
+    val path = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_demo_store").getAbsolutePath
+    graft.sinks.ProductStore.appendIdempotent(out, path)
+    graft.sinks.ProductStore
+      .read(s, path)
+      .drop("day")
       .orderBy(col("target_id"), col("variable"), col("lat_idx"), col("lon_idx"))
+  }
 
   val queries: Map[String, Q]  = Map("q31_domain_pipeline" -> q31)
   val oracles: Map[String, String] = Map.empty

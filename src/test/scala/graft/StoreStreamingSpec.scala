@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.ProductStore
+import graft.streaming.MicroBatchIngest
+import graft.domain.Pipeline
+import graft.queries.DomainQueries
+
+class StoreStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private lazy val product =
+    Pipeline.process(DomainQueries.demoGranule(spark), DomainQueries.demoCatalog(spark))
+
+  test("idempotent append converges on re-delivery of the same day") {
+    val path = tmp("store")
+    ProductStore.create(product, path)
+    val n1 = ProductStore.read(spark, path).count()
+    // simulate the queue re-delivering the same granule-day
+    ProductStore.appendIdempotent(product, path)
+    ProductStore.appendIdempotent(product, path)
+    val n2 = ProductStore.read(spark, path).count()
+    assert(n1 === n2)
+    assert(ProductStore.findDuplicates(spark, path).count() === 0)
+  }
+
+  test("append of a new day leaves existing partitions untouched") {
+    val path = tmp("store")
+    ProductStore.create(product, path)
+    val n1    = ProductStore.read(spark, path).count()
+    val dayTwo = product.withColumn("time", col("time") + expr("INTERVAL 1 DAY"))
+    ProductStore.appendIdempotent(dayTwo, path)
+    assert(ProductStore.read(spark, path).count() === 2 * n1)
+    val cov = ProductStore.coverage(spark, path).collect()(0)
+    assert(cov.getAs[Long]("n_rows") === 2 * n1)
+  }
+
+  test("verify finds and repair removes duplicates from plain appends") {
+    val path = tmp("store")
+    ProductStore.create(product, path)
+    // a foreign writer double-appends (plain append mode, no idempotence)
+    product
+      .withColumn("day", col("time").cast("date"))
+      .write.mode("append").partitionBy("day").parquet(path)
+    assert(ProductStore.findDuplicates(spark, path).count() > 0)
+    val fixed = ProductStore.repair(spark, path)
+    assert(fixed > 0)
+    assert(ProductStore.findDuplicates(spark, path).count() === 0)
+  }
+
+  test("foreachBatch ingestion with idempotent sink is exactly-once in effect") {
+    val src  = tmp("stream-src")
+    val path = tmp("stream-store")
+    val ckpt = tmp("stream-ckpt")
+    // day-stamped long-form rows arriving as files
+    product.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(ProductStore.read(spark, src).schema)
+      .parquet(src)
+    val q = MicroBatchIngest
+      .ingest(stream, identity, b => ProductStore.appendIdempotent(b, path), ckpt)
+      .start()
+    q.awaitTermination(60000)
+    val n = ProductStore.read(spark, path).count()
+    assert(n === product.count())
+    assert(ProductStore.findDuplicates(spark, path).count() === 0)
+  }
+
+  test("watermarked windowed means over an event stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    ms.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 6.0))
+    val agg = MicroBatchIngest.windowedMeans(
+      ms.toDF().toDF("ts", "value"), "ts", "value")
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName("wm").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("wm").orderBy("window_start").collect()
+      .map(r => (r.getAs[java.sql.Timestamp](0).toString, r.getDouble(1), r.getLong(2)))
+    assert(got === Array(
+      ("2024-01-01 00:00:00.0", 3.0, 2L),
+      ("2024-01-02 00:00:00.0", 6.0, 1L)))
+  }
+}
