@@ -1,0 +1,136 @@
+package graft.domain
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Grid.GridSpec
+import graft.operators.Sessionize
+
+/** Global-product variant (SURVEY R4 + M4 + G5 + J5,
+  * `sam_extract/processors/OCO3SamGlobalProcessor.py`).
+  *
+  * The global processors grid every region onto one shared global mesh
+  * (18000×36000 in production) and annotate each written pixel with
+  * target_id/target_type/operation_mode, first writer wins
+  * (`OCO3SamGlobalProcessor.py:330-410`). Days with no data for a mission
+  * are synthesized as all-fill (`:639-718`).
+  *
+  * Sparse long-form design: the global mesh is never materialized — each
+  * region generates only the global index range its footprints cover
+  * (per-region `sequence()` explode), so in-flight data stays proportional
+  * to observed pixels. First-writer-wins becomes a deterministic rank-1 by
+  * region order (SURVEY §7.4 hard part 3). Empty-day synthesis is a no-op
+  * in sparse form (absence = fill); `emptyDay` provides the dense export
+  * when byte-parity output is required.
+  */
+object GlobalPipeline {
+
+  /** Default test-scale global mesh (production: 18000 × 36000). */
+  val DefaultGrid: GridSpec = GridSpec(-180.0, 180.0, 360, -90.0, 90.0, 180)
+
+  /** R4: mode runs only, not keyed by target; the mode label rides along. */
+  def sessionize(granule: DataFrame, cfg: Pipeline.Config): DataFrame =
+    Sessionize.byKeyChangeWithMargin(
+      granule.filter(col("operation_mode").isin(cfg.samMode, cfg.targetMode)),
+      "sounding_index",
+      Seq("operation_mode"),
+      cfg.margin)
+
+  /** Per-region footprint extent (drives which global pixels to generate). */
+  def regionExtent(sessions: DataFrame): DataFrame =
+    sessions
+      .groupBy(col("region_id"))
+      .agg(
+        date_trunc("day", min(col("time"))).as("time"),
+        min(col("operation_mode")).as("operation_mode"),
+        min(col("target_id")).as("target_id"),
+        min(array_min(col("vertex_longitude").cast("array<double>"))).as("fminx"),
+        max(array_max(col("vertex_longitude").cast("array<double>"))).as("fmaxx"),
+        min(array_min(col("vertex_latitude").cast("array<double>"))).as("fminy"),
+        max(array_max(col("vertex_latitude").cast("array<double>"))).as("fmaxy"))
+
+  /** Global pixels covered by each region's extent: per-region explode of
+    * the covered global index ranges; coordinates via the global linspace
+    * formula (no global mesh materialization). */
+  def coveredPixels(extents: DataFrame, g: GridSpec): DataFrame = {
+    val stepX = (g.maxX - g.minX) / (g.nX - 1)
+    val stepY = (g.maxY - g.minY) / (g.nY - 1)
+    extents
+      .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - g.minX) / stepX).cast("int")))
+      .withColumn("_xhi", least(lit(g.nX - 1), floor((col("fmaxx") - g.minX) / stepX).cast("int")))
+      .withColumn("_ylo", greatest(lit(0), ceil((col("fminy") - g.minY) / stepY).cast("int")))
+      .withColumn("_yhi", least(lit(g.nY - 1), floor((col("fmaxy") - g.minY) / stepY).cast("int")))
+      .filter(col("_xlo") <= col("_xhi") && col("_ylo") <= col("_yhi"))
+      .withColumn("lon_idx", explode(sequence(col("_xlo"), col("_xhi"))))
+      .withColumn("lat_idx", explode(sequence(col("_ylo"), col("_yhi"))))
+      .withColumn("lon", lit(g.minX) + col("lon_idx") * ((lit(g.maxX) - lit(g.minX)) / (lit(g.nX) - lit(1))))
+      .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))
+      .drop("_xlo", "_xhi", "_ylo", "_yhi", "fminx", "fmaxx", "fminy", "fmaxy")
+  }
+
+  /** Full global pipeline → sparse long form with per-pixel annotations
+    * (M4: numeric target id, target type code, operation mode;
+    * first-writer-wins = lowest region_id). */
+  def process(
+      granule: DataFrame,
+      grid: GridSpec = DefaultGrid,
+      cfg: Pipeline.Config = Pipeline.Config(),
+      valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sessions = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+    val extents  = regionExtent(sessions)
+    val pixels   = coveredPixels(extents, grid)
+    val interped = Pipeline.interpolateNearest(pixels, sessions, valueCols)
+    val mask     = Pipeline.maskPixels(pixels, sessions, cfg)
+    val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+    // M4 first-writer-wins per global pixel per day
+    val w = Window
+      .partitionBy(col("time"), col("lat_idx"), col("lon_idx"))
+      .orderBy(col("region_id"))
+    val first = masked.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+    val stackExpr = valueCols.map(v => s"'$v', $v")
+      .mkString(s"stack(${valueCols.size}, ", ", ", ") AS (variable, value)")
+    first.select(
+      col("time"),
+      col("lat_idx"),
+      col("lon_idx"),
+      col("lat"),
+      col("lon"),
+      coalesce(TargetCatalog.extractNumericId(col("target_id")), lit(-1)).as("target_num"),
+      TargetCatalog.idTypeCode(col("target_id")).as("target_type"),
+      col("operation_mode"),
+      expr(stackExpr))
+  }
+
+  /** G5: dense all-fill day for export parity (sparse form treats absence
+    * as fill, so this is only needed by dense exporters). */
+  def emptyDay(
+      spark: SparkSession,
+      grid: GridSpec,
+      day: String,
+      variables: Seq[String],
+      fill: Double = Double.NaN): DataFrame = {
+    import spark.implicits._
+    val vars = variables.toDF("variable")
+    graft.operators.Grid
+      .generate(spark, grid)
+      .crossJoin(vars)
+      .select(
+        to_timestamp(lit(day)).as("time"),
+        col("y_idx").as("lat_idx"),
+        col("x_idx").as("lon_idx"),
+        col("y").as("lat"),
+        col("x").as("lon"),
+        lit(-1).as("target_num"),
+        lit(-1).cast("byte").as("target_type"),
+        lit(-1).as("operation_mode"),
+        col("variable"),
+        lit(fill).as("value"))
+  }
+
+  /** J5: multi-mission day merge — disjoint variable sets over the same
+    * coords union in long form under a mission discriminator. */
+  def mergeMissions(products: Map[String, DataFrame]): DataFrame =
+    products
+      .map { case (mission, df) => df.withColumn("mission", lit(mission)) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+}

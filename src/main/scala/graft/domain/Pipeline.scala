@@ -141,15 +141,20 @@ object Pipeline {
       .distinct()
   }
 
-  /** Full target-focused pipeline → sparse long form
-    * (target_id, time, lat_idx, lon_idx, lat, lon, variable, value). */
-  def process(granule: DataFrame, catalog: DataFrame, cfg: Config = Config()): DataFrame = {
-    val sessions = qualityFilter(sessionize(granule, cfg), cfg)
-    val regions  = TargetCatalog.associate(regionSummary(sessions), catalog)
-    val pixels   = regionPixels(regions, cfg)
-    val interped = interpolateNearest(pixels, sessions, Seq("xco2", "xco2_uncertainty"))
+  /** Shared tail: per-region grid → nearest interpolation → footprint mask
+    * → sparse long form. `regionsWithBbox` must carry (region_id, target_id,
+    * time, min/max lon/lat); `sessions` the per-sounding rows with
+    * region_id. */
+  def gridInterpMask(
+      regionsWithBbox: DataFrame,
+      sessions: DataFrame,
+      cfg: Config,
+      valueCols: Seq[String]): DataFrame = {
+    val pixels   = regionPixels(regionsWithBbox, cfg)
+    val interped = interpolateNearest(pixels, sessions, valueCols)
     val mask     = maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+    val stackExpr = valueCols.map(v => s"'$v', $v").mkString(s"stack(${valueCols.size}, ", ", ", ") AS (variable, value)")
     masked.select(
       col("target_id"),
       col("time"),
@@ -157,6 +162,18 @@ object Pipeline {
       col("lon_idx"),
       col("lat"),
       col("lon"),
-      expr("stack(2, 'xco2', xco2, 'xco2_uncertainty', xco2_uncertainty) AS (variable, value)"))
+      expr(stackExpr))
+  }
+
+  /** Full target-focused pipeline → sparse long form
+    * (target_id, time, lat_idx, lon_idx, lat, lon, variable, value). */
+  def process(
+      granule: DataFrame,
+      catalog: DataFrame,
+      cfg: Config = Config(),
+      valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
+    val sessions = qualityFilter(sessionize(granule, cfg), cfg)
+    val regions  = TargetCatalog.associate(regionSummary(sessions), catalog)
+    gridInterpMask(regions, sessions, cfg, valueCols)
   }
 }

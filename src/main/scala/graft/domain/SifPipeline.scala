@@ -1,0 +1,72 @@
+package graft.domain
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Sessionize
+
+/** OCO-3 SIF mission variant (SURVEY R5 + J6,
+  * `sam_extract/processors/OCO3SifProcessor.py`).
+  *
+  * SIF granules name targets indirectly: each sounding carries a
+  * `sequences_index` into a separate `sequences` table
+  * (`OCO3SifProcessor.py:363-366`); index < 0 means 'none', and 'none'
+  * rows inherit the neighboring run's target during region detection
+  * (`:377-477`). Modes are SAM=3 / Target=2 (`:37-38`); quality keeps
+  * flags {0,1} (`:499-505`); time is seconds since the 1990 epoch
+  * (`:66,93-95`).
+  */
+object SifPipeline {
+
+  val SifEpochSeconds: Long = 631152000L // 1990-01-01T00:00:00Z - unix epoch
+
+  /** J6/R5 step 1: resolve target ids through the sequences lookup
+    * (broadcast equi-join); missing/negative indices become 'none'. */
+  def resolveTargets(soundings: DataFrame, sequences: DataFrame): DataFrame =
+    soundings
+      .join(
+        broadcast(sequences.select(col("seq_index").as("sequences_index"), col("seq_target"))),
+        Seq("sequences_index"),
+        "left")
+      .withColumn(
+        "target_id",
+        when(col("sequences_index") < 0 || col("seq_target").isNull, lit("none"))
+          .otherwise(col("seq_target")))
+      .drop("seq_target")
+
+  /** R5 step 2+3: 'none' wildcard coalescing then margin-merged run
+    * detection on (mode, resolved target). */
+  def sessionize(resolved: DataFrame, cfg: Pipeline.Config): DataFrame = {
+    val coalesced = Sessionize.coalesceWildcard(resolved, "sounding_index", "target_id", "none")
+    Sessionize.byKeyChangeWithMargin(
+      coalesced.filter(
+        col("operation_mode").isin(cfg.samMode, cfg.targetMode) &&
+          !col("target_id").isin("none", "Missing", "missing")),
+      "sounding_index",
+      Seq("operation_mode", "target_id"),
+      cfg.margin)
+  }
+
+  /** SIF quality: flags {0,1} are good (`OCO3SifProcessor.py:499-505`). */
+  def qualityFilter(sessions: DataFrame): DataFrame =
+    sessions.filter(col("quality_flag").isin(0, 1))
+
+  /** Delta_Time seconds-since-1990 → timestamp column. */
+  def sifTime(deltaTime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_seconds(col("delta_time") + lit(SifEpochSeconds))
+
+  /** Full SIF pipeline → sparse long form over `daily_sif`.
+    * Input soundings: (sounding_index, latitude, longitude, delta_time,
+    * vertex_latitude, vertex_longitude, quality_flag, daily_sif,
+    * operation_mode, sequences_index); sequences: (seq_index, seq_target).
+    */
+  def process(
+      soundings: DataFrame,
+      sequences: DataFrame,
+      catalog: DataFrame,
+      cfg: Pipeline.Config = Pipeline.Config(samMode = 3, targetMode = 2)): DataFrame = {
+    val withTime = soundings.withColumn("time", sifTime(col("delta_time")))
+    val sessions = qualityFilter(sessionize(resolveTargets(withTime, sequences), cfg))
+    val regions  = TargetCatalog.associate(Pipeline.regionSummary(sessions), catalog)
+    Pipeline.gridInterpMask(regions, sessions, cfg, Seq("daily_sif"))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.domain.{Pipeline, TargetCatalog}
+import graft.domain.{GlobalPipeline, Oco2Pipeline, Pipeline, TargetCatalog}
 import graft.domain.TargetCatalog.Target
 import graft.sources.SyntheticGranule
 import graft.sources.SyntheticGranule.sounding
@@ -49,6 +49,20 @@ object DomainQueries {
       .orderBy(col("target_id"), col("variable"), col("lat_idx"), col("lon_idx"))
   }
 
-  val queries: Map[String, Q]  = Map("q31_domain_pipeline" -> q31)
+  /** Global-product variant + multi-mission merge: R4 sessionization,
+    * per-pixel first-writer-wins annotation, sparse global mesh indices;
+    * merged with an OCO-2-style product under a mission discriminator. */
+  private val q32: Q = (s, _) => {
+    val oco3 = GlobalPipeline.process(demoGranule(s))
+    val oco2 = Oco2Pipeline.process(
+      demoGranule(s).drop("target_id").withColumn("target_id", lit("")),
+      demoCatalog(s))
+    GlobalPipeline
+      .mergeMissions(Map("oco3_global" -> oco3, "oco2" -> oco2))
+      .orderBy(col("mission"), col("variable"), col("lat_idx"), col("lon_idx"))
+  }
+
+  val queries: Map[String, Q] =
+    Map("q31_domain_pipeline" -> q31, "q32_global_merge" -> q32)
   val oracles: Map[String, String] = Map.empty
 }

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.domain._
+import graft.domain.TargetCatalog.Target
+import graft.sources.SyntheticGranule
+import graft.sources.SyntheticGranule.sounding
+
+/** OCO-2 (nearest-centroid association), SIF (sequence resolution + 'none'
+  * coalescing), and global-product (first-writer-wins annotation) variants.
+  */
+class MissionVariantsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val catalog = TargetCatalog.toDF(
+    spark,
+    Seq(
+      Target("fossil0001", "Plant A", 10.0, 40.0, 12.0, 42.0),
+      Target("volcano0002", "Volcano B", -5.0, -1.0, -3.0, 1.0)))
+
+  test("OCO-2: regions associate to nearest centroid with bbox validity") {
+    // region near Plant A's center (11, 41); no target ids in input
+    val g = SyntheticGranule.toDF(
+      spark,
+      (0 until 6).map(i => sounding(i, 40.9 + 0.05 * i, 10.9 + 0.05 * i, mode = 2, target = "")) ++
+        // far-away region: nearest is still one of the two targets, but its
+        // bbox does not intersect -> dropped (OCO2Processor.py:427-430)
+        (6 until 9).map(i => sounding(i, -40.0, 100.0, mode = 2, target = "")))
+    val out = Oco2Pipeline.process(g, catalog)
+    val targets = out.select("target_id").distinct().collect().map(_.getString(0))
+    assert(targets === Array("fossil0001"))
+    assert(out.count() > 0)
+  }
+
+  test("SIF: sequence lookup resolves targets and 'none' coalesces into runs") {
+    val sequences = Seq((0, "fossil0001"), (1, "volcano0002")).toDF("seq_index", "seq_target")
+    // soundings: indices [0,-1,0] -> fossil0001 run with interior 'none'
+    // that must coalesce, then a volcano0002 run
+    val rows = Seq(
+      (0L, 41.0, 11.0, 0),
+      (1L, 41.1, 11.1, -1),
+      (2L, 41.2, 11.2, 0),
+      (3L, -0.5, -4.5, 1),
+      (4L, -0.4, -4.4, 1)
+    ).map { case (i, lat, lon, seq) =>
+      (i, lat, lon, 1071878400.0 + i, // ~2023-12 in s-since-1990
+        Seq(lat - 0.3, lat - 0.3, lat + 0.3, lat + 0.3),
+        Seq(lon - 0.3, lon + 0.3, lon + 0.3, lon - 0.3),
+        0, 1.5 + i, 3, seq)
+    }.toDF("sounding_index", "latitude", "longitude", "delta_time",
+      "vertex_latitude", "vertex_longitude", "quality_flag", "daily_sif",
+      "operation_mode", "sequences_index")
+    val out = Pipeline.Config(samMode = 3, targetMode = 2)
+    val result = SifPipeline.process(rows, sequences, catalog, out)
+    val targets = result.select("target_id").distinct().collect().map(_.getString(0)).sorted
+    assert(targets === Array("fossil0001", "volcano0002"))
+    // the 'none' sounding joined the fossil0001 run: its value appears there
+    val fossilVals = result
+      .filter(col("target_id") === "fossil0001" && col("variable") === "daily_sif")
+      .select("value").distinct().collect().map(_.getDouble(0)).toSet
+    assert(fossilVals.subsetOf(Set(1.5, 2.5, 3.5)))
+    assert(fossilVals.contains(2.5)) // the coalesced 'none' sounding's value
+  }
+
+  test("global product: first-writer-wins annotation on overlapping regions") {
+    // two SAM regions over the same area (separated by a non-SAM gap so they
+    // sessionize apart), different targets: lower region_id must win
+    val g = SyntheticGranule.toDF(
+      spark,
+      (0 until 4).map(i => sounding(i, 41.0, 11.0 + 0.01 * i, mode = 4, target = "fossil0001", xco2 = 400.0)) ++
+        Seq(sounding(4, 0.0, 0.0, mode = 0, target = "x"), sounding(5, 0.0, 0.0, mode = 0, target = "x"), sounding(6, 0.0, 0.0, mode = 0, target = "x")) ++
+        (7 until 11).map(i => sounding(i, 41.0, 11.0 + 0.01 * (i - 7), mode = 4, target = "volcano0020", xco2 = 500.0)))
+    val out = GlobalPipeline.process(g, GlobalPipeline.DefaultGrid)
+    val vals = out.filter(col("variable") === "xco2").select("value").distinct()
+      .collect().map(_.getDouble(0)).toSet
+    // every overlapping pixel resolves to the first region's value
+    assert(vals === Set(400.0))
+    val ann = out.select("target_num", "target_type").distinct().collect()
+      .map(r => (r.getInt(0), r.getByte(1)))
+    assert(ann === Array((1, 0.toByte))) // fossil0001 -> num 1, type fossil=0
+    // global indices are within the global mesh
+    val mx = out.agg(max("lon_idx"), max("lat_idx")).collect()(0)
+    assert(mx.getInt(0) < 360 && mx.getInt(1) < 180)
+  }
+
+  test("mission merge unions long forms under a mission column") {
+    val a = Seq(("t1", "xco2", 1.0)).toDF("target_id", "variable", "value")
+    val b = Seq(("t2", "sif", 2.0)).toDF("target_id", "variable", "value")
+    val m = GlobalPipeline.mergeMissions(Map("oco3" -> a, "oco3_sif" -> b))
+    assert(m.count() === 2)
+    assert(m.select("mission").distinct().count() === 2)
+  }
+
+  test("empty-day synthesis produces a dense all-fill mesh") {
+    val d = GlobalPipeline.emptyDay(
+      spark, graft.operators.Grid.GridSpec(0, 1, 3, 0, 1, 3), "2023-06-15", Seq("xco2"))
+    assert(d.count() === 9)
+    assert(d.filter(isnan(col("value"))).count() === 9)
+  }
+}
