@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.GridQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
+      graft.queries.FunctionQueries.queries ++
       graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.AggregateQueries.oracles ++
       graft.queries.GridQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.EmbeddingQueries.oracles
+      graft.queries.EmbeddingQueries.oracles ++
+      graft.queries.FunctionQueries.oracles
 }

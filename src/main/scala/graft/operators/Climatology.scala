@@ -19,15 +19,26 @@ import graft.functions.Portable._
   */
 object Climatology {
 
+  /** Span start boundary: calendar units via date_trunc, plus "season" =
+    * meteorological season (DJF/MAM/JJA/SON — the reference's seasonal
+    * climatology mode, `tools/climatology/main.py:183-210`), computed as
+    * quarter-truncate of (ts + 1 month) minus 1 month so December joins the
+    * following DJF. */
+  def spanStart(ts: Column, span: String): Column = span match {
+    case "season" =>
+      date_trunc("quarter", ts + expr("INTERVAL 1 MONTH")) - expr("INTERVAL 1 MONTH")
+    case unit => date_trunc(unit, ts)
+  }
+
   /** Per-span mean/count over a value column, grouped by extra keys.
-    * `span` is a date_trunc unit ("month", "quarter", "year"). */
+    * `span` ∈ {"month", "quarter", "season", "year", ...}. */
   def temporalMean(
       df: DataFrame,
       tsCol: String,
       valueCol: String,
       span: String,
       keyCols: Seq[String] = Nil): DataFrame = {
-    val spanCol = date_format(date_trunc(span, col(tsCol)), "yyyy-MM-dd").as("span_start")
+    val spanCol = date_format(spanStart(col(tsCol), span), "yyyy-MM-dd").as("span_start")
     df.groupBy(spanCol +: keyCols.map(col): _*)
       .agg(
         avg2(col(valueCol)).as("mean_value"),

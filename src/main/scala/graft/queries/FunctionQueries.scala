@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Portable._
+import graft.operators.Climatology
+
+/** Seasonal climatology + the scalar string/date/math function surface the
+  * reference uses (SURVEY §2.7): filename↔date codecs, component
+  * timestamps, WKT serialization, clamp, Euclidean distance, ISO
+  * formatting, regex extraction.
+  */
+object FunctionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** A7 seasonal: meteorological-season climatology (DJF/MAM/JJA/SON). */
+  private val q33: Q = (s, dir) =>
+    Climatology
+      .temporalMean(Tables.events(s, dir), "ts", "value", "season", Seq("event_type"))
+      .orderBy(col("span_start"), col("event_type"))
+
+  private val q33Sql =
+    """SELECT strftime(date_trunc('quarter', ts + INTERVAL 1 MONTH) - INTERVAL 1 MONTH,
+      |                '%Y-%m-%d') AS span_start, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+      |  COUNT(value) AS valid_count,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY span_start, event_type""".stripMargin
+
+  /** §2.7 scalar function surface, one row per order: granule-style
+    * filename build + parse-back, component timestamp assembly, WKT bbox
+    * serialization (decimal-string coordinates), clamp, Euclidean distance,
+    * ISO-8601 formatting, trailing-digit regex extraction. */
+  private val q34: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val fname = concat(lit("oco3_LtCO2_"), date_format(col("o_orderdate"), "yyyyMMdd"), lit("_B10400Br.nc4"))
+    // miny derives by exact decimal arithmetic — dividing the double by 2
+    // would land exactly on .xx5 decimal boundaries where Spark and DuckDB
+    // round double→decimal differently (see Portable.scala)
+    val minx = col("o_totalprice").cast("decimal(18,2)")
+    val miny = (col("o_totalprice").cast("decimal(18,2)") - 100).cast("decimal(18,2)")
+    o.select(
+        col("o_orderkey"),
+        fname.as("granule_name"),
+        to_date(regexp_extract(fname, "_(\\d{8})_", 1), "yyyyMMdd").as("parsed_day"),
+        date_format(
+          make_timestamp(
+            year(col("o_orderdate")), month(col("o_orderdate")), dayofmonth(col("o_orderdate")),
+            lit(12), lit(30), lit(15.0)),
+          "yyyy-MM-dd'T'HH:mm:ss").as("component_ts"),
+        concat(
+          lit("POLYGON (("), minx, lit(" "), miny, lit(", "), minx, lit(" "),
+          (miny + 1).cast("decimal(18,2)"), lit("))")).as("bbox_wkt"),
+        least(greatest(col("o_totalprice") / 100000, lit(1.0)), lit(1.5)).as("clamped_scale"),
+        sqrt(
+          (col("o_totalprice") / 1000) * (col("o_totalprice") / 1000) +
+            col("o_custkey") * col("o_custkey")).as("euclid"),
+        regexp_extract(col("o_orderpriority"), "(\\d+)", 1).as("priority_num")
+      )
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val q34Sql =
+    """SELECT o_orderkey,
+      |  'oco3_LtCO2_' || strftime(o_orderdate, '%Y%m%d') || '_B10400Br.nc4' AS granule_name,
+      |  CAST(strptime(regexp_extract(
+      |    'oco3_LtCO2_' || strftime(o_orderdate, '%Y%m%d') || '_B10400Br.nc4',
+      |    '_(\d{8})_', 1), '%Y%m%d') AS DATE) AS parsed_day,
+      |  strftime(make_timestamp(CAST(year(o_orderdate) AS BIGINT),
+      |    CAST(month(o_orderdate) AS BIGINT), CAST(day(o_orderdate) AS BIGINT),
+      |    12, 30, 15.0), '%Y-%m-%dT%H:%M:%S') AS component_ts,
+      |  'POLYGON ((' || CAST(o_totalprice AS DECIMAL(18,2)) || ' ' ||
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 100 AS DECIMAL(18,2)) || ', ' ||
+      |    CAST(o_totalprice AS DECIMAL(18,2)) || ' ' ||
+      |    CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) - 100 AS DECIMAL(18,2)) + 1
+      |         AS DECIMAL(18,2)) || '))'
+      |    AS bbox_wkt,
+      |  least(greatest(o_totalprice / 100000, 1.0), 1.5) AS clamped_scale,
+      |  sqrt((o_totalprice / 1000) * (o_totalprice / 1000) + o_custkey * o_custkey)
+      |    AS euclid,
+      |  regexp_extract(o_orderpriority, '(\d+)', 1) AS priority_num
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q33_climatology_seasonal" -> q33,
+    "q34_scalar_functions"     -> q34
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_climatology_seasonal" -> q33Sql,
+    "q34_scalar_functions"     -> q34Sql
+  )
+}
