@@ -34,7 +34,11 @@ object Pipeline {
       margin: Long = 2,
       gridN: Int = 8,
       qfFilter: Boolean = true,
-      maskScale: Double = 1.0)
+      maskScale: Double = 1.0,
+      /** "nearest" (rank-1 join) or "linear" (Delaunay/barycentric grouped
+        * kernel with <4-point nearest fallback — the reference's deploy
+        * default). */
+      method: String = "nearest")
 
   /** R1/R2 + P4/P6: mode-filtered, margin-merged region detection over the
     * ordered sounding table. Adds `region_id`. */
@@ -150,19 +154,25 @@ object Pipeline {
       sessions: DataFrame,
       cfg: Config,
       valueCols: Seq[String]): DataFrame = {
-    val pixels   = regionPixels(regionsWithBbox, cfg)
-    val interped = interpolateNearest(pixels, sessions, valueCols)
+    val pixels = regionPixels(regionsWithBbox, cfg)
+    val interped = cfg.method match {
+      case "linear" => graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols)
+      case _        => interpolateNearest(pixels, sessions, valueCols)
+    }
     val mask     = maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
     val stackExpr = valueCols.map(v => s"'$v', $v").mkString(s"stack(${valueCols.size}, ", ", ", ") AS (variable, value)")
-    masked.select(
-      col("target_id"),
-      col("time"),
-      col("lat_idx"),
-      col("lon_idx"),
-      col("lat"),
-      col("lon"),
-      expr(stackExpr))
+    masked
+      .select(
+        col("target_id"),
+        col("time"),
+        col("lat_idx"),
+        col("lon_idx"),
+        col("lat"),
+        col("lon"),
+        expr(stackExpr))
+      // sparse long form: outside-hull pixels (NaN under linear) are absent
+      .filter(!isnan(col("value")))
   }
 
   /** Full target-focused pipeline → sparse long form

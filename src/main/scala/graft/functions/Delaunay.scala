@@ -1,0 +1,137 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Delaunay triangulation (Bowyer–Watson) + barycentric linear
+  * interpolation — the JVM kernel behind the reference's
+  * `scipy.griddata(method='linear')` (SURVEY G3,
+  * `sam_extract/processors/OCO3SamProcessor.py:161-182`; deploy default is
+  * `linear`, `tools/deploy/terraform/variables.tf:287-290`).
+  *
+  * Standard textbook Bowyer–Watson over a super-triangle with an exact-ish
+  * incircle determinant. Semantics matched to scipy.griddata:
+  *   - queries outside the convex hull → NaN (the target-product fill,
+  *     `OCO3SamProcessor.py:150-159` handles <4 points with a nearest
+  *     fallback at the call site)
+  *   - at a sample point the sample value is reproduced (barycentric weight
+  *     collapses to 1)
+  *   - duplicate input points keep the first occurrence
+  *
+  * The kernel is deliberately a plain-Scala function over arrays: it runs
+  * inside a grouped typed operator (one region's points per call, O(10³)),
+  * never on the driver.
+  */
+object Delaunay {
+
+  final case class Triangulation(
+      px: Array[Double],
+      py: Array[Double],
+      keptIdx: Array[Int], // positions into the ORIGINAL input arrays
+      triangles: Array[Array[Int]] // index triples into px/py
+  ) {
+    /** Align a per-original-point value array with the deduped vertices. */
+    def alignValues(original: Array[Double]): Array[Double] = keptIdx.map(original)
+  }
+
+  /** Bowyer–Watson. Returns None for < 3 distinct non-collinear points. */
+  def triangulate(xsIn: Array[Double], ysIn: Array[Double]): Option[Triangulation] = {
+    // drop exact duplicates, keep first
+    val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
+    val keep = ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < xsIn.length) {
+      if (seen.add((xsIn(i), ysIn(i)))) keep += i
+      i += 1
+    }
+    val xs = keep.map(xsIn).toArray
+    val ys = keep.map(ysIn).toArray
+    val n  = xs.length
+    if (n < 3) return None
+
+    // super-triangle around the bounding box
+    val minX = xs.min; val maxX = xs.max
+    val minY = ys.min; val maxY = ys.max
+    val dmax = math.max(maxX - minX, maxY - minY) max 1e-12
+    val midX = (minX + maxX) / 2
+    val midY = (minY + maxY) / 2
+    val ax = midX - 20 * dmax; val ay = midY - dmax
+    val bx = midX;             val by = midY + 20 * dmax
+    val cx = midX + 20 * dmax; val cy = midY - dmax
+
+    val vx = xs ++ Array(ax, bx, cx)
+    val vy = ys ++ Array(ay, by, cy)
+    val sA = n; val sB = n + 1; val sC = n + 2
+
+    final case class Tri(a: Int, b: Int, c: Int)
+    var tris = ArrayBuffer(Tri(sA, sB, sC))
+
+    def circumContains(t: Tri, px: Double, py: Double): Boolean = {
+      // incircle determinant; positive orientation enforced
+      var (x1, y1) = (vx(t.a), vy(t.a))
+      var (x2, y2) = (vx(t.b), vy(t.b))
+      var (x3, y3) = (vx(t.c), vy(t.c))
+      val orient = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
+      if (orient < 0) { val tx = x2; val ty = y2; x2 = x3; y2 = y3; x3 = tx; y3 = ty }
+      val ax_ = x1 - px; val ay_ = y1 - py
+      val bx_ = x2 - px; val by_ = y2 - py
+      val cx_ = x3 - px; val cy_ = y3 - py
+      val det =
+        (ax_ * ax_ + ay_ * ay_) * (bx_ * cy_ - cx_ * by_) -
+          (bx_ * bx_ + by_ * by_) * (ax_ * cy_ - cx_ * ay_) +
+          (cx_ * cx_ + cy_ * cy_) * (ax_ * by_ - bx_ * ay_)
+      det > 0
+    }
+
+    var p = 0
+    while (p < n) {
+      val bad = tris.filter(t => circumContains(t, vx(p), vy(p)))
+      // cavity boundary: edges appearing in exactly one bad triangle
+      val edges = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+      bad.foreach { t =>
+        Seq((t.a, t.b), (t.b, t.c), (t.c, t.a)).foreach { case (u, v) =>
+          val k = if (u < v) (u, v) else (v, u)
+          edges(k) = edges.getOrElse(k, 0) + 1
+        }
+      }
+      tris = tris.filterNot(t => circumContains(t, vx(p), vy(p)))
+      edges.foreach { case ((u, v), cnt) =>
+        if (cnt == 1) tris += Tri(u, v, p)
+      }
+      p += 1
+    }
+    val finalTris = tris
+      .filterNot(t => t.a >= n || t.b >= n || t.c >= n)
+      .map(t => Array(t.a, t.b, t.c))
+      .toArray
+    if (finalTris.isEmpty) None
+    else Some(Triangulation(xs, ys, keep.toArray, finalTris))
+  }
+
+  /** Barycentric linear interpolation of (qx, qy) against a triangulation
+    * with per-vertex values. NaN outside the hull. */
+  def interpolateLinear(
+      tri: Triangulation,
+      values: Array[Double],
+      qx: Double,
+      qy: Double): Double = {
+    val eps = 1e-12
+    var i = 0
+    while (i < tri.triangles.length) {
+      val t  = tri.triangles(i)
+      val x1 = tri.px(t(0)); val y1 = tri.py(t(0))
+      val x2 = tri.px(t(1)); val y2 = tri.py(t(1))
+      val x3 = tri.px(t(2)); val y3 = tri.py(t(2))
+      val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      if (math.abs(det) > eps) {
+        val l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
+        val l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
+        val l3 = 1.0 - l1 - l2
+        if (l1 >= -1e-9 && l2 >= -1e-9 && l3 >= -1e-9) {
+          return l1 * values(t(0)) + l2 * values(t(1)) + l3 * values(t(2))
+        }
+      }
+      i += 1
+    }
+    Double.NaN
+  }
+}

@@ -39,7 +39,9 @@ object DomainQueries {
     * product store (write partition-overwrite, read back) so the sink layer
     * is exercised at the driver surface. */
   private val q31: Q = (s, _) => {
-    val out = Pipeline.process(demoGranule(s), demoCatalog(s), Pipeline.Config(gridN = 16))
+    val out = Pipeline.process(
+      demoGranule(s), demoCatalog(s),
+      Pipeline.Config(gridN = 16, method = "linear"))
     val path = new java.io.File(
       System.getProperty("java.io.tmpdir"), "graft_demo_store").getAbsolutePath
     graft.sinks.ProductStore.appendIdempotent(out, path)

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.Delaunay
+
+/** Kernel-level properties (SURVEY §5 test plan item 4): linear
+  * interpolation reproduces inputs at sample points; values inside the hull
+  * are bounded by local extrema; outside-hull queries are NaN; planar data
+  * is reproduced exactly. */
+class DelaunaySpec extends AnyFunSuite {
+
+  private val rng = new scala.util.Random(42)
+
+  test("sample points reproduce their own values") {
+    val xs = Array.fill(30)(rng.nextDouble() * 10)
+    val ys = Array.fill(30)(rng.nextDouble() * 10)
+    val vs = Array.fill(30)(rng.nextDouble() * 100)
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    tri.keptIdx.zipWithIndex.foreach { case (orig, _) =>
+      val got = Delaunay.interpolateLinear(tri, av, xs(orig), ys(orig))
+      assert(math.abs(got - vs(orig)) < 1e-9, s"at point $orig")
+    }
+  }
+
+  test("a planar field interpolates exactly everywhere inside the hull") {
+    val xs = Array(0.0, 10.0, 0.0, 10.0, 5.0, 3.0, 7.0)
+    val ys = Array(0.0, 0.0, 10.0, 10.0, 5.0, 2.0, 8.0)
+    def f(x: Double, y: Double) = 3.0 + 2.0 * x - 0.5 * y
+    val vs  = xs.zip(ys).map { case (x, y) => f(x, y) }
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    for (qx <- 1 to 9; qy <- 1 to 9) {
+      val got = Delaunay.interpolateLinear(tri, av, qx, qy)
+      assert(math.abs(got - f(qx, qy)) < 1e-9, s"at ($qx,$qy)")
+    }
+  }
+
+  test("interpolated values are bounded by input extrema inside the hull") {
+    val xs = Array.fill(50)(rng.nextDouble() * 10)
+    val ys = Array.fill(50)(rng.nextDouble() * 10)
+    val vs = Array.fill(50)(rng.nextDouble() * 100)
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    val (lo, hi) = (vs.min, vs.max)
+    for (_ <- 1 to 200) {
+      val got = Delaunay.interpolateLinear(tri, av, 2 + rng.nextDouble() * 6, 2 + rng.nextDouble() * 6)
+      if (!got.isNaN) assert(got >= lo - 1e-9 && got <= hi + 1e-9)
+    }
+  }
+
+  test("empty-circumcircle property holds (the triangulation IS Delaunay)") {
+    val xs  = Array.fill(80)(rng.nextDouble() * 10)
+    val ys  = Array.fill(80)(rng.nextDouble() * 10)
+    val tri = Delaunay.triangulate(xs, ys).get
+    tri.triangles.foreach { t =>
+      val (x1, y1) = (tri.px(t(0)), tri.py(t(0)))
+      val (x2b, y2b) = (tri.px(t(1)), tri.py(t(1)))
+      val (x3b, y3b) = (tri.px(t(2)), tri.py(t(2)))
+      // circumcenter
+      val d = 2 * (x1 * (y2b - y3b) + x2b * (y3b - y1) + x3b * (y1 - y2b))
+      val ux = ((x1 * x1 + y1 * y1) * (y2b - y3b) + (x2b * x2b + y2b * y2b) * (y3b - y1) +
+        (x3b * x3b + y3b * y3b) * (y1 - y2b)) / d
+      val uy = ((x1 * x1 + y1 * y1) * (x3b - x2b) + (x2b * x2b + y2b * y2b) * (x1 - x3b) +
+        (x3b * x3b + y3b * y3b) * (x2b - x1)) / d
+      val r2 = (x1 - ux) * (x1 - ux) + (y1 - uy) * (y1 - uy)
+      tri.px.indices.foreach { i =>
+        if (i != t(0) && i != t(1) && i != t(2)) {
+          val d2 = (tri.px(i) - ux) * (tri.px(i) - ux) + (tri.py(i) - uy) * (tri.py(i) - uy)
+          assert(d2 >= r2 - 1e-7, s"point $i inside circumcircle of ${t.toSeq}")
+        }
+      }
+    }
+  }
+
+  test("outside the convex hull is NaN") {
+    val xs  = Array(0.0, 1.0, 0.0, 1.0)
+    val ys  = Array(0.0, 0.0, 1.0, 1.0)
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(Array(1.0, 2.0, 3.0, 4.0))
+    assert(Delaunay.interpolateLinear(tri, av, 5.0, 5.0).isNaN)
+    assert(Delaunay.interpolateLinear(tri, av, -1.0, 0.5).isNaN)
+  }
+
+  test("degenerate inputs return None (collinear, too few, duplicates)") {
+    assert(Delaunay.triangulate(Array(0.0, 1.0), Array(0.0, 1.0)).isEmpty)
+    assert(Delaunay.triangulate(Array(0.0, 1.0, 2.0, 3.0), Array(0.0, 1.0, 2.0, 3.0)).isEmpty)
+    // duplicates collapse below 3 distinct points
+    assert(Delaunay.triangulate(Array(1.0, 1.0, 1.0, 2.0), Array(1.0, 1.0, 1.0, 2.0)).isEmpty)
+  }
+
+  test("duplicate points keep the first occurrence's value") {
+    val xs  = Array(0.0, 5.0, 0.0, 5.0, 5.0)
+    val ys  = Array(0.0, 0.0, 5.0, 5.0, 0.0) // last duplicates point 1
+    val vs  = Array(10.0, 20.0, 30.0, 40.0, 999.0)
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    assert(math.abs(Delaunay.interpolateLinear(tri, av, 5.0, 0.0) - 20.0) < 1e-9)
+  }
+}

@@ -59,6 +59,22 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.process(g, catalog).count() === 0)
   }
 
+  test("linear method interpolates within hull and falls back to nearest for tiny regions") {
+    val out = Pipeline.process(granule, catalog, Pipeline.Config(gridN = 8, method = "linear")).cache()
+    assert(out.count() > 0)
+    // linear interpolation stays within the region's value bounds
+    val xs = out
+      .filter(col("variable") === "xco2" && col("target_id") === "fossil0001")
+      .select("value").collect().map(_.getDouble(0))
+    assert(xs.forall(v => v >= 400.0 - 1e-9 && v <= 404.0 + 1e-9))
+    // a 3-point region (< 4) uses the nearest fallback and still produces output
+    val tiny = SyntheticGranule.toDF(
+      spark,
+      (0 until 3).map(i => sounding(i, 41.0 + 0.2 * i, 11.0 + 0.2 * i, mode = 4, target = "fossil0001", xco2 = 400.0 + i)))
+    val tinyOut = Pipeline.process(tiny, catalog, Pipeline.Config(gridN = 8, method = "linear"))
+    assert(tinyOut.filter(col("variable") === "xco2").count() > 0)
+  }
+
   test("pre-QF branch keeps regions that have at least one good sounding") {
     val g = SyntheticGranule.toDF(
       spark,
