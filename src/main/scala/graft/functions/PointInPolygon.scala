@@ -3,9 +3,32 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
+
+/** Static ray-cast kernel shared by interpreted eval and generated code
+  * (operates on ArrayData directly — no per-row array copies). */
+object PointInPolygonKernel {
+  def contains(x: Double, y: Double, pxs: ArrayData, pys: ArrayData): Boolean = {
+    val n = math.min(pxs.numElements(), pys.numElements())
+    if (n < 3) return false
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = pxs.getDouble(i); val yi = pys.getDouble(i)
+      val xj = pxs.getDouble(j); val yj = pys.getDouble(j)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) {
+        inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+}
 
 /** Exact geometry predicate for footprint masking (SURVEY M2,
   * `OCO3SamProcessor.py:279-295`).
@@ -24,8 +47,7 @@ import org.apache.spark.sql.types._
   * pairs only.
   */
 case class PointInPolygon(px: Expression, py: Expression, xs: Expression, ys: Expression)
-    extends Expression
-    with CodegenFallback {
+    extends Expression {
 
   override def children: Seq[Expression] = Seq(px, py, xs, ys)
 
@@ -38,25 +60,31 @@ case class PointInPolygon(px: Expression, py: Expression, xs: Expression, ys: Ex
     val xa = xs.eval(input)
     val ya = ys.eval(input)
     if (xv == null || yv == null || xa == null || ya == null) return null
-    val x   = xv.asInstanceOf[Double]
-    val y   = yv.asInstanceOf[Double]
-    val pxs = xa.asInstanceOf[ArrayData].toDoubleArray()
-    val pys = ya.asInstanceOf[ArrayData].toDoubleArray()
-    val n   = math.min(pxs.length, pys.length)
-    if (n < 3) return false
-    var inside = false
-    var i      = 0
-    var j      = n - 1
-    while (i < n) {
-      val xi = pxs(i); val yi = pys(i)
-      val xj = pxs(j); val yj = pys(j)
-      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) {
-        inside = !inside
-      }
-      j = i
-      i += 1
-    }
-    inside
+    PointInPolygonKernel.contains(
+      xv.asInstanceOf[Double],
+      yv.asInstanceOf[Double],
+      xa.asInstanceOf[ArrayData],
+      ya.asInstanceOf[ArrayData])
+  }
+
+  /** Full codegen: null-check children, call the static kernel — the
+    * predicate stays inside the surrounding WholeStageCodegen span. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val a = px.genCode(ctx)
+    val b = py.genCode(ctx)
+    val c = xs.genCode(ctx)
+    val d = ys.genCode(ctx)
+    val kernel = PointInPolygonKernel.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${a.code}
+      ${b.code}
+      ${c.code}
+      ${d.code}
+      boolean ${ev.isNull} = ${a.isNull} || ${b.isNull} || ${c.isNull} || ${d.isNull};
+      boolean ${ev.value} = false;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kernel.contains(${a.value}, ${b.value}, ${c.value}, ${d.value});
+      }""")
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =

@@ -1,0 +1,46 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-driven granule input (SURVEY S4, with the filename→date codec
+  * of `Processor.granule_to_dt`, `sam_extract/processors/Processor.py:78-83`).
+  *
+  * The reference processes an explicit list of per-day granule files, one
+  * data-day per file, date encoded in the filename
+  * (`<mission>_LtCO2_<yyMMdd>_...`). Here a manifest is just a path list:
+  * each file becomes input splits tagged with its granule date and mission
+  * parsed from `input_file_name()` — executed in the data plane, no driver
+  * listing loop. (The NetCDF byte decode itself is out-of-container; files
+  * are parquet with the granule's logical schema — swapping in a NetCDF
+  * DataSource changes only the format string.)
+  *
+  * Filenames use 4-digit years (the reference's 2-digit `%y` is ambiguous
+  * across engines/pivot rules; see FunctionQueries q34).
+  */
+object GranuleManifest {
+
+  val FilenameDate = "_(\\d{8})_"
+
+  def readGranules(spark: SparkSession, manifest: Seq[String]): DataFrame =
+    spark.read
+      .parquet(manifest: _*)
+      .withColumn("_file", input_file_name())
+      .withColumn("granule_date", to_date(regexp_extract(col("_file"), FilenameDate, 1), "yyyyMMdd"))
+      .withColumn(
+        "mission",
+        when(col("_file").contains("oco3_sif"), "oco3_sif")
+          .when(col("_file").contains("oco2"), "oco2")
+          .otherwise("oco3"))
+      .drop("_file")
+
+  /** Manifest sanitation (SURVEY P11): drop nulls/blank entries, keep known
+    * missions only, warn-count unknown keys via the returned tuple. */
+  def sanitize(entries: Seq[(String, String)]): (Seq[(String, String)], Seq[(String, String)]) = {
+    val known = Set("oco2", "oco3", "oco3_sif")
+    val (good, bad) = entries
+      .filter { case (_, p) => p != null && p.nonEmpty }
+      .partition { case (m, _) => known(m) }
+    (good, bad)
+  }
+}
