@@ -35,26 +35,39 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** MinHash signatures: for seeds 0..numHashes-1, the lexicographic min of
-    * md5(seed || '|' || shingle). Output (id, seed, minhash). */
-  def signatures(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
-    val seeds = sh.sparkSession.range(numHashes).select(col("id").cast("int").as("seed"))
-    sh.crossJoin(broadcast(seeds))
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")).cast("binary")))
-        .as("minhash"))
+  /** MinHash signatures, wide form: all numHashes minimums computed as
+    * parallel aggregates in ONE hash aggregate over the shingle table —
+    * map-side partial min means the shuffle carries numHashes digests per
+    * document instead of |shingles| × numHashes rows. Output
+    * (id, mh0..mh{n-1}). */
+  def signaturesWide(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"mh$i")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
-  /** Banded LSH keys: rowsPerBand consecutive signature rows concatenate
-    * (in seed order) into one bucket key per band. */
-  def bandKeys(sig: DataFrame, idCol: String, rowsPerBand: Int = 2): DataFrame =
-    sig
-      .withColumn("band", expr(s"seed div $rowsPerBand"))
-      .groupBy(col(idCol), col("band"))
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("seed"), col("minhash")))), x => x("minhash")),
-          "|").as("band_key"))
+  /** Long-form signatures (id, seed, minhash) — thin melt of the wide form
+    * for callers that want the classic layout. */
+  def signatures(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
+    val wide = signaturesWide(sh, idCol, numHashes)
+    val stackExpr = (0 until numHashes).map(i => s"$i, mh$i")
+      .mkString(s"stack($numHashes, ", ", ", ") AS (seed, minhash)")
+    wide.select(col(idCol), expr(stackExpr))
+  }
+
+  /** Banded LSH keys from the wide signature form: rowsPerBand consecutive
+    * hashes concatenate into one bucket key per band — pure projection, no
+    * extra shuffle. */
+  def bandKeys(sigWide: DataFrame, idCol: String, rowsPerBand: Int = 2, numHashes: Int = 8): DataFrame = {
+    val nBands = numHashes / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+      s"$b, concat_ws('|', ${cols.mkString(", ")})"
+    }
+    val stackExpr = bands.mkString(s"stack($nBands, ", ", ", ") AS (band, band_key)")
+    sigWide.select(col(idCol), expr(stackExpr))
+  }
 
   /** Candidate pairs: distinct (a < b) document pairs sharing ≥1 band key. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
@@ -97,8 +110,8 @@ object MinHashLSH {
       rowsPerBand: Int = 2,
       minJaccard: Double = 0.5): DataFrame = {
     val sh    = shingles(df, idCol, textCol, shingleLen)
-    val sig   = signatures(sh, idCol, numHashes)
-    val bands = bandKeys(sig, idCol, rowsPerBand)
+    val sig   = signaturesWide(sh, idCol, numHashes)
+    val bands = bandKeys(sig, idCol, rowsPerBand, numHashes)
     val cand  = candidatePairs(bands, idCol)
     verifyJaccard(cand, sh, idCol, minJaccard)
   }
