@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.FunctionQueries.queries ++
+      graft.queries.SetOpQueries.queries ++
       graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.GridQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
-      graft.queries.FunctionQueries.oracles
+      graft.queries.FunctionQueries.oracles ++
+      graft.queries.SetOpQueries.oracles
 }
