@@ -53,6 +53,47 @@ object Similarity {
       .select(col("qid"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Deterministic random hyperplanes for sign-LSH (seeded; the same
+    * constants are embedded in the SQL oracle so both engines bucket
+    * identically). */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane (dot ≥ 0), concatenated in
+    * plane order — a pure projection, no shuffle. Vectors in the same
+    * bucket are ANN candidates; at 10⁹ vectors the bucket join replaces the
+    * brute-force cross product. */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    concat(planes.map { p =>
+      val lp = array(p.map(lit): _*)
+      when(dot(vec, lp) >= 0, lit("1")).otherwise(lit("0"))
+    }: _*)
+
+  /** LSH-bucketed top-k: exact cosine rank restricted to same-bucket
+    * candidates (the approximate/scale path next to bruteForceTopK). */
+  def lshTopK(
+      queries: DataFrame, // (qid, qvec)
+      corpus: DataFrame,  // (cid, cvec)
+      planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val q = queries
+      .withColumn("_qb", lshBucket(col("qvec"), planes))
+      .withColumn("_qn", norm(col("qvec")))
+    val c = corpus
+      .withColumn("_cb", lshBucket(col("cvec"), planes))
+      .withColumn("_cn", norm(col("cvec")))
+    val joined = c
+      .join(broadcast(q), col("_qb") === col("_cb") && col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
+    joined
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
     * precomputed per vector. */

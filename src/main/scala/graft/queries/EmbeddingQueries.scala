@@ -74,13 +74,57 @@ object EmbeddingQueries {
       |SELECT bucket, id_a, id_b, cos FROM p WHERE cos >= 0.35
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared LSH hyperplanes (seeded) — the identical constants are embedded
+    * in the oracle SQL below, so both engines compute identical buckets. */
+  private val planes = Similarity.hyperplanes(nPlanes = 8, dim = 64, seed = 42L)
+
+  private def planesSqlValues: String =
+    planes.zipWithIndex
+      .map { case (p, i) => s"($i, [${p.map(_.toString).mkString(", ")}]::DOUBLE[])" }
+      .mkString(",\n      |    ")
+
+  /** LSH-bucketed approximate top-3: candidates restricted to the query's
+    * sign-LSH bucket (the scale path vs q29's brute force). */
+  private val q38: Q = (s, dir) => {
+    val e       = emb(s, dir)
+    val queries = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val corpus  = e.select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    Similarity
+      .lshTopK(queries, corpus, planes, k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q38Sql =
+    s"""WITH planes AS (SELECT * FROM (VALUES
+      |    $planesSqlValues) p(pid, pvec)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm,
+      |    string_agg(CASE WHEN ${dotSql("vec", "pvec")} >= 0 THEN '1' ELSE '0' END,
+      |               '' ORDER BY pid) AS bucket
+      |  FROM e CROSS JOIN planes
+      |  GROUP BY vec_id, vec, sqrt(${dotSql("vec", "vec")})),
+      |j AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ${dotSql("q.vec", "c.vec")} / (q.nrm * c.nrm) AS cos
+      |  FROM (SELECT * FROM b WHERE vec_id < 10) q
+      |    JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM j)
+      |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
-    "q30_embed_neardup"  -> q30
+    "q30_embed_neardup"  -> q30,
+    "q38_lsh_topk"       -> q38
   )
 
   val oracles: Map[String, String] = Map(
     "q29_ann_topk"       -> q29Sql,
-    "q30_embed_neardup"  -> q30Sql
+    "q30_embed_neardup"  -> q30Sql,
+    "q38_lsh_topk"       -> q38Sql
   )
 }
