@@ -35,9 +35,10 @@ object Pipeline {
       gridN: Int = 8,
       qfFilter: Boolean = true,
       maskScale: Double = 1.0,
-      /** "nearest" (rank-1 join) or "linear" (Delaunay/barycentric grouped
+      /** "nearest" (rank-1 join), "linear" (Delaunay/barycentric grouped
         * kernel with <4-point nearest fallback — the reference's deploy
-        * default). */
+        * default), or "cubic" (Bézier-triangle Hermite over the same
+        * triangulation — the reference's code default). */
       method: String = "nearest")
 
   /** R1/R2 + P4/P6: mode-filtered, margin-merged region detection over the
@@ -156,8 +157,9 @@ object Pipeline {
       valueCols: Seq[String]): DataFrame = {
     val pixels = regionPixels(regionsWithBbox, cfg)
     val interped = cfg.method match {
-      case "linear" => graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols)
-      case _        => interpolateNearest(pixels, sessions, valueCols)
+      case m @ ("linear" | "cubic") =>
+        graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols, m)
+      case _ => interpolateNearest(pixels, sessions, valueCols)
     }
     val mask     = maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))

@@ -107,6 +107,89 @@ object Delaunay {
     else Some(Triangulation(xs, ys, keep.toArray, finalTris))
   }
 
+  /** Per-vertex gradient estimation: weighted least-squares plane fit over
+    * the vertices adjacent in the triangulation (weights 1/d²). Exact for
+    * globally linear fields, which makes the cubic interpolant reproduce
+    * linear data exactly. */
+  def estimateGradients(tri: Triangulation, values: Array[Double]): Array[(Double, Double)] = {
+    val n = tri.px.length
+    val neighbors = Array.fill(n)(scala.collection.mutable.Set.empty[Int])
+    tri.triangles.foreach { t =>
+      neighbors(t(0)) += t(1) += t(2)
+      neighbors(t(1)) += t(0) += t(2)
+      neighbors(t(2)) += t(0) += t(1)
+    }
+    Array.tabulate(n) { i =>
+      // weighted normal equations for f(x,y) ≈ f_i + gx*dx + gy*dy
+      var sxx = 0.0; var sxy = 0.0; var syy = 0.0; var sxf = 0.0; var syf = 0.0
+      neighbors(i).foreach { j =>
+        val dx = tri.px(j) - tri.px(i)
+        val dy = tri.py(j) - tri.py(i)
+        val df = values(j) - values(i)
+        val w  = 1.0 / math.max(dx * dx + dy * dy, 1e-12)
+        sxx += w * dx * dx; sxy += w * dx * dy; syy += w * dy * dy
+        sxf += w * dx * df; syf += w * dy * df
+      }
+      val det = sxx * syy - sxy * sxy
+      if (math.abs(det) < 1e-12) (0.0, 0.0)
+      else (((syy * sxf - sxy * syf) / det), ((sxx * syf - sxy * sxf) / det))
+    }
+  }
+
+  /** Cubic (Bézier-triangle Hermite) interpolation: per-triangle cubic from
+    * vertex values + estimated gradients, quadratic-precision interior
+    * control point. Matches scipy's `method='cubic'` (Clough–Tocher) in
+    * kind — values reproduced exactly at sample points, linear fields
+    * reproduced exactly, smooth interior — not bit-for-bit (scipy estimates
+    * gradients by global energy minimization; SURVEY §7.4 sets
+    * tolerance-based equivalence for non-nearest methods). NaN outside the
+    * hull. */
+  def interpolateCubic(
+      tri: Triangulation,
+      values: Array[Double],
+      gradients: Array[(Double, Double)],
+      qx: Double,
+      qy: Double): Double = {
+    val eps = 1e-12
+    var i = 0
+    while (i < tri.triangles.length) {
+      val t  = tri.triangles(i)
+      val x1 = tri.px(t(0)); val y1 = tri.py(t(0))
+      val x2 = tri.px(t(1)); val y2 = tri.py(t(1))
+      val x3 = tri.px(t(2)); val y3 = tri.py(t(2))
+      val det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3)
+      if (math.abs(det) > eps) {
+        val l1 = ((y2 - y3) * (qx - x3) + (x3 - x2) * (qy - y3)) / det
+        val l2 = ((y3 - y1) * (qx - x3) + (x1 - x3) * (qy - y3)) / det
+        val l3 = 1.0 - l1 - l2
+        if (l1 >= -1e-9 && l2 >= -1e-9 && l3 >= -1e-9) {
+          val f1 = values(t(0)); val f2 = values(t(1)); val f3 = values(t(2))
+          val (g1x, g1y) = gradients(t(0))
+          val (g2x, g2y) = gradients(t(1))
+          val (g3x, g3y) = gradients(t(2))
+          // cubic Bézier control net from Hermite data
+          val b300 = f1; val b030 = f2; val b003 = f3
+          val b210 = f1 + ((x2 - x1) * g1x + (y2 - y1) * g1y) / 3
+          val b201 = f1 + ((x3 - x1) * g1x + (y3 - y1) * g1y) / 3
+          val b120 = f2 + ((x1 - x2) * g2x + (y1 - y2) * g2y) / 3
+          val b021 = f2 + ((x3 - x2) * g2x + (y3 - y2) * g2y) / 3
+          val b102 = f3 + ((x1 - x3) * g3x + (y1 - y3) * g3y) / 3
+          val b012 = f3 + ((x2 - x3) * g3x + (y2 - y3) * g3y) / 3
+          val e    = (b210 + b201 + b120 + b021 + b102 + b012) / 6
+          val v    = (f1 + f2 + f3) / 3
+          val b111 = e + (e - v) / 2 // quadratic precision
+          val (a, b, c) = (l1, l2, l3)
+          return b300 * a * a * a + b030 * b * b * b + b003 * c * c * c +
+            3 * (b210 * a * a * b + b201 * a * a * c + b120 * a * b * b +
+              b021 * b * b * c + b102 * a * c * c + b012 * b * c * c) +
+            6 * b111 * a * b * c
+        }
+      }
+      i += 1
+    }
+    Double.NaN
+  }
+
   /** Barycentric linear interpolation of (qx, qy) against a triangulation
     * with per-vertex values. NaN outside the hull. */
   def interpolateLinear(

@@ -44,7 +44,11 @@ object LinearInterp {
     * (region_id, sounding_index, longitude, latitude, valueCols...).
     * Returns pixels' rows + one column per valueCol (NaN outside the convex
     * hull; callers drop NaN rows in sparse form). */
-  def interpolate(pixels: DataFrame, soundings: DataFrame, valueCols: Seq[String]): DataFrame = {
+  def interpolate(
+      pixels: DataFrame,
+      soundings: DataFrame,
+      valueCols: Seq[String],
+      method: String = "linear"): DataFrame = {
     val spark = pixels.sparkSession
     import spark.implicits._
     val pin: Dataset[PixelIn] = pixels
@@ -75,11 +79,21 @@ object LinearInterp {
           val triOpt = if (pts.length >= 4) Delaunay.triangulate(xs, ys) else None
           val perVar = valueCols.indices.map(vi => pts.map(_.values(vi))).toArray
           val aligned = triOpt.map(t => perVar.map(t.alignValues))
+          val grads =
+            if (method == "cubic")
+              (triOpt, aligned) match {
+                case (Some(tri), Some(av)) => Some(av.map(Delaunay.estimateGradients(tri, _)))
+                case _                     => None
+              }
+            else None
           pit.map { p =>
             val vals = valueCols.indices.map { vi =>
               (triOpt, aligned) match {
                 case (Some(tri), Some(av)) =>
-                  Delaunay.interpolateLinear(tri, av(vi), p.lon, p.lat)
+                  grads match {
+                    case Some(g) => Delaunay.interpolateCubic(tri, av(vi), g(vi), p.lon, p.lat)
+                    case None    => Delaunay.interpolateLinear(tri, av(vi), p.lon, p.lat)
+                  }
                 case _ =>
                   nearestValue(xs, ys, perVar(vi), p.lon, p.lat)
               }

@@ -82,6 +82,49 @@ class DelaunaySpec extends AnyFunSuite {
     assert(Delaunay.interpolateLinear(tri, av, -1.0, 0.5).isNaN)
   }
 
+  test("cubic: reproduces sample values exactly and linear fields exactly") {
+    val xs = Array(0.0, 10.0, 0.0, 10.0, 5.0, 3.0, 7.0, 2.0, 8.0)
+    val ys = Array(0.0, 0.0, 10.0, 10.0, 5.0, 2.0, 8.0, 7.0, 3.0)
+    def f(x: Double, y: Double) = 3.0 + 2.0 * x - 0.5 * y
+    val vs  = xs.zip(ys).map { case (x, y) => f(x, y) }
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    val g   = Delaunay.estimateGradients(tri, av)
+    // exact at the samples
+    tri.keptIdx.foreach { orig =>
+      val got = Delaunay.interpolateCubic(tri, av, g, xs(orig), ys(orig))
+      assert(math.abs(got - vs(orig)) < 1e-9)
+    }
+    // linear precision everywhere inside the hull (LS gradients are exact
+    // for linear data)
+    for (qx <- 1 to 9; qy <- 1 to 9) {
+      val got = Delaunay.interpolateCubic(tri, av, g, qx, qy)
+      assert(math.abs(got - f(qx, qy)) < 1e-9, s"at ($qx,$qy)")
+    }
+  }
+
+  test("cubic: smoother than linear on a smooth field (lower max error)") {
+    val rng2 = new scala.util.Random(5)
+    val xs = Array.fill(120)(rng2.nextDouble() * 10)
+    val ys = Array.fill(120)(rng2.nextDouble() * 10)
+    def f(x: Double, y: Double) = math.sin(x / 2) * math.cos(y / 2)
+    val vs  = xs.zip(ys).map { case (x, y) => f(x, y) }
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(vs)
+    val g   = Delaunay.estimateGradients(tri, av)
+    var errLin = 0.0; var errCub = 0.0
+    for (qx <- 2 to 8; qy <- 2 to 8) {
+      val want = f(qx, qy)
+      val lin  = Delaunay.interpolateLinear(tri, av, qx, qy)
+      val cub  = Delaunay.interpolateCubic(tri, av, g, qx, qy)
+      if (!lin.isNaN && !cub.isNaN) {
+        errLin += (lin - want) * (lin - want)
+        errCub += (cub - want) * (cub - want)
+      }
+    }
+    assert(errCub < errLin, s"cubic RMS ($errCub) should beat linear ($errLin)")
+  }
+
   test("degenerate inputs return None (collinear, too few, duplicates)") {
     assert(Delaunay.triangulate(Array(0.0, 1.0), Array(0.0, 1.0)).isEmpty)
     assert(Delaunay.triangulate(Array(0.0, 1.0, 2.0, 3.0), Array(0.0, 1.0, 2.0, 3.0)).isEmpty)

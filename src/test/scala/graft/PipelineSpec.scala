@@ -73,6 +73,12 @@ class PipelineSpec extends SparkSpec {
       (0 until 3).map(i => sounding(i, 41.0 + 0.2 * i, 11.0 + 0.2 * i, mode = 4, target = "fossil0001", xco2 = 400.0 + i)))
     val tinyOut = Pipeline.process(tiny, catalog, Pipeline.Config(gridN = 8, method = "linear"))
     assert(tinyOut.filter(col("variable") === "xco2").count() > 0)
+    // cubic path runs end-to-end and reproduces the constant-uncertainty
+    // field exactly (cubic of constant data is constant)
+    val cub = Pipeline.process(granule, catalog, Pipeline.Config(gridN = 8, method = "cubic"))
+    val unc = cub.filter(col("variable") === "xco2_uncertainty")
+      .select("value").distinct().collect().map(_.getDouble(0))
+    assert(unc.length === 1 && math.abs(unc(0) - 0.5) < 1e-9)
   }
 
   test("pre-QF branch keeps regions that have at least one good sounding") {
