@@ -83,15 +83,60 @@ object SetOpQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Set operators: brands shipped in both 1996 and 1997 (INTERSECT) and
+    * only in 1996 (EXCEPT), labeled union. */
+  private val q38b: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    def brandsIn(year: Int) =
+      li.filter(col("l_shipdate") >= lit(s"$year-01-01") && col("l_shipdate") < lit(s"${year + 1}-01-01"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand")).distinct()
+    val both = brandsIn(1996).intersect(brandsIn(1997)).withColumn("cohort", lit("both"))
+    val only96 = brandsIn(1996).except(brandsIn(1997)).withColumn("cohort", lit("only_1996"))
+    both.unionByName(only96).orderBy(col("cohort"), col("p_brand"))
+  }
+
+  private val q38bSql =
+    """WITH b96 AS (
+      |  SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'),
+      |b97 AS (
+      |  SELECT DISTINCT p_brand FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01')
+      |SELECT p_brand, 'both' AS cohort FROM (SELECT * FROM b96 INTERSECT SELECT * FROM b97)
+      |UNION ALL
+      |SELECT p_brand, 'only_1996' AS cohort FROM (SELECT * FROM b96 EXCEPT SELECT * FROM b97)
+      |ORDER BY cohort, p_brand""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all grouping-set combinations in
+    * one pass. */
+  private val q40: Q = (s, dir) =>
+    Tables
+      .lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val q40Sql =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q35_semi_anti_join"  -> q35,
     "q36_fill_normalize"  -> q36,
-    "q37_salted_rollup"   -> q37
+    "q37_salted_rollup"   -> q37,
+    "q39_intersect_except" -> q38b,
+    "q40_cube"            -> q40
   )
 
   val oracles: Map[String, String] = Map(
     "q35_semi_anti_join"  -> q35Sql,
     "q36_fill_normalize"  -> q36Sql,
-    "q37_salted_rollup"   -> q37Sql
+    "q37_salted_rollup"   -> q37Sql,
+    "q39_intersect_except" -> q38bSql,
+    "q40_cube"            -> q40Sql
   )
 }

@@ -20,14 +20,25 @@ class BucketingSpec extends SparkSpec {
   }
 
   test("bucketed tables join without shuffle; unbucketed join shuffles both sides") {
-    val wh = java.nio.file.Files.createTempDirectory("wh").toString
-    val s = org.apache.spark.sql.SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // suites share one JVM session: builder confs are ignored on reuse, so
+    // set runtime confs explicitly (and restore after)
+    val s = spark
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold", "spark.sql.adaptive.enabled")
+      .map(k => k -> s.conf.getOption(k)).toMap
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    s.conf.set("spark.sql.adaptive.enabled", "false")        // deterministic plan
+    try {
+    // the in-memory catalog forgets tables across JVMs but their warehouse
+    // dirs persist; clear both before creating
+    Seq("li_b", "o_b").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     val li = Tables.lineitem(s, sf()).select("l_orderkey", "l_quantity")
     val o  = Tables.orders(s, sf()).select("o_orderkey", "o_orderpriority")
 
@@ -48,5 +59,13 @@ class BucketingSpec extends SparkSpec {
     // plain: shuffle both join sides + aggregate; bucketed: aggregate only
     assert(plainShuffles >= 3, s"plain join should shuffle, saw $plainShuffles")
     assert(bucketedShuffles === 1, s"bucketed join must not shuffle join inputs, saw $bucketedShuffles")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+      s.sql("DROP TABLE IF EXISTS li_b")
+      s.sql("DROP TABLE IF EXISTS o_b")
+    }
   }
 }
