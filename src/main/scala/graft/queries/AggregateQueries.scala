@@ -118,7 +118,30 @@ object AggregateQueries {
       |  md5(string_agg(rh, '' ORDER BY event_id)) AS checksum
       |FROM h""".stripMargin
 
+  /** Long→wide pivot (the dense-export shape, SURVEY S10/DenseExport):
+    * per-user event-type totals as columns. Fixed pivot values keep the
+    * schema static and the plan a single hash aggregate. */
+  private val q41: Q = (s, dir) =>
+    Tables
+      .events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum2(col("value")))
+      .orderBy(col("user_id"))
+
+  private val q41Sql =
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q41_pivot_wide"              -> q41,
     "q12_climatology_monthly"     -> q12,
     "q13_climatology_consolidated" -> q13,
     "q14_rollup"                  -> q14,
@@ -128,6 +151,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q41_pivot_wide"              -> q41Sql,
     "q12_climatology_monthly"     -> q12Sql,
     "q13_climatology_consolidated" -> q13Sql,
     "q14_rollup"                  -> q14Sql,
