@@ -21,13 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Sequential-fold dot product of two double-array columns — a native
+    * codegen expression (graft.functions.DotProduct); identical accumulation
+    * order and doubles as the higher-order `aggregate(zip_with(...))` form
+    * and the oracle's list_reduce fold. */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
   /** L2 norm (sequential fold of squares). */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity, association fixed as dot / (normA * normB). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
