@@ -77,6 +77,7 @@ object GlobalPipeline {
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sessions = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val extents  = regionExtent(sessions)
     val pixels   = coveredPixels(extents, grid)
     val interped = Pipeline.interpolateNearest(pixels, sessions, valueCols)

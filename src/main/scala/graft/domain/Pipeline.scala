@@ -184,8 +184,12 @@ object Pipeline {
       catalog: DataFrame,
       cfg: Config = Config(),
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
+    // sessions feed three consumers (region summary, interpolation, mask);
+    // persist so the sessionization window chain runs once, not three times
+    // (the Spark analog of the reference's temp-store spill, SURVEY S11)
     val sessions = qualityFilter(sessionize(granule, cfg), cfg)
-    val regions  = TargetCatalog.associate(regionSummary(sessions), catalog)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val regions = TargetCatalog.associate(regionSummary(sessions), catalog)
     gridInterpMask(regions, sessions, cfg, valueCols)
   }
 }
