@@ -75,6 +75,23 @@ object ProductStore {
     dups
   }
 
+  /** P9/A11: drop-empty guard — remove (target, day) slices whose every
+    * value is null/NaN before writing (`utils/dataset_utils.py:21-26`,
+    * `runconfig.py:259-261`). In sparse long form a fully-empty slice can
+    * only arise from upstream NaN propagation; the guard is one aggregate +
+    * a semi join, no wide shuffle. */
+  def dropEmptySlices(df: DataFrame): DataFrame = {
+    val keep = df
+      .groupBy(col("target_id"), col("time").cast("date").as("_d"))
+      .agg(max(when(col("value").isNotNull && !isnan(col("value")), 1).otherwise(0)).as("_any"))
+      .filter(col("_any") === 1)
+      .select(col("target_id"), col("_d"))
+    df.join(
+      keep,
+      df("target_id") === keep("target_id") && df("time").cast("date") === keep("_d"),
+      "left_semi")
+  }
+
   /** A6 coverage attributes: store-level time window + row count. */
   def coverage(spark: SparkSession, path: String): DataFrame =
     read(spark, path).agg(

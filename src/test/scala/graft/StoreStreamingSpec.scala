@@ -51,6 +51,19 @@ class StoreStreamingSpec extends SparkSpec {
     assert(ProductStore.findDuplicates(spark, path).count() === 0)
   }
 
+  test("drop-empty guard removes all-NaN slices and keeps mixed ones") {
+    import spark.implicits._
+    val df = Seq(
+      ("t1", "2023-06-15 00:00:00", Double.NaN),
+      ("t1", "2023-06-15 00:00:00", Double.NaN), // t1/day all NaN -> dropped
+      ("t2", "2023-06-15 00:00:00", Double.NaN),
+      ("t2", "2023-06-15 00:00:00", 1.5)         // t2/day has a value -> kept
+    ).toDF("target_id", "s", "value").withColumn("time", to_timestamp($"s")).drop("s")
+    val kept = ProductStore.dropEmptySlices(df)
+    assert(kept.select("target_id").distinct().collect().map(_.getString(0)) === Array("t2"))
+    assert(kept.count() === 2) // both t2 rows survive (slice-level guard)
+  }
+
   test("foreachBatch ingestion with idempotent sink is exactly-once in effect") {
     val src  = tmp("stream-src")
     val path = tmp("stream-store")
