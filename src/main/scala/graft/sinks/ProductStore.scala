@@ -32,20 +32,26 @@ object ProductStore {
   private def withDay(df: DataFrame): DataFrame =
     df.withColumn("day", col("time").cast("date"))
 
-  /** S6: create/overwrite the store. */
-  def create(df: DataFrame, path: String): Unit =
-    withDay(df).write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+  /** S6: create/overwrite the store. `dropEmpty` applies the P9/A11
+    * all-NaN slice guard before writing (the reference's config-gated
+    * `drop-empty`, `runconfig.py:259-261`). */
+  def create(df: DataFrame, path: String, dropEmpty: Boolean = false): Unit = {
+    val in = if (dropEmpty) dropEmptySlices(df) else df
+    withDay(in).write.mode(SaveMode.Overwrite).partitionBy("day").parquet(path)
+  }
 
   /** S7+S8 replacement: idempotent append — dynamically overwrites exactly
     * the day partitions present in `df`, leaving the rest untouched.
     * Re-appending the same day converges (exactly-once effect over
-    * at-least-once delivery). */
-  def appendIdempotent(df: DataFrame, path: String): Unit =
-    withDay(df).write
+    * at-least-once delivery). `dropEmpty` as in [[create]]. */
+  def appendIdempotent(df: DataFrame, path: String, dropEmpty: Boolean = false): Unit = {
+    val in = if (dropEmpty) dropEmptySlices(df) else df
+    withDay(in).write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
       .parquet(path)
+  }
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
@@ -86,9 +92,11 @@ object ProductStore {
       .agg(max(when(col("value").isNotNull && !isnan(col("value")), 1).otherwise(0)).as("_any"))
       .filter(col("_any") === 1)
       .select(col("target_id"), col("_d"))
+    // null-safe keys: a null target_id/time row must match its own slice,
+    // not be silently dropped by three-valued === semantics
     df.join(
       keep,
-      df("target_id") === keep("target_id") && df("time").cast("date") === keep("_d"),
+      df("target_id") <=> keep("target_id") && df("time").cast("date") <=> keep("_d"),
       "left_semi")
   }
 

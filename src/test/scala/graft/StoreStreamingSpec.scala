@@ -62,6 +62,15 @@ class StoreStreamingSpec extends SparkSpec {
     val kept = ProductStore.dropEmptySlices(df)
     assert(kept.select("target_id").distinct().collect().map(_.getString(0)) === Array("t2"))
     assert(kept.count() === 2) // both t2 rows survive (slice-level guard)
+    // null-keyed slices with values survive (null-safe join keys)
+    val withNull = df.unionByName(
+      Seq((null.asInstanceOf[String], "2023-06-15 00:00:00", 7.0))
+        .toDF("target_id", "s", "value").withColumn("time", to_timestamp($"s")).drop("s"))
+    assert(ProductStore.dropEmptySlices(withNull).filter($"target_id".isNull).count() === 1)
+    // the guard is applied at write time behind dropEmpty
+    val path = tmp("dropempty")
+    ProductStore.create(df, path, dropEmpty = true)
+    assert(ProductStore.read(spark, path).select("target_id").distinct().count() === 1)
   }
 
   test("foreachBatch ingestion with idempotent sink is exactly-once in effect") {
