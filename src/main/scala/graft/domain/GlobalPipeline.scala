@@ -76,8 +76,11 @@ object GlobalPipeline {
       cfg: Pipeline.Config = Pipeline.Config(),
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessions0 = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+    val sessions =
+      if (cfg.persistSessions)
+        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sessions0
     val extents  = regionExtent(sessions)
     val pixels   = coveredPixels(extents, grid)
     val interped = Pipeline.interpolateNearest(pixels, sessions, valueCols)

@@ -71,8 +71,11 @@ object Oco2Pipeline {
       catalog: DataFrame,
       cfg: Pipeline.Config = Pipeline.Config(),
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
-    val sessions = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessions0 = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+    val sessions =
+      if (cfg.persistSessions)
+        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sessions0
     val regions  = associateByCentroid(regionGeo(sessions), catalog)
       .select("region_id", "target_id", "time", "min_lon", "min_lat", "max_lon", "max_lat")
     val sessionsWithTarget = sessions

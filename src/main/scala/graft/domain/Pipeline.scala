@@ -39,7 +39,12 @@ object Pipeline {
         * kernel with <4-point nearest fallback — the reference's deploy
         * default), or "cubic" (Bézier-triangle Hermite over the same
         * triangulation — the reference's code default). */
-      method: String = "nearest")
+      method: String = "nearest",
+      /** Persist the sessionized table across its three consumers (region
+        * summary / interpolation / mask). The cached blocks live until the
+        * session ends — long-lived loops (streaming foreachBatch over many
+        * days) should either disable this or clear the cache per batch. */
+      persistSessions: Boolean = true)
 
   /** R1/R2 + P4/P6: mode-filtered, margin-merged region detection over the
     * ordered sounding table. Adds `region_id`. */
@@ -187,8 +192,11 @@ object Pipeline {
     // sessions feed three consumers (region summary, interpolation, mask);
     // persist so the sessionization window chain runs once, not three times
     // (the Spark analog of the reference's temp-store spill, SURVEY S11)
-    val sessions = qualityFilter(sessionize(granule, cfg), cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sessions0 = qualityFilter(sessionize(granule, cfg), cfg)
+    val sessions =
+      if (cfg.persistSessions)
+        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sessions0
     val regions = TargetCatalog.associate(regionSummary(sessions), catalog)
     gridInterpMask(regions, sessions, cfg, valueCols)
   }

@@ -52,7 +52,7 @@ object SifPipeline {
 
   /** Delta_Time seconds-since-1990 → timestamp column. */
   def sifTime(deltaTime: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_seconds(col("delta_time") + lit(SifEpochSeconds))
+    timestamp_seconds(deltaTime + lit(SifEpochSeconds))
 
   /** Full SIF pipeline → sparse long form over `daily_sif`.
     * Input soundings: (sounding_index, latitude, longitude, delta_time,

@@ -84,7 +84,8 @@ object Delaunay {
 
     var p = 0
     while (p < n) {
-      val bad = tris.filter(t => circumContains(t, vx(p), vy(p)))
+      val bad    = tris.filter(t => circumContains(t, vx(p), vy(p)))
+      val badSet = bad.toSet
       // cavity boundary: edges appearing in exactly one bad triangle
       val edges = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
       bad.foreach { t =>
@@ -93,7 +94,7 @@ object Delaunay {
           edges(k) = edges.getOrElse(k, 0) + 1
         }
       }
-      tris = tris.filterNot(t => circumContains(t, vx(p), vy(p)))
+      tris = tris.filterNot(badSet)
       edges.foreach { case ((u, v), cnt) =>
         if (cnt == 1) tris += Tri(u, v, p)
       }

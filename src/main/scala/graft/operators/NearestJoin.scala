@@ -28,7 +28,12 @@ object NearestJoin {
     *     expression, so equality is exact), then tie-break by
     *     min(struct(rightKey, payload)) over the tiny remainder.
     * The big side never sorts and never shuffles — the shape that holds
-    * when the left side is 100 TB. */
+    * when the left side is 100 TB.
+    *
+    * Contract: left rows must be distinct (the reference's regions are);
+    * byte-identical duplicate left rows collapse to one output row, and a
+    * left row whose distance is null against every candidate (null
+    * coordinates) is absent from the output (no valid match). */
   private def argminBy(
       left: DataFrame,
       right: DataFrame,

@@ -42,8 +42,12 @@ object DomainQueries {
     val out = Pipeline.process(
       demoGranule(s), demoCatalog(s),
       Pipeline.Config(gridN = 16, method = "linear"))
-    val path = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_demo_store").getAbsolutePath
+    // per-run store dir: a fixed shared path races when two driver
+    // processes (e.g. parallel Verify sweeps) overwrite/read concurrently
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_demo_store")
+      .resolve("store")
+      .toString
     graft.sinks.ProductStore.appendIdempotent(out, path)
     graft.sinks.ProductStore
       .read(s, path)

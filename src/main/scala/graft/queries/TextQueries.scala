@@ -154,11 +154,14 @@ object TextQueries {
     Multimodal
       .extractFeatures(Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"))
       .toDF()
+      // first_byte is the raw UTF-8 byte, which DuckDB's ascii() (a code
+      // point) cannot reproduce for non-ASCII text — oracle-gate the
+      // byte-length and digest, spec-cover first_byte
+      .select(col("doc_id"), col("byte_len"), col("content_md5"))
       .orderBy(col("doc_id"))
 
   private val q28Sql =
     """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-      |  ascii(substr(text, 1, 1)) AS first_byte,
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 

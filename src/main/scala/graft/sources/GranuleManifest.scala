@@ -25,14 +25,16 @@ object GranuleManifest {
   def readGranules(spark: SparkSession, manifest: Seq[String]): DataFrame =
     spark.read
       .parquet(manifest: _*)
-      .withColumn("_file", input_file_name())
-      .withColumn("granule_date", to_date(regexp_extract(col("_file"), FilenameDate, 1), "yyyyMMdd"))
+      // classify on the basename only — a parent directory containing
+      // "oco2" must not re-tag an oco3 granule
+      .withColumn("_base", regexp_extract(input_file_name(), "([^/]+)/?[^/]*$", 1))
+      .withColumn("granule_date", to_date(regexp_extract(col("_base"), FilenameDate, 1), "yyyyMMdd"))
       .withColumn(
         "mission",
-        when(col("_file").contains("oco3_sif"), "oco3_sif")
-          .when(col("_file").contains("oco2"), "oco2")
+        when(col("_base").startsWith("oco3_sif"), "oco3_sif")
+          .when(col("_base").startsWith("oco2"), "oco2")
           .otherwise("oco3"))
-      .drop("_file")
+      .drop("_base")
 
   /** Manifest sanitation (SURVEY P11): drop nulls/blank entries, keep known
     * missions only, warn-count unknown keys via the returned tuple. */
