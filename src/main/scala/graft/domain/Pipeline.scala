@@ -162,9 +162,12 @@ object Pipeline {
       valueCols: Seq[String]): DataFrame = {
     val pixels = regionPixels(regionsWithBbox, cfg)
     val interped = cfg.method match {
-      case m @ ("linear" | "cubic") =>
+      case m @ ("nearest" | "linear" | "cubic") =>
         graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols, m)
-      case _ => interpolateNearest(pixels, sessions, valueCols)
+      // legacy join-based nearest (rank-1 window over pixels×soundings);
+      // only for small regions — the kernel form above is the scale path
+      case "nearest_join" => interpolateNearest(pixels, sessions, valueCols)
+      case other          => throw new IllegalArgumentException(s"unknown method: $other")
     }
     val mask     = maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))

@@ -43,7 +43,13 @@ object LinearInterp {
   /** pixels: (region_id, lon_idx, lat_idx, lon, lat, ...); soundings:
     * (region_id, sounding_index, longitude, latitude, valueCols...).
     * Returns pixels' rows + one column per valueCol (NaN outside the convex
-    * hull; callers drop NaN rows in sparse form). */
+    * hull for linear/cubic; callers drop NaN rows in sparse form).
+    *
+    * `method` ∈ nearest | linear | cubic. The kernel form of `nearest`
+    * (first-minimum scan per pixel, ties to lowest sounding_index) exists
+    * because the rank-1-window join materializes |pixels|×|soundings| rows
+    * per region — at 10⁶ soundings that product OOMs where this cogroup
+    * streams pixels against one in-memory point array per region. */
   def interpolate(
       pixels: DataFrame,
       soundings: DataFrame,
@@ -76,7 +82,8 @@ object LinearInterp {
         else {
           val xs     = pts.map(_.px)
           val ys     = pts.map(_.py)
-          val triOpt = if (pts.length >= 4) Delaunay.triangulate(xs, ys) else None
+          val triOpt =
+            if (method != "nearest" && pts.length >= 4) Delaunay.triangulate(xs, ys) else None
           val perVar = valueCols.indices.map(vi => pts.map(_.values(vi))).toArray
           val aligned = triOpt.map(t => perVar.map(t.alignValues))
           val grads =
