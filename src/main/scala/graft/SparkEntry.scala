@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.queries ++
       graft.queries.FunctionQueries.queries ++
       graft.queries.SetOpQueries.queries ++
+      graft.queries.AsOfQueries.queries ++
       graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.FunctionQueries.oracles ++
-      graft.queries.SetOpQueries.oracles
+      graft.queries.SetOpQueries.oracles ++
+      graft.queries.AsOfQueries.oracles
 }
