@@ -63,6 +63,15 @@ def main():
         bad = []
         for c in e.columns:
             ec, gc = e[c], g[c]
+            # Driver hashes typed values, but tolerates width (int32 vs int64
+            # were hash-green in r01). It does NOT tolerate kind: DuckDB's
+            # HUGEINT surfaces as float64 against Spark's int64 and fails
+            # (q07/q08/q09/q13 in r01). So compare dtype KIND only.
+            ek = getattr(ec.dtype, "kind", "O")
+            gk = getattr(gc.dtype, "kind", "O")
+            if ek != gk:
+                bad.append(f"{c}: dtype kind exp={ec.dtype} got={gc.dtype}")
+                continue
             if np.issubdtype(ec.dtype, np.number) and np.issubdtype(gc.dtype, np.number):
                 ev, gv = ec.to_numpy(dtype=float), gc.to_numpy(dtype=float)
                 both_nan = np.isnan(ev) & np.isnan(gv)

@@ -83,7 +83,12 @@ object GlobalPipeline {
       else sessions0
     val extents  = regionExtent(sessions)
     val pixels   = coveredPixels(extents, grid)
-    val interped = Pipeline.interpolateNearest(pixels, sessions, valueCols)
+    // cogroup kernel, not the rank-1-window join: the join form materializes
+    // |pixels|×|soundings| per region and OOMs at ~1M soundings — the global
+    // mesh (18000×36000 in production) is exactly where that bites
+    val interped = graft.operators.LinearInterp.interpolate(
+      pixels, sessions, valueCols,
+      if (cfg.method == "nearest_join") "nearest" else cfg.method)
     val mask     = Pipeline.maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
     // M4 first-writer-wins per global pixel per day
@@ -103,6 +108,9 @@ object GlobalPipeline {
       TargetCatalog.idTypeCode(col("target_id")).as("target_type"),
       col("operation_mode"),
       expr(stackExpr))
+      // sparse long form: outside-hull pixels (NaN under linear/cubic) are
+      // absent — same contract as Pipeline.gridInterpMask
+      .filter(!isnan(col("value")))
   }
 
   /** G5: dense all-fill day for export parity (sparse form treats absence

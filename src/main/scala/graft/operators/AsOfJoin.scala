@@ -27,20 +27,26 @@ object AsOfJoin {
       tsCol: String,
       rightIdCol: String,
       rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
-    val l = rightVals.foldLeft(
-      left
-        .withColumn("_side", lit(1))
-        .withColumn("_rid", lit(null).cast(right.schema(rightIdCol).dataType))
-        .withColumn("_asof_ts", lit(null).cast(left.schema(tsCol).dataType))
-    ) { (df, c) => df.withColumn(s"asof_$c", lit(null).cast(right.schema(c).dataType)) }
+    // All right-row values travel in ONE struct so the window fill can never
+    // tear a row: a null in one value column must not fall back to an older
+    // right row while its siblings come from the newest.
+    val asofType = StructType(
+      StructField("asof_ts", right.schema(tsCol).dataType) +:
+        rightVals.map(c => StructField(s"asof_$c", right.schema(c).dataType, nullable = true)))
+    val l = left
+      .withColumn("_side", lit(1))
+      .withColumn("_rid", lit(null).cast(right.schema(rightIdCol).dataType))
+      .withColumn("_asof", lit(null).cast(asofType))
     val rBase = right
       .select((keyCols :+ tsCol :+ rightIdCol).distinct.map(col) ++ rightVals.map(col): _*)
-    var r = rBase
+    val r = rBase
       .withColumn("_side", lit(0))
       .withColumn("_rid", col(rightIdCol))
-      .withColumn("_asof_ts", col(tsCol))
-    rightVals.foreach { c => r = r.withColumn(s"asof_$c", col(c)) }
+      .withColumn(
+        "_asof",
+        struct(col(tsCol).as("asof_ts") +: rightVals.map(c => col(c).as(s"asof_$c")): _*))
     // null out the left-only columns on the right stream
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
@@ -51,13 +57,12 @@ object AsOfJoin {
       .partitionBy(keyCols.map(col): _*)
       .orderBy(col(tsCol).asc, col("_side").asc, col("_rid").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val filled0 = l.unionByName(rAligned)
-      .withColumn("asof_ts", last(col("_asof_ts"), ignoreNulls = true).over(w))
-    val filled = rightVals.foldLeft(filled0) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionByName(rAligned)
+      .withColumn("_f", last(col("_asof"), ignoreNulls = true).over(w))
     filled
       .filter(col("_side") === 1)
-      .select((leftCols.map(col) :+ col("asof_ts")) ++ rightVals.map(c => col(s"asof_$c")): _*)
+      .select(
+        (leftCols.map(col) :+ col("_f.asof_ts").as("asof_ts")) ++
+          rightVals.map(c => col(s"_f.asof_$c").as(s"asof_$c")): _*)
   }
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Embedding similarity search: brute-force cosine top-k as the exact
@@ -33,6 +32,20 @@ object Similarity {
   /** Cosine similarity, association fixed as dot / (normA * normB). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Shared tail: partial top-k aggregate per qid (no per-qid global
+    * window — each input partition contributes at most k candidates per
+    * query to the shuffle), then posexplode into ranked rows. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(k, col("cid"), col("cos")).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+      .select(
+        col("qid"),
+        col("_nb.cid").as("cid"),
+        (col("_pos") + 1).cast("int").as("rank"),
+        col("_nb.cos").as("cos"))
+
   /** Exact top-k neighbors per query vector (brute force over the corpus;
     * queries broadcast). Norms are computed once per vector, not per pair —
     * cos = dot / (qnorm * cnorm), numerically identical to the inline form.
@@ -47,11 +60,7 @@ object Similarity {
       .crossJoin(broadcast(q))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+    rankTopK(joined, k)
   }
 
   /** Deterministic random hyperplanes for sign-LSH (seeded; the same
@@ -88,11 +97,7 @@ object Similarity {
     val joined = c
       .join(broadcast(q), col("_qb") === col("_cb") && col("qid") =!= col("cid"))
       .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cid").asc)
-    joined
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("cid"), col("rank"), col("cos"))
+    rankTopK(joined, k)
   }
 
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket

@@ -47,8 +47,8 @@ object AggregateQueries {
       |  FROM events GROUP BY 1, 2)
       |SELECT CAST(MONTH(CAST(span_start AS DATE)) AS INT) AS month_of_year, event_type,
       |  list_reduce(list(mean_value ORDER BY span_start), (a,b) -> a + b) / COUNT(mean_value) AS mean_of_means,
-      |  SUM(valid_count) AS valid_count,
-      |  SUM(n_days) AS n_days
+      |  CAST(SUM(valid_count) AS BIGINT) AS valid_count,
+      |  CAST(SUM(n_days) AS BIGINT) AS n_days
       |FROM monthly
       |GROUP BY 1, 2
       |ORDER BY month_of_year, event_type""".stripMargin
@@ -113,10 +113,14 @@ object AggregateQueries {
   private val q17Sql =
     """WITH h AS (
       |  SELECT event_id, md5(concat_ws('|', event_id, user_id, event_type)) AS rh
-      |  FROM events)
-      |SELECT COUNT(*) AS n_rows,
-      |  md5(string_agg(rh, '' ORDER BY event_id)) AS checksum
-      |FROM h""".stripMargin
+      |  FROM events),
+      |blk AS (
+      |  SELECT substr(rh, 1, 4) AS b, COUNT(*) AS n,
+      |    md5(string_agg(rh, '' ORDER BY event_id)) AS bh
+      |  FROM h GROUP BY b)
+      |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  md5(string_agg(bh, '' ORDER BY b)) AS checksum
+      |FROM blk""".stripMargin
 
   /** Long→wide pivot (the dense-export shape, SURVEY S10/DenseExport):
     * per-user event-type totals as columns. Fixed pivot values keep the

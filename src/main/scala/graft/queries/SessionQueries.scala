@@ -39,7 +39,7 @@ object SessionQueries {
       |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
       |         THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (ORDER BY event_id)),
-      |r AS (SELECT *, SUM(brk) OVER (ORDER BY event_id) - 1 AS region_id FROM b)
+      |r AS (SELECT *, CAST(SUM(brk) OVER (ORDER BY event_id) - 1 AS BIGINT) AS region_id FROM b)
       |SELECT region_id, MIN(user_id) AS user_id, MIN(event_type) AS event_type,
       |  COUNT(*) AS n_events, MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM r GROUP BY region_id ORDER BY region_id""".stripMargin
@@ -63,7 +63,8 @@ object SessionQueries {
       |                   OR date_diff('second', lag(ts) OVER w, ts) > 1800
       |                 THEN 1 ELSE 0 END AS brk
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      |r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS session_id
+      |r AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS BIGINT)
+      |        AS session_id
       |      FROM b)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
@@ -95,7 +96,7 @@ object SessionQueries {
       |                   OR event_id - lag(event_id) OVER w > 2
       |                 THEN 1 ELSE 0 END AS brk
       |  FROM f WINDOW w AS (ORDER BY event_id)),
-      |r AS (SELECT *, SUM(brk) OVER (ORDER BY event_id) - 1 AS region_id FROM b)
+      |r AS (SELECT *, CAST(SUM(brk) OVER (ORDER BY event_id) - 1 AS BIGINT) AS region_id FROM b)
       |SELECT region_id, MIN(event_type) AS event_type, COUNT(*) AS n_events,
       |  MIN(event_id) AS first_event, MAX(event_id) AS last_event
       |FROM r GROUP BY region_id ORDER BY region_id""".stripMargin

@@ -25,16 +25,24 @@ object GranuleManifest {
   def readGranules(spark: SparkSession, manifest: Seq[String]): DataFrame =
     spark.read
       .parquet(manifest: _*)
-      // classify on the basename only — a parent directory containing
-      // "oco2" must not re-tag an oco3 granule
-      .withColumn("_base", regexp_extract(input_file_name(), "([^/]+)/?[^/]*$", 1))
+      // classify on the true basename — a parent directory containing
+      // "oco2" must not re-tag an oco3 granule. Spark-written directory
+      // granules surface as part-* files, whose name carries no granule
+      // info: for those, fall back to the parent directory (the granule
+      // name); single-file granules (the reference's one-file-per-day
+      // layout) classify on the file name itself.
+      .withColumn("_fn", element_at(split(input_file_name(), "/"), -1))
+      .withColumn("_parent", element_at(split(input_file_name(), "/"), -2))
+      .withColumn(
+        "_base",
+        when(col("_fn").rlike("^(part-|_)"), col("_parent")).otherwise(col("_fn")))
       .withColumn("granule_date", to_date(regexp_extract(col("_base"), FilenameDate, 1), "yyyyMMdd"))
       .withColumn(
         "mission",
         when(col("_base").startsWith("oco3_sif"), "oco3_sif")
           .when(col("_base").startsWith("oco2"), "oco2")
           .otherwise("oco3"))
-      .drop("_base")
+      .drop("_base", "_fn", "_parent")
 
   /** Manifest sanitation (SURVEY P11): drop nulls/blank entries, keep known
     * missions only, warn-count unknown keys via the returned tuple. */

@@ -49,7 +49,11 @@ object StatefulSessions {
             sorted.foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if (t - s.end) / 1000 <= gapSeconds =>
+                // truncate both ends to whole seconds before differencing —
+                // the batch Sessionize.byTimeGap compares unix_timestamp()
+                // (second-truncated) values, and the two operators must agree
+                // on sub-second boundary events
+                case Some(s) if t / 1000 - s.end / 1000 <= gapSeconds =>
                   open = Some(s.copy(end = t, n = s.n + 1, sum = s.sum + e.value))
                 case Some(s) =>
                   closed += ClosedSession(uid, new Timestamp(s.start), new Timestamp(s.end), s.n, s.sum)
