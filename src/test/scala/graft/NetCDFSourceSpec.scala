@@ -1,0 +1,98 @@
+package graft
+
+import java.io.{BufferedOutputStream, FileOutputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.domain.{Pipeline, TargetCatalog}
+import graft.domain.TargetCatalog.Target
+import graft.sources.SyntheticGranule
+import graft.sources.SyntheticGranule.sounding
+import graft.sources.netcdf.NetCDFGranules
+
+/** NetCDF granule front door (SURVEY S1): classic-format codec round-trip,
+  * DataSource V2 scan with real projection pruning, fill→null, row-range
+  * splits, and end-to-end Pipeline.process parity with the in-memory
+  * granule path. */
+class NetCDFSourceSpec extends SparkSpec {
+
+  private lazy val soundings =
+    (0 until 5).map(i => sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", xco2 = 400.0 + i)) ++
+      Seq(sounding(5, 0.0, 0.0, mode = 0, target = "Missing")) ++
+      (6 until 10).map(i => sounding(i, -0.5 + 0.2 * (i - 6), -4.5 + 0.2 * (i - 6), mode = 2, target = "volcano0002", xco2 = 410.0 + i))
+
+  private lazy val catalog = TargetCatalog.toDF(
+    spark,
+    Seq(
+      Target("fossil0001", "Plant A", 10.0, 40.0, 12.0, 42.0),
+      Target("volcano0002", "Volcano B", -5.0, -1.0, -3.0, 1.0)))
+
+  private lazy val granulePath: String = {
+    val dir  = Files.createTempDirectory("nc-granules")
+    val path = dir.resolve("oco3_LtCO2_20230615_B10400Br.nc")
+    val os   = new BufferedOutputStream(new FileOutputStream(path.toFile))
+    try NetCDFGranules.writeGranule(os, soundings) finally os.close()
+    path.toString
+  }
+
+  test("netcdf3 scan reads every variable with granule-faithful values") {
+    val raw = NetCDFGranules.read(spark, Seq(granulePath))
+    assert(raw.count() === soundings.length)
+    val r = raw.orderBy("row_index").collect()
+    assert(r(0).getAs[Long]("sounding_id") === soundings.head.sounding_id)
+    assert(r(3).getAs[Double]("latitude") === soundings(3).latitude)
+    assert(r(7).getAs[Int]("Sounding_operation_mode") === 2)
+    assert(r(7).getAs[String]("Sounding_target_id") === "volcano0002")
+    assert(r(2).getAs[Seq[Double]]("vertex_longitude").length === 4)
+    assert(r.forall(_.getAs[String]("granule_path").endsWith(".nc")))
+  }
+
+  test("projection pushdown prunes the scan to the selected variables") {
+    val pruned = NetCDFGranules.read(spark, Seq(granulePath)).select("latitude", "xco2")
+    val scans = pruned.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("latitude", "xco2"))
+    assert(pruned.collect().length === soundings.length)
+  }
+
+  test("_FillValue and NaN normalize to null (reference fill semantics)") {
+    val dir  = Files.createTempDirectory("nc-fill")
+    val path = dir.resolve("oco3_LtCO2_20230616_B10400Br.nc")
+    val filled = soundings.take(3).zipWithIndex.map {
+      case (s, 1) => s.copy(xco2 = 999999.0) // the declared _FillValue
+      case (s, 2) => s.copy(xco2 = Double.NaN)
+      case (s, _) => s
+    }
+    val os = new BufferedOutputStream(new FileOutputStream(path.toFile))
+    try NetCDFGranules.writeGranule(os, filled) finally os.close()
+    val xs = NetCDFGranules.read(spark, Seq(path.toString))
+      .orderBy("row_index").select("xco2").collect()
+    assert(!xs(0).isNullAt(0))
+    assert(xs(1).isNullAt(0))
+    assert(xs(2).isNullAt(0))
+  }
+
+  test("row-range splits partition one file without changing its contents") {
+    val whole = NetCDFGranules.read(spark, Seq(granulePath))
+    val split = NetCDFGranules.read(spark, Seq(granulePath), maxRowsPerSplit = 3)
+    assert(split.rdd.getNumPartitions === (soundings.length + 2) / 3)
+    val a = whole.orderBy("row_index").collect().toSeq
+    val b = split.orderBy("row_index").collect().toSeq
+    assert(a === b)
+  }
+
+  test("a NetCDF granule flows through Pipeline.process identically to the in-memory path") {
+    val fromNc = NetCDFGranules.readGranules(spark, Seq(granulePath)).drop("granule_path", "sounding_id")
+    val fromMem = SyntheticGranule.toDF(spark, soundings).drop("sounding_id")
+    val cfg = Pipeline.Config(gridN = 8)
+    val key = Seq("target_id", "variable", "lat_idx", "lon_idx")
+    val a = Pipeline.process(fromNc, catalog, cfg)
+      .orderBy(key.map(col): _*).collect().toSeq
+    val b = Pipeline.process(fromMem, catalog, cfg)
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+}
