@@ -37,5 +37,6 @@ object SparkEntry {
       graft.queries.EmbeddingQueries.oracles ++
       graft.queries.FunctionQueries.oracles ++
       graft.queries.SetOpQueries.oracles ++
-      graft.queries.AsOfQueries.oracles
+      graft.queries.AsOfQueries.oracles ++
+      graft.queries.DomainQueries.oracles
 }

@@ -104,7 +104,7 @@ object GlobalPipeline {
       col("lon_idx"),
       col("lat"),
       col("lon"),
-      coalesce(TargetCatalog.extractNumericId(col("target_id")), lit(-1)).as("target_num"),
+      coalesce(TargetCatalog.resolveNumericId(col("target_id")), lit(-1)).as("target_num"),
       TargetCatalog.idTypeCode(col("target_id")).as("target_type"),
       col("operation_mode"),
       expr(stackExpr))

@@ -9,10 +9,17 @@ import graft.sources.SyntheticGranule.sounding
 
 /** The domain showcase: full satellite observation pipeline (sessionize →
   * QF → catalog join → grid → interpolate → mask → long form) over a
-  * deterministic synthetic granule. No SQL oracle (the granule is built
-  * in-process and the mask uses the custom PointInPolygon expression), so
-  * the driver records a rows-only check; semantic coverage lives in
-  * PipelineSpec.
+  * deterministic synthetic granule.
+  *
+  * q31 runs the nearest-mode pipeline and carries a FULL DuckDB oracle: the
+  * granule is deterministic arithmetic, the per-target 16×16 grid is the
+  * linspace formula, nearest interpolation is a rank-1 by (d², index), and
+  * — because the demo footprints are axis-aligned squares — the ray-cast
+  * mask reduces exactly to the half-open box [L,R)×[B,T) on the
+  * centroid-scaled vertices, which plain SQL expresses. (Linear/cubic
+  * remain spec-gated: DelaunaySpec/PipelineSpec.) q32 (global variant)
+  * stays rows-only: first-writer-wins over the global mesh is covered by
+  * MissionVariantsSpec.
   */
 object DomainQueries {
 
@@ -41,7 +48,7 @@ object DomainQueries {
   private val q31: Q = (s, _) => {
     val out = Pipeline.process(
       demoGranule(s), demoCatalog(s),
-      Pipeline.Config(gridN = 16, method = "linear"))
+      Pipeline.Config(gridN = 16, method = "nearest"))
     // per-run store dir: a fixed shared path races when two driver
     // processes (e.g. parallel Verify sweeps) overwrite/read concurrently
     val path = java.nio.file.Files
@@ -52,8 +59,76 @@ object DomainQueries {
     graft.sinks.ProductStore
       .read(s, path)
       .drop("day")
+      // portable timestamp form (oracle-portability law: format, don't emit)
+      .withColumn("time", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy(col("target_id"), col("variable"), col("lat_idx"), col("lon_idx"))
   }
+
+  /** Re-derivation of q31 in ANSI SQL: same deterministic granule, same QF
+    * rule, per-target linspace grid, rank-1 nearest with (d², index)
+    * tie-break, centroid-scaled axis-aligned mask as a half-open box. All
+    * literals cast to DOUBLE so DuckDB's decimal literals don't diverge
+    * from Spark's double arithmetic. */
+  private val q31Sql =
+    """WITH s AS (
+      |  SELECT i AS sidx,
+      |    CASE WHEN i < 40 THEN CAST(41.0 AS DOUBLE) + CAST(0.02 AS DOUBLE) * (i % 20)
+      |         ELSE CAST(-0.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (i - 40) END AS slat,
+      |    CASE WHEN i < 40 THEN CAST(11.0 AS DOUBLE) + CAST(0.04 AS DOUBLE) * (i % 20)
+      |         ELSE CAST(-4.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (i - 40) END AS slon,
+      |    CASE WHEN i < 40 THEN 'fossil0001' ELSE 'volcano0002' END AS target_id,
+      |    CASE WHEN i < 40 THEN CAST(400.0 AS DOUBLE) + (i % 7)
+      |         ELSE CAST(410.0 AS DOUBLE) + (i % 3) END AS xco2,
+      |    CAST(0.5 AS DOUBLE) AS xco2_uncertainty,
+      |    CASE WHEN i < 40 THEN LEAST(i % 5, 1) ELSE 0 END AS qf
+      |  FROM range(0, 70) t(i)),
+      |good AS (SELECT * FROM s WHERE qf = 0),
+      |cat AS (
+      |  SELECT * FROM (VALUES
+      |    ('fossil0001', CAST(10.0 AS DOUBLE), CAST(40.0 AS DOUBLE),
+      |                   CAST(12.0 AS DOUBLE), CAST(42.0 AS DOUBLE)),
+      |    ('volcano0002', CAST(-5.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+      |                    CAST(-3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+      |    AS t(target_id, min_lon, min_lat, max_lon, max_lat)),
+      |px AS (
+      |  SELECT c.target_id, xi.i AS lon_idx, yi.i AS lat_idx,
+      |    c.min_lon + xi.i * ((c.max_lon - c.min_lon) / 15) AS lon,
+      |    c.min_lat + yi.i * ((c.max_lat - c.min_lat) / 15) AS lat
+      |  FROM cat c, range(0, 16) xi(i), range(0, 16) yi(i)),
+      |interp AS (
+      |  SELECT * FROM (
+      |    SELECT p.target_id, p.lon_idx, p.lat_idx, p.lon, p.lat,
+      |      g.xco2, g.xco2_uncertainty,
+      |      ROW_NUMBER() OVER (
+      |        PARTITION BY p.target_id, p.lon_idx, p.lat_idx
+      |        ORDER BY (p.lon - g.slon) * (p.lon - g.slon)
+      |               + (p.lat - g.slat) * (p.lat - g.slat), g.sidx) AS rn
+      |    FROM px p JOIN good g ON g.target_id = p.target_id)
+      |  WHERE rn = 1),
+      |fp AS (
+      |  SELECT target_id,
+      |    cx + ((slon - h) - cx) * CAST(1.0 AS DOUBLE) AS sxl,
+      |    cx + ((slon + h) - cx) * CAST(1.0 AS DOUBLE) AS sxr,
+      |    cy + ((slat - h) - cy) * CAST(1.0 AS DOUBLE) AS syb,
+      |    cy + ((slat + h) - cy) * CAST(1.0 AS DOUBLE) AS syt
+      |  FROM (
+      |    SELECT *,
+      |      (((CAST(0.0 AS DOUBLE) + (slon - h)) + (slon + h)) + (slon + h) + (slon - h)) / 4 AS cx,
+      |      (((CAST(0.0 AS DOUBLE) + (slat - h)) + (slat - h)) + (slat + h) + (slat + h)) / 4 AS cy
+      |    FROM (SELECT g.*, CAST(0.6 AS DOUBLE) AS h FROM good g))),
+      |mask AS (
+      |  SELECT DISTINCT p.target_id, p.lon_idx, p.lat_idx
+      |  FROM px p JOIN fp f ON f.target_id = p.target_id
+      |    AND p.lon >= f.sxl AND p.lon < f.sxr
+      |    AND p.lat >= f.syb AND p.lat < f.syt)
+      |SELECT i.target_id, '2023-06-15 00:00:00' AS time,
+      |  i.lat_idx, i.lon_idx, i.lat, i.lon, v.variable,
+      |  CASE v.variable WHEN 'xco2' THEN i.xco2 ELSE i.xco2_uncertainty END AS value
+      |FROM interp i
+      |  JOIN mask m ON m.target_id = i.target_id
+      |    AND m.lon_idx = i.lon_idx AND m.lat_idx = i.lat_idx,
+      |  (VALUES ('xco2'), ('xco2_uncertainty')) v(variable)
+      |ORDER BY i.target_id, v.variable, i.lat_idx, i.lon_idx""".stripMargin
 
   /** Global-product variant + multi-mission merge: R4 sessionization,
     * per-pixel first-writer-wins annotation, sparse global mesh indices;
@@ -70,5 +145,5 @@ object DomainQueries {
 
   val queries: Map[String, Q] =
     Map("q31_domain_pipeline" -> q31, "q32_global_merge" -> q32)
-  val oracles: Map[String, String] = Map.empty
+  val oracles: Map[String, String] = Map("q31_domain_pipeline" -> q31Sql)
 }

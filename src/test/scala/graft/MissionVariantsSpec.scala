@@ -77,7 +77,7 @@ class MissionVariantsSpec extends SparkSpec {
     assert(vals === Set(400.0))
     val ann = out.select("target_num", "target_type").distinct().collect()
       .map(r => (r.getInt(0), r.getByte(1)))
-    assert(ann === Array((1, 0.toByte))) // fossil0001 -> num 1, type fossil=0
+    assert(ann === Array((1, 1.toByte))) // fossil0001 -> num 1, type fossil=1 (TargetInfo.py TARGET_TYPES)
     // global indices are within the global mesh
     val mx = out.agg(max("lon_idx"), max("lat_idx")).collect()(0)
     assert(mx.getInt(0) < 360 && mx.getInt(1) < 180)

@@ -73,18 +73,28 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("TargetCatalog id classification and numeric extraction") {
-    val df = Seq("fossil0005", "volcano0020", "tccon0012", "weird_site", "ecostress_x7")
+    val df = Seq(
+      "fossil0005", "volcano0020", "tccon0012", "weird_site", "site123",
+      "ecostress_us_arm", "ecostress_x7", "ecostress", "sif_atto_2", "sif_hrv", "sif_nowhere")
       .toDF("id")
       .select(
         $"id",
         TargetCatalog.idType($"id").as("ty"),
-        TargetCatalog.extractNumericId($"id").as("num"))
+        TargetCatalog.resolveNumericId($"id").as("num"))
     val m = df.collect().map(r => r.getString(0) -> ((r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
     assert(m("fossil0005") === (("fossil", 5)))
     assert(m("volcano0020") === (("volcano", 20)))
     assert(m("tccon0012") === (("tccon", 12)))
-    assert(m("weird_site") === (("other", -1)))
-    assert(m("ecostress_x7") === (("ecostress", 7)))
+    // 'other' without trailing digits -> OTHER_ID_NAN = 0 (TargetInfo.py:139-143)
+    assert(m("weird_site") === (("other", 0)))
+    assert(m("site123") === (("other", 123)))
+    // text-id lookup tables (TargetInfo.py:29-123): post-underscore key
+    assert(m("ecostress_us_arm") === (("ecostress", 41)))
+    assert(m("ecostress_x7") === (("ecostress", 0)))  // unknown site -> 0
+    assert(m("ecostress") === (("ecostress", 0)))     // no underscore -> 0
+    assert(m("sif_atto_2") === (("sif", 2)))
+    assert(m("sif_hrv") === (("sif", 3)))
+    assert(m("sif_nowhere") === (("sif", 0)))
   }
 
   test("Checksum.merkle is order-insensitive to input partitioning but order-sensitive to keys") {
