@@ -21,11 +21,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // steady-state warmup: JVM/codegen/parquet-reader init outside the
-    // per-query timings
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_regionkey").count()
-      .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // full untimed warm-up pass: JVM/codegen/parquet-footer/broadcast init
+    // happens here, so the timed pass measures steady state and the first
+    // alphabetical query stops absorbing session startup (r1 finding)
+    ordered.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -40,9 +44,22 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    // per-query deltas vs the newest committed BENCH_r*.json, so
+    // regressions are visible inside the round's own artifact
+    val prev = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
+    val deltas = prev.map { f =>
+      val txt  = scala.io.Source.fromFile(f, "UTF-8").mkString
+      val prevQ = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val ds = results.flatMap { case (k, v, _) =>
+        prevQ.get(k).map(p => "\"" + k + "\":" + BigDecimal(v - p).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      }
+      s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
+    }.getOrElse("")
     // failures are machine-visible in the metric line, not just stderr
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}""")
     spark.stop()
   }
 }

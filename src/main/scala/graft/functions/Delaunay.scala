@@ -139,12 +139,21 @@ object Delaunay {
 
   /** Cubic (Bézier-triangle Hermite) interpolation: per-triangle cubic from
     * vertex values + estimated gradients, quadratic-precision interior
-    * control point. Matches scipy's `method='cubic'` (Clough–Tocher) in
-    * kind — values reproduced exactly at sample points, linear fields
-    * reproduced exactly, smooth interior — not bit-for-bit (scipy estimates
-    * gradients by global energy minimization; SURVEY §7.4 sets
-    * tolerance-based equivalence for non-nearest methods). NaN outside the
-    * hull. */
+    * control point b111 = e + (e−v)/2 (Farin, "Triangular Bernstein–Bézier
+    * patches", CAGD 1986; Clough & Tocher 1965 — the same choice scipy's
+    * Clough–Tocher element makes). Parity evidence (DelaunaySpec): golden
+    * values from an independent exact-rational implementation of the
+    * published construction (dev/cubic_golden.py), and the published
+    * quadratic-precision property — EXACT gradients of any quadratic field
+    * reproduce it exactly.
+    *
+    * Intentional divergences from scipy `method='cubic'` (documented per
+    * SURVEY §7.4 tolerance-based equivalence): (1) gradient ESTIMATION is a
+    * local weighted-least-squares fit (scipy minimizes a global energy), so
+    * estimated-gradient results agree in kind, not bit-for-bit; (2) one
+    * cubic patch per triangle (C0 across edges, smooth inside) versus
+    * scipy's three-way Clough–Tocher macro-element split (C1 across edges).
+    * NaN outside the hull. */
   def interpolateCubic(
       tri: Triangulation,
       values: Array[Double],

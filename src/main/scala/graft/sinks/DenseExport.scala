@@ -44,4 +44,72 @@ object DenseExport {
       .mode(SaveMode.Overwrite)
       .partitionBy("variable", "day")
       .parquet(path)
+
+  /** Chunk shape in (time, lat, lon) — the reference's production store uses
+    * 5-day × 250×250-pixel chunks (`writers/ZarrWriter.py:236-263`). */
+  final case class ChunkSpec(timeDays: Int = 5, latPx: Int = 250, lonPx: Int = 250)
+
+  /** Chunk-granularity export (`ZarrWriter.py:236-263` chunk alignment):
+    * every output directory is exactly one (variable, time-chunk, lat-chunk,
+    * lon-chunk) cell, so file boundaries ARE chunk boundaries — appends of
+    * new days rewrite only the chunk cells they touch (dynamic partition
+    * overwrite = the reference's append-time chunk alignment without the
+    * re-chunk read-modify-write). Time chunks are fixed epoch-day windows so
+    * alignment never depends on what arrived first; rows inside a cell are
+    * raster-ordered (day, lat desc, lon asc). */
+  def exportChunkedLayout(long: DataFrame, path: String, chunks: ChunkSpec = ChunkSpec()): Unit =
+    long
+      .withColumn("day", col("time").cast("date"))
+      .withColumn(
+        "t_chunk",
+        floor(datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01"))) / chunks.timeDays).cast("int"))
+      .withColumn("lat_chunk", floor(col("lat_idx") / chunks.latPx).cast("int"))
+      .withColumn("lon_chunk", floor(col("lon_idx") / chunks.lonPx).cast("int"))
+      .repartition(col("variable"), col("t_chunk"), col("lat_chunk"), col("lon_chunk"))
+      .sortWithinPartitions(
+        col("variable"), col("t_chunk"), col("lat_chunk"), col("lon_chunk"),
+        col("day").asc, col("lat_idx").desc, col("lon_idx").asc)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("variable", "t_chunk", "lat_chunk", "lon_chunk")
+      .parquet(path)
+
+  /** Store-level dynamic attributes (`ZarrWriter.py:140-167`): ISO-8601
+    * date_created / date_updated / coverage_start / coverage_end, merged
+    * with any existing attrs on append (created kept, coverage widened).
+    * Stored as a flat JSON file at the store root — the parquet-store analog
+    * of the Zarr root .zattrs. Returns the merged attrs. */
+  def updateStoreAttrs(
+      df: DataFrame,
+      path: String,
+      now: String = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Map[String, String] = {
+    val iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    val mm  = df.agg(
+      date_format(min(col("time")), iso).as("s"),
+      date_format(max(col("time")), iso).as("e")).collect()(0)
+    val (aStart, aEnd) = (mm.getString(0), mm.getString(1))
+    val spark   = df.sparkSession
+    val attrsP  = new org.apache.hadoop.fs.Path(path, "_store_attrs.json")
+    val fs      = attrsP.getFileSystem(spark.sessionState.newHadoopConf())
+    val existing: Map[String, String] =
+      if (fs.exists(attrsP)) {
+        val src = scala.io.Source.fromInputStream(fs.open(attrsP), "UTF-8")
+        try "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r
+          .findAllMatchIn(src.mkString).map(m => m.group(1) -> m.group(2)).toMap
+        finally src.close()
+      } else Map.empty
+    val merged = Map(
+      "date_created"   -> existing.getOrElse("date_created", now),
+      "date_updated"   -> now,
+      "coverage_start" -> existing.get("coverage_start").filter(_ <= aStart).getOrElse(aStart),
+      "coverage_end"   -> existing.get("coverage_end").filter(_ >= aEnd).getOrElse(aEnd))
+    val out = fs.create(attrsP, true)
+    try out.write(
+      merged.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n").getBytes("UTF-8"))
+    finally out.close()
+    merged
+  }
 }

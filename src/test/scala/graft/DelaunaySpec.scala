@@ -49,6 +49,49 @@ class DelaunaySpec extends AnyFunSuite {
     }
   }
 
+  test("cubic: matches independently computed Bezier-triangle goldens (dev/cubic_golden.py)") {
+    // Exact-rational golden values from a from-scratch implementation of the
+    // published construction (Farin, "Triangular Bernstein-Bezier patches",
+    // CAGD 1986; Clough & Tocher 1965): triangle (0,0)-(2,0)-(0,2),
+    // f=(1,3,2), grads=((0.5,-0.25),(1,0),(0,1)).
+    val tri = Delaunay.Triangulation(
+      Array(0.0, 2.0, 0.0),
+      Array(0.0, 0.0, 2.0),
+      Array(0, 1, 2),
+      Array(Array(0, 1, 2)))
+    val vals  = Array(1.0, 3.0, 2.0)
+    val grads = Array((0.5, -0.25), (1.0, 0.0), (0.0, 1.0))
+    val golden = Seq(
+      ((0.5, 0.5), 177.0 / 128),  // = 1.3828125
+      ((1.0, 0.5), 61.0 / 32),    // = 1.90625
+      ((0.25, 1.0), 43.0 / 32))   // = 1.34375
+    golden.foreach { case ((qx, qy), want) =>
+      val got = Delaunay.interpolateCubic(tri, vals, grads, qx, qy)
+      assert(math.abs(got - want) < 1e-12, s"at ($qx,$qy): got $got want $want")
+    }
+  }
+
+  test("cubic: quadratic precision — exact gradients reproduce any quadratic field") {
+    // Published property of the cubic Bezier triangle with interior point
+    // b111 = e + (e-v)/2: quadratic polynomials are reproduced EXACTLY
+    // (the same choice scipy's Clough-Tocher element makes). Intentional
+    // divergence from scipy documented in Delaunay.scala: gradient
+    // ESTIMATION is local WLS (scipy: global minimization), so estimated-
+    // gradient results agree in kind, not bit-for-bit.
+    def f(x: Double, y: Double)  = 2.0 + 0.5 * x - y + 0.25 * x * x + 0.3 * x * y - 0.15 * y * y
+    def fx(x: Double, y: Double) = 0.5 + 0.5 * x + 0.3 * y
+    def fy(x: Double, y: Double) = -1.0 + 0.3 * x - 0.3 * y
+    val xs  = Array(0.0, 10.0, 0.0, 10.0, 5.0, 3.0, 7.0, 2.0, 8.5)
+    val ys  = Array(0.0, 0.0, 10.0, 10.0, 5.0, 2.0, 8.0, 6.5, 3.0)
+    val tri = Delaunay.triangulate(xs, ys).get
+    val av  = tri.alignValues(xs.zip(ys).map { case (x, y) => f(x, y) })
+    val grads = tri.keptIdx.map(i => (fx(xs(i), ys(i)), fy(xs(i), ys(i))))
+    for (qx <- 1 to 9; qy <- 1 to 9) {
+      val got = Delaunay.interpolateCubic(tri, av, grads, qx.toDouble, qy.toDouble)
+      assert(math.abs(got - f(qx, qy)) < 1e-9, s"at ($qx,$qy)")
+    }
+  }
+
   test("empty-circumcircle property holds (the triangulation IS Delaunay)") {
     val xs  = Array.fill(80)(rng.nextDouble() * 10)
     val ys  = Array.fill(80)(rng.nextDouble() * 10)

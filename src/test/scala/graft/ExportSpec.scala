@@ -31,4 +31,47 @@ class ExportSpec extends SparkSpec {
       .select("lat_idx").collect().map(_.getInt(0))
     assert(rows.zip(rows.tail).forall { case (a, b) => a >= b })
   }
+
+  test("chunked export: file boundaries are exactly chunk boundaries") {
+    val path = Files.createTempDirectory("chunked").toString
+    // 6×6-pixel chunks over the 16×16 demo grids → chunk indices 0..2
+    DenseExport.exportChunkedLayout(product, path, DenseExport.ChunkSpec(timeDays = 5, latPx = 6, lonPx = 6))
+    val back = spark.read.parquet(path)
+    assert(back.drop("day", "t_chunk", "lat_chunk", "lon_chunk").count() === product.count())
+    // every physical file holds rows of exactly ONE chunk cell, and the
+    // cell's index range matches its directory's chunk ids
+    val viol = back
+      .withColumn("f", input_file_name())
+      .groupBy("f")
+      .agg(
+        countDistinct(col("variable"), col("t_chunk"), col("lat_chunk"), col("lon_chunk")).as("cells"),
+        max(col("lat_chunk") =!= floor(col("lat_idx") / 6).cast("int")).as("latMis"),
+        max(col("lon_chunk") =!= floor(col("lon_idx") / 6).cast("int")).as("lonMis"))
+      .filter(col("cells") > 1 || col("latMis") || col("lonMis"))
+    assert(viol.count() === 0)
+    // appending one chunk's worth of new data must not disturb other cells
+    val before = new java.io.File(path, "variable=xco2").listFiles()
+      .filter(_.getName.startsWith("t_chunk=")).length
+    DenseExport.exportChunkedLayout(
+      product.filter(col("variable") === "xco2" && col("lat_idx") < 6 && col("lon_idx") < 6),
+      path, DenseExport.ChunkSpec(timeDays = 5, latPx = 6, lonPx = 6))
+    assert(spark.read.parquet(path).drop("day", "t_chunk", "lat_chunk", "lon_chunk").count() === product.count())
+    val after = new java.io.File(path, "variable=xco2").listFiles()
+      .filter(_.getName.startsWith("t_chunk=")).length
+    assert(after === before)
+  }
+
+  test("store attrs: coverage widens and date_created persists across appends") {
+    val path = Files.createTempDirectory("attrs").toString
+    val a = DenseExport.updateStoreAttrs(product, path, now = "2024-01-01T00:00:00Z")
+    assert(a("coverage_start") === "2023-06-15T00:00:00Z")
+    assert(a("date_created") === "2024-01-01T00:00:00Z")
+    // later append with an earlier day widens coverage_start, keeps created
+    val earlier = product.withColumn("time", to_timestamp(lit("2023-06-01 00:00:00")))
+    val b = DenseExport.updateStoreAttrs(earlier, path, now = "2024-02-02T00:00:00Z")
+    assert(b("date_created") === "2024-01-01T00:00:00Z")
+    assert(b("date_updated") === "2024-02-02T00:00:00Z")
+    assert(b("coverage_start") === "2023-06-01T00:00:00Z")
+    assert(b("coverage_end") === "2023-06-15T00:00:00Z")
+  }
 }
