@@ -49,7 +49,8 @@ object Bench {
     val prev = new java.io.File(".").listFiles()
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
     val deltas = prev.map { f =>
-      val txt  = scala.io.Source.fromFile(f, "UTF-8").mkString
+      // driver wraps the metric line as an escaped string — unescape first
+      val txt  = scala.io.Source.fromFile(f, "UTF-8").mkString.replace("\\\"", "\"")
       val prevQ = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
         .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
       val ds = results.flatMap { case (k, v, _) =>
