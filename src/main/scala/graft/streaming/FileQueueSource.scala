@@ -1,0 +1,215 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.netcdf.SerializableHadoopConf
+
+/** Queue streaming input (SURVEY S5, reference `sam_extract/main.py:670-801`).
+  *
+  * The reference's production entry point consumes granule-list messages
+  * from RabbitMQ with prefetch 1 and a strict disposition taxonomy: bad
+  * yaml / bad schema / non-retryable input → `basic_reject` (drop to
+  * dead-letter), transient failure → `basic_nack` (requeue), success →
+  * `basic_ack`. This source re-expresses that taxonomy on Spark's own
+  * exactly-once streaming machinery, with a directory of message files as
+  * the queue transport (no MQ broker ships in this container; a broker
+  * adapter would swap only the discovery/ack I/O):
+  *
+  *  - **message** = one text file in the queue dir; each non-comment line
+  *    is a granule path (the reference message's `inputs` list).
+  *  - **validation → dead-letter**: unreadable/empty messages and messages
+  *    referencing nonexistent inputs move to `<queue>/.deadletter/` at
+  *    discovery and never enter the stream — `basic_reject(requeue=False)`.
+  *  - **rate limit**: each micro-batch admits at most `maxmessagesperbatch`
+  *    messages (prefetch analog), and the offset only advances past batches
+  *    Spark has COMMITTED, so an uncommitted batch is never overtaken.
+  *  - **ack**: on batch commit the consumed message files move to
+  *    `<queue>/.acked/` — `basic_ack`.
+  *  - **nack/requeue**: a failed batch is replayed by Spark from the
+  *    checkpointed offset (the message files are still in place) — paired
+  *    with the idempotent product store, redelivery converges.
+  *
+  * Scale: the stream carries only message metadata (name, granule path);
+  * granule bytes are read in the data plane by the netcdf3/parquet sources.
+  * Offsets index an ordered append-only message log under the stream's
+  * checkpoint location, so restarts resume mid-queue exactly.
+  */
+object FileQueueSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("message", StringType, nullable = false),
+    StructField("granule_path", StringType, nullable = false)))
+}
+
+class FileQueueDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "filequeue"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = FileQueueSource.Schema
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new FileQueueTable(new CaseInsensitiveStringMap(properties))
+}
+
+class FileQueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"filequeue(${options.get("path")})"
+  override def schema(): StructType = FileQueueSource.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = FileQueueSource.Schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new FileQueueStream(
+            Option(options.get("path")).getOrElse(
+              throw new IllegalArgumentException("filequeue: 'path' option required")),
+            Option(options.get("maxmessagesperbatch")).map(_.toInt).getOrElse(1),
+            checkpointLocation,
+            SparkSession.active.sessionState.newHadoopConf())
+      }
+    }
+}
+
+final case class MsgOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+final case class MsgPartition(queueDir: String, name: String) extends InputPartition
+
+class FileQueueStream(
+    queueDir: String,
+    maxPerBatch: Int,
+    checkpointLocation: String,
+    conf: Configuration) extends MicroBatchStream with SupportsAdmissionControl {
+
+  private val qPath    = new Path(queueDir)
+  private val fs       = qPath.getFileSystem(conf)
+  private val deadDir  = new Path(qPath, ".deadletter")
+  private val ackedDir = new Path(qPath, ".acked")
+  private val logPath  = new Path(checkpointLocation, "filequeue-messages.log")
+
+  /** Ordered, append-only log of admitted message names — the queue's
+    * stable offset space across restarts. */
+  private def readLog(): Vector[String] =
+    if (!fs.exists(logPath)) Vector.empty
+    else {
+      val src = scala.io.Source.fromInputStream(fs.open(logPath), "UTF-8")
+      try src.getLines().filter(_.nonEmpty).toVector finally src.close()
+    }
+
+  private def appendLog(names: Seq[String]): Unit = if (names.nonEmpty) {
+    val all = readLog() ++ names
+    val out = fs.create(logPath, true)
+    try out.write((all.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Reference disposition: unreadable/empty or missing-input messages are
+    * rejected without requeue (`main.py:715-724` yaml/schema errors,
+    * `__validate_files` NonRetryable). */
+  private def validate(p: Path): Boolean = {
+    val lines =
+      try {
+        val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+        try src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList
+        finally src.close()
+      } catch { case _: Exception => return false }
+    lines.nonEmpty && lines.forall(l => fs.exists(new Path(l)))
+  }
+
+  /** Discover new message files, dead-letter the invalid, admit the valid
+    * (sorted by name for determinism). */
+  private def discover(): Unit = {
+    if (!fs.exists(qPath)) return
+    fs.mkdirs(deadDir); fs.mkdirs(ackedDir)
+    val known = (readLog() ++ Seq(".deadletter", ".acked")).toSet
+    val fresh = fs.listStatus(qPath).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") && !known(s.getPath.getName))
+      .map(_.getPath).sortBy(_.getName)
+    val (good, bad) = fresh.partition(validate)
+    bad.foreach(p => fs.rename(p, new Path(deadDir, p.getName)))
+    appendLog(good.map(_.getName))
+  }
+
+  override def initialOffset(): Offset = MsgOffset(0L)
+  override def deserializeOffset(json: String): Offset = MsgOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch.toLong)
+  override def reportLatestOffset(): Offset = MsgOffset(readLog().length.toLong)
+
+  /** Ack every message below `upTo`: move it out of the queue (idempotent —
+    * replays re-ack as a no-op, and the reader falls back to `.acked/` so a
+    * replayed batch stays readable even after its files moved). */
+  private def ack(upTo: Long): Unit =
+    readLog().take(upTo.toInt).foreach { name =>
+      val p = new Path(qPath, name)
+      if (fs.exists(p)) fs.rename(p, new Path(ackedDir, name))
+    }
+
+  /** Admission control: at most `maxPerBatch` messages past the start — the
+    * pacing analog of the reference consumer's `basic_qos(prefetch_count=1)`
+    * (`main.py:765`). The start offset Spark hands us is durably recorded
+    * in its offset log, so everything below it is safe to ack here — this
+    * also covers the final batch, whose `commit()` Spark only issues when a
+    * subsequent batch is constructed. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    discover()
+    val s = start.asInstanceOf[MsgOffset].n
+    ack(s)
+    MsgOffset(math.min(readLog().length.toLong, s + maxPerBatch))
+  }
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("admission-control latestOffset is used")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[MsgOffset].n, end.asInstanceOf[MsgOffset].n)
+    readLog().slice(s.toInt, e.toInt).map(n => MsgPartition(queueDir, n)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MsgReaderFactory(new SerializableHadoopConf(conf))
+
+  /** Batch committed: ack the consumed messages (move out of the queue). */
+  override def commit(end: Offset): Unit = ack(end.asInstanceOf[MsgOffset].n)
+
+  override def stop(): Unit = ()
+}
+
+class MsgReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p  = partition.asInstanceOf[MsgPartition]
+    val fs = new Path(p.queueDir).getFileSystem(conf.value)
+    val f  = new Path(new Path(p.queueDir), p.name)
+    // a message may already be acked-and-moved on replay after commit races;
+    // check both locations so redelivery stays readable
+    val loc =
+      if (fs.exists(f)) f else new Path(new Path(new Path(p.queueDir), ".acked"), p.name)
+    val lines: Iterator[String] = {
+      val src = scala.io.Source.fromInputStream(fs.open(loc), "UTF-8")
+      src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList.iterator
+    }
+    new PartitionReader[InternalRow] {
+      private var current: String = _
+      override def next(): Boolean = { val h = lines.hasNext; if (h) current = lines.next(); h }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(p.name), UTF8String.fromString(current)))
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.{Files, Path => JPath}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Queue streaming input (SURVEY S5): message discovery, the reference's
+  * reject/ack/requeue taxonomy, prefetch-style pacing, and end-to-end
+  * delivery into the idempotent store. */
+class FileQueueSpec extends SparkSpec {
+
+  private def writeMsg(dir: JPath, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), String.join("\n", lines: _*).getBytes("UTF-8"))
+
+  private def mkGranule(dir: JPath, name: String): String = {
+    val p = dir.resolve(name)
+    Files.write(p, "data".getBytes("UTF-8"))
+    p.toString
+  }
+
+  test("valid messages stream granule paths; invalid ones dead-letter; acked messages leave the queue") {
+    val queue = Files.createTempDirectory("fq-queue")
+    val gran  = Files.createTempDirectory("fq-granules")
+    val ckpt  = Files.createTempDirectory("fq-ckpt").toString
+    val g1    = mkGranule(gran, "oco3_LtCO2_20230615.nc")
+    val g2    = mkGranule(gran, "oco3_LtCO2_20230616.nc")
+    writeMsg(queue, "msg-001", Seq("# day 1", g1))
+    writeMsg(queue, "msg-002", Seq(g1, g2))
+    writeMsg(queue, "msg-bad", Seq(gran.resolve("missing.nc").toString)) // nonexistent input -> reject
+
+    val stream = spark.readStream
+      .format("filequeue")
+      .option("path", queue.toString)
+      .option("maxmessagesperbatch", "1")
+      .load()
+    val sink  = new scala.collection.mutable.ArrayBuffer[(String, String, Long)]
+    val sizes = new scala.collection.mutable.ArrayBuffer[Long]
+    val q = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rows = df.select("message", "granule_path").collect()
+        sizes.synchronized { sizes += rows.map(_.getString(0)).distinct.length.toLong }
+        sink.synchronized { sink ++= rows.map(r => (r.getString(0), r.getString(1), batchId)) }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // both valid messages delivered, all their paths, in order
+    val got = sink.sortBy(r => (r._1, r._2)).toList
+    assert(got.map(_._1).distinct === List("msg-001", "msg-002"))
+    assert(got.map(_._2) === List(g1, g1, g2))
+    // prefetch pacing: no batch admitted more than one message
+    assert(sizes.nonEmpty && sizes.forall(_ <= 1))
+    // taxonomy on disk: bad -> .deadletter, acked -> .acked, queue drained
+    val names = new java.io.File(queue.toString).listFiles().map(_.getName).toSet
+    assert(names === Set(".deadletter", ".acked"))
+    val dead  = new java.io.File(queue.resolve(".deadletter").toString).list().toSet
+    val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
+    assert(dead === Set("msg-bad"))
+    assert(acked === Set("msg-001", "msg-002"))
+  }
+
+  test("restart resumes from the checkpoint and late messages are picked up") {
+    val queue = Files.createTempDirectory("fq2-queue")
+    val gran  = Files.createTempDirectory("fq2-granules")
+    val ckpt  = Files.createTempDirectory("fq2-ckpt").toString
+    val g1    = mkGranule(gran, "a.nc")
+    writeMsg(queue, "m1", Seq(g1))
+
+    def runOnce(): Set[String] = {
+      val seen = new scala.collection.mutable.HashSet[String]
+      val q = spark.readStream.format("filequeue").option("path", queue.toString).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized { seen ++= df.select("message").collect().map(_.getString(0)) }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      seen.toSet
+    }
+
+    assert(runOnce() === Set("m1"))
+    writeMsg(queue, "m2", Seq(g1))
+    // second run must deliver ONLY the new message (m1 committed+acked)
+    assert(runOnce() === Set("m2"))
+  }
+}
