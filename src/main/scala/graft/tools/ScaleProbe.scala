@@ -8,7 +8,9 @@ import graft.domain.TargetCatalog.Target
   * (reference scale: O(10⁴-10⁵) soundings/day, 559-target catalog —
   * BASELINE.md) entirely on executors and run the full pipeline.
   *
-  * Usage: ScaleProbe [nSoundings] [nTargets] [gridN] [method]
+  * Usage: ScaleProbe [nSoundings] [nTargets] [gridN] [method] [variant]
+  * variant = target (default) | global (GlobalPipeline over an nGx×nGy
+  * mesh — gridN is reused as nGx/100⇒ mesh 100·gridN × 50·gridN).
   * Prints one JSON line: rows in/out + wall seconds.
   */
 object ScaleProbe {
@@ -52,11 +54,21 @@ object ScaleProbe {
       .withColumn("xco2_uncertainty", lit(0.5))
       .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
 
+    val variant = if (args.length > 4) args(4) else "target"
     val t0  = System.nanoTime()
-    val out = Pipeline.process(granule, catalog, Pipeline.Config(gridN = gridN, method = method))
+    val out = variant match {
+      case "global" =>
+        // production-shaped global mesh (18000×36000 at full scale); the
+        // sparse design generates only covered index ranges, so mesh size
+        // enters through per-region explode width, not materialization
+        val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, 100 * gridN, -90.0, 90.0, 50 * gridN)
+        graft.domain.GlobalPipeline.process(granule, mesh, Pipeline.Config(gridN = gridN, method = method))
+      case _ =>
+        Pipeline.process(granule, catalog, Pipeline.Config(gridN = gridN, method = method))
+    }
     val nOut = out.count()
     val sec = (System.nanoTime() - t0) / 1e9
-    println(s"""{"probe":"domain_pipeline","soundings":$n,"targets":$nTgt,"gridN":$gridN,"method":"$method","out_rows":$nOut,"sec":$sec}""")
+    println(s"""{"probe":"domain_pipeline","variant":"$variant","soundings":$n,"targets":$nTgt,"gridN":$gridN,"method":"$method","out_rows":$nOut,"sec":$sec}""")
     spark.stop()
   }
 }
