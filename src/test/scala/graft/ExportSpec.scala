@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
-import graft.sinks.DenseExport
+import graft.sinks.{DenseExport, GeoTiff}
 import graft.domain.Pipeline
 import graft.queries.DomainQueries
 
@@ -59,6 +59,70 @@ class ExportSpec extends SparkSpec {
     val after = new java.io.File(path, "variable=xco2").listFiles()
       .filter(_.getName.startsWith("t_chunk=")).length
     assert(after === before)
+  }
+
+  test("NetCDF export: one classic .nc per (target, day), values round-trip") {
+    val dir = Files.createTempDirectory("ncexp").toString
+    val files = graft.sinks.NetCDFExport.exportTargetDaily(product, dir).collect()
+    assert(files.map(_.target_id).sorted === Array("fossil0001", "volcano0002"))
+    // read one slice back through the netcdf3 source (rowdim = lat: each row
+    // is one latitude line with per-longitude arrays) and compare values
+    val f = files.find(_.target_id === "fossil0001").get
+    val back = spark.read.format("netcdf3").option("rowdim", "lat").load(f.path)
+      .selectExpr("row_index AS lat_idx", "posexplode(xco2) AS (lon_idx, v)", "latitude", "longitude")
+      .filter(col("v").isNotNull) // NaN fill = masked-out pixels -> null
+      .select(
+        col("lat_idx").cast("int"),
+        col("lon_idx").cast("int"),
+        col("v"),
+        expr("latitude[lon_idx]").as("lat"),
+        expr("longitude[lon_idx]").as("lon"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val want = product
+      .filter(col("target_id") === "fossil0001" && col("variable") === "xco2")
+      .select(col("lat_idx"), col("lon_idx"), col("value"), col("lat"), col("lon"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(back === want)
+  }
+
+  test("GeoTIFF codec: tiled float64 raster round-trips with georeferencing") {
+    val (w, h) = (300, 270) // forces 2x2 tiles with padding
+    val data = Array.tabulate(w * h)(i => if (i % 7 == 0) Double.NaN else i * 0.5)
+    val bytes = GeoTiff.encode(data, w, h, originLon = -10.5, originLat = 42.5, scaleLon = 0.1, scaleLat = 0.1)
+    // CoG property: metadata at the front (header + IFD before tile data)
+    assert(bytes(0) === 'I'.toByte && bytes(1) === 'I'.toByte)
+    val r = GeoTiff.decode(bytes)
+    assert(r.width === w && r.height === h)
+    assert(r.originLon === -10.5 && r.originLat === 42.5 && r.scaleLon === 0.1 && r.scaleLat === 0.1)
+    assert(r.data.length === data.length)
+    data.indices.foreach { i =>
+      assert(java.lang.Double.compare(r.data(i), data(i)) === 0 || (r.data(i).isNaN && data(i).isNaN))
+    }
+  }
+
+  test("CoG export: one GeoTIFF per (target, variable, day), north-up values") {
+    val dir = Files.createTempDirectory("cog").toString
+    val files = graft.sinks.CoGExport.exportSlices(product, dir).collect()
+    assert(files.length === 4) // 2 targets x 2 variables
+    val f = files.find(s => s.target_id == "fossil0001" && s.variable == "xco2").get
+    val raster = GeoTiff.decode(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(
+        if (f.path.startsWith("file:")) f.path else "file://" + f.path))))
+    val want = product
+      .filter(col("target_id") === "fossil0001" && col("variable") === "xco2")
+      .select("lat_idx", "lon_idx", "value", "lat", "lon").collect()
+    want.foreach { r =>
+      val (latIdx, lonIdx, v) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      val row = raster.height - 1 - latIdx // north-up flip
+      assert(raster.data(row * raster.width + lonIdx) === v)
+      // georeferencing: pixel center ~ recorded lon/lat
+      val lonC = raster.originLon + raster.scaleLon * (lonIdx + 0.5)
+      assert(math.abs(lonC - r.getDouble(4)) < 1e-6)
+    }
   }
 
   test("store attrs: coverage widens and date_created persists across appends") {
