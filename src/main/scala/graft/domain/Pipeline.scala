@@ -185,8 +185,29 @@ object Pipeline {
       .filter(!isnan(col("value")))
   }
 
+  /** Multi-granule sessionization: windows partition by the granule column
+    * (each granule is an independent ordered stream — the reference
+    * processes one file at a time, `main.py` loops granules), then region
+    * ids are made globally unique by offsetting with a dense granule index
+    * (region ids are dense PER PARTITION; without the offset, granule A's
+    * region 0 would merge with granule B's region 0 in every downstream
+    * groupBy). The index dim is one row per granule — broadcast-sized. */
+  def sessionizePerGranule(granule: DataFrame, cfg: Config, granuleCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sessionize(granule, cfg, Seq(granuleCol))
+    val gids = s
+      .select(col(granuleCol)).distinct()
+      .withColumn("_gidx", row_number().over(Window.orderBy(col(granuleCol))).cast("long"))
+    s.join(broadcast(gids), granuleCol)
+      .withColumn("region_id", col("_gidx") * lit(1L << 40) + col("region_id"))
+      .drop("_gidx")
+  }
+
   /** Full target-focused pipeline → sparse long form
-    * (target_id, time, lat_idx, lon_idx, lat, lon, variable, value). */
+    * (target_id, time, lat_idx, lon_idx, lat, lon, variable, value).
+    * A `granule_path` column (as produced by the netcdf3 source / manifest
+    * reader) switches sessionization to per-granule windows — the shape
+    * that scales to a year of granules in one run. */
   def process(
       granule: DataFrame,
       catalog: DataFrame,
@@ -195,7 +216,11 @@ object Pipeline {
     // sessions feed three consumers (region summary, interpolation, mask);
     // persist so the sessionization window chain runs once, not three times
     // (the Spark analog of the reference's temp-store spill, SURVEY S11)
-    val sessions0 = qualityFilter(sessionize(granule, cfg), cfg)
+    val sessionized =
+      if (granule.columns.contains("granule_path"))
+        sessionizePerGranule(granule, cfg, "granule_path")
+      else sessionize(granule, cfg)
+    val sessions0 = qualityFilter(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
         sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -83,6 +83,30 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("multi-granule read sessionizes per granule: regions never merge across files") {
+    val dir = Files.createTempDirectory("nc-multi")
+    // two granules, both starting at sounding_index 0 with the SAME target —
+    // without per-granule windows their runs would fuse into one region
+    val dayA = soundings.take(5)
+    val dayB = soundings.take(5).map(s => s.copy(time = java.sql.Timestamp.valueOf("2023-06-16 10:30:00")))
+    Seq("oco3_LtCO2_20230615_B.nc" -> dayA, "oco3_LtCO2_20230616_B.nc" -> dayB).foreach {
+      case (name, ss) =>
+        val os = new BufferedOutputStream(new FileOutputStream(dir.resolve(name).toFile))
+        try NetCDFGranules.writeGranule(os, ss) finally os.close()
+    }
+    val granules = NetCDFGranules.readGranules(
+      spark,
+      Seq(dir.resolve("oco3_LtCO2_20230615_B.nc").toString, dir.resolve("oco3_LtCO2_20230616_B.nc").toString))
+      .drop("sounding_id")
+    val out = Pipeline.process(granules, catalog, Pipeline.Config(gridN = 8))
+    // one product day per granule, each with its own region's pixels
+    val days = out.select(col("time").cast("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(days === Array("2023-06-15", "2023-06-16"))
+    val perDay = out.groupBy(col("time")).count().collect().map(_.getLong(1)).toSet
+    assert(perDay.size === 1) // identical granules -> identical pixel counts
+  }
+
   test("a NetCDF granule flows through Pipeline.process identically to the in-memory path") {
     val fromNc = NetCDFGranules.readGranules(spark, Seq(granulePath)).drop("granule_path", "sounding_id")
     val fromMem = SyntheticGranule.toDF(spark, soundings).drop("sounding_id")
