@@ -140,10 +140,168 @@ object DomainQueries {
       demoCatalog(s))
     GlobalPipeline
       .mergeMissions(Map("oco3_global" -> oco3, "oco2" -> oco2))
+      // portable timestamp form (oracle-portability law: format, don't emit)
+      .withColumn("time", date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy(col("mission"), col("variable"), col("lat_idx"), col("lon_idx"))
   }
 
+  /** Re-derivation of q32 in ANSI SQL. The demo regions are 1:1 with
+    * operation_mode (one SAM run, one Target run), so mode serves as the
+    * region key. Global pixels come from the covered-index-range formula
+    * over the 360×180 default mesh; OCO-2 associates its single region to
+    * the catalog by squared-distance argmin (monotone-equivalent to the
+    * engine's hypot) with the bbox-intersects validity check; both products
+    * interpolate nearest and mask by the half-open scaled-footprint box
+    * (same analytic reduction as q31). First-writer-wins is a rank over
+    * region order — a no-op here (disjoint extents) but derived anyway. */
+  private val q32Sql =
+    """WITH s AS (
+      |  SELECT i AS sidx,
+      |    CASE WHEN i < 40 THEN CAST(41.0 AS DOUBLE) + CAST(0.02 AS DOUBLE) * (i % 20)
+      |         ELSE CAST(-0.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (i - 40) END AS slat,
+      |    CASE WHEN i < 40 THEN CAST(11.0 AS DOUBLE) + CAST(0.04 AS DOUBLE) * (i % 20)
+      |         ELSE CAST(-4.8 AS DOUBLE) + CAST(0.05 AS DOUBLE) * (i - 40) END AS slon,
+      |    CASE WHEN i < 40 THEN 4 ELSE 2 END AS mode,
+      |    CASE WHEN i < 40 THEN 'fossil0001' ELSE 'volcano0002' END AS target_id,
+      |    CASE WHEN i < 40 THEN CAST(400.0 AS DOUBLE) + (i % 7)
+      |         ELSE CAST(410.0 AS DOUBLE) + (i % 3) END AS xco2,
+      |    CAST(0.5 AS DOUBLE) AS xco2_uncertainty,
+      |    CASE WHEN i < 40 THEN LEAST(i % 5, 1) ELSE 0 END AS qf
+      |  FROM range(0, 70) t(i)),
+      |good AS (SELECT g.*, CAST(0.6 AS DOUBLE) AS h FROM s g WHERE qf = 0),
+      |fp AS (
+      |  SELECT mode,
+      |    cx + ((slon - h) - cx) * CAST(1.0 AS DOUBLE) AS sxl,
+      |    cx + ((slon + h) - cx) * CAST(1.0 AS DOUBLE) AS sxr,
+      |    cy + ((slat - h) - cy) * CAST(1.0 AS DOUBLE) AS syb,
+      |    cy + ((slat + h) - cy) * CAST(1.0 AS DOUBLE) AS syt
+      |  FROM (
+      |    SELECT *,
+      |      (((CAST(0.0 AS DOUBLE) + (slon - h)) + (slon + h)) + (slon + h) + (slon - h)) / 4 AS cx,
+      |      (((CAST(0.0 AS DOUBLE) + (slat - h)) + (slat - h)) + (slat + h) + (slat + h)) / 4 AS cy
+      |    FROM good)),
+      |-- ===== OCO-3 global product (mode = region key) =====
+      |ext AS (
+      |  SELECT mode, MIN(target_id) AS target_id,
+      |    MIN(slon - h) AS fminx, MAX(slon + h) AS fmaxx,
+      |    MIN(slat - h) AS fminy, MAX(slat + h) AS fmaxy
+      |  FROM good GROUP BY mode),
+      |idxr AS (
+      |  SELECT mode, target_id,
+      |    GREATEST(0, CAST(CEIL((fminx - CAST(-180.0 AS DOUBLE))
+      |      / ((CAST(180.0 AS DOUBLE) - CAST(-180.0 AS DOUBLE)) / (360 - 1))) AS INT)) AS xlo,
+      |    LEAST(359, CAST(FLOOR((fmaxx - CAST(-180.0 AS DOUBLE))
+      |      / ((CAST(180.0 AS DOUBLE) - CAST(-180.0 AS DOUBLE)) / (360 - 1))) AS INT)) AS xhi,
+      |    GREATEST(0, CAST(CEIL((fminy - CAST(-90.0 AS DOUBLE))
+      |      / ((CAST(90.0 AS DOUBLE) - CAST(-90.0 AS DOUBLE)) / (180 - 1))) AS INT)) AS ylo,
+      |    LEAST(179, CAST(FLOOR((fmaxy - CAST(-90.0 AS DOUBLE))
+      |      / ((CAST(90.0 AS DOUBLE) - CAST(-90.0 AS DOUBLE)) / (180 - 1))) AS INT)) AS yhi
+      |  FROM ext),
+      |px3 AS (
+      |  SELECT r.mode, r.target_id, xs.ix AS lon_idx, ys.iy AS lat_idx,
+      |    CAST(-180.0 AS DOUBLE) + xs.ix * ((CAST(180.0 AS DOUBLE) - CAST(-180.0 AS DOUBLE)) / (360 - 1)) AS lon,
+      |    CAST(-90.0 AS DOUBLE) + ys.iy * ((CAST(90.0 AS DOUBLE) - CAST(-90.0 AS DOUBLE)) / (180 - 1)) AS lat
+      |  FROM idxr r
+      |    CROSS JOIN UNNEST(generate_series(r.xlo, r.xhi)) AS xs(ix)
+      |    CROSS JOIN UNNEST(generate_series(r.ylo, r.yhi)) AS ys(iy)
+      |  WHERE r.xlo <= r.xhi AND r.ylo <= r.yhi),
+      |i3 AS (
+      |  SELECT * FROM (
+      |    SELECT p.mode, p.target_id, p.lon_idx, p.lat_idx, p.lon, p.lat,
+      |      g.xco2, g.xco2_uncertainty,
+      |      ROW_NUMBER() OVER (
+      |        PARTITION BY p.mode, p.lon_idx, p.lat_idx
+      |        ORDER BY (p.lon - g.slon) * (p.lon - g.slon)
+      |               + (p.lat - g.slat) * (p.lat - g.slat), g.sidx) AS rn
+      |    FROM px3 p JOIN good g ON g.mode = p.mode)
+      |  WHERE rn = 1),
+      |m3 AS (
+      |  SELECT DISTINCT p.mode, p.lon_idx, p.lat_idx
+      |  FROM px3 p JOIN fp f ON f.mode = p.mode
+      |    AND p.lon >= f.sxl AND p.lon < f.sxr
+      |    AND p.lat >= f.syb AND p.lat < f.syt),
+      |fww AS (
+      |  SELECT * FROM (
+      |    SELECT i.*, ROW_NUMBER() OVER (
+      |        PARTITION BY i.lat_idx, i.lon_idx
+      |        ORDER BY CASE i.mode WHEN 4 THEN 0 ELSE 1 END) AS frn
+      |    FROM i3 i JOIN m3 m ON m.mode = i.mode
+      |      AND m.lon_idx = i.lon_idx AND m.lat_idx = i.lat_idx)
+      |  WHERE frn = 1),
+      |out3 AS (
+      |  SELECT 'oco3_global' AS mission, '2023-06-15 00:00:00' AS time,
+      |    f.lat_idx, f.lon_idx, f.lat, f.lon,
+      |    CAST(regexp_extract(f.target_id, '(\d+)$', 1) AS INT) AS target_num,
+      |    CAST(CASE WHEN f.target_id LIKE 'fossil%' THEN 1 ELSE 4 END AS TINYINT) AS target_type,
+      |    f.mode AS operation_mode,
+      |    CAST(NULL AS VARCHAR) AS target_id,
+      |    v.variable,
+      |    CASE v.variable WHEN 'xco2' THEN f.xco2 ELSE f.xco2_uncertainty END AS value
+      |  FROM fww f, (VALUES ('xco2'), ('xco2_uncertainty')) v(variable)),
+      |-- ===== OCO-2 product (single mode-2 region, centroid association) =====
+      |o2 AS (SELECT * FROM good WHERE mode = 2),
+      |cent AS (
+      |  SELECT AVG(slon) AS clon, AVG(slat) AS clat,
+      |    MIN(slat) AS rminy, MAX(slat) AS rmaxy,
+      |    MIN(slon) AS rminx, MAX(slon) AS rmaxx
+      |  FROM o2),
+      |cat AS (
+      |  SELECT * FROM (VALUES
+      |    ('fossil0001', CAST(10.0 AS DOUBLE), CAST(40.0 AS DOUBLE),
+      |                   CAST(12.0 AS DOUBLE), CAST(42.0 AS DOUBLE)),
+      |    ('volcano0002', CAST(-5.0 AS DOUBLE), CAST(-1.0 AS DOUBLE),
+      |                    CAST(-3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)))
+      |    AS t(target_id, min_lon, min_lat, max_lon, max_lat)),
+      |assoc AS (
+      |  SELECT * FROM (
+      |    SELECT c.*, ct.rminx, ct.rmaxx, ct.rminy, ct.rmaxy,
+      |      ROW_NUMBER() OVER (ORDER BY
+      |        (ct.clon - (c.min_lon + c.max_lon) / 2) * (ct.clon - (c.min_lon + c.max_lon) / 2)
+      |        + (ct.clat - (c.min_lat + c.max_lat) / 2) * (ct.clat - (c.min_lat + c.max_lat) / 2),
+      |        c.target_id) AS rn
+      |    FROM cat c, cent ct)
+      |  WHERE rn = 1
+      |    AND rminx <= max_lon AND rmaxx >= min_lon
+      |    AND rminy <= max_lat AND rmaxy >= min_lat),
+      |px2 AS (
+      |  SELECT a.target_id, xi.i AS lon_idx, yi.i AS lat_idx,
+      |    a.min_lon + xi.i * ((a.max_lon - a.min_lon) / 7) AS lon,
+      |    a.min_lat + yi.i * ((a.max_lat - a.min_lat) / 7) AS lat
+      |  FROM assoc a, range(0, 8) xi(i), range(0, 8) yi(i)),
+      |i2 AS (
+      |  SELECT * FROM (
+      |    SELECT p.target_id, p.lon_idx, p.lat_idx, p.lon, p.lat,
+      |      g.xco2, g.xco2_uncertainty,
+      |      ROW_NUMBER() OVER (
+      |        PARTITION BY p.lon_idx, p.lat_idx
+      |        ORDER BY (p.lon - g.slon) * (p.lon - g.slon)
+      |               + (p.lat - g.slat) * (p.lat - g.slat), g.sidx) AS rn
+      |    FROM px2 p JOIN o2 g ON 1 = 1)
+      |  WHERE rn = 1),
+      |m2 AS (
+      |  SELECT DISTINCT p.lon_idx, p.lat_idx
+      |  FROM px2 p JOIN fp f ON f.mode = 2
+      |    AND p.lon >= f.sxl AND p.lon < f.sxr
+      |    AND p.lat >= f.syb AND p.lat < f.syt),
+      |out2 AS (
+      |  SELECT 'oco2' AS mission, '2023-06-15 00:00:00' AS time,
+      |    i.lat_idx, i.lon_idx, i.lat, i.lon,
+      |    CAST(NULL AS INT) AS target_num,
+      |    CAST(NULL AS TINYINT) AS target_type,
+      |    CAST(NULL AS INT) AS operation_mode,
+      |    i.target_id,
+      |    v.variable,
+      |    CASE v.variable WHEN 'xco2' THEN i.xco2 ELSE i.xco2_uncertainty END AS value
+      |  FROM i2 i
+      |    JOIN m2 m ON m.lon_idx = i.lon_idx AND m.lat_idx = i.lat_idx,
+      |    (VALUES ('xco2'), ('xco2_uncertainty')) v(variable))
+      |SELECT * FROM out3
+      |UNION ALL
+      |SELECT * FROM out2
+      |ORDER BY mission, variable, lat_idx, lon_idx""".stripMargin
+
   val queries: Map[String, Q] =
     Map("q31_domain_pipeline" -> q31, "q32_global_merge" -> q32)
-  val oracles: Map[String, String] = Map("q31_domain_pipeline" -> q31Sql)
+  val oracles: Map[String, String] =
+    Map("q31_domain_pipeline" -> q31Sql, "q32_global_merge" -> q32Sql)
 }
