@@ -6,12 +6,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * `writers/CoGWriter.py:102-217`).
   *
   * Cloud-Optimized GeoTIFF layout from the public TIFF 6.0 + GeoTIFF specs:
-  * little-endian, header + IFD at the FRONT of the file (the
-  * cloud-optimized property: readers fetch metadata with one ranged read),
-  * 256×256 tiles of IEEE float64 samples (NaN = nodata), and the GeoTIFF
-  * georeferencing tags (ModelPixelScale, ModelTiepoint, GeoKeyDirectory
-  * with EPSG:4326 geographic keys). Overview levels — the remaining delta
-  * to a full CoG pyramid — are documented out of scope this round.
+  * little-endian, ALL IFDs at the FRONT of the file (the cloud-optimized
+  * property: readers fetch every level's metadata with one ranged read),
+  * 256x256 tiles of IEEE float64 samples (NaN = nodata), GeoTIFF
+  * georeferencing tags on the full-resolution IFD (ModelPixelScale,
+  * ModelTiepoint, GeoKeyDirectory with EPSG:4326 geographic keys), and an
+  * overview pyramid: successive 2x reductions (NaN-aware 2x2 average -
+  * GDAL's `average` resampling) as chained IFDs marked
+  * NewSubfileType=ReducedImage.
   *
   * Encoder + decoder are symmetric so exports are verifiable in-repo.
   */
@@ -19,11 +21,46 @@ object GeoTiff {
 
   val TileSize = 256
 
+  private def tilesAcross(n: Int) = (n + TileSize - 1) / TileSize
+  private val TileLen = TileSize * TileSize * 8
+
+  /** NaN-aware 2x2 mean reduction (all-NaN block stays NaN). */
+  private[sinks] def downsample(data: Array[Double], w: Int, h: Int): (Array[Double], Int, Int) = {
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val out = Array.fill(w2 * h2)(Double.NaN)
+    var r = 0
+    while (r < h2) {
+      var c = 0
+      while (c < w2) {
+        var sum = 0.0; var n = 0
+        var dr = 0
+        while (dr < 2) {
+          var dc = 0
+          while (dc < 2) {
+            val rr = r * 2 + dr; val cc = c * 2 + dc
+            if (rr < h && cc < w) {
+              val v = data(rr * w + cc)
+              if (!v.isNaN) { sum += v; n += 1 }
+            }
+            dc += 1
+          }
+          dr += 1
+        }
+        if (n > 0) out(r * w2 + c) = sum / n
+        c += 1
+      }
+      r += 1
+    }
+    (out, w2, h2)
+  }
+
   /** Encode one north-up raster (row 0 = northernmost; callers flip lat
-    * ascending → descending first, the G6 flip) with georeferencing:
+    * ascending -> descending first, the G6 flip) with georeferencing:
     * `originLon/originLat` = outer corner of pixel (0,0), `scaleLon/
-    * scaleLat` = pixel size in degrees (scaleLat positive; stored per
-    * GeoTIFF convention). */
+    * scaleLat` = pixel size in degrees. `overviews` extra pyramid levels
+    * are appended (each halves both dims; levels smaller than one pixel
+    * are skipped). */
   def encode(
       data: Array[Double], // row-major, length = width*height
       width: Int,
@@ -31,14 +68,19 @@ object GeoTiff {
       originLon: Double,
       originLat: Double,
       scaleLon: Double,
-      scaleLat: Double): Array[Byte] = {
+      scaleLat: Double,
+      overviews: Int = 0): Array[Byte] = {
     require(data.length == width * height, "data length must be width*height")
-    val tilesX  = (width + TileSize - 1) / TileSize
-    val tilesY  = (height + TileSize - 1) / TileSize
-    val nTiles  = tilesX * tilesY
-    val tileLen = TileSize * TileSize * 8
 
-    // tag payloads that overflow the 4-byte inline value go after the IFD
+    // pyramid levels: (data, w, h)
+    val levels = scala.collection.mutable.ArrayBuffer((data, width, height))
+    var l = 0
+    while (l < overviews && levels.last._2 > 1 && levels.last._3 > 1) {
+      val (d, w, h) = levels.last
+      levels += downsample(d, w, h)
+      l += 1
+    }
+
     def shorts(v: Seq[Int]): Array[Byte] = {
       val b = ByteBuffer.allocate(v.length * 2).order(ByteOrder.LITTLE_ENDIAN)
       v.foreach(x => b.putShort(x.toShort)); b.array()
@@ -51,91 +93,114 @@ object GeoTiff {
       val b = ByteBuffer.allocate(v.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       v.foreach(b.putDouble); b.array()
     }
-
-    // GeoKeyDirectory: version 1.1.0, 3 keys — model type geographic(2),
-    // raster type PixelIsArea(1), geographic CS EPSG:4326
     val geoKeys = Seq(
       1, 1, 0, 3,
-      1024, 0, 1, 2,
-      1025, 0, 1, 1,
-      2048, 0, 1, 4326)
+      1024, 0, 1, 2,   // GTModelType = geographic
+      1025, 0, 1, 1,   // GTRasterType = PixelIsArea
+      2048, 0, 1, 4326) // GeographicType = WGS84
 
-    // --- build IFD with a two-pass offset resolution ---
-    val tileOffsetsPlaceholder = Seq.fill(nTiles)(0L)
-    val entriesSpec: Seq[(Int, Int, Int, Either[Long, Array[Byte]])] = Seq(
-      (256, 4, 1, Left(width.toLong)),                            // ImageWidth
-      (257, 4, 1, Left(height.toLong)),                           // ImageLength
-      (258, 3, 1, Left(64L)),                                     // BitsPerSample
-      (259, 3, 1, Left(1L)),                                      // Compression = none
-      (262, 3, 1, Left(1L)),                                      // Photometric = BlackIsZero
-      (277, 3, 1, Left(1L)),                                      // SamplesPerPixel
-      (322, 3, 1, Left(TileSize.toLong)),                         // TileWidth
-      (323, 3, 1, Left(TileSize.toLong)),                         // TileLength
-      (324, 4, nTiles, Right(longsA(tileOffsetsPlaceholder))),    // TileOffsets (patched)
-      (325, 4, nTiles, Right(longsA(Seq.fill(nTiles)(tileLen.toLong)))), // TileByteCounts
-      (339, 3, 1, Left(3L)),                                      // SampleFormat = IEEE float
-      (33550, 12, 3, Right(doubles(Seq(scaleLon, scaleLat, 0.0)))),       // ModelPixelScale
-      (33922, 12, 6, Right(doubles(Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0)))), // ModelTiepoint
-      (34735, 3, geoKeys.length, Right(shorts(geoKeys))))         // GeoKeyDirectory
-
-    val headerLen  = 8
-    val ifdLen     = 2 + entriesSpec.length * 12 + 4
-    var payloadOff = headerLen + ifdLen
-    val payloadPos = entriesSpec.map {
-      case (_, _, _, Right(p)) if p.length > 4 => val o = payloadOff; payloadOff += p.length; Some(o.toLong)
-      case _                                   => None
-    }
-    val dataStart       = (payloadOff + 7) / 8 * 8
-    val tileOffsetsReal = (0 until nTiles).map(i => dataStart.toLong + i.toLong * tileLen)
-    // patch the TileOffsets payload now that data start is known
-    val resolved = entriesSpec.zipWithIndex.map {
-      case ((324, t, c, Right(_)), i) => ((324, t, c, Right(longsA(tileOffsetsReal))), i)
-      case (e, i)                     => (e, i)
+    // entry spec per level: (tag, type, count, Left(inline)|Right(payload));
+    // TileOffsets carry a placeholder resolved once data offsets are known
+    def levelEntries(li: Int): Seq[(Int, Int, Int, Either[Long, Array[Byte]])] = {
+      val (_, w, h) = levels(li)
+      val nT = tilesAcross(w) * tilesAcross(h)
+      val common = Seq(
+        (256, 4, 1, Left(w.toLong)),
+        (257, 4, 1, Left(h.toLong)),
+        (258, 3, 1, Left(64L)),
+        (259, 3, 1, Left(1L)),
+        (262, 3, 1, Left(1L)),
+        (277, 3, 1, Left(1L)),
+        (322, 3, 1, Left(TileSize.toLong)),
+        (323, 3, 1, Left(TileSize.toLong)),
+        (324, 4, nT, Right(longsA(Seq.fill(nT)(0L)))),
+        (325, 4, nT, Right(longsA(Seq.fill(nT)(TileLen.toLong)))),
+        (339, 3, 1, Left(3L)))
+      val geo =
+        if (li == 0) Seq(
+          (33550, 12, 3, Right(doubles(Seq(scaleLon, scaleLat, 0.0)): Array[Byte])),
+          (33922, 12, 6, Right(doubles(Seq(0.0, 0.0, 0.0, originLon, originLat, 0.0)): Array[Byte])),
+          (34735, 3, geoKeys.length, Right(shorts(geoKeys): Array[Byte])))
+        else Seq((254, 4, 1, Left(1L))) // NewSubfileType = reduced image
+      (geo.filter(_._1 == 254) ++ common ++ geo.filterNot(_._1 == 254)).sortBy(_._1)
     }
 
-    val out = ByteBuffer.allocate(dataStart + nTiles * tileLen).order(ByteOrder.LITTLE_ENDIAN)
-    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(headerLen)
-    out.putShort(resolved.length.toShort)
-    resolved.foreach { case ((tag, typ, count, v), i) =>
-      out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
-      v match {
-        case Left(inline) => out.putInt(inline.toInt)
-        case Right(p) if p.length <= 4 =>
-          val b = java.util.Arrays.copyOf(p, 4); out.put(b)
-        case Right(_) => out.putInt(payloadPos(i).get.toInt)
+    // ---- layout pass: header, then each level's IFD + payload block ----
+    var off = 8
+    val ifdOffsets = new Array[Int](levels.length)
+    val payloadOffsets = Array.ofDim[Array[Int]](levels.length)
+    val specs = levels.indices.map(levelEntries)
+    levels.indices.foreach { li =>
+      ifdOffsets(li) = off
+      off += 2 + specs(li).length * 12 + 4
+      payloadOffsets(li) = specs(li).map {
+        case (_, _, _, Right(p)) if p.length > 4 => val o = off; off += p.length; o
+        case _ => -1
+      }.toArray
+    }
+    val dataStart = (off + 7) / 8 * 8
+    val tileStart = new Array[Long](levels.length)
+    var dOff = dataStart.toLong
+    levels.indices.foreach { li =>
+      tileStart(li) = dOff
+      val (_, w, h) = levels(li)
+      dOff += tilesAcross(w).toLong * tilesAcross(h) * TileLen
+    }
+
+    val out = ByteBuffer.allocate(dOff.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    out.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOffsets(0))
+    levels.indices.foreach { li =>
+      out.position(ifdOffsets(li))
+      out.putShort(specs(li).length.toShort)
+      val resolved = specs(li).map {
+        case (324, t, c, Right(_)) =>
+          val nT = c
+          (324, t, c, Right(longsA((0 until nT).map(i => tileStart(li) + i.toLong * TileLen))))
+        case e => e
       }
-    }
-    out.putInt(0) // next IFD
-    resolved.foreach { case ((_, _, _, v), i) =>
-      v match {
-        case Right(p) if p.length > 4 => out.position(payloadPos(i).get.toInt); out.put(p)
-        case _                        => ()
-      }
-    }
-    out.position(dataStart)
-    var ty = 0
-    while (ty < tilesY) {
-      var tx = 0
-      while (tx < tilesX) {
-        var r = 0
-        while (r < TileSize) {
-          var c = 0
-          while (c < TileSize) {
-            val row = ty * TileSize + r
-            val col = tx * TileSize + c
-            out.putDouble(if (row < height && col < width) data(row * width + col) else Double.NaN)
-            c += 1
-          }
-          r += 1
+      resolved.zipWithIndex.foreach { case ((tag, typ, count, v), ei) =>
+        out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
+        v match {
+          case Left(inline) => out.putInt(inline.toInt)
+          case Right(p) if p.length <= 4 => out.put(java.util.Arrays.copyOf(p, 4))
+          case Right(_) => out.putInt(payloadOffsets(li)(ei))
         }
-        tx += 1
       }
-      ty += 1
+      out.putInt(if (li + 1 < levels.length) ifdOffsets(li + 1) else 0)
+      resolved.zipWithIndex.foreach { case ((_, _, _, v), ei) =>
+        v match {
+          case Right(p) if p.length > 4 => out.position(payloadOffsets(li)(ei)); out.put(p)
+          case _ => ()
+        }
+      }
+    }
+    levels.indices.foreach { li =>
+      val (d, w, h) = levels(li)
+      out.position(tileStart(li).toInt)
+      var ty = 0
+      while (ty < tilesAcross(h)) {
+        var tx = 0
+        while (tx < tilesAcross(w)) {
+          var r = 0
+          while (r < TileSize) {
+            var c = 0
+            while (c < TileSize) {
+              val row = ty * TileSize + r
+              val col = tx * TileSize + c
+              out.putDouble(if (row < h && col < w) d(row * w + col) else Double.NaN)
+              c += 1
+            }
+            r += 1
+          }
+          tx += 1
+        }
+        ty += 1
+      }
     }
     out.array()
   }
 
-  /** Decoded raster + georeferencing. */
+  /** Decoded raster + georeferencing (geo tags are NaN on overview levels). */
   final case class Raster(
       data: Array[Double],
       width: Int,
@@ -145,17 +210,38 @@ object GeoTiff {
       scaleLon: Double,
       scaleLat: Double)
 
-  /** Decode a GeoTIFF produced by [[encode]] (single IFD, float64 tiles). */
-  def decode(bytes: Array[Byte]): Raster = {
+  /** Number of IFDs (1 + overview levels). */
+  def levelCount(bytes: Array[Byte]): Int = {
     val in = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    require(in.get() == 'I' && in.get() == 'I' && in.getShort() == 42, "not a little-endian TIFF")
-    in.position(in.getInt(4))
-    val n = in.getShort().toInt
+    var n = 0
+    var off = in.getInt(4)
+    while (off != 0) {
+      n += 1
+      val count = in.getShort(off).toInt
+      off = in.getInt(off + 2 + count * 12)
+    }
+    n
+  }
+
+  /** Decode one pyramid level of a GeoTIFF produced by [[encode]]. */
+  def decode(bytes: Array[Byte], level: Int = 0): Raster = {
+    val in = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    require(in.get(0) == 'I' && in.get(1) == 'I' && in.getShort(2) == 42, "not a little-endian TIFF")
+    var ifd = in.getInt(4)
+    var li = 0
+    while (li < level) {
+      val count = in.getShort(ifd).toInt
+      ifd = in.getInt(ifd + 2 + count * 12)
+      require(ifd != 0, s"level $level not present")
+      li += 1
+    }
+    val n = in.getShort(ifd).toInt
     var width = 0; var height = 0; var tileW = TileSize; var tileH = TileSize
     var tileOffsets: Array[Long] = Array.empty
-    var scale: Array[Double] = Array(0, 0, 0); var tie: Array[Double] = Array.fill(6)(0.0)
+    var scale: Array[Double] = Array(Double.NaN, Double.NaN, Double.NaN)
+    var tie: Array[Double] = Array.fill(6)(Double.NaN)
     (0 until n).foreach { i =>
-      val base  = 8 + 2 + i * 12
+      val base  = ifd + 2 + i * 12
       val tag   = in.getShort(base) & 0xffff
       val count = in.getInt(base + 4)
       val value = in.getInt(base + 8)
@@ -182,9 +268,9 @@ object GeoTiff {
     }
     val tilesX = (width + tileW - 1) / tileW
     val data   = Array.fill(width * height)(Double.NaN)
-    tileOffsets.zipWithIndex.foreach { case (off, t) =>
+    tileOffsets.zipWithIndex.foreach { case (toff, t) =>
       val ty = t / tilesX; val tx = t % tilesX
-      val b  = ByteBuffer.wrap(bytes, off.toInt, tileW * tileH * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val b  = ByteBuffer.wrap(bytes, toff.toInt, tileW * tileH * 8).order(ByteOrder.LITTLE_ENDIAN)
       var r = 0
       while (r < tileH) {
         var c = 0
@@ -253,7 +339,8 @@ object CoGExport {
         val bytes = GeoTiff.encode(
           data, nLon, nLat,
           originLon = lon0 - dLon / 2, originLat = latTop + dLat / 2,
-          scaleLon = dLon, scaleLat = dLat)
+          scaleLon = dLon, scaleLat = dLat,
+          overviews = 3)
         val out = new Path(outDir, s"${target}_${variable}_$day.tif")
         val fs  = out.getFileSystem(conf.value)
         val os  = fs.create(out, true)

@@ -104,6 +104,25 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("GeoTIFF overviews: chained IFD pyramid with NaN-aware average downsampling") {
+    val (w, h) = (64, 32)
+    val data = Array.tabulate(w * h)(i => i.toDouble)
+    data(0) = Double.NaN
+    val bytes = GeoTiff.encode(data, w, h, 0.0, 0.0, 1.0, 1.0, overviews = 2)
+    assert(GeoTiff.levelCount(bytes) === 3)
+    val l1 = GeoTiff.decode(bytes, 1)
+    assert(l1.width === 32 && l1.height === 16)
+    // cell (0,0): NaN-aware mean of {NaN, 1, 64, 65} = 130/3
+    assert(math.abs(l1.data(0) - 130.0 / 3) < 1e-12)
+    // cell (1,0): mean of {2, 3, 66, 67}
+    assert(l1.data(1) === 34.5)
+    val l2 = GeoTiff.decode(bytes, 2)
+    assert(l2.width === 16 && l2.height === 8)
+    // level-0 decode unchanged by the pyramid
+    val l0 = GeoTiff.decode(bytes)
+    assert(l0.width === w && java.lang.Double.compare(l0.data(1), 1.0) === 0)
+  }
+
   test("CoG export: one GeoTIFF per (target, variable, day), north-up values") {
     val dir = Files.createTempDirectory("cog").toString
     val files = graft.sinks.CoGExport.exportSlices(product, dir).collect()
