@@ -100,6 +100,24 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Trained-IVF near-duplicate pairs: fit a k-means coarse quantizer
+    * (KMeans.fit — deterministic init, map-side assignment), bucket the
+    * corpus by centroid, then run the per-bucket self-join. The full IVF
+    * shape: training touches k×dim aggregates, assignment is one generated
+    * map, and candidate generation never leaves a bucket. */
+  def ivfNearDupPairs(
+      df: DataFrame, // (id, vec: array<double>)
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCos: Double,
+      iters: Int = 5): DataFrame = {
+    val centroids = KMeans.fit(df, vecCol, idCol, k, iters)
+    val bucketed = KMeans.assign(df, vecCol, centroids)
+      .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
+    nearDupPairsBucketed(bucketed, minCos)
+  }
+
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
     * precomputed per vector. */

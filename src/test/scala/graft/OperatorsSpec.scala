@@ -97,6 +97,31 @@ class OperatorsSpec extends SparkSpec {
     assert(m("sif_nowhere") === (("sif", 0)))
   }
 
+  test("KMeans quantizer separates blobs; IVF near-dup finds planted pairs") {
+    import graft.operators.{KMeans, Similarity}
+    // two well-separated 4-d blobs + a planted near-duplicate pair in blob A
+    val blobA = (0 until 20).map(i => (i.toLong, Seq(10.0 + 0.01 * i, 10.0, 0.0, 0.0)))
+    val blobB = (20 until 40).map(i => (i.toLong, Seq(-10.0, -10.0 - 0.01 * (i - 20), 0.0, 0.0)))
+    val df = (blobA ++ blobB).toDF("id", "vec")
+    val centroids = KMeans.fit(df, "vec", "id", k = 2, iters = 4)
+    assert(centroids.length === 2)
+    val assigned = KMeans.assign(df, "vec", centroids)
+      .select($"id", $"bucket").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every blob lands in exactly one bucket
+    assert((0L until 20L).map(assigned).toSet.size === 1)
+    assert((20L until 40L).map(assigned).toSet.size === 1)
+    assert(assigned(0L) !== assigned(25L))
+    // determinism across partitionings
+    val c2 = KMeans.fit(df.repartition(7), "vec", "id", k = 2, iters = 4)
+    assert(centroids.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    // IVF near-dup: same-blob vectors are near-identical in cosine
+    val pairs = Similarity.ivfNearDupPairs(df, "id", "vec", k = 2, minCos = 0.9999)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // no cross-blob pair can appear (buckets separate them)
+    assert(pairs.forall { case (a, b) => (a < 20) == (b < 20) })
+  }
+
   test("Checksum.merkle is order-insensitive to input partitioning but order-sensitive to keys") {
     val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val df2 = df1.repartition(3).sortWithinPartitions(desc("k"))
