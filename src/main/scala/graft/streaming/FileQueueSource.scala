@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -96,7 +96,8 @@ class FileQueueStream(
     queueDir: String,
     maxPerBatch: Int,
     checkpointLocation: String,
-    conf: Configuration) extends MicroBatchStream with SupportsAdmissionControl {
+    conf: Configuration)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val qPath    = new Path(queueDir)
   private val fs       = qPath.getFileSystem(conf)
@@ -160,6 +161,15 @@ class FileQueueStream(
       if (fs.exists(p)) fs.rename(p, new Path(ackedDir, name))
     }
 
+  /** Trigger.AvailableNow: freeze the drain target at query start — batches
+    * still pace at `maxPerBatch`, and the query stops once the frozen
+    * target is reached (messages arriving later wait for the next run). */
+  @volatile private var availableTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    discover()
+    availableTarget = Some(readLog().length.toLong)
+  }
+
   /** Admission control: at most `maxPerBatch` messages past the start — the
     * pacing analog of the reference consumer's `basic_qos(prefetch_count=1)`
     * (`main.py:765`). The start offset Spark hands us is durably recorded
@@ -167,10 +177,10 @@ class FileQueueStream(
     * also covers the final batch, whose `commit()` Spark only issues when a
     * subsequent batch is constructed. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    discover()
     val s = start.asInstanceOf[MsgOffset].n
     ack(s)
-    MsgOffset(math.min(readLog().length.toLong, s + maxPerBatch))
+    val cap = availableTarget.getOrElse { discover(); readLog().length.toLong }
+    MsgOffset(math.min(cap, s + maxPerBatch))
   }
 
   override def latestOffset(): Offset =

@@ -37,6 +37,41 @@ object MicroBatchIngest {
         sink(out)
       }
 
+  /** The reference's FULL production loop, Spark-native (`main.py:670-801`
+    * queue consumer → `process_inputs` → store append): consume granule-list
+    * messages from a [[FileQueueSource]] queue, decode the named NetCDF
+    * granules through the netcdf3 source, run the target-focused pipeline,
+    * and append to the idempotent product store. Message metadata is the
+    * only driver-side data; granule bytes flow executor-side. Exactly-once
+    * effect: checkpointed queue offsets × day-partition overwrite.
+    * Returns the started query (AvailableNow: drains, then stops). */
+  def ingestQueue(
+      spark: SparkSession,
+      queueDir: String,
+      checkpoint: String,
+      storePath: String,
+      catalog: DataFrame,
+      cfg: graft.domain.Pipeline.Config = graft.domain.Pipeline.Config(),
+      maxMessagesPerBatch: Int = 1): StreamingQuery = {
+    val stream = spark.readStream
+      .format("filequeue")
+      .option("path", queueDir)
+      .option("maxmessagesperbatch", maxMessagesPerBatch)
+      .load()
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select(col("granule_path")).distinct().collect().map(_.getString(0))
+        if (paths.nonEmpty) {
+          val granules = graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths.toSeq)
+          val product  = graft.domain.Pipeline.process(granules.drop("sounding_id"), catalog, cfg)
+          graft.sinks.ProductStore.appendIdempotent(product, storePath)
+        }
+      }
+      .start()
+  }
+
   /** Watermarked tumbling-window aggregate over an event-time stream —
     * the reference's implicit daily-granule windowing made explicit
     * (SURVEY §2.9 "Windows"). */

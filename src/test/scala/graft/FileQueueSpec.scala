@@ -63,6 +63,43 @@ class FileQueueSpec extends SparkSpec {
     assert(acked === Set("msg-001", "msg-002"))
   }
 
+  test("full production loop: queue -> NetCDF granules -> pipeline -> idempotent store") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    val queue = Files.createTempDirectory("loop-queue")
+    val gran  = Files.createTempDirectory("loop-granules")
+    val store = Files.createTempDirectory("loop-store").resolve("store").toString
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    def mkNc(name: String, day: String): String = {
+      val ss = (0 until 6).map(i =>
+        sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    val g1 = mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15")
+    val g2 = mkNc("oco3_LtCO2_20230616_B.nc", "2023-06-16")
+    writeMsg(queue, "msg-day1", Seq(g1))
+    writeMsg(queue, "msg-day2", Seq(g2))
+
+    def drain(ckpt: String): Unit = {
+      val q = graft.streaming.MicroBatchIngest.ingestQueue(
+        spark, queue.toString, ckpt, store, catalog)
+      q.awaitTermination()
+    }
+    drain(Files.createTempDirectory("loop-ckpt1").toString)
+    val stored = graft.sinks.ProductStore.read(spark, store)
+    assert(stored.select("day").distinct().count() === 2)
+    val n1 = stored.count()
+    assert(n1 > 0)
+    // redeliver day 1 (fresh checkpoint = at-least-once) -> store converges
+    writeMsg(queue, "msg-day1-redelivery", Seq(g1))
+    drain(Files.createTempDirectory("loop-ckpt2").toString)
+    assert(graft.sinks.ProductStore.read(spark, store).count() === n1)
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")
