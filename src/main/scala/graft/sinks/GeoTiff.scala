@@ -69,7 +69,8 @@ object GeoTiff {
       originLat: Double,
       scaleLon: Double,
       scaleLat: Double,
-      overviews: Int = 0): Array[Byte] = {
+      overviews: Int = 0,
+      deflate: Boolean = true): Array[Byte] = {
     require(data.length == width * height, "data length must be width*height")
 
     // pyramid levels: (data, w, h)
@@ -99,6 +100,34 @@ object GeoTiff {
       1025, 0, 1, 1,   // GTRasterType = PixelIsArea
       2048, 0, 1, 4326) // GeographicType = WGS84
 
+    // materialize each level's tile bytes first (deflate makes lengths
+    // data-dependent, so offsets need the real sizes)
+    def tileBytes(d: Array[Double], w: Int, h: Int): IndexedSeq[Array[Byte]] =
+      for (ty <- 0 until tilesAcross(h); tx <- 0 until tilesAcross(w)) yield {
+        val b = ByteBuffer.allocate(TileLen).order(ByteOrder.LITTLE_ENDIAN)
+        var r = 0
+        while (r < TileSize) {
+          var c = 0
+          while (c < TileSize) {
+            val row = ty * TileSize + r
+            val col = tx * TileSize + c
+            b.putDouble(if (row < h && col < w) d(row * w + col) else Double.NaN)
+            c += 1
+          }
+          r += 1
+        }
+        if (deflate) {
+          val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+          defl.setInput(b.array()); defl.finish()
+          val outB = new java.io.ByteArrayOutputStream(TileLen / 4)
+          val buf  = new Array[Byte](8192)
+          while (!defl.finished()) outB.write(buf, 0, defl.deflate(buf))
+          defl.end()
+          outB.toByteArray
+        } else b.array()
+      }
+    val levelTiles = levels.map { case (d, w, h) => tileBytes(d, w, h) }
+
     // entry spec per level: (tag, type, count, Left(inline)|Right(payload));
     // TileOffsets carry a placeholder resolved once data offsets are known
     def levelEntries(li: Int): Seq[(Int, Int, Int, Either[Long, Array[Byte]])] = {
@@ -108,13 +137,13 @@ object GeoTiff {
         (256, 4, 1, Left(w.toLong)),
         (257, 4, 1, Left(h.toLong)),
         (258, 3, 1, Left(64L)),
-        (259, 3, 1, Left(1L)),
+        (259, 3, 1, Left(if (deflate) 8L else 1L)), // 8 = Adobe deflate
         (262, 3, 1, Left(1L)),
         (277, 3, 1, Left(1L)),
         (322, 3, 1, Left(TileSize.toLong)),
         (323, 3, 1, Left(TileSize.toLong)),
         (324, 4, nT, Right(longsA(Seq.fill(nT)(0L)))),
-        (325, 4, nT, Right(longsA(Seq.fill(nT)(TileLen.toLong)))),
+        (325, 4, nT, Right(longsA(levelTiles(li).map(_.length.toLong)))),
         (339, 3, 1, Left(3L)))
       val geo =
         if (li == 0) Seq(
@@ -139,12 +168,10 @@ object GeoTiff {
       }.toArray
     }
     val dataStart = (off + 7) / 8 * 8
-    val tileStart = new Array[Long](levels.length)
+    // per-tile offsets: each level's tiles laid out sequentially
     var dOff = dataStart.toLong
-    levels.indices.foreach { li =>
-      tileStart(li) = dOff
-      val (_, w, h) = levels(li)
-      dOff += tilesAcross(w).toLong * tilesAcross(h) * TileLen
+    val tileOffs: IndexedSeq[IndexedSeq[Long]] = levelTiles.toIndexedSeq.map { ts =>
+      ts.map { t => val o = dOff; dOff += t.length; o }
     }
 
     val out = ByteBuffer.allocate(dOff.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -153,10 +180,8 @@ object GeoTiff {
       out.position(ifdOffsets(li))
       out.putShort(specs(li).length.toShort)
       val resolved = specs(li).map {
-        case (324, t, c, Right(_)) =>
-          val nT = c
-          (324, t, c, Right(longsA((0 until nT).map(i => tileStart(li) + i.toLong * TileLen))))
-        case e => e
+        case (324, t, c, Right(_)) => (324, t, c, Right(longsA(tileOffs(li))))
+        case e                     => e
       }
       resolved.zipWithIndex.foreach { case ((tag, typ, count, v), ei) =>
         out.putShort(tag.toShort).putShort(typ.toShort).putInt(count)
@@ -175,26 +200,9 @@ object GeoTiff {
       }
     }
     levels.indices.foreach { li =>
-      val (d, w, h) = levels(li)
-      out.position(tileStart(li).toInt)
-      var ty = 0
-      while (ty < tilesAcross(h)) {
-        var tx = 0
-        while (tx < tilesAcross(w)) {
-          var r = 0
-          while (r < TileSize) {
-            var c = 0
-            while (c < TileSize) {
-              val row = ty * TileSize + r
-              val col = tx * TileSize + c
-              out.putDouble(if (row < h && col < w) d(row * w + col) else Double.NaN)
-              c += 1
-            }
-            r += 1
-          }
-          tx += 1
-        }
-        ty += 1
+      levelTiles(li).zipWithIndex.foreach { case (t, ti) =>
+        out.position(tileOffs(li)(ti).toInt)
+        out.put(t)
       }
     }
     out.array()
@@ -237,7 +245,9 @@ object GeoTiff {
     }
     val n = in.getShort(ifd).toInt
     var width = 0; var height = 0; var tileW = TileSize; var tileH = TileSize
+    var compression = 1
     var tileOffsets: Array[Long] = Array.empty
+    var tileCounts: Array[Long] = Array.empty
     var scale: Array[Double] = Array(Double.NaN, Double.NaN, Double.NaN)
     var tie: Array[Double] = Array.fill(6)(Double.NaN)
     (0 until n).foreach { i =>
@@ -249,18 +259,20 @@ object GeoTiff {
         val b = ByteBuffer.wrap(bytes, value, c * 8).order(ByteOrder.LITTLE_ENDIAN)
         Array.fill(c)(b.getDouble())
       }
+      def payloadLongs(c: Int): Array[Long] =
+        if (c == 1) Array(value.toLong)
+        else {
+          val b = ByteBuffer.wrap(bytes, value, c * 4).order(ByteOrder.LITTLE_ENDIAN)
+          Array.fill(c)(b.getInt().toLong)
+        }
       tag match {
         case 256   => width = value
         case 257   => height = value
+        case 259   => compression = value
         case 322   => tileW = value
         case 323   => tileH = value
-        case 324 =>
-          tileOffsets =
-            if (count == 1) Array(value.toLong)
-            else {
-              val b = ByteBuffer.wrap(bytes, value, count * 4).order(ByteOrder.LITTLE_ENDIAN)
-              Array.fill(count)(b.getInt().toLong)
-            }
+        case 324   => tileOffsets = payloadLongs(count)
+        case 325   => tileCounts = payloadLongs(count)
         case 33550 => scale = payloadDoubles(3)
         case 33922 => tie = payloadDoubles(6)
         case _     => ()
@@ -270,7 +282,19 @@ object GeoTiff {
     val data   = Array.fill(width * height)(Double.NaN)
     tileOffsets.zipWithIndex.foreach { case (toff, t) =>
       val ty = t / tilesX; val tx = t % tilesX
-      val b  = ByteBuffer.wrap(bytes, toff.toInt, tileW * tileH * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val tileRaw: Array[Byte] =
+        if (compression == 8) {
+          val infl = new java.util.zip.Inflater()
+          val cnt  = tileCounts(t).toInt
+          infl.setInput(bytes, toff.toInt, cnt)
+          val outB = new Array[Byte](tileW * tileH * 8)
+          var filled = 0
+          while (!infl.finished() && filled < outB.length)
+            filled += infl.inflate(outB, filled, outB.length - filled)
+          infl.end()
+          outB
+        } else java.util.Arrays.copyOfRange(bytes, toff.toInt, toff.toInt + tileW * tileH * 8)
+      val b = ByteBuffer.wrap(tileRaw).order(ByteOrder.LITTLE_ENDIAN)
       var r = 0
       while (r < tileH) {
         var c = 0

@@ -102,6 +102,12 @@ class ExportSpec extends SparkSpec {
     data.indices.foreach { i =>
       assert(java.lang.Double.compare(r.data(i), data(i)) === 0 || (r.data(i).isNaN && data(i).isNaN))
     }
+    // deflate (the default) must actually compress the NaN-padded tiles,
+    // and the uncompressed form must round-trip identically
+    val raw = GeoTiff.encode(data, w, h, -10.5, 42.5, 0.1, 0.1, deflate = false)
+    assert(bytes.length < raw.length / 2)
+    assert(GeoTiff.decode(raw).data.zip(r.data).forall { case (a, b) =>
+      java.lang.Double.compare(a, b) === 0 })
   }
 
   test("GeoTIFF overviews: chained IFD pyramid with NaN-aware average downsampling") {
