@@ -170,25 +170,37 @@ object NetCDF3 {
       data: AnyRef,
       atts: Seq[Att] = Nil)
 
-  /** Write a CDF-5 (64-bit data) classic file: header + contiguous
-    * fixed-size variables, 4-byte aligned, big-endian. */
-  def write(os: OutputStream, dims: Seq[Dim], vars: Seq[VarData], gatts: Seq[Att] = Nil): Unit = {
-    val version             = 5
+  /** Write a classic file (CDF-1, CDF-2, or CDF-5 — default 5): header +
+    * contiguous fixed-size variables, 4-byte aligned, big-endian. CDF-1/2
+    * use 32-bit counts (and 32-bit begins in CDF-1); NC_INT64 variables
+    * require CDF-5. */
+  def write(
+      os: OutputStream,
+      dims: Seq[Dim],
+      vars: Seq[VarData],
+      gatts: Seq[Att] = Nil,
+      version: Int = 5): Unit = {
+    require(version == 1 || version == 2 || version == 5, s"bad CDF version $version")
+    require(
+      version == 5 || vars.forall(_.ncType != NC_INT64),
+      "NC_INT64 requires CDF-5")
+    val W   = if (version == 5) 8 else 4 // NON_NEG width
+    val OFF = if (version == 1) 4 else 8 // begin width
     val dimIndex            = dims.map(_.name).zipWithIndex.toMap
-    def nameLen(s: String)  = { val n = s.getBytes("UTF-8").length; 8 + (n + 3) / 4 * 4 }
+    def nameLen(s: String)  = { val n = s.getBytes("UTF-8").length; W + (n + 3) / 4 * 4 }
     def attLen(a: Att): Int = {
       val (t, n) = attSpec(a)
-      nameLen(a.name) + 4 + 8 + (n * typeSize(t) + 3) / 4 * 4
+      nameLen(a.name) + 4 + W + (n * typeSize(t) + 3) / 4 * 4
     }
-    def attListLen(as: Seq[Att]): Int = 4 + 8 + as.map(attLen).sum
+    def attListLen(as: Seq[Att]): Int = 4 + W + as.map(attLen).sum
     def varLen(v: VarData): Int =
-      nameLen(v.name) + 8 + 8 * v.dims.length + attListLen(v.atts) + 4 + 8 + 8
+      nameLen(v.name) + W + W * v.dims.length + attListLen(v.atts) + 4 + W + OFF
 
     val headerLen =
-      4 + 8 +                       // magic + numrecs
-        4 + 8 + dims.map(d => nameLen(d.name) + 8).sum + // dim list
+      4 + W +                       // magic + numrecs
+        4 + W + dims.map(d => nameLen(d.name) + W).sum + // dim list
         attListLen(gatts) +
-        4 + 8 + vars.map(varLen).sum
+        4 + W + vars.map(varLen).sum
 
     // layout: contiguous, 4-aligned
     var offset = (headerLen + 3L) / 4 * 4
@@ -201,11 +213,13 @@ object NetCDF3 {
     }
 
     val out = new DataOutputStream(os)
+    def nn(v: Long): Unit = if (W == 8) out.writeLong(v) else out.writeInt(v.toInt)
+    def begin(v: Long): Unit = if (OFF == 8) out.writeLong(v) else out.writeInt(v.toInt)
     out.write(Array[Byte]('C', 'D', 'F', version.toByte))
-    out.writeLong(0L) // numrecs
+    nn(0L) // numrecs
     def writeName(s: String): Unit = {
       val b = s.getBytes("UTF-8")
-      out.writeLong(b.length.toLong)
+      nn(b.length.toLong)
       out.write(b)
       out.write(new Array[Byte]((4 - b.length % 4) % 4))
     }
@@ -213,7 +227,7 @@ object NetCDF3 {
       val (t, n) = attSpec(a)
       writeName(a.name)
       out.writeInt(t)
-      out.writeLong(n.toLong)
+      nn(n.toLong)
       val before = out.size()
       a.value match {
         case s: String          => out.write(s.getBytes("UTF-8"))
@@ -229,23 +243,23 @@ object NetCDF3 {
     }
     def writeAttList(as: Seq[Att]): Unit = {
       out.writeInt(if (as.isEmpty) 0 else TAG_ATT)
-      out.writeLong(as.length.toLong)
+      nn(as.length.toLong)
       as.foreach(writeAtt)
     }
     out.writeInt(if (dims.isEmpty) 0 else TAG_DIM)
-    out.writeLong(dims.length.toLong)
-    dims.foreach { d => writeName(d.name); out.writeLong(d.length) }
+    nn(dims.length.toLong)
+    dims.foreach { d => writeName(d.name); nn(d.length) }
     writeAttList(gatts)
     out.writeInt(if (vars.isEmpty) 0 else TAG_VAR)
-    out.writeLong(vars.length.toLong)
-    layout.foreach { case (v, vsize, begin) =>
+    nn(vars.length.toLong)
+    layout.foreach { case (v, vsize, beg) =>
       writeName(v.name)
-      out.writeLong(v.dims.length.toLong)
-      v.dims.foreach(d => out.writeLong(dimIndex(d).toLong))
+      nn(v.dims.length.toLong)
+      v.dims.foreach(d => nn(dimIndex(d).toLong))
       writeAttList(v.atts)
       out.writeInt(v.ncType)
-      out.writeLong(vsize)
-      out.writeLong(begin)
+      nn(vsize)
+      begin(beg)
     }
     out.write(new Array[Byte](((headerLen + 3) / 4 * 4 - headerLen).toInt))
 

@@ -83,6 +83,28 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("the DSv2 scan reads CDF-2 (and CDF-1) files, not just the CDF-5 the fixture writer emits") {
+    import graft.sources.netcdf.NetCDF3
+    import graft.sources.netcdf.NetCDF3._
+    val dir = Files.createTempDirectory("nc-v2")
+    Seq(1, 2).foreach { version =>
+      val path = dir.resolve(s"legacy_v$version.nc")
+      val os   = new BufferedOutputStream(new FileOutputStream(path.toFile))
+      try NetCDF3.write(
+        os,
+        Seq(Dim("sounding", 4L)),
+        Seq(
+          VarData("latitude", NC_DOUBLE, Seq("sounding"), Array(1.0, 2.0, 3.0, 4.0)),
+          VarData("flag", NC_SHORT, Seq("sounding"), Array[Short](0, 1, 0, 1))),
+        version = version)
+      finally os.close()
+      val rows = spark.read.format("netcdf3").load(path.toString)
+        .orderBy("row_index").collect()
+      assert(rows.map(_.getAs[Double]("latitude")).toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+      assert(rows.map(_.getAs[Short]("flag")).toSeq === Seq[Short](0, 1, 0, 1))
+    }
+  }
+
   test("multi-granule read sessionizes per granule: regions never merge across files") {
     val dir = Files.createTempDirectory("nc-multi")
     // two granules, both starting at sounding_index 0 with the SAME target —
