@@ -93,6 +93,32 @@ object Sessionize {
       .drop("_brk")
   }
 
+  /** Declarative session windows via Spark's native `session_window`
+    * (§2.9): one hash aggregate with runtime session merging — no ordered
+    * window scan at all, so it parallelizes by key without a per-key sort
+    * and works unchanged under Structured Streaming with a watermark (the
+    * streaming-native alternative to [[StatefulSessions]]'s explicit
+    * state). Emits one row per closed session with the same aggregate
+    * surface as the q08 shape. Session semantics: events closer than
+    * `gap` chain into one session (half-open [start, end+gap) windows) —
+    * identical membership to `byTimeGap` with whole-second timestamps
+    * EXCEPT events exactly `gap` apart: the half-open window opens a new
+    * session where `byTimeGap`'s `diff > gap` keeps them together. */
+  def bySessionWindow(
+      df: DataFrame,
+      tsCol: String,
+      gap: String,
+      partitionCols: Seq[String],
+      valueCol: String): DataFrame =
+    df.groupBy(
+        (partitionCols.map(col) :+ session_window(col(tsCol), gap).as("_w")): _*)
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("session_value"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"))
+      .drop("_w")
+
   /** Wildcard coalescing (R5, SIF 'none' targets): rows whose `keyCol` equals
     * `wildcard` inherit the nearest preceding non-wildcard value in
     * `orderCol` order (forward fill), falling back to the nearest following

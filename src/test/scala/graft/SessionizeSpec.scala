@@ -61,6 +61,34 @@ class SessionizeSpec extends SparkSpec {
     assert(got === Array((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L)))
   }
 
+  test("session_window variant produces the same sessions as the gaps-and-islands operator") {
+    val rng = new scala.util.Random(7)
+    // same-uid deltas = 750s + 7s-granular jitter: straddles the 900s gap in
+    // both directions but can never land EXACTLY on it (750 + 7k ≠ 900) —
+    // at exactly-gap spacing the two operators intentionally diverge
+    // (half-open session_window vs the `diff > gap` test)
+    val rows = (0 until 400).map { i =>
+      val uid = (i % 5).toLong
+      val ts  = new java.sql.Timestamp(1700000000000L + i * 150000L + rng.nextInt(171) * 7000L)
+      (uid, ts, rng.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("uid", "ts", "v")
+    val viaWindowOp = Sessionize
+      .byTimeGap(df, "ts", 900, Seq("uid"))
+      .groupBy($"uid", $"session_id")
+      .agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.min($"ts").as("session_start"),
+        org.apache.spark.sql.functions.max($"ts").as("session_end"))
+      .select($"uid", $"n_events", $"session_start", $"session_end")
+    val viaSessionWindow = Sessionize
+      .bySessionWindow(df, "ts", "900 seconds", Seq("uid"), "v")
+      .select($"uid", $"n_events", $"session_start", $"session_end")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getTimestamp(3).getTime)
+    assert(viaWindowOp.collect().map(key).sorted.toSeq === viaSessionWindow.collect().map(key).sorted.toSeq)
+  }
+
   test("wildcard coalescing inherits neighbor target (R5 'none' semantics)") {
     val df = Seq(
       (0L, "none"), (1L, "a"), (2L, "none"), (3L, "none"), (4L, "b"), (5L, "none")
