@@ -116,15 +116,65 @@ object EmbeddingQueries {
       |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** Trained IVF coarse quantizer, oracle-gated: one Lloyd iteration with
+    * deterministic init (first k vectors by id). One iteration keeps the
+    * oracle non-recursive; multi-iteration convergence and cross-partition
+    * determinism are spec-gated (OperatorsSpec). The decimal-exact centroid
+    * sums are what make the hash portable: double partial aggregation would
+    * drift by ulps between engines. */
+  private val q43: Q = (s, dir) => {
+    import s.implicits._
+    val cents = graft.operators.KMeans.fit(emb(s, dir), "vec", "vec_id", k = 4, iters = 1)
+    cents.zipWithIndex.toSeq
+      .flatMap { case (c, ci) => c.zipWithIndex.map { case (v, di) => (ci, di, v) } }
+      .toDF("cluster", "dim", "centroid")
+      // report at 10 dp: per-element double->decimal casts round half-way
+      // points differently across engines (oracle-portability law #1),
+      // leaving ~1-ulp noise on a handful of means
+      .withColumn("centroid", round(col("centroid"), 10))
+      .orderBy(col("cluster"), col("dim"))
+  }
+
+  private def sqL2Sql(a: String, b: String) =
+    s"list_reduce(list_transform(generate_series(1, len($a)), j -> ($a[j] - $b[j]) * ($a[j] - $b[j])), (x,y) -> x+y)"
+
+  private val q43Sql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |init AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |dist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN init i),
+      |assign AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |upd AS (
+      |  SELECT a.c, t.j - 1 AS dim,
+      |    CAST(SUM(CAST(v.vec[t.j] AS DECIMAL(24,14))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM assign a JOIN v USING (vec_id)
+      |    CROSS JOIN UNNEST(generate_series(1, len(v.vec))) AS t(j)
+      |  GROUP BY a.c, t.j),
+      |dims AS (SELECT i.c, t.j - 1 AS dim, i.cvec[t.j] AS init_v
+      |  FROM init i CROSS JOIN UNNEST(generate_series(1, len(i.cvec))) AS t(j))
+      |SELECT CAST(d.c AS INT) AS cluster, CAST(d.dim AS INT) AS dim,
+      |  ROUND(COALESCE(u.m, d.init_v), 10) AS centroid
+      |FROM dims d LEFT JOIN upd u ON u.c = d.c AND u.dim = d.dim
+      |ORDER BY cluster, dim""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
-    "q38_lsh_topk"       -> q38
+    "q38_lsh_topk"       -> q38,
+    "q43_kmeans_quantize" -> q43
   )
 
   val oracles: Map[String, String] = Map(
     "q29_ann_topk"       -> q29Sql,
     "q30_embed_neardup"  -> q30Sql,
-    "q38_lsh_topk"       -> q38Sql
+    "q38_lsh_topk"       -> q38Sql,
+    "q43_kmeans_quantize" -> q43Sql
   )
 }
