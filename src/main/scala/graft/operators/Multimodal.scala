@@ -53,4 +53,62 @@ object Multimodal {
       }
     }
   }
+
+  final case class FrameRow(doc_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Frame-sampling kernel (the video shape): the payload is a stream of
+    * `frameBytes`-sized frames; keep every `stride`-th complete frame and
+    * fingerprint it (md5 over the frame's UPPERCASE hex encoding — hex
+    * strings are the engine-portable currency; raw-blob md5 is not
+    * oracle-expressible). Rows are processed in batches of `batchSize` —
+    * the Arrow/pandas-batch analog: a real codec initializes and amortizes
+    * per batch, and the batch boundary is where vectorized decode would
+    * run. Incomplete trailing bytes are dropped (a demuxer's behavior). */
+  def sampleFrames(
+      media: DataFrame,
+      frameBytes: Int,
+      stride: Int,
+      batchSize: Int = 64): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // per-batch init (decoder state) would live here
+        val md = java.security.MessageDigest.getInstance("MD5")
+        batch.iterator.flatMap { r =>
+          val nFrames = r.payload.length / frameBytes
+          (0 until nFrames by stride).iterator.map { f =>
+            val frame = java.util.Arrays.copyOfRange(r.payload, f * frameBytes, (f + 1) * frameBytes)
+            val hex   = frame.map("%02X".format(_)).mkString
+            md.reset()
+            FrameRow(r.doc_id, f, md.digest(hex.getBytes("US-ASCII")).map("%02x".format(_)).mkString)
+          }
+        }
+      }
+    }
+  }
+
+  final case class ThumbRow(doc_id: Long, thumb: Seq[Int])
+
+  /** Resize kernel (the image shape): deterministic nearest-neighbor
+    * "resize" of the payload byte stream to a fixed w×h sample grid —
+    * sample j reads byte floor(j·len/(w·h)). A real image decoder replaces
+    * the byte sampling with pixel resampling; the schema (fixed-size int
+    * grid per row), batching, and partition flow are identical. */
+  def resizeStub(media: DataFrame, w: Int, h: Int, batchSize: Int = 64): Dataset[ThumbRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = w * h
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val len = r.payload.length
+          val thumb =
+            if (len == 0) Seq.fill(n)(0)
+            else (0 until n).map(j => r.payload((j.toLong * len / n).toInt) & 0xff)
+          ThumbRow(r.doc_id, thumb)
+        }
+      }
+    }
+  }
 }

@@ -165,6 +165,42 @@ object TextQueries {
       |  md5(text) AS content_md5
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame sampling (the video shape): payloads as 64-byte frame streams,
+    * every 2nd complete frame fingerprinted by the batched kernel. */
+  private val q44: Q = (s, dir) =>
+    Multimodal
+      .sampleFrames(
+        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"),
+        frameBytes = 64, stride = 2)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  private val q44Sql =
+    """SELECT doc_id, CAST(f.g AS INT) AS frame_idx,
+      |  md5(substr(hex(encode(text)), CAST(f.g AS INT) * 128 + 1, 128)) AS frame_md5
+      |FROM documents
+      |  CROSS JOIN UNNEST(generate_series(0, octet_length(encode(text)) // 64 - 1, 2)) AS f(g)
+      |WHERE octet_length(encode(text)) >= 64
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  /** Resize (the image shape): nearest-neighbor byte sampling to an 8×4
+    * grid per document via the batched kernel. */
+  private val q45: Q = (s, dir) =>
+    Multimodal
+      .resizeStub(
+        Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"),
+        w = 8, h = 4)
+      .toDF()
+      .orderBy(col("doc_id"))
+
+  private val q45Sql =
+    """SELECT doc_id,
+      |  list_transform(generate_series(0, 31),
+      |    j -> CAST(('0x' || substr(hx, CAST(j * len_ // 32 AS INT) * 2 + 1, 2)) AS INT)) AS thumb
+      |FROM (SELECT doc_id, hex(encode(text)) AS hx,
+      |        octet_length(encode(text)) AS len_ FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q22_dedup_exact"     -> q22,
     "q23_token_stats"     -> q23,
@@ -172,7 +208,9 @@ object TextQueries {
     "q25_fingerprint"     -> q25,
     "q26_minhash_neardup" -> q26,
     "q27_simhash"         -> q27,
-    "q28_multimodal_meta" -> q28
+    "q28_multimodal_meta" -> q28,
+    "q44_frame_sample"    -> q44,
+    "q45_resize_thumb"    -> q45
   )
 
   val oracles: Map[String, String] = Map(
@@ -182,6 +220,8 @@ object TextQueries {
     "q25_fingerprint"     -> q25Sql,
     "q26_minhash_neardup" -> q26Sql,
     "q27_simhash"         -> q27Sql,
-    "q28_multimodal_meta" -> q28Sql
+    "q28_multimodal_meta" -> q28Sql,
+    "q44_frame_sample"    -> q44Sql,
+    "q45_resize_thumb"    -> q45Sql
   )
 }
