@@ -77,4 +77,43 @@ object TextAnalysis {
       .reduce(_ + _)
     grouped.select(col(idCol), col("n_tokens"), hash.as("simhash"))
   }
+
+  /** SimHash near-duplicate pairs by banded pigeonhole LSH: split the
+    * `bits`-bit signature into `nBands` equal bands — any pair within
+    * hamming distance < nBands shares at least one identical band
+    * (pigeonhole), so the candidate join is per-(band, band-value) buckets,
+    * never all-pairs; candidates then verify exact hamming ≤ `maxHamming`
+    * via bit_count(xor). The standard simhash dedup shape at corpus scale:
+    * only (id, band value) pairs shuffle. Requires maxHamming < nBands for
+    * zero false negatives. */
+  def simHashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 16,
+      nBands: Int = 4,
+      maxHamming: Int = 3): DataFrame = {
+    require(bits % nBands == 0, "bits must divide into equal bands")
+    require(maxHamming < nBands, "pigeonhole guarantee needs maxHamming < nBands")
+    val bandBits = bits / nBands
+    val sig      = simHash(df, idCol, textCol, bits)
+    val bands = sig.select(
+      col(idCol),
+      col("simhash"),
+      explode(array((0 until nBands).map { b =>
+        struct(
+          lit(b).as("band"),
+          (shiftright(col("simhash"), b * bandBits) % lit(1 << bandBits)).as("band_val"))
+      }: _*)).as("bv"))
+      .select(col(idCol), col("simhash"), col("bv.band"), col("bv.band_val"))
+    val l = bands.select(col("band"), col("band_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+    val r = bands.select(col("band"), col("band_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

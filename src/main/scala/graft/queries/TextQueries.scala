@@ -201,7 +201,39 @@ object TextQueries {
       |        octet_length(encode(text)) AS len_ FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** SimHash near-dup pairs: banded pigeonhole LSH candidates + exact
+    * hamming verify — the dedup JOIN on top of q27's signatures. */
+  private val q46: Q = (s, dir) =>
+    TextAnalysis
+      .simHashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        bits = 16, nBands = 4, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  private val q46Sql = {
+    val sums = (0 until 16).map(b => s"SUM((hv >> $b) & 1) AS b$b").mkString(",\n      |    ")
+    val bits = (0 until 16).map(b => s"(CASE WHEN 2*b$b >= n_tokens THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS hv FROM t),
+      |g AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    $sums
+      |  FROM h GROUP BY doc_id),
+      |sig AS (SELECT doc_id, $bits AS simhash FROM g),
+      |bands AS (
+      |  SELECT doc_id, simhash, b.b AS band, (simhash >> (CAST(b.b AS INT) * 4)) % 16 AS band_val
+      |  FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) AS b(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.simhash AS sh_a, r.simhash AS sh_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+      |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_simhash_neardup" -> q46,
     "q22_dedup_exact"     -> q22,
     "q23_token_stats"     -> q23,
     "q24_lang_id"         -> q24,
@@ -222,6 +254,7 @@ object TextQueries {
     "q27_simhash"         -> q27Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
-    "q45_resize_thumb"    -> q45Sql
+    "q45_resize_thumb"    -> q45Sql,
+    "q46_simhash_neardup" -> q46Sql
   )
 }
