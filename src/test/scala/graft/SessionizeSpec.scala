@@ -89,6 +89,33 @@ class SessionizeSpec extends SparkSpec {
     assert(viaWindowOp.collect().map(key).sorted.toSeq === viaSessionWindow.collect().map(key).sorted.toSeq)
   }
 
+  test("session_window variant runs under Structured Streaming with a watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = ms.toDF().toDF("uid", "ts", "v").withWatermark("ts", "1 hour")
+    val sessions = Sessionize.bySessionWindow(stream, "ts", "900 seconds", Seq("uid"), "v")
+    val q = sessions.writeStream
+      .format("memory").queryName("sw_out").outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // two sessions for uid 1 separated by > 15 min, then late watermark push
+      ms.addData((1L, t("2024-01-01 00:00:00"), 1.0), (1L, t("2024-01-01 00:05:00"), 2.0))
+      q.processAllAvailable()
+      ms.addData((1L, t("2024-01-01 01:00:00"), 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close and emit both sessions
+      ms.addData((9L, t("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("sw_out")
+        .filter($"uid" === 1L)
+        .orderBy($"session_start")
+        .collect()
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("session_value")))
+      assert(out.toSeq === Seq((2L, 3.0), (1L, 3.0)))
+    } finally q.stop()
+  }
+
   test("wildcard coalescing inherits neighbor target (R5 'none' semantics)") {
     val df = Seq(
       (0L, "none"), (1L, "a"), (2L, "none"), (3L, "none"), (4L, "b"), (5L, "none")
