@@ -19,14 +19,18 @@ object AsOfJoin {
 
   /** left ⟕asof right: attaches `rightVals` (renamed `asof_<col>`) and
     * `asof_ts` from the latest right row with right.tsCol ≤ left.tsCol,
-    * null when no prior right row exists. */
+    * null when no prior right row exists. `toleranceSeconds` (the pandas
+    * merge_asof tolerance): when the latest prior right row is older than
+    * the bound, the match is NULLED — it does NOT fall back to an even
+    * older row (second-truncated comparison, matching byTimeGap). */
   def lastPrior(
       left: DataFrame,
       right: DataFrame,
       keyCols: Seq[String],
       tsCol: String,
       rightIdCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.types.{StructField, StructType}
     val leftCols = left.columns.toSeq
     // All right-row values travel in ONE struct so the window fill can never
@@ -59,10 +63,16 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = l.unionByName(rAligned)
       .withColumn("_f", last(col("_asof"), ignoreNulls = true).over(w))
+    val keep = toleranceSeconds match {
+      case Some(t) =>
+        col("_f").isNotNull &&
+          unix_timestamp(col(tsCol)) - unix_timestamp(col("_f.asof_ts")) <= t
+      case None => col("_f").isNotNull
+    }
     filled
       .filter(col("_side") === 1)
       .select(
-        (leftCols.map(col) :+ col("_f.asof_ts").as("asof_ts")) ++
-          rightVals.map(c => col(s"_f.asof_$c").as(s"asof_$c")): _*)
+        (leftCols.map(col) :+ when(keep, col("_f.asof_ts")).as("asof_ts")) ++
+          rightVals.map(c => when(keep, col(s"_f.asof_$c")).as(s"asof_$c")): _*)
   }
 }
