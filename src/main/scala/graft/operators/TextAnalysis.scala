@@ -54,6 +54,67 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** BPE-ish sub-word tokenization: the GPT-2-family pre-tokenizer regex
+    * shape (optionally space-prefixed letter runs / digit runs / punct
+    * runs, whitespace runs) WITHOUT lookahead, so the same pattern runs
+    * identically under Java regex and RE2-family engines — the portable
+    * approximation of a real BPE vocabulary's pre-split. Counting these is
+    * the training-data token-budget estimator. */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +"
+
+  /** Per-document sub-word token stats from the BPE-ish pre-tokenizer:
+    * total pieces, distinct pieces, letters-only pieces. Pure projection +
+    * one hash aggregate. */
+  def bpeTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(expr(s"regexp_extract_all($textCol, '${BpePattern.replace("'", "\\'")}', 0)")).as("piece"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        countDistinct(col("piece")).as("n_distinct_pieces"),
+        sum(when(col("piece").rlike("^ ?[a-zA-Z]+$"), 1).otherwise(0)).as("n_word_pieces"))
+
+  /** Winnowing fingerprint (the MOSS rolling-hash scheme, Schleimer et al.
+    * SIGMOD 2003): hash every k-gram of the character stream, slide a
+    * window of `w` consecutive k-gram hashes, keep each window's minimum
+    * (rightmost on ties = the robust-winnowing choice that a window-min
+    * over (hash, position DESC) reproduces), and emit the distinct selected
+    * (position, hash) fingerprints. Guarantees: any shared substring of
+    * length ≥ w + k − 1 yields at least one shared fingerprint. Hashes are
+    * md5-prefix integers — engine-portable. One explode + two window scans
+    * per document, partitioned by doc. */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), col(textCol))
+      .filter(length(col(textCol)) >= k)
+      .select(
+        col(idCol),
+        posexplode(expr(
+          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
+          .as(Seq("pos", "gram")))
+      .withColumn("h", conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
+    // rightmost minimum via ONE integer min: pack (hash, 2^31-1-pos) into a
+    // long — min(packed) = (min hash, max pos). Plain long min stays in the
+    // codegen window (a struct min would not) and the identical arithmetic
+    // runs in the SQL oracle.
+    val packed = col("h") * lit(2147483648L) + (lit(2147483647L) - col("pos"))
+    val sel = grams
+      .withColumn("_m", min(packed).over(win))
+      .filter(col("pos") >= w - 1) // only complete windows select
+      .select(
+        col(idCol),
+        (lit(2147483647L) - col("_m").bitwiseAND(lit(2147483647L))).as("fp_pos"),
+        shiftrightunsigned(col("_m"), 31).as("fp_hash"))
+      .distinct()
+    sel.orderBy(col(idCol), col("fp_pos"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set — a
     * canonical-form document hash (word-order-insensitive). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -232,8 +232,54 @@ object TextQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** BPE-ish sub-word token budget (the training-data token counter). */
+  private val q48: Q = (s, dir) =>
+    TextAnalysis
+      .bpeTokenStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q48Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    unnest(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS piece
+      |  FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_pieces, COUNT(DISTINCT piece) AS n_distinct_pieces,
+      |  CAST(SUM(CASE WHEN regexp_matches(piece, '^ ?[a-zA-Z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_word_pieces
+      |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Winnowing (rolling-hash) fingerprints, k=5 w=4: the MOSS selection. */
+  private val q49: Q = (s, dir) =>
+    TextAnalysis
+      .winnowFingerprints(Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+
+  private val q49Sql =
+    """WITH g AS (
+      |  SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, substring(text, CAST(t.i AS INT), 5) AS gram
+      |  FROM documents
+      |    CROSS JOIN UNNEST(generate_series(1, length(text) - 4)) AS t(i)
+      |  WHERE length(text) >= 5),
+      |h AS (
+      |  SELECT doc_id, pos,
+      |    ('0x' || substr(md5(gram), 1, 8))::BIGINT * 2147483648
+      |      + (2147483647 - pos) AS packed
+      |  FROM g),
+      |m AS (
+      |  SELECT doc_id, pos,
+      |    MIN(packed) OVER (PARTITION BY doc_id ORDER BY pos
+      |                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn
+      |  FROM h),
+      |sel AS (
+      |  SELECT DISTINCT doc_id,
+      |    2147483647 - (mn & 2147483647) AS fp_pos, mn >> 31 AS fp_hash
+      |  FROM m WHERE pos >= 3)
+      |SELECT doc_id, fp_pos, fp_hash FROM sel
+      |ORDER BY doc_id, fp_pos""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_simhash_neardup" -> q46,
+    "q48_bpe_tokens"      -> q48,
+    "q49_winnow_fingerprint" -> q49,
     "q22_dedup_exact"     -> q22,
     "q23_token_stats"     -> q23,
     "q24_lang_id"         -> q24,
@@ -255,6 +301,8 @@ object TextQueries {
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,
-    "q46_simhash_neardup" -> q46Sql
+    "q46_simhash_neardup" -> q46Sql,
+    "q48_bpe_tokens"      -> q48Sql,
+    "q49_winnow_fingerprint" -> q49Sql
   )
 }
