@@ -11,6 +11,10 @@ bad = 0
 for n in names:
     a = con.execute(f"SELECT * FROM read_parquet('{a_dir}/{n}/*.parquet')").fetchdf()
     b = con.execute(f"SELECT * FROM read_parquet('{b_dir}/{n}/*.parquet')").fetchdf()
+    for df in (a, b):  # array cells (e.g. q45 thumb) are unhashable; stringify
+        for c in df.columns:
+            if df[c].dtype == object and df[c].map(lambda x: isinstance(x, np.ndarray)).any():
+                df[c] = df[c].map(lambda x: str(list(x)) if isinstance(x, np.ndarray) else str(x))
     a = a[sorted(a.columns)].sort_values(by=sorted(a.columns), kind='mergesort').reset_index(drop=True)
     b = b[sorted(b.columns)].sort_values(by=sorted(b.columns), kind='mergesort').reset_index(drop=True)
     if a.shape != b.shape:
