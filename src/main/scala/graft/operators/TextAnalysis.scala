@@ -123,14 +123,15 @@ object TextAnalysis {
       md5(array_join(array_sort(array_distinct(split(col(textCol), " "))), " ").cast("binary"))
         .as("fingerprint"))
 
-  /** SimHash over `bits` bits (≤ 16): per-token hash = first 4 hex chars of
-    * md5 (16-bit), per-bit majority vote, reassembled into one integer.
+  /** SimHash over `bits` bits (≤ 60): per-token hash = first 15 hex chars
+    * of md5 (60 bits, always positive in a signed long — the portable
+    * ceiling), per-bit majority vote, reassembled into one integer.
     * Computed as `bits` parallel conditional sums in a single aggregate —
     * no per-bit row explosion, so one hash-aggregate pass at any scale. */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 16)
+    require(bits >= 1 && bits <= 60)
     val toks = tokens(df, idCol, textCol)
-      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 4), 16, 10).cast("long"))
+      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"_b$b"))
     val grouped = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
     val hash = (0 until bits)

@@ -139,7 +139,7 @@ object TextQueries {
     val sums = (0 until 16).map(b => s"SUM((hv >> $b) & 1) AS b$b").mkString(",\n      |    ")
     val bits = (0 until 16).map(b => s"(CASE WHEN 2*b$b >= n_tokens THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS hv FROM t),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM t),
       |g AS (
       |  SELECT doc_id, COUNT(*) AS n_tokens,
       |    $sums
@@ -206,21 +206,21 @@ object TextQueries {
   private val q46: Q = (s, dir) =>
     TextAnalysis
       .simHashNearDup(Tables.documents(s, dir), "doc_id", "text",
-        bits = 16, nBands = 4, maxHamming = 3)
+        bits = 32, nBands = 4, maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   private val q46Sql = {
-    val sums = (0 until 16).map(b => s"SUM((hv >> $b) & 1) AS b$b").mkString(",\n      |    ")
-    val bits = (0 until 16).map(b => s"(CASE WHEN 2*b$b >= n_tokens THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+    val sums = (0 until 32).map(b => s"SUM((hv >> $b) & 1) AS b$b").mkString(",\n      |    ")
+    val bits = (0 until 32).map(b => s"(CASE WHEN 2*b$b >= n_tokens THEN ${1L << b} ELSE 0 END)").mkString(" + ")
     s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 4))::BIGINT AS hv FROM t),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(token), 1, 15))::BIGINT AS hv FROM t),
       |g AS (
       |  SELECT doc_id, COUNT(*) AS n_tokens,
       |    $sums
       |  FROM h GROUP BY doc_id),
       |sig AS (SELECT doc_id, $bits AS simhash FROM g),
       |bands AS (
-      |  SELECT doc_id, simhash, b.b AS band, (simhash >> (CAST(b.b AS INT) * 4)) % 16 AS band_val
+      |  SELECT doc_id, simhash, b.b AS band, (simhash >> (CAST(b.b AS INT) * 8)) % 256 AS band_val
       |  FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) AS b(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.simhash AS sh_a, r.simhash AS sh_b
