@@ -144,7 +144,36 @@ object AggregateQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** Exact grouped quantiles (p50/p90/p99 of value per event_type) with
+    * explicit linear interpolation — identical arithmetic in the oracle. */
+  private val q50: Q = (s, dir) =>
+    graft.operators.Quantiles
+      .exact(Tables.events(s, dir), Seq("event_type"), "value", Seq(0.5, 0.9, 0.99))
+      .orderBy(col("event_type"), col("p"))
+
+  private val q50Sql =
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) - 1 AS rn,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events WHERE value IS NOT NULL),
+      |e AS (
+      |  SELECT r.*, p.p, p.p * (n - 1) AS pos
+      |  FROM r CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+      |                            (CAST(0.99 AS DOUBLE))) p(p)
+      |  WHERE rn = CAST(FLOOR(p.p * (n - 1)) AS BIGINT)
+      |     OR rn = CAST(CEIL(p.p * (n - 1)) AS BIGINT)),
+      |g AS (
+      |  SELECT event_type, p,
+      |    MAX(CASE WHEN rn = CAST(FLOOR(pos) AS BIGINT) THEN value END) AS vlo,
+      |    MAX(CASE WHEN rn = CAST(CEIL(pos) AS BIGINT) THEN value END) AS vhi,
+      |    MAX(pos) AS pos
+      |  FROM e GROUP BY event_type, p)
+      |SELECT event_type, p, vlo + (vhi - vlo) * (pos - FLOOR(pos)) AS q
+      |FROM g ORDER BY event_type, p""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_quantiles"               -> q50,
     "q41_pivot_wide"              -> q41,
     "q12_climatology_monthly"     -> q12,
     "q13_climatology_consolidated" -> q13,
@@ -155,6 +184,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_quantiles"               -> q50Sql,
     "q41_pivot_wide"              -> q41Sql,
     "q12_climatology_monthly"     -> q12Sql,
     "q13_climatology_consolidated" -> q13Sql,
