@@ -21,6 +21,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
+            # The DRIVER sorts raw object columns (pandas Categorical
+            # factorize) and crashes on unhashable cells — an array/list
+            # output column is a driver failure even though str-coercion
+            # would make it comparable here (bit us in r02's q45).
+            if len(df) and any(isinstance(v, (list, np.ndarray)) for v in df[c].head(5)):
+                raise TypeError(
+                    f"column {c!r} holds array values - the driver's compare "
+                    "cannot sort these; project to a scalar in the gate query")
             df[c] = df[c].astype(str)
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
@@ -51,7 +59,12 @@ def main():
             continue
         got = con.execute(
             f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf()
-        e, g = norm(exp), norm(got)
+        try:
+            e, g = norm(exp), norm(got)
+        except TypeError as err:
+            print(f"FAIL {name}: {err}")
+            n_fail += 1
+            continue
         if sorted(e.columns) != sorted(g.columns):
             print(f"FAIL {name}: columns exp={sorted(e.columns)} got={sorted(g.columns)}")
             n_fail += 1

@@ -191,12 +191,17 @@ object TextQueries {
         Multimodal.withPayload(Tables.documents(s, dir), "doc_id", "text"),
         w = 8, h = 4)
       .toDF()
+      // the driver's compare sorts rows through pandas, which cannot order
+      // array cells — gate the thumbnail as a comma-joined scalar; the
+      // array form stays spec-covered (MultimodalSpec)
+      .select(col("doc_id"),
+        concat_ws(",", transform(col("thumb"), _.cast("string"))).as("thumb"))
       .orderBy(col("doc_id"))
 
   private val q45Sql =
     """SELECT doc_id,
-      |  list_transform(generate_series(0, 31),
-      |    j -> CAST(('0x' || substr(hx, CAST(j * len_ // 32 AS INT) * 2 + 1, 2)) AS INT)) AS thumb
+      |  array_to_string(list_transform(generate_series(0, 31),
+      |    j -> CAST(('0x' || substr(hx, CAST(j * len_ // 32 AS INT) * 2 + 1, 2)) AS INT)), ',') AS thumb
       |FROM (SELECT doc_id, hex(encode(text)) AS hx,
       |        octet_length(encode(text)) AS len_ FROM documents)
       |ORDER BY doc_id""".stripMargin
