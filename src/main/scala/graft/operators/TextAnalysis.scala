@@ -88,31 +88,24 @@ object TextAnalysis {
       textCol: String,
       k: Int = 5,
       w: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val grams = df
-      .select(col(idCol), col(textCol))
+    // Whole-document kernel (functions/TextKernels): hashing, the sliding
+    // rightmost-min window, and the dedupe all happen in one generated-code
+    // pass per document — the exploded k-gram stream (~|text| rows/doc)
+    // never exists as rows, so nothing shuffles but the selected
+    // fingerprints themselves. The packed-long arithmetic
+    // (hash * 2^31 + (2^31-1 - pos)) is identical to the SQL oracle's
+    // windowed form; outputs are bit-equal to the relational plan this
+    // replaced (r2 → r3, ~4 s → sub-second at sf0.1).
+    df.select(col(idCol), col(textCol))
       .filter(length(col(textCol)) >= k)
       .select(
         col(idCol),
-        posexplode(expr(
-          s"transform(sequence(1, length($textCol) - ${k - 1}), i -> substring($textCol, i, $k))"))
-          .as(Seq("pos", "gram")))
-      .withColumn("h", conv(substring(md5(col("gram").cast("binary")), 1, 8), 16, 10).cast("long"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("pos")).rowsBetween(-(w - 1), 0)
-    // rightmost minimum via ONE integer min: pack (hash, 2^31-1-pos) into a
-    // long — min(packed) = (min hash, max pos). Plain long min stays in the
-    // codegen window (a struct min would not) and the identical arithmetic
-    // runs in the SQL oracle.
-    val packed = col("h") * lit(2147483648L) + (lit(2147483647L) - col("pos"))
-    val sel = grams
-      .withColumn("_m", min(packed).over(win))
-      .filter(col("pos") >= w - 1) // only complete windows select
+        explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("_m"))
       .select(
         col(idCol),
         (lit(2147483647L) - col("_m").bitwiseAND(lit(2147483647L))).as("fp_pos"),
         shiftrightunsigned(col("_m"), 31).as("fp_hash"))
-      .distinct()
-    sel.orderBy(col(idCol), col("fp_pos"))
+      .orderBy(col(idCol), col("fp_pos"))
   }
 
   /** Content fingerprint: md5 over the sorted distinct token set — a
@@ -130,14 +123,14 @@ object TextAnalysis {
     * no per-bit row explosion, so one hash-aggregate pass at any scale. */
   def simHash(df: DataFrame, idCol: String, textCol: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 60)
-    val toks = tokens(df, idCol, textCol)
-      .withColumn("h", conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until bits).map(b => sum(shiftright(col("h"), b) % 2).as(s"_b$b"))
-    val grouped = toks.groupBy(col(idCol)).agg(count(lit(1)).as("n_tokens"), bitSums: _*)
-    val hash = (0 until bits)
-      .map(b => when(col(s"_b$b") * 2 >= col("n_tokens"), lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    grouped.select(col(idCol), col("n_tokens"), hash.as("simhash"))
+    // Whole-document kernel (functions/TextKernels): token split, 60-bit
+    // md5-prefix hashes, and the per-bit majority vote run in one
+    // generated-code pass — a pure projection, replacing the explode +
+    // `bits`-sum hash aggregate (one full token-stream shuffle) of r2.
+    // Token rule mirrors the oracle's string_split(text, ' ') exactly,
+    // empty tokens included.
+    df.select(col(idCol), graft.functions.SimHashSig(col(textCol), bits).as("_s"))
+      .select(col(idCol), col("_s").getItem(0).as("n_tokens"), col("_s").getItem(1).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs by banded pigeonhole LSH: split the
