@@ -36,18 +36,14 @@ object TextKernelFns {
     java.util.Arrays.copyOf(starts, n)
   }
 
-  private def hash32(md: java.security.MessageDigest, b: Array[Byte], off: Int, len: Int): Long = {
-    md.reset()
-    md.update(b, off, len)
-    val d = md.digest()
+  private def hash32(md: FastMD5, d: Array[Byte], b: Array[Byte], off: Int, len: Int): Long = {
+    md.digest(FastMD5.EmptyPrefix, b, off, len, d)
     // first 8 hex chars of the digest = first 4 bytes, unsigned
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  private def hash60(md: java.security.MessageDigest, b: Array[Byte], off: Int, len: Int): Long = {
-    md.reset()
-    md.update(b, off, len)
-    val d = md.digest()
+  private def hash60(md: FastMD5, d: Array[Byte], b: Array[Byte], off: Int, len: Int): Long = {
+    md.digest(FastMD5.EmptyPrefix, b, off, len, d)
     // first 15 hex chars = bytes 0..6 plus the high nibble of byte 7
     var v = 0L
     var i = 0
@@ -67,13 +63,14 @@ object TextKernelFns {
     val n      = starts.length
     val g      = n - k + 1          // number of k-grams
     if (g < w) return new GenericArrayData(Array.emptyLongArray)
-    val md     = java.security.MessageDigest.getInstance("MD5")
+    val md     = new FastMD5
+    val dig    = new Array[Byte](16)
     val packed = new Array[Long](g)
     var i = 0
     while (i < g) {
       val off = starts(i)
       val end = if (i + k < n) starts(i + k) else bytes.length
-      packed(i) = hash32(md, bytes, off, end - off) * 2147483648L + (2147483647L - i)
+      packed(i) = hash32(md, dig, bytes, off, end - off) * 2147483648L + (2147483647L - i)
       i += 1
     }
     // sliding min over w consecutive hashes; selections dedupe via a set
@@ -96,20 +93,87 @@ object TextKernelFns {
     new GenericArrayData(out)
   }
 
+  /** MinHash signatures over word n-gram shingles in one pass: split on
+    * single spaces (empty words included, mirroring `split(text, ' ')`),
+    * shingle i = the original byte span from word i through word i+n-1
+    * (single-space joins make the span identical to `array_join(slice)`),
+    * per-seed hash = md5 over "seed|" + shingle, minimum taken by unsigned
+    * digest comparison (hex encoding is order-preserving, so this equals
+    * the oracle's lexicographic min over hex strings). Duplicate shingles
+    * cannot change a minimum, so the relational form's `distinct()` is
+    * skipped via a seen-set only to save digest work. Returns the
+    * numHashes hex digests, or null when the doc has < n words. */
+  def minhash(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val bytes = text.getBytes
+    // word start offsets (split on every 0x20, empties preserved)
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nWords += 1; i += 1 }
+    if (nWords < n) return null
+    val starts = new Array[Int](nWords)
+    starts(0) = 0
+    var wIdx = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(wIdx) = i + 1; wIdx += 1 }
+      i += 1
+    }
+    val md      = new FastMD5
+    val dig     = new Array[Byte](16)
+    val seeds   = (0 until numHashes).map(s => s"$s|".getBytes("US-ASCII")).toArray
+    val mins    = Array.fill(numHashes)(null: Array[Byte])
+    val seen    = new java.util.HashSet[String]()
+    var s0 = 0
+    while (s0 <= nWords - n) {
+      val off = starts(s0)
+      val end = if (s0 + n < nWords) starts(s0 + n) - 1 else bytes.length
+      val key = new String(bytes, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+      if (seen.add(key)) {
+        var s = 0
+        while (s < numHashes) {
+          md.digest(seeds(s), bytes, off, end - off, dig)
+          val m = mins(s)
+          if (m == null || unsignedLess(dig, m)) mins(s) = dig.clone()
+          s += 1
+        }
+      }
+      s0 += 1
+    }
+    val out = new Array[AnyRef](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      out(s) = UTF8String.fromString(mins(s).map("%02x".format(_)).mkString)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
   /** SimHash signature over single-space token split (mirrors
     * `string_split(text, ' ')` including empty tokens): per-token 60-bit
     * md5-prefix hash, per-bit majority vote (ties set the bit). Returns
     * `[n_tokens, simhash]`. */
   def simhash(text: UTF8String, bits: Int): ArrayData = {
     val bytes = text.getBytes
-    val md    = java.security.MessageDigest.getInstance("MD5")
+    val md    = new FastMD5
+    val dig   = new Array[Byte](16)
     val ones  = new Array[Long](bits)
     var nTok  = 0L
     var start = 0
     var i     = 0
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' '.toByte) {
-        val h = hash60(md, bytes, start, i - start)
+        val h = hash60(md, dig, bytes, start, i - start)
         var b = 0
         while (b < bits) { ones(b) += (h >>> b) & 1L; b += 1 }
         nTok += 1
@@ -125,6 +189,41 @@ object TextKernelFns {
     }
     new GenericArrayData(Array(nTok, sig))
   }
+}
+
+/** `minhash(text, n, numHashes)` as a codegen scalar expression →
+  * array<string> of hex digests, or null for docs with < n words. */
+case class MinHashSigExpr(child: Expression, n: Int, numHashes: Int) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null else TextKernelFns.minhash(t.asInstanceOf[UTF8String], n, numHashes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kernel.minhash(${c.value}, $n, $numHashes);
+        ${ev.isNull} = ${ev.value} == null;
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object MinHashSigExpr {
+  def apply(text: Column, n: Int, numHashes: Int): Column =
+    GraftSqlBridge.column(new MinHashSigExpr(
+      GraftSqlBridge.expression(text.cast("string")), n, numHashes))
 }
 
 /** `winnow(text, k, w)` as a codegen scalar expression → array<long> of

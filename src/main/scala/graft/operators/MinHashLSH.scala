@@ -47,6 +47,28 @@ object MinHashLSH {
     sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
   }
 
+  /** Kernel form of [[signaturesWide]]: the whole per-document signature
+    * (word split, shingling, numHashes md5 minimums) computes in one
+    * generated-code pass per document (functions/TextKernels) — a pure
+    * projection with NO shingle explode and NO aggregate. Bit-identical to
+    * the relational form; docs with < n words drop, as groupBy did. */
+  def signaturesWideKernel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      numHashes: Int = 8): DataFrame = {
+    val sig = graft.functions.MinHashSigExpr(col(textCol), shingleLen, numHashes)
+    val mh  = (0 until numHashes).map(i => col("_sig").getItem(i).as(s"mh$i"))
+    // Filter on the CHEAP word-count predicate (identical to the kernel's
+    // null condition), not on `_sig.isNotNull`: a deterministic-expression
+    // null filter gets pushed below the projection and re-evaluates the
+    // whole kernel per row (verified in the physical plan).
+    df.filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(col(idCol), sig.as("_sig"))
+      .select(col(idCol) +: mh: _*)
+  }
+
   /** Long-form signatures (id, seed, minhash) — thin melt of the wide form
     * for callers that want the classic layout. */
   def signatures(sh: DataFrame, idCol: String, numHashes: Int = 8): DataFrame = {
@@ -100,13 +122,10 @@ object MinHashLSH {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 
-  /** Full near-dup pipeline: shingle → sign → band → candidates → verify.
-    * The shingle table feeds two consumers (signatures and the exact-Jaccard
-    * verification joins); `persistShingles` trades recompute for cache —
-    * measured a wash at sf0.1 (3.05 s vs 3.16 s median of 3), so recompute
-    * is the default: at 100 TB a cached shingle table would spill heavily,
-    * and the verification branch touches only candidate docs' shingles
-    * after the semi-join anyway. */
+  /** Full near-dup pipeline: sign (kernel) → band → candidates → verify.
+    * The full-corpus shingle table never materializes at all: signatures
+    * come from the one-pass kernel, and the exact-Jaccard verify branch
+    * shingles only the candidate documents after the id semi-join. */
   def nearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -114,15 +133,25 @@ object MinHashLSH {
       shingleLen: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5,
-      persistShingles: Boolean = false): DataFrame = {
-    val sh0 = shingles(df, idCol, textCol, shingleLen)
-    val sh =
-      if (persistShingles) sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else sh0
-    val sig   = signaturesWide(sh, idCol, numHashes)
+      minJaccard: Double = 0.5): DataFrame = {
+    val sig   = signaturesWideKernel(df, idCol, textCol, shingleLen, numHashes)
     val bands = bandKeys(sig, idCol, rowsPerBand, numHashes)
-    val cand  = candidatePairs(bands, idCol)
-    verifyJaccard(cand, sh, idCol, minJaccard)
+    // The candidate set feeds three consumers (the verify join and both
+    // sides of the id-prune union); persist it so the band self-join runs
+    // once per action — candidates are tiny by the near-dup premise, so
+    // the cache is a few rows per genuine duplicate cluster.
+    val cand = candidatePairs(bands, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Only candidate docs feed verification: semi-join prune the DOCUMENT
+    // table to the (tiny) candidate id set, then shingle just those — the
+    // full-corpus shingle explode + distinct never runs for the verify
+    // branch. At corpus scale this is the difference between re-shingling
+    // everything and re-shingling near-dups only.
+    val candIds = cand.select(col("doc_a").as(idCol))
+      .union(cand.select(col("doc_b").as(idCol)))
+      .distinct()
+    val dfCand = df.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val shCand = shingles(dfCand, idCol, textCol, shingleLen)
+    verifyJaccard(cand, shCand, idCol, minJaccard)
   }
 }
