@@ -32,38 +32,60 @@ object Bench {
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+    // median of 3 warm passes: the builder's own notes measured ±15% run-to-run
+    // noise on this machine; a single sample cannot support per-query deltas
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val samples = (1 to passes).map { _ =>
+      ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
+      }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val results = ordered.map { case (name, _) =>
+      val runs = samples.map(_.find(_._1 == name).get)
+      val med  = runs.map(_._2).sorted.apply(runs.size / 2)
+      (name, med, runs.forall(_._3))
+    }
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // per-query deltas vs the newest committed BENCH_r*.json, so
-    // regressions are visible inside the round's own artifact
+    // per-query deltas vs the newest committed BENCH_r*.json. Parse ONLY the
+    // "queries" object: the file also holds a "delta_sec" object keyed by the
+    // same names, and a whole-file key scrape lets those overwrite the raw
+    // timings (the r3 phantom-regression artifact).
     val prev = new java.io.File(".").listFiles()
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-    val deltas = prev.map { f =>
+    val deltas = prev.flatMap { f =>
       // driver wraps the metric line as an escaped string — unescape first
-      val txt  = scala.io.Source.fromFile(f, "UTF-8").mkString.replace("\\\"", "\"")
-      val prevQ = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-        .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
-      val ds = results.flatMap { case (k, v, _) =>
-        prevQ.get(k).map(p => "\"" + k + "\":" + BigDecimal(v - p).setScale(3, BigDecimal.RoundingMode.HALF_UP))
+      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString.replace("\\\"", "\"")
+      "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt).map { qblock =>
+        val prevQ = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+          .findAllMatchIn(qblock.group(1)).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ds = results.flatMap { case (k, v, _) =>
+          prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
+        }
+        s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
       }
-      s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
     }.getOrElse("")
     // failures are machine-visible in the metric line, not just stderr
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}"""
+    println(line)
+    // persist the FULL metric JSON next to the round artifacts: the driver
+    // stores a truncated log tail, which made r3's q01–q33 raw timings
+    // unrecoverable from the committed file
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_SELF.json")
+    val w = new java.io.PrintWriter(new java.io.File(out), "UTF-8")
+    try w.println(line) finally w.close()
     spark.stop()
   }
 }

@@ -148,6 +148,47 @@ object TextKernelFns {
     new GenericArrayData(out)
   }
 
+  /** Exact shingle-set Jaccard counts for one candidate pair in a single
+    * pass: build both documents' distinct word n-gram shingle sets (same
+    * span semantics as [[minhash]] — split on every 0x20 with empties
+    * preserved, shingle = original byte span of n consecutive words) and
+    * intersect them. Returns `[n_common, n_a, n_b]`. Replaces the
+    * two-sided candidate⋈shingle verification join: candidates are tiny by
+    * the near-dup premise, so per-pair recompute beats re-shingling and
+    * shuffling the candidate documents through three more stages. */
+  def jaccardCounts(a: UTF8String, b: UTF8String, n: Int): ArrayData = {
+    val sa = shingleSet(a.getBytes, n)
+    val sb = shingleSet(b.getBytes, n)
+    var common = 0L
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) common += 1
+    new GenericArrayData(Array(common, sa.size.toLong, sb.size.toLong))
+  }
+
+  private def shingleSet(bytes: Array[Byte], n: Int): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String]()
+    var nWords = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' '.toByte) nWords += 1; i += 1 }
+    if (nWords < n) return set
+    val starts = new Array[Int](nWords)
+    starts(0) = 0
+    var w = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' '.toByte) { starts(w) = i + 1; w += 1 }
+      i += 1
+    }
+    var s0 = 0
+    while (s0 <= nWords - n) {
+      val off = starts(s0)
+      val end = if (s0 + n < nWords) starts(s0 + n) - 1 else bytes.length
+      set.add(new String(bytes, off, end - off, java.nio.charset.StandardCharsets.UTF_8))
+      s0 += 1
+    }
+    set
+  }
+
   private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
     var i = 0
     while (i < a.length) {
@@ -281,6 +322,45 @@ case class SimHashSig(child: Expression, bits: Int) extends Expression {
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c(0))
+}
+
+/** `jaccard_counts(text_a, text_b, n)` as a codegen scalar expression →
+  * array<long> [n_common, n_a, n_b] over distinct word n-gram shingles. */
+case class JaccardShingles(left: Expression, right: Expression, n: Int) extends Expression {
+  override def children: Seq[Expression] = Seq(left, right)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input)
+    val b = right.eval(input)
+    if (a == null || b == null) null
+    else TextKernelFns.jaccardCounts(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ca     = left.genCode(ctx)
+    val cb     = right.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${ca.code}
+      ${cb.code}
+      boolean ${ev.isNull} = ${ca.isNull} || ${cb.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kernel.jaccardCounts(${ca.value}, ${cb.value}, $n);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(left = c(0), right = c(1))
+}
+
+object JaccardShingles {
+  def apply(a: Column, b: Column, n: Int): Column =
+    GraftSqlBridge.column(new JaccardShingles(
+      GraftSqlBridge.expression(a.cast("string")),
+      GraftSqlBridge.expression(b.cast("string")), n))
 }
 
 object WinnowFingerprint {

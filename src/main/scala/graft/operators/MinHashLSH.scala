@@ -91,13 +91,24 @@ object MinHashLSH {
     sigWide.select(col(idCol), expr(stackExpr))
   }
 
-  /** Candidate pairs: distinct (a < b) document pairs sharing ≥1 band key. */
+  /** Candidate pairs: distinct (a < b) document pairs sharing ≥1 band key.
+    * Bucket aggregation, not a self-join: one hash aggregate groups ids per
+    * (band, band_key), then in-bucket pairs explode from the sorted id list
+    * — the signature subtree evaluates ONCE (a self-join scans it twice)
+    * and only (band_key, id) rows ever shuffle. Buckets are tiny by the
+    * near-dup premise, so the pair explosion is quadratic only inside
+    * genuine duplicate clusters — the standard web-scale LSH shape. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
-    val l = bands.select(col("band"), col("band_key"), col(idCol).as("doc_a"))
-    val r = bands.select(col("band"), col("band_key"), col(idCol).as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+    val ids = array_sort(collect_list(col(idCol)))
+    bands.groupBy(col("band"), col("band_key"))
+      .agg(ids.as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("ids")) - 2),
+        i => transform(
+          slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(element_at(col("ids"), i + 1).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
@@ -124,8 +135,13 @@ object MinHashLSH {
 
   /** Full near-dup pipeline: sign (kernel) → band → candidates → verify.
     * The full-corpus shingle table never materializes at all: signatures
-    * come from the one-pass kernel, and the exact-Jaccard verify branch
-    * shingles only the candidate documents after the id semi-join. */
+    * come from the one-pass kernel, and exact-Jaccard verification is a
+    * single [[graft.functions.JaccardShingles]] kernel call per candidate
+    * pair. The candidate set is tiny by the near-dup premise, so it
+    * broadcasts into two hash joins that pull both texts off unshuffled
+    * document scans — the whole verify branch is two broadcast joins plus
+    * one projection (r3 shape was a 6-stage two-sided shingle join with a
+    * leaked persist). */
   def nearDuplicates(
       df: DataFrame,
       idCol: String,
@@ -136,22 +152,18 @@ object MinHashLSH {
       minJaccard: Double = 0.5): DataFrame = {
     val sig   = signaturesWideKernel(df, idCol, textCol, shingleLen, numHashes)
     val bands = bandKeys(sig, idCol, rowsPerBand, numHashes)
-    // The candidate set feeds three consumers (the verify join and both
-    // sides of the id-prune union); persist it so the band self-join runs
-    // once per action — candidates are tiny by the near-dup premise, so
-    // the cache is a few rows per genuine duplicate cluster.
-    val cand = candidatePairs(bands, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Only candidate docs feed verification: semi-join prune the DOCUMENT
-    // table to the (tiny) candidate id set, then shingle just those — the
-    // full-corpus shingle explode + distinct never runs for the verify
-    // branch. At corpus scale this is the difference between re-shingling
-    // everything and re-shingling near-dups only.
-    val candIds = cand.select(col("doc_a").as(idCol))
-      .union(cand.select(col("doc_b").as(idCol)))
-      .distinct()
-    val dfCand = df.join(broadcast(candIds), Seq(idCol), "left_semi")
-    val shCand = shingles(dfCand, idCol, textCol, shingleLen)
-    verifyJaccard(cand, shCand, idCol, minJaccard)
+    val cand  = candidatePairs(bands, idCol)
+    val ta    = df.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb    = df.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    val withTexts = tb.join(broadcast(ta.join(broadcast(cand), "doc_a")), "doc_b")
+    val j = graft.functions.JaccardShingles(col("text_a"), col("text_b"), shingleLen)
+    withTexts
+      .select(col("doc_a"), col("doc_b"), j.as("_j"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("_j").getItem(0).as("n_common"),
+        (col("_j").getItem(0).cast("double") /
+          (col("_j").getItem(1) + col("_j").getItem(2) - col("_j").getItem(0))).as("jaccard"))
+      .filter(col("jaccard") >= lit(minJaccard))
   }
 }

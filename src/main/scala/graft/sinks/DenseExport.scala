@@ -56,8 +56,18 @@ object DenseExport {
     * overwrite = the reference's append-time chunk alignment without the
     * re-chunk read-modify-write). Time chunks are fixed epoch-day windows so
     * alignment never depends on what arrived first; rows inside a cell are
-    * raster-ordered (day, lat desc, lon asc). */
-  def exportChunkedLayout(long: DataFrame, path: String, chunks: ChunkSpec = ChunkSpec()): Unit =
+    * raster-ordered (day, lat desc, lon asc).
+    *
+    * Chunk payloads are compressed per cell with `codec` (zstd by default —
+    * the parquet analog of the reference store's Blosc clevel-9 chunks,
+    * `ZarrWriter.py:205`), and every export refreshes the store-level attrs
+    * (coverage window + chunk-grid shape) so a reader can discover the grid
+    * without listing files. */
+  def exportChunkedLayout(
+      long: DataFrame,
+      path: String,
+      chunks: ChunkSpec = ChunkSpec(),
+      codec: String = "zstd"): Unit = {
     long
       .withColumn("day", col("time").cast("date"))
       .withColumn(
@@ -72,8 +82,16 @@ object DenseExport {
       .write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
+      .option("compression", codec)
       .partitionBy("variable", "t_chunk", "lat_chunk", "lon_chunk")
       .parquet(path)
+    updateStoreAttrs(long, path, extra = Map(
+      "chunk_time_days" -> chunks.timeDays.toString,
+      "chunk_lat_px"    -> chunks.latPx.toString,
+      "chunk_lon_px"    -> chunks.lonPx.toString,
+      "chunk_codec"     -> codec))
+    ()
+  }
 
   /** Store-level dynamic attributes (`ZarrWriter.py:140-167`): ISO-8601
     * date_created / date_updated / coverage_start / coverage_end, merged
@@ -84,7 +102,8 @@ object DenseExport {
       df: DataFrame,
       path: String,
       now: String = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
-        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Map[String, String] = {
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now()),
+      extra: Map[String, String] = Map.empty): Map[String, String] = {
     val iso = "yyyy-MM-dd'T'HH:mm:ss'Z'"
     val mm  = df.agg(
       date_format(min(col("time")), iso).as("s"),
@@ -104,7 +123,7 @@ object DenseExport {
       "date_created"   -> existing.getOrElse("date_created", now),
       "date_updated"   -> now,
       "coverage_start" -> existing.get("coverage_start").filter(_ <= aStart).getOrElse(aStart),
-      "coverage_end"   -> existing.get("coverage_end").filter(_ >= aEnd).getOrElse(aEnd))
+      "coverage_end"   -> existing.get("coverage_end").filter(_ >= aEnd).getOrElse(aEnd)) ++ extra
     val out = fs.create(attrsP, true)
     try out.write(
       merged.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }

@@ -59,6 +59,44 @@ class ExportSpec extends SparkSpec {
     val after = new java.io.File(path, "variable=xco2").listFiles()
       .filter(_.getName.startsWith("t_chunk=")).length
     assert(after === before)
+    // every export refreshes store-level attrs: coverage window + chunk grid
+    val attrs = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "_store_attrs.json")), "UTF-8")
+    assert(attrs.contains("\"coverage_start\": \"2023-06-15T00:00:00Z\""))
+    assert(attrs.contains("\"coverage_end\""))
+    assert(attrs.contains("\"chunk_lat_px\": \"6\"") && attrs.contains("\"chunk_time_days\": \"5\""))
+    // and the attrs sidecar must not break reading the store as parquet
+    assert(spark.read.parquet(path).count() === product.count())
+  }
+
+  test("chunked export: zstd chunk compression shrinks a redundant store") {
+    // constant-valued variable over a 200×200 grid → one chunk cell with
+    // highly compressible payload large enough that codec choice dominates
+    // the parquet footer overhead
+    val redundant = spark.range(200L * 200)
+      .select(
+        lit("v").as("target_id"),
+        lit("xco2").as("variable"),
+        to_timestamp(lit("2023-06-15 00:00:00")).as("time"),
+        (col("id") / 200).cast("int").as("lat_idx"),
+        (col("id") % 200).cast("int").as("lon_idx"),
+        lit(0.0).as("lat"), lit(0.0).as("lon"),
+        lit(1.0).as("value"))
+    val pZstd = Files.createTempDirectory("czstd").toString
+    val pNone = Files.createTempDirectory("cnone").toString
+    val spec  = DenseExport.ChunkSpec(timeDays = 5, latPx = 250, lonPx = 250)
+    DenseExport.exportChunkedLayout(redundant, pZstd, spec)
+    DenseExport.exportChunkedLayout(redundant, pNone, spec, codec = "uncompressed")
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length() else 0L
+      walk(new java.io.File(p))
+    }
+    assert(bytes(pZstd) < bytes(pNone) / 2)
+    // and the compressed store round-trips the same rows
+    assert(spark.read.parquet(pZstd).drop("day", "t_chunk", "lat_chunk", "lon_chunk").count()
+      === redundant.count())
   }
 
   test("NetCDF export: one classic .nc per (target, day), values round-trip") {
