@@ -22,12 +22,37 @@ import graft.sources.SyntheticGranule.Sounding
   */
 object NetCDFGranules {
 
-  /** Read granule files through the netcdf3 DataSource V2. */
-  def read(spark: SparkSession, paths: Seq[String], maxRowsPerSplit: Long = 1L << 20): DataFrame =
-    spark.read
-      .format("netcdf3")
-      .option("maxrowspersplit", maxRowsPerSplit)
-      .load(paths: _*)
+  /** Read granule files through the right DataSource V2 for their container:
+    * netCDF-4 granules (HDF5 signature — the reference's actual L2 Lite
+    * transport) go through the `hdf5` source, classic files through
+    * `netcdf3`. Mixed batches union by name: both sources surface the same
+    * column conventions. Dispatch sniffs 8 bytes per file on the driver —
+    * granule lists are bounded by the manifest, never the data. */
+  def read(spark: SparkSession, paths: Seq[String], maxRowsPerSplit: Long = 1L << 20): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val (h5, classic) = paths.partition { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (!fs.isFile(hp)) false
+      else {
+        val in = fs.open(hp)
+        try {
+          val b = new Array[Byte](8)
+          in.readFully(0, b, 0, 8)
+          Hdf5.isHdf5(b)
+        } catch { case _: java.io.EOFException => false } finally in.close()
+      }
+    }
+    def load(fmt: String, ps: Seq[String]): Option[DataFrame] =
+      if (ps.isEmpty) None
+      else Some(spark.read.format(fmt).option("maxrowspersplit", maxRowsPerSplit).load(ps: _*))
+    (load("hdf5", h5), load("netcdf3", classic)) match {
+      case (Some(a), Some(b)) => a.unionByName(b, allowMissingColumns = true)
+      case (Some(a), None)    => a
+      case (None, Some(b))    => b
+      case (None, None)       => throw new IllegalArgumentException("no granule files found")
+    }
+  }
 
   /** Map the raw netcdf3 columns to the pipeline's logical granule schema.
     * Column pruning pushes through this projection to the file scan. */
@@ -81,5 +106,46 @@ object NetCDFGranules {
       VarData("Sounding/target_id", NC_CHAR, Seq("sounding", "target_id_len"),
         soundings.map(_.target_id).toArray))
     NetCDF3.write(os, dims, vars, gatts = Seq(Att("title", NC_CHAR, "graft synthetic granule")))
+  }
+
+  /** Encode soundings as a netCDF-4/HDF5 granule with the reference layout:
+    * root science vars + a /Sounding group (`GranuleReader.py:31-36`
+    * ESSENTIAL_VARS), a `sounding` dimension-scale dataset, and
+    * chunked+deflate science variables — the storage profile of real L2
+    * Lite files. */
+  def writeGranuleH5(soundings: Seq[Sounding], chunkRows: Int = 0, deflateLevel: Int = 6): Array[Byte] = {
+    import Hdf5._
+    val n  = soundings.length
+    val nv = soundings.headOption.map(_.vertex_latitude.length).getOrElse(4)
+    val cr = if (chunkRows > 0) chunkRows else n.max(1)
+    def d(f: Sounding => Double): Array[Double] = soundings.map(f).toArray
+    val dimScale = Seq(
+      Attr("CLASS", "DIMENSION_SCALE"),
+      Attr("NAME", f"This is a netCDF dimension but not a netCDF variable.$n%10d"))
+    val root = WGroup("", Seq(
+      WVar("sounding", Seq(n.toLong), new Array[Double](n), atts = dimScale),
+      WVar("sounding_id", Seq(n.toLong), soundings.map(_.sounding_id).toArray,
+        chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("latitude", Seq(n.toLong), d(_.latitude), chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("longitude", Seq(n.toLong), d(_.longitude), chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("time", Seq(n.toLong), d(_.time.getTime / 1000.0),
+        atts = Seq(Attr("units", "seconds since 1970-01-01 00:00:00")),
+        chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("vertex_latitude", Seq(n.toLong, nv.toLong),
+        soundings.flatMap(_.vertex_latitude).toArray, chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("vertex_longitude", Seq(n.toLong, nv.toLong),
+        soundings.flatMap(_.vertex_longitude).toArray, chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("xco2_quality_flag", Seq(n.toLong), soundings.map(_.xco2_quality_flag).toArray,
+        chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("xco2", Seq(n.toLong), d(_.xco2),
+        atts = Seq(Attr("_FillValue", Array(999999.0))),
+        chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("xco2_uncertainty", Seq(n.toLong), d(_.xco2_uncertainty),
+        chunkRows = cr, deflateLevel = deflateLevel)))
+    val sounding = WGroup("Sounding", Seq(
+      WVar("operation_mode", Seq(n.toLong), soundings.map(_.operation_mode).toArray,
+        chunkRows = cr, deflateLevel = deflateLevel),
+      WVar("target_id", Seq(n.toLong), soundings.map(_.target_id).toArray, strSize = 24)))
+    Hdf5.write(Seq(root, sounding), rootAtts = Seq(Attr("title", "graft synthetic granule")))
   }
 }

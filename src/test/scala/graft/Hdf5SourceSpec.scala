@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.domain.{Pipeline, TargetCatalog}
+import graft.domain.TargetCatalog.Target
+import graft.sources.SyntheticGranule
+import graft.sources.SyntheticGranule.sounding
+import graft.sources.netcdf.{Hdf5, NetCDFGranules}
+
+/** netCDF-4/HDF5 granule front door (SURVEY S1): codec round-trip over
+  * chunked+deflate layouts, chunk-level I/O pruning, DSv2 scan with
+  * projection pushdown, fill→null, format dispatch, and end-to-end
+  * Pipeline.process parity with both the in-memory path and the classic
+  * codec path. */
+class Hdf5SourceSpec extends SparkSpec {
+
+  private lazy val soundings =
+    (0 until 5).map(i => sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", xco2 = 400.0 + i)) ++
+      Seq(sounding(5, 0.0, 0.0, mode = 0, target = "Missing")) ++
+      (6 until 10).map(i => sounding(i, -0.5 + 0.2 * (i - 6), -4.5 + 0.2 * (i - 6), mode = 2, target = "volcano0002", xco2 = 410.0 + i))
+
+  private lazy val catalog = TargetCatalog.toDF(
+    spark,
+    Seq(
+      Target("fossil0001", "Plant A", 10.0, 40.0, 12.0, 42.0),
+      Target("volcano0002", "Volcano B", -5.0, -1.0, -3.0, 1.0)))
+
+  private def writeFixture(dir: java.nio.file.Path, name: String, ss: Seq[SyntheticGranule.Sounding], chunkRows: Int = 4): String = {
+    val p = dir.resolve(name)
+    Files.write(p, NetCDFGranules.writeGranuleH5(ss, chunkRows = chunkRows))
+    p.toString
+  }
+
+  private lazy val granulePath: String =
+    writeFixture(Files.createTempDirectory("h5-granules"), "oco3_LtCO2_20230615_B10400Br.nc4", soundings)
+
+  test("codec round-trip: chunked+deflate datasets decode bit-exactly") {
+    val bytes = NetCDFGranules.writeGranuleH5(soundings, chunkRows = 3)
+    val f = Hdf5.open(new Hdf5.BytesInput(bytes))
+    // groups walked: root + /Sounding
+    assert(f.dataset("xco2").isDefined)
+    assert(f.dataset("Sounding/operation_mode").isDefined)
+    val lat = f.dataset("latitude").get
+    assert(lat.shape.toSeq === Seq(soundings.length.toLong))
+    val raw = f.readRows(lat, 0, soundings.length)
+    val bb  = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    soundings.indices.foreach(i => assert(bb.getDouble(i * 8) === soundings(i).latitude))
+    // 2-D chunked variable decodes row-major
+    val vlat = f.dataset("vertex_latitude").get
+    val vraw = f.readRows(vlat, 2, 3)
+    val vbb  = java.nio.ByteBuffer.wrap(vraw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    soundings(2).vertex_latitude.zipWithIndex.foreach { case (v, j) =>
+      assert(vbb.getDouble(j * 8) === v)
+    }
+    // fixed-size string dataset
+    val tid  = f.dataset("Sounding/target_id").get
+    val traw = f.readRows(tid, 7, 8)
+    assert(new String(traw, "UTF-8").takeWhile(_ != 0) === "volcano0002")
+    // the fill value is visible through the attribute
+    assert(f.dataset("xco2").get.fillValue.contains(999999.0))
+  }
+
+  test("chunk index prunes I/O: a row slice reads only overlapping chunks") {
+    val bytes = NetCDFGranules.writeGranuleH5(soundings, chunkRows = 2)
+    var readBytes = 0L
+    val counting = new Hdf5.Input {
+      private val inner = new Hdf5.BytesInput(bytes)
+      def readAt(off: Long, len: Int): Array[Byte] = { readBytes += len; inner.readAt(off, len) }
+    }
+    val f = Hdf5.open(counting)
+    val metaBytes = readBytes
+    val lat = f.dataset("latitude").get
+    // rows [0,2) = one btree node walk + exactly one 2-row chunk: far less
+    // than the whole variable, and nothing of any other variable
+    f.readRows(lat, 0, 2)
+    val sliceBytes = readBytes - metaBytes
+    assert(sliceBytes > 0 && sliceBytes < 400, s"slice read $sliceBytes bytes")
+    // a full-variable read still never touches other variables' chunks
+    val before = readBytes
+    f.readRows(lat, 0, soundings.length)
+    assert(readBytes - before < 1000)
+    assert(bytes.length > 3000) // the file holds ~10 variables of chunks
+  }
+
+  test("hdf5 scan reads every variable with granule-faithful values") {
+    val raw = NetCDFGranules.read(spark, Seq(granulePath))
+    assert(raw.count() === soundings.length)
+    val r = raw.orderBy("row_index").collect()
+    assert(r(0).getAs[Long]("sounding_id") === soundings.head.sounding_id)
+    assert(r(3).getAs[Double]("latitude") === soundings(3).latitude)
+    assert(r(7).getAs[Int]("Sounding_operation_mode") === 2)
+    assert(r(7).getAs[String]("Sounding_target_id") === "volcano0002")
+    assert(r(2).getAs[Seq[Double]]("vertex_longitude").length === 4)
+    // the dimension-scale dataset is a dim, not a column
+    assert(!raw.columns.contains("sounding"))
+  }
+
+  test("projection pushdown prunes the scan to the selected variables") {
+    val pruned = NetCDFGranules.read(spark, Seq(granulePath)).select("latitude", "xco2")
+    val scans = pruned.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.readSchema().fieldNames.toSeq === Seq("latitude", "xco2"))
+    assert(pruned.collect().length === soundings.length)
+  }
+
+  test("_FillValue and NaN normalize to null (reference fill semantics)") {
+    val dir = Files.createTempDirectory("h5-fill")
+    val filled = soundings.take(3).zipWithIndex.map {
+      case (s, 1) => s.copy(xco2 = 999999.0) // the declared _FillValue
+      case (s, 2) => s.copy(xco2 = Double.NaN)
+      case (s, _) => s
+    }
+    val p  = writeFixture(dir, "fill.nc4", filled, chunkRows = 2)
+    val xs = NetCDFGranules.read(spark, Seq(p)).orderBy("row_index").select("xco2").collect()
+    assert(!xs(0).isNullAt(0))
+    assert(xs(1).isNullAt(0))
+    assert(xs(2).isNullAt(0))
+  }
+
+  test("row-range splits partition one file without changing its contents") {
+    val whole = NetCDFGranules.read(spark, Seq(granulePath))
+    val split = NetCDFGranules.read(spark, Seq(granulePath), maxRowsPerSplit = 3)
+    assert(split.rdd.getNumPartitions === (soundings.length + 2) / 3)
+    val a = whole.orderBy("row_index").collect().toSeq
+    val b = split.orderBy("row_index").collect().toSeq
+    assert(a === b)
+  }
+
+  test("format dispatch unions classic and HDF5 granules in one batch") {
+    val dir = Files.createTempDirectory("mixed-granules")
+    val h5  = writeFixture(dir, "day1.nc4", soundings.take(5))
+    val ncPath = dir.resolve("day2.nc")
+    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(ncPath.toFile))
+    try NetCDFGranules.writeGranule(os, soundings.drop(5)) finally os.close()
+    val both = NetCDFGranules.read(spark, Seq(h5, ncPath.toString))
+    assert(both.count() === soundings.length)
+    val byFile = both.groupBy("granule_path").count().collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1))).toMap
+    assert(byFile === Map("day1.nc4" -> 5L, "day2.nc" -> 5L))
+  }
+
+  test("an HDF5 granule flows through Pipeline.process identically to the in-memory and classic paths") {
+    val fromH5  = NetCDFGranules.readGranules(spark, Seq(granulePath)).drop("granule_path", "sounding_id")
+    val fromMem = SyntheticGranule.toDF(spark, soundings).drop("sounding_id")
+    val cfg = Pipeline.Config(gridN = 8)
+    val key = Seq("target_id", "variable", "lat_idx", "lon_idx")
+    val a = Pipeline.process(fromH5, catalog, cfg)
+      .orderBy(key.map(col): _*).collect().toSeq
+    val b = Pipeline.process(fromMem, catalog, cfg)
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(a.nonEmpty)
+    assert(a === b)
+  }
+}
