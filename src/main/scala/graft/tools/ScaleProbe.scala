@@ -10,10 +10,71 @@ import graft.domain.TargetCatalog.Target
   *
   * Usage: ScaleProbe [nSoundings] [nTargets] [gridN] [method] [variant]
   * variant = target (default) | global (GlobalPipeline over an nGx×nGy
-  * mesh — gridN is reused as nGx/100⇒ mesh 100·gridN × 50·gridN).
+  * mesh — gridN is reused as nGx/100⇒ mesh 100·gridN × 50·gridN)
+  * | text (the text/dedup operator family over a synthetic document
+  * corpus of nSoundings docs — the near-linearity soak sf0.1 can't show).
   * Prints one JSON line: rows in/out + wall seconds.
   */
 object ScaleProbe {
+
+  /** Synthetic corpus: ~60-word docs over a hashed vocabulary, with genuine
+    * duplicate structure (every 50th doc is an exact dup of its
+    * predecessor, every 25th a near-dup differing in one word) so the LSH
+    * band buckets and verify branches do real work at every scale. Built
+    * distributed via spark.range — nothing materializes on the driver. */
+  private def corpus(spark: org.apache.spark.sql.SparkSession, n: Long) = {
+    spark.range(n)
+      .select(
+        col("id").as("doc_id"),
+        // exact dup: reuse predecessor's seed; near-dup: same seed, one-word patch below
+        when(pmod(col("id"), lit(50)) === 1, col("id") - 1)
+          .otherwise(when(pmod(col("id"), lit(25)) === 1, col("id") - 1).otherwise(col("id")))
+          .as("_seed"),
+        (pmod(col("id"), lit(25)) === 1 && pmod(col("id"), lit(50)) =!= 1).as("_patch"))
+      .withColumn(
+        "text",
+        concat_ws(" ",
+          transform(
+            sequence(lit(1), lit(60)),
+            i =>
+              when(col("_patch") && i === 7, lit("patched"))
+                .otherwise(concat(lit("w"), pmod(xxhash64(col("_seed"), i), lit(500)))))))
+      .select(col("doc_id"), col("text"))
+  }
+
+  private def textProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.{Dedup, MinHashLSH, TextAnalysis}
+    val docs = corpus(spark, n).persist()
+    docs.count() // materialize the input so op timings exclude generation
+    val stopwords = Seq("the", "a", "of", "and", "w1", "w2", "w3")
+    val langs = spark.createDataFrame(
+      Seq(("en", "w1"), ("en", "w2"), ("de", "w3"), ("de", "w4"))).toDF("lang", "word")
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "exact_dedup"    -> (() => Dedup.exactStats(docs, Dedup.normalizedTextHash(col("text")), "doc_id")),
+      "token_stats"    -> (() => TextAnalysis.tokenStats(docs, "doc_id", "text", stopwords)),
+      "lang_id"        -> (() => TextAnalysis.languageId(docs, "doc_id", "text", langs)),
+      "fingerprint"    -> (() => TextAnalysis.fingerprint(docs, "doc_id", "text")),
+      "minhash_neardup" -> (() => MinHashLSH.nearDuplicates(docs, "doc_id", "text")),
+      "simhash"        -> (() => TextAnalysis.simHash(docs, "doc_id", "text", bits = 32)),
+      "simhash_neardup" -> (() => TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 32, nBands = 4, maxHamming = 3)),
+      // same operator, corpus-sized band width (15-bit bands = 32k buckets):
+      // the knob that keeps banded LSH linear as the corpus grows
+      "simhash_neardup60" -> (() => TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 60, nBands = 4, maxHamming = 3)),
+      "bpe_tokens"     -> (() => TextAnalysis.bpeTokenStats(docs, "doc_id", "text")),
+      "winnow"         -> (() => TextAnalysis.winnowFingerprints(docs, "doc_id", "text")))
+    // warm-up pass, then timed pass (same protocol as Bench)
+    ops.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }
+    val timed = ops.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+    docs.unpersist()
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(s"""{"probe":"text_family","docs":$n,"ops":$qs}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val n       = if (args.length > 0) args(0).toInt else 100000
     val nTgt    = if (args.length > 1) args(1).toInt else 50
@@ -55,6 +116,11 @@ object ScaleProbe {
       .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
 
     val variant = if (args.length > 4) args(4) else "target"
+    if (variant == "text") {
+      textProbe(spark, n.toLong)
+      spark.stop()
+      return
+    }
     val t0  = System.nanoTime()
     val out = variant match {
       case "global" =>
