@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
-import graft.sources.netcdf.{NetCDF3, SerializableHadoopConf}
+import graft.sources.netcdf.{Hdf5, NetCDF3, SerializableHadoopConf}
 
 /** NetCDF export sink (SURVEY S10, reference `writers/NetCDFWriter.py:30-61`).
   *
@@ -30,13 +30,27 @@ object NetCDFExport {
 
   final case class SliceFile(target_id: String, day: String, path: String, n_pixels: Long)
 
-  /** Encode the sparse long form as one classic NetCDF file per
-    * (target, day) slice under `outDir`. Returns a summary row per file. */
-  def exportTargetDaily(long: DataFrame, outDir: String): Dataset[SliceFile] = {
+  /** Dense per-slice assembly shared by both encoders: (nLat, nLon,
+    * lat2d, lon2d, variable → grid). */
+  private def denseSlice(cells: Array[CellRow]): (Int, Int, Array[Double], Array[Double], Seq[(String, Array[Double])]) = {
+    val nLat = cells.map(_.lat_idx).max + 1
+    val nLon = cells.map(_.lon_idx).max + 1
+    val vars = cells.map(_.variable).distinct.sorted.toSeq
+    def dense(): Array[Double] = Array.fill(nLat * nLon)(Double.NaN)
+    val lat2d = dense(); val lon2d = dense()
+    val grids = vars.map(v => v -> dense()).toMap
+    cells.foreach { c =>
+      val i = c.lat_idx * nLon + c.lon_idx
+      lat2d(i) = c.lat; lon2d(i) = c.lon
+      grids(c.variable)(i) = c.value
+    }
+    (nLat, nLon, lat2d, lon2d, vars.map(v => v -> grids(v)))
+  }
+
+  private def sliceRows(long: DataFrame): Dataset[CellRow] = {
     val spark = long.sparkSession
     import spark.implicits._
-    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    val rows = long.select(
+    long.select(
       col("target_id").cast("string"),
       col("time").cast("date").cast("string").as("day"),
       col("lat_idx").cast("int"),
@@ -45,30 +59,28 @@ object NetCDFExport {
       col("lon").cast("double"),
       col("variable").cast("string"),
       col("value").cast("double")).as[CellRow]
-    rows
+  }
+
+  /** Encode the sparse long form as one classic NetCDF file per
+    * (target, day) slice under `outDir`. Returns a summary row per file. */
+  def exportTargetDaily(long: DataFrame, outDir: String): Dataset[SliceFile] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    sliceRows(long)
       .groupByKey(r => (r.target_id, r.day))
       .mapGroups { (key: (String, String), it: Iterator[CellRow]) =>
         val (target, day) = key
         val cells = it.toArray
-        val nLat  = cells.map(_.lat_idx).max + 1
-        val nLon  = cells.map(_.lon_idx).max + 1
-        val vars  = cells.map(_.variable).distinct.sorted
-        def dense(fill: Double): Array[Double] = Array.fill(nLat * nLon)(fill)
-        val lat2d = dense(Double.NaN); val lon2d = dense(Double.NaN)
-        val grids = vars.map(v => v -> dense(Double.NaN)).toMap
-        cells.foreach { c =>
-          val i = c.lat_idx * nLon + c.lon_idx
-          lat2d(i) = c.lat; lon2d(i) = c.lon
-          grids(c.variable)(i) = c.value
-        }
+        val (nLat, nLon, lat2d, lon2d, grids) = denseSlice(cells)
         import NetCDF3._
         val dims = Seq(Dim("lat", nLat.toLong), Dim("lon", nLon.toLong))
         val vds =
           Seq(
             VarData("latitude", NC_DOUBLE, Seq("lat", "lon"), lat2d),
             VarData("longitude", NC_DOUBLE, Seq("lat", "lon"), lon2d)) ++
-            vars.map(v => VarData(v, NC_DOUBLE, Seq("lat", "lon"), grids(v),
-              atts = Seq(Att("_FillValue", NC_DOUBLE, Array(Double.NaN)))))
+            grids.map { case (v, g) => VarData(v, NC_DOUBLE, Seq("lat", "lon"), g,
+              atts = Seq(Att("_FillValue", NC_DOUBLE, Array(Double.NaN)))) }
         val out = new Path(outDir, s"${target}_$day.nc")
         val fs  = out.getFileSystem(conf.value)
         val os  = fs.create(out, true)
@@ -76,7 +88,53 @@ object NetCDFExport {
           os, dims, vds,
           gatts = Seq(Att("target_id", NC_CHAR, target), Att("day", NC_CHAR, day)))
         finally os.close()
-        SliceFile(target, day, out.toString, cells.length.toLong / math.max(vars.length, 1))
+        SliceFile(target, day, out.toString, cells.length.toLong / math.max(grids.length, 1))
+      }
+  }
+
+  /** Encode the sparse long form as one netCDF-4/HDF5 file per (target,
+    * day) slice — deflate-compressed chunked variables, matching the
+    * reference's zlib complevel 9 (`writers/NetCDFWriter.py:41-42`), with
+    * lat/lon dimension-scale datasets so the files read back through the
+    * `hdf5` source (and any netCDF-4 reader). Same distributed shape as
+    * the classic exporter: the owning task writes each slice. */
+  def exportTargetDailyH5(long: DataFrame, outDir: String, deflateLevel: Int = 9): Dataset[SliceFile] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    sliceRows(long)
+      .groupByKey(r => (r.target_id, r.day))
+      .mapGroups { (key: (String, String), it: Iterator[CellRow]) =>
+        val (target, day) = key
+        val cells = it.toArray
+        val (nLat, nLon, lat2d, lon2d, grids) = denseSlice(cells)
+        import Hdf5._
+        def dimScale(name: String, n: Int) = WVar(
+          name, Seq(n.toLong), new Array[Double](n),
+          atts = Seq(
+            Attr("CLASS", "DIMENSION_SCALE"),
+            Attr("NAME", f"This is a netCDF dimension but not a netCDF variable.$n%10d")))
+        val vds =
+          Seq(
+            dimScale("lat", nLat),
+            dimScale("lon", nLon),
+            WVar("latitude", Seq(nLat.toLong, nLon.toLong), lat2d,
+              chunkRows = nLat, deflateLevel = deflateLevel),
+            WVar("longitude", Seq(nLat.toLong, nLon.toLong), lon2d,
+              chunkRows = nLat, deflateLevel = deflateLevel)) ++
+            grids.map { case (v, g) =>
+              WVar(v, Seq(nLat.toLong, nLon.toLong), g,
+                atts = Seq(Attr("_FillValue", Array(Double.NaN))),
+                chunkRows = nLat, deflateLevel = deflateLevel)
+            }
+        val bytes = Hdf5.write(
+          Seq(WGroup("", vds)),
+          rootAtts = Seq(Attr("target_id", target), Attr("day", day)))
+        val out = new Path(outDir, s"${target}_$day.nc4")
+        val fs  = out.getFileSystem(conf.value)
+        val os  = fs.create(out, true)
+        try os.write(bytes) finally os.close()
+        SliceFile(target, day, out.toString, cells.length.toLong / math.max(grids.length, 1))
       }
   }
 }

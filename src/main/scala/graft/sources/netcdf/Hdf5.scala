@@ -797,31 +797,74 @@ object Hdf5 {
   }
 
   /** Write an HDF5 file: root vars (group "") plus named subgroups, each a
-    * symbol-table group. Returns the encoded bytes. */
-  def write(groups: Seq[WGroup], rootAtts: Seq[Attr] = Nil): Array[Byte] = {
+    * symbol-table group. Returns the encoded bytes.
+    *
+    * `v2Layout = true` emits superblock v2 + v2 ("OHDR") object headers —
+    * the layout newer libhdf5 writes under latest-libver settings — so the
+    * reader's v2 paths are round-trip-tested in-repo, not just spec-coded. */
+  def write(groups: Seq[WGroup], rootAtts: Seq[Attr] = Nil, v2Layout: Boolean = false): Array[Byte] = {
     val buf = new Buf
-    // superblock v0 placeholder; EOF and root header address patched at end
     buf.bytes(Signature)
-    buf.w8(0); buf.w8(0); buf.w8(0); buf.w8(0); buf.w8(0)
-    buf.w8(8); buf.w8(8); buf.w8(0)
-    buf.w16(4); buf.w16(16)
-    buf.w32(0L)
-    buf.w64(0L)        // base address
-    buf.w64(Undef)     // free space
-    val eofPatch = buf.len
-    buf.w64(0L)        // EOF (patched)
-    buf.w64(Undef)     // driver info
-    // root STE
-    buf.w64(0L)        // link name offset
-    val rootHdrPatch = buf.len
-    buf.w64(0L)        // root object header address (patched)
-    buf.w32(0L); buf.w32(0L)
-    buf.bytes(new Array[Byte](16))
+    val (eofPatch, rootHdrPatch) =
+      if (v2Layout) {
+        // superblock v2: sizes, flags, base, extension, EOF, root header, checksum
+        buf.w8(2); buf.w8(8); buf.w8(8); buf.w8(0)
+        buf.w64(0L)      // base address
+        buf.w64(Undef)   // superblock extension
+        val e = buf.len
+        buf.w64(0L)      // EOF (patched)
+        val r = buf.len
+        buf.w64(0L)      // root object header address (patched)
+        buf.w32(0L)      // checksum (readers that verify recompute; ours skips)
+        (e, r)
+      } else {
+        // superblock v0; EOF and root STE header address patched at end
+        buf.w8(0); buf.w8(0); buf.w8(0); buf.w8(0); buf.w8(0)
+        buf.w8(8); buf.w8(8); buf.w8(0)
+        buf.w16(4); buf.w16(16)
+        buf.w32(0L)
+        buf.w64(0L)      // base address
+        buf.w64(Undef)   // free space
+        val e = buf.len
+        buf.w64(0L)      // EOF (patched)
+        buf.w64(Undef)   // driver info
+        buf.w64(0L)      // root STE: link name offset
+        val r = buf.len
+        buf.w64(0L)      // root object header address (patched)
+        buf.w32(0L); buf.w32(0L)
+        buf.bytes(new Array[Byte](16))
+        (e, r)
+      }
 
-    def msg(out: Buf, typ: Int, body: Array[Byte]): Unit = {
-      val padded = (body.length + 7) / 8 * 8
-      out.w16(typ); out.w16(padded); out.w8(0); out.w8(0); out.w8(0); out.w8(0)
-      out.bytes(body); out.bytes(new Array[Byte](padded - body.length))
+    def msg(out: Buf, typ: Int, body: Array[Byte]): Unit =
+      if (v2Layout) {
+        out.w8(typ); out.w16(body.length); out.w8(0)
+        out.bytes(body)
+      } else {
+        val padded = (body.length + 7) / 8 * 8
+        out.w16(typ); out.w16(padded); out.w8(0); out.w8(0); out.w8(0); out.w8(0)
+        out.bytes(body); out.bytes(new Array[Byte](padded - body.length))
+      }
+
+    /** Emit an object header (v1 or v2) over pre-rendered messages. */
+    def writeHeader(nMsgs: Int, msgs: Array[Byte]): Long = {
+      val hdrAddr = buf.len.toLong
+      if (v2Layout) {
+        buf.bytes("OHDR".getBytes)
+        buf.w8(2)
+        buf.w8(1) // flags: 2-byte size-of-chunk0, nothing else
+        buf.w16(msgs.length)
+        buf.bytes(msgs)
+        buf.w32(0L) // checksum placeholder (reader skips)
+      } else {
+        buf.w8(1); buf.w8(0)
+        buf.w16(nMsgs)
+        buf.w32(1L)
+        buf.w32(msgs.length.toLong)
+        buf.w32(0L) // pad to 8-align message start
+        buf.bytes(msgs)
+      }
+      hdrAddr
     }
 
     /** Write one dataset: data first (addresses known), then object header.
@@ -899,16 +942,7 @@ object Hdf5 {
       msg(msgsB, 0x0008, layoutB.result())
       filterB.foreach(fb => msg(msgsB, 0x000B, fb))
       v.atts.foreach(a => msg(msgsB, 0x000C, attrBody(a)))
-      val msgs = msgsB.result()
-      val nMsgs = 4 + filterB.size + v.atts.length
-      val hdrAddr = buf.len.toLong
-      buf.w8(1); buf.w8(0)
-      buf.w16(nMsgs)
-      buf.w32(1L)
-      buf.w32(msgs.length.toLong)
-      buf.w32(0L) // pad to 8-align message start
-      buf.bytes(msgs)
-      hdrAddr
+      writeHeader(4 + filterB.size + v.atts.length, msgsB.result())
     }
 
     /** Write a symbol-table group over (name → header addr) children.
@@ -952,15 +986,7 @@ object Hdf5 {
       val msgsB = new Buf
       msg(msgsB, 0x0011, stB.result())
       atts.foreach(a => msg(msgsB, 0x000C, attrBody(a)))
-      val msgs = msgsB.result()
-      val hdrAddr = buf.len.toLong
-      buf.w8(1); buf.w8(0)
-      buf.w16(1 + atts.length)
-      buf.w32(1L)
-      buf.w32(msgs.length.toLong)
-      buf.w32(0L)
-      buf.bytes(msgs)
-      hdrAddr
+      writeHeader(1 + atts.length, msgsB.result())
     }
 
     val rootVars = groups.find(_.name == "").map(_.vars).getOrElse(Nil)

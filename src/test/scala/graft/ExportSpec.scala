@@ -127,6 +127,42 @@ class ExportSpec extends SparkSpec {
     assert(back === want)
   }
 
+  test("netCDF-4 export: one deflate-compressed .nc4 per (target, day), values round-trip") {
+    val dir = Files.createTempDirectory("nc4exp").toString
+    val files = graft.sinks.NetCDFExport.exportTargetDailyH5(product, dir).collect()
+    assert(files.map(_.target_id).sorted === Array("fossil0001", "volcano0002"))
+    val f = files.find(_.target_id === "fossil0001").get
+    val back = spark.read.format("hdf5").option("rowdim", "lat").load(f.path)
+      .selectExpr("row_index AS lat_idx", "posexplode(xco2) AS (lon_idx, v)", "latitude", "longitude")
+      .filter(col("v").isNotNull)
+      .select(
+        col("lat_idx").cast("int"),
+        col("lon_idx").cast("int"),
+        col("v"),
+        expr("latitude[lon_idx]").as("lat"),
+        expr("longitude[lon_idx]").as("lon"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val want = product
+      .filter(col("target_id") === "fossil0001" && col("variable") === "xco2")
+      .select(col("lat_idx"), col("lon_idx"), col("value"), col("lat"), col("lon"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(back === want)
+    // deflate parity with the reference's zlib-9 export: compression
+    // actually shrinks the chunk payloads (same metadata either way; on
+    // this tiny demo slice the file-level win shows only against the
+    // uncompressed HDF5 encoding)
+    val rawDir = Files.createTempDirectory("nc4exp-raw").toString
+    val raw = graft.sinks.NetCDFExport.exportTargetDailyH5(product, rawDir, deflateLevel = 0)
+      .collect().find(_.target_id === "fossil0001").get
+    def size(p: String) = new java.io.File(new java.net.URI(
+      if (p.startsWith("file:")) p else "file://" + p)).length()
+    assert(size(f.path) < size(raw.path))
+  }
+
   test("GeoTIFF codec: tiled float64 raster round-trips with georeferencing") {
     val (w, h) = (300, 270) // forces 2x2 tiles with padding
     val data = Array.tabulate(w * h)(i => if (i % 7 == 0) Double.NaN else i * 0.5)

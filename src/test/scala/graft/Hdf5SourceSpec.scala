@@ -64,6 +64,25 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(f.dataset("xco2").get.fillValue.contains(999999.0))
   }
 
+  test("v2 layout (superblock v2 + OHDR headers) round-trips through the same reader paths") {
+    val ss = soundings.take(6)
+    val v2 = Hdf5.write(
+      Seq(Hdf5.WGroup("", Seq(
+        Hdf5.WVar("latitude", Seq(6L), ss.map(_.latitude).toArray, chunkRows = 2, deflateLevel = 6),
+        Hdf5.WVar("xco2", Seq(6L), ss.map(_.xco2).toArray,
+          atts = Seq(Hdf5.Attr("_FillValue", Array(999999.0)))))),
+        Hdf5.WGroup("Sounding", Seq(
+          Hdf5.WVar("target_id", Seq(6L), ss.map(_.target_id).toArray, strSize = 24)))),
+      v2Layout = true)
+    val f = Hdf5.open(new Hdf5.BytesInput(v2))
+    val lat = f.dataset("latitude").get
+    val bb  = java.nio.ByteBuffer.wrap(f.readRows(lat, 0, 6)).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ss.indices.foreach(i => assert(bb.getDouble(i * 8) === ss(i).latitude))
+    assert(f.dataset("xco2").get.fillValue.contains(999999.0))
+    val traw = f.readRows(f.dataset("Sounding/target_id").get, 5, 6)
+    assert(new String(traw, "UTF-8").takeWhile(_ != 0) === "Missing")
+  }
+
   test("chunk index prunes I/O: a row slice reads only overlapping chunks") {
     val bytes = NetCDFGranules.writeGranuleH5(soundings, chunkRows = 2)
     var readBytes = 0L
