@@ -105,14 +105,23 @@ object RelationalQueries {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
     val l = Tables.lineitem(s, dir)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
+    // Pre-aggregate lineitem per order BEFORE the join: map-side partials
+    // shrink the shuffle to one row per order, the COUNT DISTINCT becomes a
+    // plain count (one row per order by construction — no Expand doubling
+    // the fact stream through the aggregate), and the per-order decimal
+    // sums re-sum exactly (decimal addition is associative). At 100 TB this
+    // is the difference between shuffling the fact table and shuffling the
+    // order table.
+    val perOrder = l.groupBy(col("l_orderkey"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("_rev"))
+    perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        count(lit(1)).as("n_orders"),
+        sum(col("_rev")).cast("double").as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

@@ -65,7 +65,14 @@ object MicroBatchIngest {
         val paths = batch.select(col("granule_path")).distinct().collect().map(_.getString(0))
         if (paths.nonEmpty) {
           val granules = graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths.toSeq)
-          val product  = graft.domain.Pipeline.process(granules.drop("sounding_id"), catalog, cfg)
+          // persistSessions=false in the streaming loop: a per-batch persist
+          // with no unpersist accumulates cached RDDs for the life of the
+          // query, and each batch is one granule (prefetch-1 mirror) where
+          // the session subtree's recompute is cheaper than unbounded cache
+          // growth. Batch-mode callers keep the cache: they run one action
+          // and release the session with the job.
+          val product = graft.domain.Pipeline.process(
+            granules.drop("sounding_id"), catalog, cfg.copy(persistSessions = false))
           graft.sinks.ProductStore.appendIdempotent(product, storePath)
         }
       }
