@@ -121,6 +121,53 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "h5granule") {
+      // front-door probe: encode an n-sounding netCDF-4/HDF5 granule
+      // (chunked+deflate, the real L2 Lite storage profile), ingest it
+      // through the hdf5 source and run the full target pipeline
+      import graft.sources.SyntheticGranule.Sounding
+      val day = java.sql.Timestamp.valueOf("2023-06-15 10:30:00")
+      val ss = (0 until n).map { i =>
+        val tgt  = (i / 200) % nTgt
+        val lon  = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+        val lat  = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+        Sounding(
+          sounding_index = i.toLong,
+          sounding_id = 2023061500000000L + i,
+          latitude = lat, longitude = lon, time = day,
+          vertex_latitude = Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
+          vertex_longitude = Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
+          xco2_quality_flag = if (i % 10 == 9) 1 else 0,
+          xco2 = 400.0 + (i % 100) / 10.0,
+          xco2_uncertainty = 0.5,
+          operation_mode = if (tgt % 2 == 0) 4 else 2,
+          target_id = f"fossil$tgt%04d")
+      }
+      val tw0   = System.nanoTime()
+      val bytes = graft.sources.netcdf.NetCDFGranules.writeGranuleH5(ss, chunkRows = 16384, deflateLevel = 4)
+      val encS  = (System.nanoTime() - tw0) / 1e9
+      val p     = java.nio.file.Files.createTempDirectory("h5probe").resolve("granule.nc4")
+      java.nio.file.Files.write(p, bytes)
+      val catalog2 = TargetCatalog.toDF(
+        spark,
+        (0 until nTgt).map { i =>
+          val lon = -170.0 + (i % 160) * 2.0
+          val lat = -40.0 + (i / 160) * 4.0
+          Target(f"fossil$i%04d", s"T$i", lon, lat, lon + 2.0, lat + 2.0)
+        })
+      val t0 = System.nanoTime()
+      // 64k-row splits: one granule file fans out across the executor
+      // threads (and across a cluster), chunk-pruned per split
+      val granules = graft.sources.netcdf.NetCDFGranules.toGranule(
+        graft.sources.netcdf.NetCDFGranules.read(spark, Seq(p.toString), maxRowsPerSplit = 65536))
+        .drop("sounding_id")
+      val out  = Pipeline.process(granules, catalog2, Pipeline.Config(gridN = gridN))
+      val nOut = out.count()
+      val sec  = (System.nanoTime() - t0) / 1e9
+      println(s"""{"probe":"h5_granule_pipeline","soundings":$n,"file_bytes":${bytes.length},"encode_sec":$encS,"out_rows":$nOut,"sec":$sec}""")
+      spark.stop()
+      return
+    }
     val t0  = System.nanoTime()
     val out = variant match {
       case "global" =>
