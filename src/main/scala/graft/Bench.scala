@@ -9,6 +9,21 @@ import org.apache.spark.sql.SparkSession
   * would pay for).
   */
 object Bench {
+
+  /** Previous-round per-query raw timings from a committed BENCH_r*.json's
+    * text. Parses ONLY the `"queries"` object: the file also holds a
+    * `"delta_sec"` object keyed by the same names, and a whole-file key
+    * scrape lets those overwrite the raw timings (the r3
+    * phantom-regression artifact — pinned by AdviceRegressionSpec). */
+  def parsePrevQueries(fileText: String): Map[String, Double] = {
+    // driver wraps the metric line as an escaped string — unescape first
+    val txt = fileText.replace("\\\"", "\"")
+    "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt).map { qblock =>
+      "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
+        .findAllMatchIn(qblock.group(1)).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -58,23 +73,16 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // per-query deltas vs the newest committed BENCH_r*.json. Parse ONLY the
-    // "queries" object: the file also holds a "delta_sec" object keyed by the
-    // same names, and a whole-file key scrape lets those overwrite the raw
-    // timings (the r3 phantom-regression artifact).
+    // per-query deltas vs the newest committed BENCH_r*.json (see
+    // parsePrevQueries for why only that file's "queries" block is read)
     val prev = new java.io.File(".").listFiles()
       .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-    val deltas = prev.flatMap { f =>
-      // driver wraps the metric line as an escaped string — unescape first
-      val txt = scala.io.Source.fromFile(f, "UTF-8").mkString.replace("\\\"", "\"")
-      "\"queries\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt).map { qblock =>
-        val prevQ = "\"(q[^\"]+)\"\\s*:\\s*([0-9.eE+-]+)".r
-          .findAllMatchIn(qblock.group(1)).map(m => m.group(1) -> m.group(2).toDouble).toMap
-        val ds = results.flatMap { case (k, v, _) =>
-          prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
-        }
-        s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
+    val deltas = prev.map { f =>
+      val prevQ = parsePrevQueries(scala.io.Source.fromFile(f, "UTF-8").mkString)
+      val ds = results.flatMap { case (k, v, _) =>
+        prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
+      s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
     }.getOrElse("")
     // failures are machine-visible in the metric line, not just stderr
     val line =

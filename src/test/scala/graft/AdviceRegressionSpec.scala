@@ -16,6 +16,24 @@ class AdviceRegressionSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("bench delta parser reads raw timings only, never the delta_sec block (r3 artifact)") {
+    // a committed BENCH_r*.json holds BOTH objects keyed by query name; the
+    // r3 harness scraped keys file-wide and delta values overwrote raw
+    // timings for every query present in both blocks
+    val committed =
+      """{"metric":"total","value":10.0,"unit":"sec",""" +
+        """"queries":{"q01_a":1.500,"q02_b":2.000},""" +
+        """"failed":[],"sf":"sf0.1",""" +
+        """"delta_vs":"BENCH_r02.json","delta_sec":{"q01_a":9.999,"q02_b":-9.999}}"""
+    val parsed = Bench.parsePrevQueries(committed)
+    assert(parsed === Map("q01_a" -> 1.5, "q02_b" -> 2.0))
+    // driver-escaped form (the metric line stored as a quoted string)
+    val escaped = committed.replace("\"", "\\\"")
+    assert(Bench.parsePrevQueries(escaped) === Map("q01_a" -> 1.5, "q02_b" -> 2.0))
+    // no queries block → empty, not a crash
+    assert(Bench.parsePrevQueries("""{"metric":"total"}""") === Map.empty)
+  }
+
   test("as-of join never tears a row: null value columns stay with the newest right row") {
     // right rows: older row has val_a set; NEWEST prior row has val_a NULL.
     // A per-column fill would steal val_a from the older row; the struct
