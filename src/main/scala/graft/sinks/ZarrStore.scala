@@ -1,0 +1,276 @@
+package graft.sinks
+
+import java.util.zip.{Deflater, Inflater}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.netcdf.SerializableHadoopConf
+
+/** Zarr v2 product store — the reference's PRIMARY sink format
+  * (`writers/ZarrWriter.py`): one array per variable over a
+  * (time, lat, lon) grid, 5×250×250-day/pixel chunks, compressed chunk
+  * payloads, append along the time axis, coverage attrs on the root group.
+  *
+  * This is the actual public Zarr v2 layout (`.zgroup`/`.zarray`/`.zattrs`
+  * JSON + `t.y.x` chunk files), with the xarray `_ARRAY_DIMENSIONS`
+  * convention and 1-D time/lat/lon coordinate arrays, so any Zarr client
+  * (zarr-python, xarray, GDAL) opens the store directly. The compressor is
+  * numcodecs `zlib` (the JVM has no Blosc; zlib level 9 carries the
+  * reference's clevel-9 intent and every Zarr reader ships it). Chunks
+  * holding no data are simply absent — readers materialize `fill_value`
+  * (NaN), the reference's `write_empty_chunks=False`.
+  *
+  * Scale shape: one task per non-empty (variable, time-chunk, lat-chunk,
+  * lon-chunk) cell assembles and writes that cell's file after one shuffle
+  * on the cell key; the driver writes only the JSON metadata and the tiny
+  * 1-D coordinate arrays. Appends merge boundary time-chunks executor-side
+  * (read + inflate + overlay + rewrite the touched files only) and must
+  * extend the time axis monotonically — exactly the reference's
+  * append_dim='time' daily-forward model.
+  */
+object ZarrStore {
+
+  /** Regular lat/lon mesh: index i → lat0 + i·dlat (ascending), same for
+    * lon. */
+  final case class GridSpec(h: Int, w: Int, lat0: Double, dlat: Double, lon0: Double, dlon: Double)
+
+  /** Chunk shape in (time, lat, lon) — reference default 5×250×250
+    * (`ZarrWriter.py:236-263`). */
+  final case class Chunking(t: Int = 5, y: Int = 250, x: Int = 250)
+
+  private def fsFor(path: String, spark: SparkSession) = {
+    val p = new Path(path)
+    (p, p.getFileSystem(spark.sessionState.newHadoopConf()))
+  }
+
+  private def writeFile(fs: org.apache.hadoop.fs.FileSystem, p: Path, bytes: Array[Byte]): Unit = {
+    val os = fs.create(p, true)
+    try os.write(bytes) finally os.close()
+  }
+
+  private def readFileOpt(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Array[Byte]] =
+    if (!fs.exists(p)) None
+    else {
+      val in  = fs.open(p)
+      val len = fs.getFileStatus(p).getLen.toInt
+      val b   = new Array[Byte](len)
+      try { in.readFully(0, b, 0, len); Some(b) } finally in.close()
+    }
+
+  private def zlib(raw: Array[Byte], level: Int): Array[Byte] = {
+    val d = new Deflater(level)
+    d.setInput(raw); d.finish()
+    val o   = new java.io.ByteArrayOutputStream(raw.length / 4 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end()
+    o.toByteArray
+  }
+
+  private def unzlib(stored: Array[Byte], rawLen: Int): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(stored)
+    val out = new Array[Byte](rawLen)
+    var filled = 0
+    while (!inf.finished() && filled < rawLen) {
+      val k = inf.inflate(out, filled, rawLen - filled)
+      if (k == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated zlib chunk")
+      filled += k
+    }
+    inf.end()
+    out
+  }
+
+  private def doublesLE(a: Array[Double]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(a.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    a.foreach(b.putDouble); b.array()
+  }
+
+  private def lEDoubles(b: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Array.fill(b.length / 8)(bb.getDouble())
+  }
+
+  private def zarrayJson(shape: Seq[Long], chunks: Seq[Int], level: Int): String =
+    s"""{
+       |  "zarr_format": 2,
+       |  "shape": [${shape.mkString(", ")}],
+       |  "chunks": [${chunks.mkString(", ")}],
+       |  "dtype": "<f8",
+       |  "compressor": {"id": "zlib", "level": $level},
+       |  "fill_value": "NaN",
+       |  "order": "C",
+       |  "filters": null
+       |}
+       |""".stripMargin
+
+  private def zattrsJson(dims: Seq[String], extra: Seq[(String, String)] = Nil): String = {
+    val dimLine = s""""_ARRAY_DIMENSIONS": [${dims.map("\"" + _ + "\"").mkString(", ")}]"""
+    val lines   = dimLine +: extra.map { case (k, v) => s""""$k": "$v"""" }
+    lines.mkString("{\n  ", ",\n  ", "\n}\n")
+  }
+
+  /** Write a 1-D float64 coordinate array as a single chunk. */
+  private def writeCoord(fs: org.apache.hadoop.fs.FileSystem, root: Path, name: String, values: Array[Double], dim: String, level: Int, units: Option[String] = None): Unit = {
+    val dir = new Path(root, name)
+    fs.mkdirs(dir)
+    writeFile(fs, new Path(dir, ".zarray"), zarrayJson(Seq(values.length.toLong), Seq(values.length.max(1)), level).getBytes("UTF-8"))
+    writeFile(fs, new Path(dir, ".zattrs"),
+      zattrsJson(Seq(dim), units.map("units" -> _).toSeq).getBytes("UTF-8"))
+    writeFile(fs, new Path(dir, "0"), zlib(doublesLE(values), level))
+  }
+
+  /** Existing time axis (days since epoch), if the store exists. */
+  def existingDays(spark: SparkSession, path: String): Seq[Long] = {
+    val (root, fs) = fsFor(path, spark)
+    val za = readFileOpt(fs, new Path(new Path(root, "time"), ".zarray")).map(new String(_, "UTF-8"))
+    za match {
+      case None => Nil
+      case Some(json) =>
+        val n = "\"shape\"\\s*:\\s*\\[\\s*(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
+        if (n == 0) Nil
+        else readFileOpt(fs, new Path(new Path(root, "time"), "0"))
+          .map(b => lEDoubles(unzlib(b, n * 8)).map(_.toLong).toSeq)
+          .getOrElse(Nil)
+    }
+  }
+
+  /** Create or append. `long` columns: time (castable to date), variable,
+    * lat_idx, lon_idx, value. Appended days must all be AFTER the store's
+    * current coverage (the reference's forward-only time append). */
+  def write(
+      long: DataFrame,
+      path: String,
+      grid: GridSpec,
+      chunks: Chunking = Chunking(),
+      level: Int = 9,
+      now: String = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Unit = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val (root, fs) = fsFor(path, spark)
+
+    // ---- time axis: existing days ++ new days (strictly increasing)
+    val oldDays = existingDays(spark, path)
+    val newDays = long
+      .select(datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
+      .distinct().orderBy(col("d")).as[Long].collect().toSeq
+    val freshDays = newDays.filterNot(oldDays.toSet)
+    require(
+      oldDays.isEmpty || freshDays.forall(_ > oldDays.max),
+      s"zarr append must extend the time axis forward (existing max ${if (oldDays.isEmpty) "-" else oldDays.max})")
+    val allDays  = oldDays ++ freshDays
+    require(allDays.nonEmpty, "zarr write: input has no days")
+    val dayIndex = allDays.zipWithIndex.map { case (d, i) => d -> i }.toMap
+    val t0Old    = oldDays.length
+
+    val variables = long.select(col("variable").cast("string")).distinct().as[String].collect().sorted
+    val conf  = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val bcIdx = spark.sparkContext.broadcast(dayIndex)
+    val (ct, cy, cx) = (chunks.t, chunks.y, chunks.x)
+    val (gh, gw) = (grid.h, grid.w)
+    val rootStr  = root.toString
+
+    // ---- chunk cells: shuffle once on the cell key, write cell files
+    val cells = long.select(
+      col("variable").cast("string").as("v"),
+      datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"),
+      col("lat_idx").cast("int").as("y"),
+      col("lon_idx").cast("int").as("x"),
+      col("value").cast("double").as("value"))
+      .as[(String, Long, Int, Int, Double)]
+      .groupByKey { r =>
+        val t = bcIdx.value(r._2)
+        (r._1, t / ct, r._3 / cy, r._4 / cx)
+      }
+      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[(String, Long, Int, Int, Double)]) =>
+        val (v, tc, yc, xc) = key
+        val chunkPath = new Path(new Path(rootStr, v), s"$tc.$yc.$xc")
+        val cfs       = chunkPath.getFileSystem(conf.value)
+        val rawLen    = ct * cy * cx * 8
+        // boundary merge: overlay onto the existing chunk if present
+        val base = readFileOpt(cfs, chunkPath) match {
+          case Some(stored) => lEDoubles(unzlib(stored, rawLen))
+          case None         => Array.fill(ct * cy * cx)(Double.NaN)
+        }
+        val idx = bcIdx.value
+        it.foreach { case (_, d, y, x, value) =>
+          val t = idx(d)
+          base(((t % ct) * cy + (y % cy)) * cx + (x % cx)) = value
+        }
+        writeFile(cfs, chunkPath, zlib(doublesLE(base), level))
+        (v, tc, yc, xc)
+      }
+    cells.write.format("noop").mode("overwrite").save() // materialize the writes
+
+    // ---- driver-side metadata: group, per-variable arrays, coordinates
+    fs.mkdirs(root)
+    writeFile(fs, new Path(root, ".zgroup"), "{\n  \"zarr_format\": 2\n}\n".getBytes("UTF-8"))
+    val shape = Seq(allDays.length.toLong, gh.toLong, gw.toLong)
+    variables.foreach { v =>
+      val dir = new Path(root, v)
+      fs.mkdirs(dir)
+      writeFile(fs, new Path(dir, ".zarray"), zarrayJson(shape, Seq(ct, cy, cx), level).getBytes("UTF-8"))
+      writeFile(fs, new Path(dir, ".zattrs"), zattrsJson(Seq("time", "lat", "lon")).getBytes("UTF-8"))
+    }
+    writeCoord(fs, root, "time", allDays.map(_.toDouble).toArray, "time", level,
+      units = Some("days since 1970-01-01"))
+    writeCoord(fs, root, "lat", Array.tabulate(gh)(i => grid.lat0 + i * grid.dlat), "lat", level)
+    writeCoord(fs, root, "lon", Array.tabulate(gw)(i => grid.lon0 + i * grid.dlon), "lon", level)
+    // root attrs: reference coverage/date semantics (`ZarrWriter.py:140-167`)
+    val attrsP = new Path(root, ".zattrs")
+    val existing: Map[String, String] = readFileOpt(fs, attrsP).map { b =>
+      "\"([^\"]+)\"\\s*:\\s*\"([^\"]*)\"".r.findAllMatchIn(new String(b, "UTF-8"))
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }.getOrElse(Map.empty)
+    def iso(day: Long) = java.time.LocalDate.ofEpochDay(day).toString + "T00:00:00Z"
+    val aStart = iso(allDays.min); val aEnd = iso(allDays.max)
+    val merged = Map(
+      "date_created"   -> existing.getOrElse("date_created", now),
+      "date_updated"   -> now,
+      "coverage_start" -> existing.get("coverage_start").filter(_ <= aStart).getOrElse(aStart),
+      "coverage_end"   -> existing.get("coverage_end").filter(_ >= aEnd).getOrElse(aEnd))
+    writeFile(fs, attrsP,
+      merged.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }
+        .mkString("{\n  ", ",\n  ", "\n}\n").getBytes("UTF-8"))
+    bcIdx.destroy()
+  }
+
+  /** Read one variable back as (time_idx, lat_idx, lon_idx, value) — the
+    * round-trip verification surface. Chunk files fan out one per task. */
+  def read(spark: SparkSession, path: String, variable: String): DataFrame = {
+    import spark.implicits._
+    val (root, fs) = fsFor(path, spark)
+    val dir  = new Path(root, variable)
+    val json = new String(readFileOpt(fs, new Path(dir, ".zarray"))
+      .getOrElse(throw new IllegalArgumentException(s"no .zarray for $variable")), "UTF-8")
+    def ints(key: String): Seq[Int] =
+      s""""$key"\\s*:\\s*\\[([^\\]]*)\\]""".r.findFirstMatchIn(json)
+        .map(_.group(1).split(",").map(_.trim.toInt).toSeq)
+        .getOrElse(throw new IllegalArgumentException(s"bad .zarray: missing $key"))
+    val Seq(nt, nh, nw) = ints("shape")
+    val Seq(ct, cy, cx) = ints("chunks")
+    val files = fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("\\d+\\.\\d+\\.\\d+")).toSeq.sorted
+    val conf    = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val dirStr  = dir.toString
+    spark.createDataset(files)
+      .repartition(math.max(1, math.min(files.length, 32)))
+      .flatMap { name =>
+        val Array(tc, yc, xc) = name.split('.').map(_.toInt)
+        val p   = new Path(dirStr, name)
+        val cfs = p.getFileSystem(conf.value)
+        val raw = lEDoubles(unzlib(readFileOpt(cfs, p).get, ct * cy * cx * 8))
+        for {
+          t <- 0 until ct; y <- 0 until cy; x <- 0 until cx
+          gt = tc * ct + t; gy = yc * cy + y; gx = xc * cx + x
+          if gt < nt && gy < nh && gx < nw
+          v = raw((t * cy + y) * cx + x)
+          if !v.isNaN
+        } yield (gt, gy, gx, v)
+      }
+      .toDF("time_idx", "lat_idx", "lon_idx", "value")
+  }
+}

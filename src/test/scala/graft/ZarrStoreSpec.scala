@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.domain.Pipeline
+import graft.queries.DomainQueries
+import graft.sinks.ZarrStore
+
+/** Zarr v2 store sink (reference `writers/ZarrWriter.py`): public-format
+  * metadata, chunk-grid file layout, zlib chunk codec, absent empty
+  * chunks, forward-only time append with boundary-chunk merge. */
+class ZarrStoreSpec extends SparkSpec {
+
+  // one target: the store models a single (time, lat, lon) grid, and the
+  // demo catalog's two targets both index pixels 0..15 on their own grids
+  private lazy val product =
+    Pipeline.process(DomainQueries.demoGranule(spark), DomainQueries.demoCatalog(spark))
+      .filter(col("target_id") === "fossil0001").cache()
+
+  private val grid   = ZarrStore.GridSpec(16, 16, 40.0, 0.125, 10.0, 0.125)
+  private val chunks = ZarrStore.Chunking(t = 5, y = 6, x = 6)
+
+  private def slurp(p: String): String = new String(Files.readAllBytes(Paths.get(p)), "UTF-8")
+
+  test("create writes valid Zarr v2 metadata and round-trips values") {
+    val path = Files.createTempDirectory("zarr").toString
+    ZarrStore.write(product, path, grid, chunks)
+    // root group + root attrs
+    assert(slurp(s"$path/.zgroup").contains("\"zarr_format\": 2"))
+    val rootAttrs = slurp(s"$path/.zattrs")
+    assert(rootAttrs.contains("\"coverage_start\": \"2023-06-15T00:00:00Z\""))
+    // per-variable array metadata: shape (1 day, 16, 16), chunk (5,6,6),
+    // zlib codec, NaN fill, xarray dims convention
+    val za = slurp(s"$path/xco2/.zarray")
+    assert(za.contains("\"shape\": [1, 16, 16]"))
+    assert(za.contains("\"chunks\": [5, 6, 6]"))
+    assert(za.contains("\"id\": \"zlib\""))
+    assert(za.contains("\"fill_value\": \"NaN\""))
+    assert(slurp(s"$path/xco2/.zattrs").contains("\"_ARRAY_DIMENSIONS\": [\"time\", \"lat\", \"lon\"]"))
+    // coordinate arrays exist with dims
+    assert(slurp(s"$path/time/.zattrs").contains("days since 1970-01-01"))
+    assert(slurp(s"$path/lat/.zarray").contains("\"shape\": [16]"))
+    // values round-trip bit-exactly through the public chunk format
+    val back = ZarrStore.read(spark, path, "xco2")
+      .select(col("lat_idx"), col("lon_idx"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted
+    val want = product.filter(col("variable") === "xco2")
+      .select(col("lat_idx"), col("lon_idx"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).sorted
+    assert(back.nonEmpty && back === want)
+  }
+
+  test("empty chunk cells produce no files (write_empty_chunks=False semantics)") {
+    val path = Files.createTempDirectory("zarr-empty").toString
+    // data only in the low-left 6x6 chunk cell
+    val corner = product.filter(col("lat_idx") < 6 && col("lon_idx") < 6 && col("variable") === "xco2")
+    ZarrStore.write(corner, path, grid, chunks)
+    val files = new java.io.File(s"$path/xco2").listFiles().map(_.getName).filter(!_.startsWith("."))
+    assert(files.toSeq === Seq("0.0.0"))
+  }
+
+  test("append extends the time axis and merges boundary chunks; out-of-order appends are rejected") {
+    val path = Files.createTempDirectory("zarr-append").toString
+    ZarrStore.write(product, path, grid, chunks)
+    // next day: time axis grows to 2; day 1 lands in the SAME time-chunk
+    // (ct=5) so the existing chunk files must merge, not be replaced
+    val day2 = product.withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+      .withColumn("value", col("value") + 100.0)
+    ZarrStore.write(day2, path, grid, chunks)
+    assert(slurp(s"$path/xco2/.zarray").contains("\"shape\": [2, 16, 16]"))
+    assert(ZarrStore.existingDays(spark, path) ===
+      Seq(java.time.LocalDate.parse("2023-06-15").toEpochDay, java.time.LocalDate.parse("2023-06-16").toEpochDay))
+    val back = ZarrStore.read(spark, path, "xco2")
+    // both days present, day-0 values untouched, day-1 = day-0 + 100
+    val d0 = back.filter(col("time_idx") === 0).agg(sum("value")).collect()(0).getDouble(0)
+    val d1n = back.filter(col("time_idx") === 1).count()
+    val d0n = back.filter(col("time_idx") === 0).count()
+    assert(d0n === d1n && d1n > 0)
+    val d1 = back.filter(col("time_idx") === 1).agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(d1 - (d0 + 100.0 * d0n)) < 1e-6)
+    // coverage widened
+    assert(slurp(s"$path/.zattrs").contains("\"coverage_end\": \"2023-06-16T00:00:00Z\""))
+    // rewriting an EARLIER day is rejected (forward-only append, as in the
+    // reference's daily pipeline)
+    val earlier = product.withColumn("time", to_timestamp(lit("2023-06-01 00:00:00")))
+    val e = intercept[IllegalArgumentException](ZarrStore.write(earlier, path, grid, chunks))
+    assert(e.getMessage.contains("forward"))
+  }
+
+  test("zlib chunks actually compress and store NaN fill for absent pixels") {
+    val path = Files.createTempDirectory("zarr-z").toString
+    ZarrStore.write(product, path, grid, chunks)
+    val f = new java.io.File(s"$path/xco2/0.0.0")
+    assert(f.exists())
+    assert(f.length() < 5L * 6 * 6 * 8) // smaller than the raw chunk
+  }
+}
