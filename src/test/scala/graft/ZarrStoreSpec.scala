@@ -89,6 +89,25 @@ class ZarrStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("forward"))
   }
 
+  test("streaming foreachBatch appends days to the Zarr store (the reference's production loop)") {
+    // the reference's run loop: queue batch → pipeline → Zarr append along
+    // time. Here: a file-manifest stream of two day-stamped batches through
+    // the generic ingest wrapper with ZarrStore.write as the sink.
+    val src  = Files.createTempDirectory("zstream-src").toString
+    val path = Files.createTempDirectory("zstream-store").toString
+    val ckpt = Files.createTempDirectory("zstream-ckpt").toString
+    val day2 = product.withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+    product.unionByName(day2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(product.schema).parquet(src)
+    val q = graft.streaming.MicroBatchIngest
+      .ingest(stream, identity, b => ZarrStore.write(b, path, grid, chunks), ckpt)
+      .start()
+    q.awaitTermination(60000)
+    assert(slurp(s"$path/xco2/.zarray").contains("\"shape\": [2, 16, 16]"))
+    val back = ZarrStore.read(spark, path, "xco2")
+    assert(back.filter(col("time_idx") === 0).count() === back.filter(col("time_idx") === 1).count())
+  }
+
   test("zlib chunks actually compress and store NaN fill for absent pixels") {
     val path = Files.createTempDirectory("zarr-z").toString
     ZarrStore.write(product, path, grid, chunks)
