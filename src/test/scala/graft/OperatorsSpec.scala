@@ -38,6 +38,49 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs === Array((1L, 2L)))
   }
 
+  test("MinHash kernel forms are bit-identical to the relational reference forms") {
+    // the one-pass codegen kernels replaced the explode/join plans on the
+    // hot path; the relational forms remain the in-repo correctness
+    // reference and must agree exactly
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox leaps over the lazy dog again and again"),
+      (3L, "completely different text with other words entirely here now"),
+      (4L, "short doc"),
+      (5L, "the quick brown fox jumps over the lazy dog again and again"))
+      .toDF("doc_id", "text")
+    // signatures: kernel vs shingle-explode + min-aggregate
+    val kern = MinHashLSH.signaturesWideKernel(docs, "doc_id", "text", 3, 8)
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val rel = MinHashLSH.signaturesWide(
+      MinHashLSH.shingles(docs, "doc_id", "text", 3), "doc_id", 8)
+      .orderBy("doc_id")
+      .select(kern.head.indices.map(i => col(s"${if (i == 0) "doc_id" else s"mh${i - 1}"}")): _*)
+      .collect().map(_.toSeq)
+    assert(kern.nonEmpty && kern === rel)
+    // verification: per-pair kernel vs the two-sided shingle join (pairs
+    // with shingle overlap — the relational join emits no row at all for
+    // zero-overlap pairs, the kernel emits jaccard=0; both drop them at
+    // any minJaccard > 0, which is how nearDuplicates calls them)
+    val pairs = Seq((1L, 2L), (1L, 5L), (2L, 5L)).toDF("doc_a", "doc_b")
+    val sh    = MinHashLSH.shingles(docs, "doc_id", "text", 3)
+    val relV = MinHashLSH.verifyJaccard(pairs, sh, "doc_id", minJaccard = 0.0)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val texts = docs.select(col("doc_id"), col("text"))
+    val kernV = pairs
+      .join(texts.select(col("doc_id").as("doc_a"), col("text").as("text_a")), "doc_a")
+      .join(texts.select(col("doc_id").as("doc_b"), col("text").as("text_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        graft.functions.JaccardShingles(col("text_a"), col("text_b"), 3).as("j"))
+      .select(col("doc_a"), col("doc_b"), col("j").getItem(0).as("n_common"),
+        (col("j").getItem(0).cast("double") /
+          (col("j").getItem(1) + col("j").getItem(2) - col("j").getItem(0))).as("jaccard"))
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(relV.length === 3 && kernV === relV)
+  }
+
   test("SimHash: identical docs hash identically, disjoint docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
