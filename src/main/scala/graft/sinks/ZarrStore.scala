@@ -167,26 +167,33 @@ object ZarrStore {
     val t0Old    = oldDays.length
 
     val variables = long.select(col("variable").cast("string")).distinct().as[String].collect().sorted
-    val conf  = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
-    val bcIdx = spark.sparkContext.broadcast(dayIndex)
+    val conf   = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val bcIdx  = spark.sparkContext.broadcast(dayIndex)
+    val bcVars = spark.sparkContext.broadcast(variables)
     val (ct, cy, cx) = (chunks.t, chunks.y, chunks.x)
     val (gh, gw) = (grid.h, grid.w)
     val rootStr  = root.toString
 
-    // ---- chunk cells: shuffle once on the cell key, write cell files
+    // ---- chunk cells: shuffle once on the cell key, write cell files.
+    // The variable name dictionary-encodes to an int via a literal map
+    // BEFORE the shuffle: per-pixel rows carry 4 bytes, not a string.
+    val varIdxCol = element_at(
+      map(variables.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i)) }: _*),
+      col("variable").cast("string"))
     val cells = long.select(
-      col("variable").cast("string").as("v"),
+      varIdxCol.as("vi"),
       datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"),
       col("lat_idx").cast("int").as("y"),
       col("lon_idx").cast("int").as("x"),
       col("value").cast("double").as("value"))
-      .as[(String, Long, Int, Int, Double)]
+      .as[(Int, Long, Int, Int, Double)]
       .groupByKey { r =>
         val t = bcIdx.value(r._2)
         (r._1, t / ct, r._3 / cy, r._4 / cx)
       }
-      .mapGroups { (key: (String, Int, Int, Int), it: Iterator[(String, Long, Int, Int, Double)]) =>
-        val (v, tc, yc, xc) = key
+      .mapGroups { (key: (Int, Int, Int, Int), it: Iterator[(Int, Long, Int, Int, Double)]) =>
+        val (vi, tc, yc, xc) = key
+        val v = bcVars.value(vi)
         val chunkPath = new Path(new Path(rootStr, v), s"$tc.$yc.$xc")
         val cfs       = chunkPath.getFileSystem(conf.value)
         val rawLen    = ct * cy * cx * 8
