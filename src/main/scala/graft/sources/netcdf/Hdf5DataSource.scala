@@ -75,10 +75,11 @@ class Hdf5Scan(required: StructType, options: CaseInsensitiveStringMap) extends 
     val conf    = SparkSession.active.sessionState.newHadoopConf()
     val paths   = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
-    paths.flatMap { p =>
+    // parallel driver metadata reads, as in the netcdf3 source
+    NetCDF3Util.parMap(paths) { p =>
       val n = Hdf5Util.withFile(p, conf)(f => Hdf5Util.rowCount(f, Option(options.get("rowdim"))))
-      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)))
-    }.toArray
+      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)): InputPartition)
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

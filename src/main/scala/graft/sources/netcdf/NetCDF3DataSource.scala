@@ -87,11 +87,13 @@ class NetCDF3Scan(required: StructType, options: CaseInsensitiveStringMap) exten
     val conf     = SparkSession.active.sessionState.newHadoopConf()
     val paths    = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows  = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
-    paths.flatMap { p =>
+    // header reads parallelize across a bounded pool: a 10k-granule
+    // manifest must not serialize 10k driver round-trips
+    NetCDF3Util.parMap(paths) { p =>
       val header = NetCDF3Util.readHeader(p, conf)
       val n      = header.dims(NetCDF3Util.rowDimId(header, NetCDF3Util.rowDim(header, options))).length
-      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)))
-    }.toArray
+      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)): InputPartition)
+    }.flatten.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -242,6 +244,19 @@ class NetCDF3PartitionReader(
 /** Shared path/schema helpers for the netcdf3 source. */
 object NetCDF3Util {
   import NetCDF3._
+
+  /** Order-preserving parallel map over paths with a bounded thread pool —
+    * driver-side metadata reads (file headers) for large manifests. */
+  def parMap[A, B](items: Seq[A], threads: Int = 16)(f: A => B): Seq[B] = {
+    if (items.lengthCompare(2) < 0) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(threads, items.length))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks: Seq[java.util.concurrent.Callable[B]] =
+        items.map(a => (() => f(a)): java.util.concurrent.Callable[B])
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
+  }
 
   final case class Mapping(schema: StructType)
 

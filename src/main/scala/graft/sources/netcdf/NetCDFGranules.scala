@@ -30,19 +30,23 @@ object NetCDFGranules {
     * granule lists are bounded by the manifest, never the data. */
   def read(spark: SparkSession, paths: Seq[String], maxRowsPerSplit: Long = 1L << 20): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
-    val (h5, classic) = paths.partition { p =>
+    val sniffed = NetCDF3Util.parMap(paths) { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
-      if (!fs.isFile(hp)) false
-      else {
-        val in = fs.open(hp)
-        try {
-          val b = new Array[Byte](8)
-          in.readFully(0, b, 0, 8)
-          Hdf5.isHdf5(b)
-        } catch { case _: java.io.EOFException => false } finally in.close()
-      }
+      val isH5 =
+        if (!fs.isFile(hp)) false
+        else {
+          val in = fs.open(hp)
+          try {
+            val b = new Array[Byte](8)
+            in.readFully(0, b, 0, 8)
+            Hdf5.isHdf5(b)
+          } catch { case _: java.io.EOFException => false } finally in.close()
+        }
+      p -> isH5
     }
+    val (h5Pairs, classicPairs) = sniffed.partition(_._2)
+    val (h5, classic) = (h5Pairs.map(_._1), classicPairs.map(_._1))
     def load(fmt: String, ps: Seq[String]): Option[DataFrame] =
       if (ps.isEmpty) None
       else Some(spark.read.format(fmt).option("maxrowspersplit", maxRowsPerSplit).load(ps: _*))
