@@ -152,11 +152,43 @@ object ZarrStore {
     import spark.implicits._
     val (root, fs) = fsFor(path, spark)
 
-    // ---- time axis: existing days ++ new days (strictly increasing)
-    val oldDays = existingDays(spark, path)
-    val newDays = long
-      .select(datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"))
-      .distinct().orderBy(col("d")).as[Long].collect().toSeq
+    // One compute of the (possibly expensive) input plan: project to the
+    // store's essential columns and persist, so the metadata pass and the
+    // chunk pass don't each re-run the whole upstream pipeline (measured
+    // 3× → 1× on the 1M-sounding global probe).
+    val proj = long.select(
+      col("variable").cast("string").as("v"),
+      datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"),
+      col("lat_idx").cast("int").as("y"),
+      col("lon_idx").cast("int").as("x"),
+      col("value").cast("double").as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writePersisted(proj, path, grid, chunks, level, now, root, fs, spark)
+    } finally {
+      proj.unpersist()
+      ()
+    }
+  }
+
+  private def writePersisted(
+      proj: DataFrame,
+      path: String,
+      grid: GridSpec,
+      chunks: Chunking,
+      level: Int,
+      now: String,
+      root: Path,
+      fs: org.apache.hadoop.fs.FileSystem,
+      spark: SparkSession): Unit = {
+    import spark.implicits._
+
+    // ---- single metadata pass: (day, variable) pairs are bounded
+    val dayVar = proj.select(col("d"), col("v")).distinct().as[(Long, String)].collect()
+
+    // time axis: existing days ++ new days (strictly increasing)
+    val oldDays  = existingDays(spark, path)
+    val newDays  = dayVar.map(_._1).distinct.sorted.toSeq
     val freshDays = newDays.filterNot(oldDays.toSet)
     require(
       oldDays.isEmpty || freshDays.forall(_ > oldDays.max),
@@ -164,9 +196,8 @@ object ZarrStore {
     val allDays  = oldDays ++ freshDays
     require(allDays.nonEmpty, "zarr write: input has no days")
     val dayIndex = allDays.zipWithIndex.map { case (d, i) => d -> i }.toMap
-    val t0Old    = oldDays.length
 
-    val variables = long.select(col("variable").cast("string")).distinct().as[String].collect().sorted
+    val variables = dayVar.map(_._2).distinct.sorted.toSeq
     val conf   = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val bcIdx  = spark.sparkContext.broadcast(dayIndex)
     val bcVars = spark.sparkContext.broadcast(variables)
@@ -179,13 +210,9 @@ object ZarrStore {
     // BEFORE the shuffle: per-pixel rows carry 4 bytes, not a string.
     val varIdxCol = element_at(
       map(variables.zipWithIndex.flatMap { case (v, i) => Seq(lit(v), lit(i)) }: _*),
-      col("variable").cast("string"))
-    val cells = long.select(
-      varIdxCol.as("vi"),
-      datediff(col("time").cast("date"), lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("d"),
-      col("lat_idx").cast("int").as("y"),
-      col("lon_idx").cast("int").as("x"),
-      col("value").cast("double").as("value"))
+      col("v"))
+    val cells = proj.select(
+      varIdxCol.as("vi"), col("d"), col("y"), col("x"), col("value"))
       .as[(Int, Long, Int, Int, Double)]
       .groupByKey { r =>
         val t = bcIdx.value(r._2)

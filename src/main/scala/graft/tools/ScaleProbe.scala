@@ -42,6 +42,31 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Parametric synthetic granule: runs of ~200 soundings per region,
+    * cycling over targets, every 5th block nadir-mode noise; built
+    * distributed via spark.range. */
+  private def syntheticGranule(spark: org.apache.spark.sql.SparkSession, n: Int, nTgt: Int) =
+    spark
+      .range(n)
+      .select(
+        col("id").as("sounding_index"),
+        (col("id") / 200).cast("long").as("_block"))
+      .withColumn("_tgt", pmod(col("_block"), lit(nTgt * 5 / 4)).cast("int"))
+      .withColumn("_isObs", col("_tgt") < nTgt)
+      .withColumn("operation_mode", when(col("_isObs"), when(pmod(col("_block"), lit(2)) === 0, 4).otherwise(2)).otherwise(0))
+      .withColumn("target_id", when(col("_isObs"), format_string("fossil%04d", col("_tgt"))).otherwise("Missing"))
+      .withColumn("_lonBase", lit(-170.0) + pmod(col("_tgt"), lit(160)) * 2.0)
+      .withColumn("_latBase", lit(-40.0) + (col("_tgt") / 160).cast("int") * 4.0)
+      .withColumn("longitude", col("_lonBase") + pmod(col("sounding_index") * 7919, lit(2000)) / 1000.0)
+      .withColumn("latitude", col("_latBase") + pmod(col("sounding_index") * 104729, lit(2000)) / 1000.0)
+      .withColumn("time", to_timestamp(lit("2023-06-15 10:30:00")))
+      .withColumn("vertex_longitude", array(col("longitude") - 0.01, col("longitude") + 0.01, col("longitude") + 0.01, col("longitude") - 0.01))
+      .withColumn("vertex_latitude", array(col("latitude") - 0.01, col("latitude") - 0.01, col("latitude") + 0.01, col("latitude") + 0.01))
+      .withColumn("xco2_quality_flag", when(pmod(col("sounding_index"), lit(10)) === 9, 1).otherwise(0))
+      .withColumn("xco2", lit(400.0) + pmod(col("sounding_index"), lit(100)) / 10.0)
+      .withColumn("xco2_uncertainty", lit(0.5))
+      .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
+
   private def textProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     import graft.operators.{Dedup, MinHashLSH, TextAnalysis}
     val docs = corpus(spark, n).persist()
@@ -92,30 +117,33 @@ object ScaleProbe {
         Target(f"fossil$i%04d", s"T$i", lon, lat, lon + 2.0, lat + 2.0)
       })
 
-    // granule: runs of ~200 soundings per region, cycling over targets,
-    // every 5th block nadir-mode noise; built distributed via spark.range
-    val granule = spark
-      .range(n)
-      .select(
-        col("id").as("sounding_index"),
-        (col("id") / 200).cast("long").as("_block"))
-      .withColumn("_tgt", pmod(col("_block"), lit(nTgt * 5 / 4)).cast("int"))
-      .withColumn("_isObs", col("_tgt") < nTgt)
-      .withColumn("operation_mode", when(col("_isObs"), when(pmod(col("_block"), lit(2)) === 0, 4).otherwise(2)).otherwise(0))
-      .withColumn("target_id", when(col("_isObs"), format_string("fossil%04d", col("_tgt"))).otherwise("Missing"))
-      .withColumn("_lonBase", lit(-170.0) + pmod(col("_tgt"), lit(160)) * 2.0)
-      .withColumn("_latBase", lit(-40.0) + (col("_tgt") / 160).cast("int") * 4.0)
-      .withColumn("longitude", col("_lonBase") + pmod(col("sounding_index") * 7919, lit(2000)) / 1000.0)
-      .withColumn("latitude", col("_latBase") + pmod(col("sounding_index") * 104729, lit(2000)) / 1000.0)
-      .withColumn("time", to_timestamp(lit("2023-06-15 10:30:00")))
-      .withColumn("vertex_longitude", array(col("longitude") - 0.01, col("longitude") + 0.01, col("longitude") + 0.01, col("longitude") - 0.01))
-      .withColumn("vertex_latitude", array(col("latitude") - 0.01, col("latitude") - 0.01, col("latitude") + 0.01, col("latitude") + 0.01))
-      .withColumn("xco2_quality_flag", when(pmod(col("sounding_index"), lit(10)) === 9, 1).otherwise(0))
-      .withColumn("xco2", lit(400.0) + pmod(col("sounding_index"), lit(100)) / 10.0)
-      .withColumn("xco2_uncertainty", lit(0.5))
-      .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
+    val granule = syntheticGranule(spark, n, nTgt)
 
     val variant = if (args.length > 4) args(4) else "target"
+    if (variant == "globalzarr") {
+      // production sink probe: global pipeline over the parametric mesh,
+      // then the Zarr v2 store write (the reference's primary output path)
+      val nx = 100 * gridN; val ny = 50 * gridN
+      val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, nx, -90.0, 90.0, ny)
+      val granule = syntheticGranule(spark, n, nTgt)
+      val out = graft.domain.GlobalPipeline.process(granule, mesh, Pipeline.Config(gridN = gridN, method = method))
+      val t0 = System.nanoTime()
+      val zPath = java.nio.file.Files.createTempDirectory("zarrprobe").toString
+      graft.sinks.ZarrStore.write(
+        out, zPath,
+        graft.sinks.ZarrStore.GridSpec(ny, nx, -90.0 + 180.0 / ny / 2, 180.0 / ny, -180.0 + 360.0 / nx / 2, 360.0 / nx))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val files = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(zPath))
+      }
+      val chunkFiles = files.count(_.getName.matches("\\d+\\.\\d+\\.\\d+"))
+      val bytes = files.map(_.length()).sum
+      println(s"""{"probe":"global_zarr_write","soundings":$n,"mesh":"${nx}x$ny","chunk_files":$chunkFiles,"store_bytes":$bytes,"sec":$sec}""")
+      spark.stop()
+      return
+    }
     if (variant == "text") {
       textProbe(spark, n.toLong)
       spark.stop()
