@@ -28,6 +28,37 @@ object TargetCatalog {
     targets.toDF()
   }
 
+  /** Parse the reference's own catalog file format (`targets.json`:
+    * `target_id → {bbox{min/max lon/lat}, centroid_wkt, id, name}`,
+    * `main.py:458-480`) into the catalog DataFrame — a reference user's
+    * existing file works unchanged. Driver-side parse: the catalog is
+    * broadcast-sized by construction (559 entries in production). */
+  def fromJson(spark: SparkSession, path: String): DataFrame = {
+    val p  = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootN  = mapper.readTree(text)
+    val targets = scala.collection.mutable.ArrayBuffer.empty[Target]
+    val it = rootN.fields()
+    while (it.hasNext) {
+      val e    = it.next()
+      val v    = e.getValue
+      val bbox = v.get("bbox")
+      targets += Target(
+        target_id = Option(v.get("id")).map(_.asText).getOrElse(e.getKey),
+        name      = Option(v.get("name")).map(_.asText).getOrElse(""),
+        min_lon   = bbox.get("min_lon").asDouble,
+        min_lat   = bbox.get("min_lat").asDouble,
+        max_lon   = bbox.get("max_lon").asDouble,
+        max_lat   = bbox.get("max_lat").asDouble)
+    }
+    toDF(spark, targets.toSeq)
+  }
+
   /** Prefix-family classification (`TargetInfo.py:149-154`): first matching
     * prefix of {fossil, ecostress, sif, volcano, tccon}, else 'other'. */
   def idType(id: Column): Column =

@@ -1,0 +1,145 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.domain.{GlobalPipeline, Pipeline, TargetCatalog}
+import graft.operators.Grid
+import graft.sinks.{CoGExport, NetCDFExport, ProductStore, ZarrStore}
+import graft.sources.netcdf.NetCDFGranules
+
+/** Config-driven batch run — the reference's `main.py` entry point over its
+  * own run-config YAML shape (`sam_extract/schema/run-config-schema.yaml`),
+  * so an existing config file drives the Spark engine with minimal edits.
+  *
+  * Usage: RunJob <run-config.yaml>
+  *
+  * Recognized subset (reference keys, kebab-case):
+  * {{{
+  * input:
+  *   files: [granule.nc4, ...]        # or {oco3: [...]} mission map
+  * output:
+  *   local: /path/store               # required
+  *   format: zarr | parquet           # extension; default parquet for
+  *                                    # target mode, zarr for global mode
+  *   global: false                    # true → GlobalPipeline onto the mesh
+  *   drop-empty: true
+  *   cog: {output: {local: /path}}    # optional GeoTIFF slice export
+  *   nc4: {output: {local: /path}}    # optional netCDF-4 slice export (ext)
+  * grid:
+  *   latitude: 3200                   # global mesh height (global mode)
+  *   longitude: 6400                  # global mesh width
+  *   method: nearest | linear | cubic
+  *   target-n: 64                     # extension: per-target grid N
+  * chunking: {time: 5, latitude: 250, longitude: 250}
+  * mask-scaling: 1.2
+  * target-file: /path/targets.json    # the reference's catalog format
+  * }}}
+  *
+  * Unsupported reference keys (s3/rmq credentials, naming patterns) are
+  * ignored; the streaming entry point is `MicroBatchIngest.ingestQueue`.
+  */
+object RunJob {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: RunJob <run-config.yaml>")
+    // embeddable: reuse a caller's running session (tests, notebooks) and
+    // only stop what this main itself started
+    val preExisting = org.apache.spark.sql.SparkSession.getActiveSession.isDefined
+    val spark = Jobs.session("graft-run")
+    spark.sparkContext.setLogLevel("WARN")
+    val conf = spark.sessionState.newHadoopConf()
+
+    // ---- parse config (YAML via the Jackson shipped with Spark)
+    val p  = new org.apache.hadoop.fs.Path(args(0))
+    val fs = p.getFileSystem(conf)
+    val text = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = yaml.readTree(text)
+    def at(pathKeys: String*): Option[com.fasterxml.jackson.databind.JsonNode] =
+      pathKeys.foldLeft(Option(root)) { (n, k) => n.flatMap(x => Option(x.get(k))) }
+    def str(keys: String*): Option[String] = at(keys: _*).map(_.asText)
+    def int(keys: String*): Option[Int]    = at(keys: _*).map(_.asInt)
+    def bool(keys: String*): Boolean       = at(keys: _*).exists(_.asBoolean)
+
+    // input.files: plain list, or mission-keyed map (values = lists)
+    val files: Seq[String] = at("input", "files") match {
+      case None => throw new IllegalArgumentException("config: input.files is required")
+      case Some(n) if n.isArray =>
+        (0 until n.size).map(n.get(_).asText)
+      case Some(n) =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.toSeq.flatMap { e =>
+          val v = e.getValue
+          if (v == null || v.isNull) Nil
+          else if (v.isArray) (0 until v.size).map(v.get(_).asText)
+          else Seq(v.asText)
+        }
+    }
+    val outPath   = str("output", "local").getOrElse(
+      throw new IllegalArgumentException("config: output.local is required"))
+    val isGlobal  = bool("output", "global")
+    val format    = str("output", "format").getOrElse(if (isGlobal) "zarr" else "parquet")
+    val dropEmpty = bool("output", "drop-empty")
+    val method    = str("grid", "method").getOrElse("nearest")
+    val gridN     = int("grid", "target-n").getOrElse(64)
+    val meshH     = int("grid", "latitude").getOrElse(3200)
+    val meshW     = int("grid", "longitude").getOrElse(6400)
+    val chunking  = ZarrStore.Chunking(
+      t = int("chunking", "time").getOrElse(5),
+      y = int("chunking", "latitude").getOrElse(250),
+      x = int("chunking", "longitude").getOrElse(250))
+    val maskScale = at("mask-scaling").map(_.asDouble).getOrElse(1.0)
+
+    // ---- catalog + granules → pipeline
+    val catalog = str("target-file").map(TargetCatalog.fromJson(spark, _))
+    val granules = NetCDFGranules.readGranules(spark, files).drop("sounding_id")
+    val cfg = Pipeline.Config(gridN = gridN, method = method, maskScale = maskScale)
+    val product: DataFrame =
+      if (isGlobal) {
+        val mesh = Grid.GridSpec(-180.0, 180.0, meshW, -90.0, 90.0, meshH)
+        GlobalPipeline.process(granules, mesh, cfg)
+      } else {
+        val cat = catalog.getOrElse(
+          throw new IllegalArgumentException("config: target-file is required unless output.global"))
+        Pipeline.process(granules, cat, cfg)
+      }
+    val cleaned = if (dropEmpty) ProductStore.dropEmptySlices(product) else product
+
+    // ---- store + optional slice exports
+    format match {
+      case "zarr" =>
+        require(isGlobal, "zarr store indexes the global mesh; use output.global=true (or format=parquet)")
+        ZarrStore.write(
+          cleaned, outPath,
+          ZarrStore.GridSpec(
+            meshH, meshW,
+            -90.0 + 180.0 / meshH / 2, 180.0 / meshH,
+            -180.0 + 360.0 / meshW / 2, 360.0 / meshW),
+          chunking)
+      case "parquet" =>
+        ProductStore.appendIdempotent(cleaned, outPath, dropEmpty = false)
+      case other => throw new IllegalArgumentException(s"config: unknown output.format $other")
+    }
+    val nCog = str("output", "cog", "output", "local").map { dir =>
+      CoGExport.exportSlices(cleaned, dir).count()
+    }
+    val nNc4 = str("output", "nc4", "output", "local").map { dir =>
+      NetCDFExport.exportTargetDailyH5(cleaned, dir).count()
+    }
+
+    val nOut = format match {
+      case "parquet" => ProductStore.read(spark, outPath).count()
+      case _         => cleaned.count()
+    }
+    println(
+      s"""{"job":"run","granules":${files.length},"store":"$outPath","format":"$format","rows":$nOut""" +
+        nCog.map(n => s""","cog_slices":$n""").getOrElse("") +
+        nNc4.map(n => s""","nc4_slices":$n""").getOrElse("") + "}")
+    if (!preExisting) spark.stop()
+  }
+}
