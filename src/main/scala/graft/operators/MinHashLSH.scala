@@ -97,7 +97,13 @@ object MinHashLSH {
     * — the signature subtree evaluates ONCE (a self-join scans it twice)
     * and only (band_key, id) rows ever shuffle. Buckets are tiny by the
     * near-dup premise, so the pair explosion is quadratic only inside
-    * genuine duplicate clusters — the standard web-scale LSH shape. */
+    * genuine duplicate clusters — the standard web-scale LSH shape.
+    *
+    * Degenerate corpora (massive exact-duplicate clusters) make any LSH
+    * bucketing quadratic in the cluster size — the self-join shape
+    * included. Run [[Dedup.exactStats]]/keep-first FIRST (the standard
+    * pipeline order); after exact dedup, bucket sizes are bounded by
+    * genuine near-dup cluster sizes. */
   def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
     val ids = array_sort(collect_list(col(idCol)))
     bands.groupBy(col("band"), col("band_key"))
