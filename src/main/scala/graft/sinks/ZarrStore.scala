@@ -269,6 +269,21 @@ object ZarrStore {
     writeFile(fs, attrsP,
       merged.toSeq.sorted.map { case (k, v) => s""""$k": "$v"""" }
         .mkString("{\n  ", ",\n  ", "\n}\n").getBytes("UTF-8"))
+    // consolidated metadata (the reference writes it via zarr's
+    // consolidate_metadata): every metadata document inlined under one
+    // root .zmetadata, so openers do a single read instead of one per array
+    val metaKeys =
+      Seq(".zgroup", ".zattrs") ++
+        (variables ++ Seq("time", "lat", "lon")).flatMap(v => Seq(s"$v/.zarray", s"$v/.zattrs"))
+    val entries = metaKeys.flatMap { k =>
+      readFileOpt(fs, new Path(root, k)).map { b =>
+        s""""$k": ${new String(b, "UTF-8").trim}"""
+      }
+    }
+    writeFile(fs, new Path(root, ".zmetadata"),
+      entries.mkString(
+        "{\n  \"metadata\": {\n    ", ",\n    ", "\n  },\n  \"zarr_consolidated_format\": 1\n}\n")
+        .getBytes("UTF-8"))
     bcIdx.destroy()
   }
 

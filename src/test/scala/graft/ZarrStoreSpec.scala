@@ -42,6 +42,10 @@ class ZarrStoreSpec extends SparkSpec {
     // coordinate arrays exist with dims
     assert(slurp(s"$path/time/.zattrs").contains("days since 1970-01-01"))
     assert(slurp(s"$path/lat/.zarray").contains("\"shape\": [16]"))
+    // consolidated metadata inlines every metadata doc (reference parity)
+    val zmeta = slurp(s"$path/.zmetadata")
+    assert(zmeta.contains("\"zarr_consolidated_format\": 1"))
+    assert(zmeta.contains("\"xco2/.zarray\"") && zmeta.contains("\"time/.zattrs\""))
     // values round-trip bit-exactly through the public chunk format
     val back = ZarrStore.read(spark, path, "xco2")
       .select(col("lat_idx"), col("lon_idx"), col("value"))
