@@ -73,12 +73,27 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    // per-query deltas vs the newest committed BENCH_r*.json (see
-    // parsePrevQueries for why only that file's "queries" block is read)
-    val prev = new java.io.File(".").listFiles()
-      .filter(f => f.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-    val deltas = prev.map { f =>
-      val prevQ = parsePrevQueries(scala.io.Source.fromFile(f, "UTF-8").mkString)
+    // per-query deltas vs the most COMPLETE parseable baseline among the
+    // committed bench artifacts: driver-written BENCH_r*.json tails can be
+    // truncated before the "queries" block (r3's was), while the
+    // self-persisted BENCH_SELF.json always carries full metrics — pick by
+    // parsed-query count, newest on ties (see parsePrevQueries for why only
+    // the "queries" block is read)
+    val candidates = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") || f.getName == "BENCH_SELF.json")
+    val prev = candidates
+      .map { f =>
+        val txt = scala.io.Source.fromFile(f, "UTF-8").mkString
+        // cross-scale-factor deltas are meaningless: only baselines whose
+        // recorded sf matches this run (or records none) qualify
+        val sfOk = "\"sf\"\\s*:\\s*\\\\?\"([^\"\\\\]+)".r.findFirstMatchIn(txt.replace("\\\"", "\""))
+          .forall(m => m.group(1) == sfDir || sfDir.endsWith(m.group(1)) || m.group(1).endsWith(sfDir))
+        f -> (if (sfOk) parsePrevQueries(txt) else Map.empty[String, Double])
+      }
+      .filter(_._2.nonEmpty)
+      .sortBy { case (f, m) => (m.size, f.lastModified) }
+      .lastOption
+    val deltas = prev.map { case (f, prevQ) =>
       val ds = results.flatMap { case (k, v, _) =>
         prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
