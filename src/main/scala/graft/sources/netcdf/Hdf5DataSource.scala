@@ -305,13 +305,32 @@ object Hdf5Util {
       }
   }
 
+  /** Dataset attributes as column metadata (units, long_name, fill …) —
+    * mirrors the netcdf3 source's attr carrying (SURVEY §1.3). */
+  private def fieldMetadata(atts: Seq[Hdf5.Attr]): Metadata = {
+    val b = new MetadataBuilder()
+    atts.foreach { a =>
+      a.value match {
+        case s: String          => b.putString(a.name, s)
+        case arr: Array[Double] if arr.length == 1 => b.putDouble(a.name, arr(0))
+        case arr: Array[Float]  if arr.length == 1 => b.putDouble(a.name, arr(0).toDouble)
+        case arr: Array[Int]    if arr.length == 1 => b.putLong(a.name, arr(0).toLong)
+        case arr: Array[Long]   if arr.length == 1 => b.putLong(a.name, arr(0))
+        case arr: Array[Short]  if arr.length == 1 => b.putLong(a.name, arr(0).toLong)
+        case _                  => ()
+      }
+    }
+    b.build()
+  }
+
   /** Schema: one column per row-dimension dataset (in file order) +
     * synthesized granule_path and row_index. */
   def schemaOf(f: H5File, rowDim: Option[String]): StructType = {
     val n = rowCount(f, rowDim)
     val fields = variableDatasets(f).flatMap { d =>
       if (d.shape.headOption.contains(n))
-        sparkType(d).map(t => StructField(columnName(d.path), t, nullable = true))
+        sparkType(d).map(t =>
+          StructField(columnName(d.path), t, nullable = true, metadata = fieldMetadata(d.atts)))
       else None
     }
     StructType(

@@ -342,13 +342,33 @@ object NetCDF3Util {
     }
   }
 
+  /** Variable attributes as column metadata (units, long_name, fill …) —
+    * the reference carries attrs with every variable (SURVEY §1.3); here
+    * they ride the StructField so `df.schema("xco2").metadata` answers. */
+  private def fieldMetadata(atts: Seq[Att]): Metadata = {
+    val b = new MetadataBuilder()
+    atts.foreach { a =>
+      a.value match {
+        case s: String          => b.putString(a.name, s)
+        case arr: Array[Double] if arr.length == 1 => b.putDouble(a.name, arr(0))
+        case arr: Array[Float]  if arr.length == 1 => b.putDouble(a.name, arr(0).toDouble)
+        case arr: Array[Int]    if arr.length == 1 => b.putLong(a.name, arr(0).toLong)
+        case arr: Array[Long]   if arr.length == 1 => b.putLong(a.name, arr(0))
+        case arr: Array[Short]  if arr.length == 1 => b.putLong(a.name, arr(0).toLong)
+        case _                  => () // multi-element numeric attrs: rare, skipped
+      }
+    }
+    b.build()
+  }
+
   /** Schema: one column per row-dimension variable (in file order) +
     * synthesized granule_path and row_index. */
   def schemaOf(header: Header, rowDimName: String): Mapping = {
     val rid = rowDimId(header, rowDimName)
     val fields = header.vars.flatMap { v =>
       if (v.dimIds.headOption.contains(rid))
-        sparkType(v, header).map(t => StructField(columnName(v.name), t, nullable = true))
+        sparkType(v, header).map(t =>
+          StructField(columnName(v.name), t, nullable = true, metadata = fieldMetadata(v.atts)))
       else None
     }
     Mapping(StructType(

@@ -116,6 +116,9 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(r(2).getAs[Seq[Double]]("vertex_longitude").length === 4)
     // the dimension-scale dataset is a dim, not a column
     assert(!raw.columns.contains("sounding"))
+    // variable attributes ride the schema as column metadata
+    assert(raw.schema("time").metadata.getString("units") === "seconds since 1970-01-01 00:00:00")
+    assert(raw.schema("xco2").metadata.getDouble("_FillValue") === 999999.0)
   }
 
   test("projection pushdown prunes the scan to the selected variables") {

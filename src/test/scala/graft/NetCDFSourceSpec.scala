@@ -47,6 +47,9 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(r(7).getAs[String]("Sounding_target_id") === "volcano0002")
     assert(r(2).getAs[Seq[Double]]("vertex_longitude").length === 4)
     assert(r.forall(_.getAs[String]("granule_path").endsWith(".nc")))
+    // variable attributes ride the schema as column metadata
+    assert(raw.schema("time").metadata.getString("units") === "seconds since 1970-01-01 00:00:00")
+    assert(raw.schema("xco2").metadata.getDouble("_FillValue") === 999999.0)
   }
 
   test("projection pushdown prunes the scan to the selected variables") {
