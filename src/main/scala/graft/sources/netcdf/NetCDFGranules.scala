@@ -58,15 +58,30 @@ object NetCDFGranules {
     }
   }
 
+  /** CF-style time decode (xarray `decode_times` analog): an epoch offset
+    * in whole seconds from a `units` attribute like
+    * "seconds since 1990-01-01 00:00:00" — the SIF products' 1990 epoch
+    * (`OCO3SifProcessor.py:66,93-95`) decodes correctly without callers
+    * knowing the mission. Unparseable/absent units → unix epoch. */
+  private[netcdf] def epochOffsetSeconds(units: String): Long =
+    "since\\s+(\\d{4})-(\\d{2})-(\\d{2})".r.findFirstMatchIn(units).map { m =>
+      java.time.LocalDate.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+        .toEpochDay * 86400L
+    }.getOrElse(0L)
+
   /** Map the raw netcdf3 columns to the pipeline's logical granule schema.
     * Column pruning pushes through this projection to the file scan. */
-  def toGranule(raw: DataFrame): DataFrame =
+  def toGranule(raw: DataFrame): DataFrame = {
+    val offset =
+      if (raw.schema.fieldNames.contains("time") && raw.schema("time").metadata.contains("units"))
+        epochOffsetSeconds(raw.schema("time").metadata.getString("units"))
+      else 0L
     raw.select(
       col("row_index").as("sounding_index"),
       col("sounding_id"),
       col("latitude"),
       col("longitude"),
-      timestamp_seconds(col("time")).as("time"),
+      timestamp_seconds(col("time") + lit(offset)).as("time"),
       col("vertex_latitude").cast("array<double>").as("vertex_latitude"),
       col("vertex_longitude").cast("array<double>").as("vertex_longitude"),
       col("xco2_quality_flag"),
@@ -75,6 +90,7 @@ object NetCDFGranules {
       col("Sounding_operation_mode").as("operation_mode"),
       col("Sounding_target_id").as("target_id"),
       col("granule_path"))
+  }
 
   /** End-to-end convenience: files → pipeline-ready granule table. */
   def readGranules(spark: SparkSession, paths: Seq[String]): DataFrame =
@@ -117,11 +133,16 @@ object NetCDFGranules {
     * ESSENTIAL_VARS), a `sounding` dimension-scale dataset, and
     * chunked+deflate science variables — the storage profile of real L2
     * Lite files. */
-  def writeGranuleH5(soundings: Seq[Sounding], chunkRows: Int = 0, deflateLevel: Int = 6): Array[Byte] = {
+  def writeGranuleH5(
+      soundings: Seq[Sounding],
+      chunkRows: Int = 0,
+      deflateLevel: Int = 6,
+      timeUnits: String = "seconds since 1970-01-01 00:00:00"): Array[Byte] = {
     import Hdf5._
     val n  = soundings.length
     val nv = soundings.headOption.map(_.vertex_latitude.length).getOrElse(4)
     val cr = if (chunkRows > 0) chunkRows else n.max(1)
+    val epochOff = epochOffsetSeconds(timeUnits)
     def d(f: Sounding => Double): Array[Double] = soundings.map(f).toArray
     val dimScale = Seq(
       Attr("CLASS", "DIMENSION_SCALE"),
@@ -132,8 +153,8 @@ object NetCDFGranules {
         chunkRows = cr, deflateLevel = deflateLevel),
       WVar("latitude", Seq(n.toLong), d(_.latitude), chunkRows = cr, deflateLevel = deflateLevel),
       WVar("longitude", Seq(n.toLong), d(_.longitude), chunkRows = cr, deflateLevel = deflateLevel),
-      WVar("time", Seq(n.toLong), d(_.time.getTime / 1000.0),
-        atts = Seq(Attr("units", "seconds since 1970-01-01 00:00:00")),
+      WVar("time", Seq(n.toLong), d(s => s.time.getTime / 1000.0 - epochOff),
+        atts = Seq(Attr("units", timeUnits)),
         chunkRows = cr, deflateLevel = deflateLevel),
       WVar("vertex_latitude", Seq(n.toLong, nv.toLong),
         soundings.flatMap(_.vertex_latitude).toArray, chunkRows = cr, deflateLevel = deflateLevel),

@@ -152,6 +152,21 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("CF time units drive the epoch decode (SIF's 1990 epoch, no caller knowledge)") {
+    val dir = Files.createTempDirectory("h5-epoch")
+    val p = dir.resolve("sif.nc4")
+    Files.write(p, NetCDFGranules.writeGranuleH5(
+      soundings.take(3), timeUnits = "seconds since 1990-01-01 00:00:00"))
+    // raw values in the file are 1990-relative…
+    val raw = spark.read.format("hdf5").load(p.toString)
+      .orderBy("row_index").select("time").collect()(0).getDouble(0)
+    assert(raw === soundings.head.time.getTime / 1000.0 - 631152000L)
+    // …and the granule view decodes them back to the true instants
+    val t = NetCDFGranules.readGranules(spark, Seq(p.toString))
+      .orderBy("sounding_index").select("time").collect()(0).getTimestamp(0)
+    assert(t === soundings.head.time)
+  }
+
   test("format dispatch unions classic and HDF5 granules in one batch") {
     val dir = Files.createTempDirectory("mixed-granules")
     val h5  = writeFixture(dir, "day1.nc4", soundings.take(5))
