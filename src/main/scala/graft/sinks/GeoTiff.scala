@@ -366,9 +366,7 @@ object CoGExport {
           scaleLon = dLon, scaleLat = dLat,
           overviews = 3)
         val out = new Path(outDir, s"${target}_${variable}_$day.tif")
-        val fs  = out.getFileSystem(conf.value)
-        val os  = fs.create(out, true)
-        try os.write(bytes) finally os.close()
+        ZarrStore.atomicWriteFile(conf.value, out, bytes)
         SliceFile(target, variable, day, out.toString)
       }
   }

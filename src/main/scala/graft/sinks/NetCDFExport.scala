@@ -82,12 +82,11 @@ object NetCDFExport {
             grids.map { case (v, g) => VarData(v, NC_DOUBLE, Seq("lat", "lon"), g,
               atts = Seq(Att("_FillValue", NC_DOUBLE, Array(Double.NaN)))) }
         val out = new Path(outDir, s"${target}_$day.nc")
-        val fs  = out.getFileSystem(conf.value)
-        val os  = fs.create(out, true)
-        try NetCDF3.write(
-          os, dims, vds,
+        val bos = new java.io.ByteArrayOutputStream()
+        NetCDF3.write(
+          bos, dims, vds,
           gatts = Seq(Att("target_id", NC_CHAR, target), Att("day", NC_CHAR, day)))
-        finally os.close()
+        ZarrStore.atomicWriteFile(conf.value, out, bos.toByteArray)
         SliceFile(target, day, out.toString, cells.length.toLong / math.max(grids.length, 1))
       }
   }
@@ -131,9 +130,7 @@ object NetCDFExport {
           Seq(WGroup("", vds)),
           rootAtts = Seq(Attr("target_id", target), Attr("day", day)))
         val out = new Path(outDir, s"${target}_$day.nc4")
-        val fs  = out.getFileSystem(conf.value)
-        val os  = fs.create(out, true)
-        try os.write(bytes) finally os.close()
+        ZarrStore.atomicWriteFile(conf.value, out, bytes)
         SliceFile(target, day, out.toString, cells.length.toLong / math.max(grids.length, 1))
       }
   }

@@ -50,6 +50,24 @@ object ZarrStore {
     try os.write(bytes) finally os.close()
   }
 
+  /** Task-retry-atomic file write: the payload goes to a dot-prefixed
+    * per-attempt temp name in the same directory, then renames into place
+    * with `Rename.OVERWRITE` (atomic on HDFS and on POSIX local rename).
+    * A task killed mid-write leaves only a stale `.name.tmp-<attempt>`
+    * file — never a truncated file at the final path — so retries and
+    * later appends that READ existing chunks always see complete bytes.
+    * Matches the reference's transactional care around the store
+    * (`utils/ZarrUtils.py:115-344`). */
+  private[graft] def atomicWriteFile(conf: org.apache.hadoop.conf.Configuration, p: Path, bytes: Array[Byte]): Unit = {
+    val attempt = Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp-$attempt")
+    val fs  = p.getFileSystem(conf)
+    val os  = fs.create(tmp, true)
+    try os.write(bytes) finally os.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
   private def readFileOpt(fs: org.apache.hadoop.fs.FileSystem, p: Path): Option[Array[Byte]] =
     if (!fs.exists(p)) None
     else {
@@ -234,13 +252,22 @@ object ZarrStore {
           val t = idx(d)
           base(((t % ct) * cy + (y % cy)) * cx + (x % cx)) = value
         }
-        writeFile(cfs, chunkPath, zlib(doublesLE(base), level))
+        atomicWriteFile(conf.value, chunkPath, zlib(doublesLE(base), level))
         (v, tc, yc, xc)
       }
     cells.write.format("noop").mode("overwrite").save() // materialize the writes
 
     // ---- driver-side metadata: group, per-variable arrays, coordinates
     fs.mkdirs(root)
+    // sweep stale per-attempt temp files left by killed/speculative tasks
+    // (they are dot-prefixed, so Zarr readers never see them as chunks)
+    variables.foreach { v =>
+      val dir = new Path(root, v)
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.matches("\\..*\\.tmp-\\d+"))
+          .foreach(p => fs.delete(p, false))
+    }
     writeFile(fs, new Path(root, ".zgroup"), "{\n  \"zarr_format\": 2\n}\n".getBytes("UTF-8"))
     val shape = Seq(allDays.length.toLong, gh.toLong, gw.toLong)
     variables.foreach { v =>
@@ -288,8 +315,10 @@ object ZarrStore {
   }
 
   /** Read one variable back as (time_idx, lat_idx, lon_idx, value) — the
-    * round-trip verification surface. Chunk files fan out one per task. */
-  def read(spark: SparkSession, path: String, variable: String): DataFrame = {
+    * round-trip verification surface. Chunk files fan out one per task;
+    * `maxPartitions` defaults to the cluster's parallelism (was a
+    * hardcoded 32 before round 5). */
+  def read(spark: SparkSession, path: String, variable: String, maxPartitions: Int = 0): DataFrame = {
     import spark.implicits._
     val (root, fs) = fsFor(path, spark)
     val dir  = new Path(root, variable)
@@ -305,8 +334,9 @@ object ZarrStore {
       .filter(_.matches("\\d+\\.\\d+\\.\\d+")).toSeq.sorted
     val conf    = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val dirStr  = dir.toString
+    val cap = if (maxPartitions > 0) maxPartitions else spark.sparkContext.defaultParallelism
     spark.createDataset(files)
-      .repartition(math.max(1, math.min(files.length, 32)))
+      .repartition(math.max(1, math.min(files.length, cap)))
       .flatMap { name =>
         val Array(tc, yc, xc) = name.split('.').map(_.toInt)
         val p   = new Path(dirStr, name)

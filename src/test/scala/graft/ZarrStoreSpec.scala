@@ -112,6 +112,41 @@ class ZarrStoreSpec extends SparkSpec {
     assert(back.filter(col("time_idx") === 0).count() === back.filter(col("time_idx") === 1).count())
   }
 
+  test("chunk writes are task-retry-atomic: rename over existing files, stale attempt tmps ignored and swept") {
+    val path = Files.createTempDirectory("zarr-atomic").toString
+    ZarrStore.write(product, path, grid, chunks)
+
+    // a retried attempt re-writes THROUGH a temp name and renames over the
+    // existing complete file — the final path never holds partial bytes
+    val conf  = spark.sessionState.newHadoopConf()
+    val chunk = new org.apache.hadoop.fs.Path(s"$path/xco2/0.0.0")
+    val before = Files.readAllBytes(Paths.get(s"$path/xco2/0.0.0"))
+    ZarrStore.atomicWriteFile(conf, chunk, before) // idempotent retry
+    assert(Files.readAllBytes(Paths.get(s"$path/xco2/0.0.0")).toSeq === before.toSeq)
+    assert(!new java.io.File(s"$path/xco2").listFiles().exists(_.getName.contains("tmp")),
+      "rename must consume the temp file")
+
+    // a task killed mid-write leaves only a stale dot-prefixed tmp; a later
+    // append must (a) never read it as chunk data, (b) sweep it
+    val stale = Paths.get(s"$path/xco2/.0.0.0.tmp-99")
+    Files.write(stale, Array.fill[Byte](17)(0x5a)) // truncated garbage
+    val day2 = product.withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+      .withColumn("value", col("value") + 100.0)
+    ZarrStore.write(day2, path, grid, chunks)
+    assert(!Files.exists(stale), "driver sweep must remove stale attempt files")
+    // append round-trips byte-correct despite the garbage neighbor
+    val back = ZarrStore.read(spark, path, "xco2")
+    val d0n = back.filter(col("time_idx") === 0).count()
+    val d1n = back.filter(col("time_idx") === 1).count()
+    assert(d0n === d1n && d0n > 0)
+    val d0 = back.filter(col("time_idx") === 0).agg(sum("value")).collect()(0).getDouble(0)
+    val d1 = back.filter(col("time_idx") === 1).agg(sum("value")).collect()(0).getDouble(0)
+    assert(math.abs(d1 - (d0 + 100.0 * d0n)) < 1e-6)
+    // the read surface never lists dot-files as chunks
+    Files.write(Paths.get(s"$path/xco2/.1.0.0.tmp-7"), Array.fill[Byte](5)(1))
+    assert(ZarrStore.read(spark, path, "xco2").count() === d0n + d1n)
+  }
+
   test("zlib chunks actually compress and store NaN fill for absent pixels") {
     val path = Files.createTempDirectory("zarr-z").toString
     ZarrStore.write(product, path, grid, chunks)
