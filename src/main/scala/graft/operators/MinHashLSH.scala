@@ -103,11 +103,26 @@ object MinHashLSH {
     * bucketing quadratic in the cluster size — the self-join shape
     * included. Run [[Dedup.exactStats]]/keep-first FIRST (the standard
     * pipeline order); after exact dedup, bucket sizes are bounded by
-    * genuine near-dup cluster sizes. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    * genuine near-dup cluster sizes. Buckets beyond `bucketWarnThreshold`
+    * trip a loud [[LshDiagnostics]] warning (an observe node on the bucket
+    * aggregate — no extra pass) instead of silently going quadratic.
+    *
+    * Band-sizing law (contrast with simhash): minhash band keys are
+    * concatenated md5 digests, a ≥128-bit space, so ACCIDENTAL bucket
+    * collisions are negligible at any corpus size — rowsPerBand tunes
+    * recall (P[candidate] = 1-(1-j^rowsPerBand)^nBands), not bucket
+    * occupancy. Oversized minhash buckets therefore always mean genuine
+    * duplicate clusters (fix: exact dedup first), unlike simhash where
+    * narrow bands themselves overflow (fix:
+    * [[TextAnalysis.sizedSimHashBands]]). */
+  def candidatePairs(
+      bands: DataFrame,
+      idCol: String,
+      bucketWarnThreshold: Long = 10000L): DataFrame = {
     val ids = array_sort(collect_list(col(idCol)))
-    bands.groupBy(col("band"), col("band_key"))
-      .agg(ids.as("ids"))
+    val buckets = bands.groupBy(col("band"), col("band_key")).agg(ids.as("ids"))
+    LshDiagnostics
+      .observeBucketStats(buckets, size(col("ids")), bucketWarnThreshold, "minhash_candidate_pairs")
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(
         sequence(lit(0), size(col("ids")) - 2),

@@ -141,6 +141,46 @@ object TextAnalysis {
     * via bit_count(xor). The standard simhash dedup shape at corpus scale:
     * only (id, band value) pairs shuffle. Requires maxHamming < nBands for
     * zero false negatives. */
+  /** Corpus-sized band geometry for [[simHashNearDup]].
+    *
+    * The scaling law (measured, dev/PLANS_r4.md): expected bucket occupancy
+    * is n_docs / 2^bandBits, and candidate work is Σ occupancy² per bucket —
+    * bands narrower than log₂(n_docs) bits go quadratic (8-bit bands: ~40×
+    * superlinear at 500k docs; 15-bit bands: linear). So: bandBits ≥
+    * log₂(n_docs), clamped to the 60-bit portable signature ceiling
+    * (60 / nBands per band), with nBands = maxHamming + 1 — the minimum
+    * band count that keeps the pigeonhole guarantee maxHamming < nBands.
+    *
+    * Returns (bits, nBands). Above ~2^15 docs the ceiling binds: buckets
+    * then hold n / 2^(60/nBands) expected docs — still sub-quadratic far
+    * past 10⁹ docs for maxHamming ≤ 3. */
+  def sizedSimHashBands(nDocs: Long, maxHamming: Int = 3): (Int, Int) = {
+    require(nDocs >= 0 && maxHamming >= 0)
+    val nBands      = maxHamming + 1
+    val maxBandBits = 60 / nBands
+    require(maxBandBits >= 1, s"maxHamming=$maxHamming needs ${nBands} bands; signatures cap at 60 bits")
+    val needBits    = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nDocs - 1)) // ceil(log2 n)
+    val bandBits    = math.max(4, math.min(needBits, maxBandBits))
+    (bandBits * nBands, nBands)
+  }
+
+  /** [[simHashNearDup]] with bands sized to the corpus by
+    * [[sizedSimHashBands]] — the entry point to use when you don't already
+    * know the corpus size. `nDocsHint` skips the sizing count (pass the
+    * catalog row count at 100 TB); absent a hint, one cheap count over the
+    * id column prices the geometry — linear and trivially parallel,
+    * against the quadratic stage it prevents. */
+  def simHashNearDupSized(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      nDocsHint: Option[Long] = None): DataFrame = {
+    val n = nDocsHint.getOrElse(df.select(col(idCol)).count())
+    val (bits, nBands) = sizedSimHashBands(n, maxHamming)
+    simHashNearDup(df, idCol, textCol, bits, nBands, maxHamming)
+  }
+
   def simHashNearDup(
       df: DataFrame,
       idCol: String,
@@ -158,7 +198,7 @@ object TextAnalysis {
       explode(array((0 until nBands).map { b =>
         struct(
           lit(b).as("band"),
-          (shiftright(col("simhash"), b * bandBits) % lit(1 << bandBits)).as("band_val"))
+          (shiftright(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("band_val"))
       }: _*)).as("bv"))
       .select(col(idCol), col("simhash"), col("bv.band"), col("bv.band_val"))
     val l = bands.select(col("band"), col("band_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))

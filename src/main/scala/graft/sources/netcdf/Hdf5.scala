@@ -15,8 +15,10 @@ import scala.collection.mutable
   *   - groups via symbol tables (B-tree v1 + local heap + SNOD) and via
   *     compact Link messages; dense (fractal-heap) groups are rejected
   *     with a clear error — libnetcdf does not produce them by default
-  *   - datatypes: fixed-point, IEEE float, fixed-size strings (VL types
-  *     are skipped where they appear in attributes)
+  *   - datatypes: fixed-point, IEEE float, fixed-size strings, and
+  *     variable-length strings in attributes (global-heap GCOL reads —
+  *     libnetcdf stores NC_STRING attrs this way; compound/reference
+  *     attrs are skipped)
   *   - data layout v3: compact, contiguous, and chunked with the B-tree v1
   *     chunk index; filters: deflate, shuffle, fletcher32
   *   - attributes v1/v2/v3 with the above datatypes
@@ -73,6 +75,11 @@ object Hdf5 {
   final case class IntT(size: Int, signed: Boolean, littleEndian: Boolean) extends H5Type
   final case class FloatT(size: Int, littleEndian: Boolean) extends H5Type
   final case class StrT(size: Int) extends H5Type
+  /** Variable-length string (class 9, type=string): in-file element is a
+    * 16-byte global-heap reference (u32 byte length, u64 collection
+    * address, u32 object index). libnetcdf writes `NC_STRING` attributes —
+    * including real products' CF `units` — this way. */
+  final case class VlenStrT(size: Int) extends H5Type
   final case class UnknownT(cls: Int, size: Int) extends H5Type
 
   final case class Filter(id: Int, clientData: Seq[Int])
@@ -84,6 +91,13 @@ object Hdf5 {
   final case class Chunked(btreeAddr: Long, chunkDims: Array[Int]) extends Layout
 
   final case class Attr(name: String, value: Any)
+
+  /** Writer-side marker: encode this attribute as a variable-length
+    * (`NC_STRING`-style) string through the global heap, the way libnetcdf
+    * stores string attributes on real netCDF-4 products. The reader hands
+    * VL attrs back as plain String / Array[String]. */
+  final case class Vlen(values: Seq[String])
+  object Vlen { def apply(s: String): Vlen = new Vlen(Seq(s)) }
 
   final case class Dataset(
       path: String,
@@ -424,6 +438,7 @@ object Hdf5 {
         case 0 => IntT(size, signed = (bits0 & 0x08) != 0, littleEndian = (bits0 & 0x01) == 0)
         case 1 => FloatT(size, littleEndian = (bits0 & 0x01) == 0)
         case 3 => StrT(size)
+        case 9 if (bits0 & 0x0f) == 1 => VlenStrT(size) // VL type=string
         case other => UnknownT(other, size)
       }
     }
@@ -464,6 +479,33 @@ object Hdf5 {
       }
     }
 
+    /** Global heap collections, parsed lazily and cached per file: VL
+      * attribute data lives in GCOL blocks elsewhere in the file. Map is
+      * object index → object bytes. */
+    private val gheapCache = mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+    private def gheapObjects(addr: Long): Map[Int, Array[Byte]] =
+      gheapCache.getOrElseUpdate(addr, {
+        val head = new Cur(in.readAt(addr, 16))
+        require(head.bytes(4).sameElements("GCOL".getBytes), s"bad global heap signature at $addr")
+        head.skip(4) // version + reserved
+        val collSize = head.u64()
+        require(collSize >= 16 && collSize <= Int.MaxValue, s"implausible global heap size $collSize")
+        val body = new Cur(in.readAt(addr + 16, (collSize - 16).toInt))
+        val objs = mutable.Map.empty[Int, Array[Byte]]
+        var done = false
+        while (!done && body.p + 16 <= body.buf.length) {
+          val idx = body.u16()
+          body.skip(6) // reference count + reserved
+          val size = body.u64().toInt
+          if (idx == 0) done = true // object 0 = free space; nothing follows
+          else {
+            objs(idx) = body.bytes(size)
+            body.skip((8 - size % 8) % 8)
+          }
+        }
+        objs.toMap
+      })
+
     private def parseAttr(body: Array[Byte]): Option[Attr] = {
       val c = new Cur(body)
       val ver = c.u8()
@@ -502,7 +544,23 @@ object Hdf5 {
         case IntT(4, _, le) => Array.tabulate(n)(i => bb.order(ord(le)).getInt(i * 4))
         case IntT(2, _, le) => Array.tabulate(n)(i => bb.order(ord(le)).getShort(i * 2))
         case IntT(1, _, _)  => raw
-        case _ => return None // VL / compound / reference attrs: skipped
+        case VlenStrT(sz) =>
+          def str(i: Int): String = {
+            val r   = new Cur(raw, i * sz)
+            val len = r.u32().toInt
+            val coll = r.u64()
+            val idx  = r.u32().toInt
+            if (len == 0 || idx == 0) ""
+            else {
+              val data = gheapObjects(coll).getOrElse(
+                idx,
+                throw new IllegalArgumentException(
+                  s"attribute '$name': missing global heap object $idx in collection at $coll"))
+              new String(data, 0, math.min(len, data.length), "UTF-8")
+            }
+          }
+          if (dims.isEmpty || dims.product == 1) str(0) else Array.tabulate(n)(str)
+        case _ => return None // compound / reference attrs: skipped
       }
       Some(Attr(name, value))
     }
@@ -752,6 +810,12 @@ object Hdf5 {
       case StrT(size) =>
         b.w8(0x13); b.w8(0); b.w8(0); b.w8(0)
         b.w32(size.toLong)
+      case VlenStrT(_) =>
+        // class 9 v1, type=string; element = 16-byte global heap reference;
+        // base type: 1-byte unsigned char (the usual libhdf5 choice)
+        b.w8(0x19); b.w8(0x01); b.w8(0); b.w8(0)
+        b.w32(16L)
+        b.bytes(dtypeBody(IntT(1, signed = false, littleEndian = true)))
       case UnknownT(_, _) => throw new IllegalArgumentException("cannot write unknown dtype")
     }
     b.result()
@@ -764,8 +828,18 @@ object Hdf5 {
     b.result()
   }
 
-  private def attrBody(a: Attr): Array[Byte] = {
+  /** `gheap` appends VL payloads to the file's global heap and returns
+    * (collection address, 1-based object indexes). */
+  private def attrBody(a: Attr, gheap: Seq[Array[Byte]] => (Long, Seq[Int])): Array[Byte] = {
     val (dt, dims, value): (H5Type, Seq[Long], Array[Byte]) = a.value match {
+      case Vlen(vs) =>
+        val payloads     = vs.map(_.getBytes("UTF-8")).toSeq
+        val (coll, idxs) = gheap(payloads)
+        val b = new Buf
+        payloads.zip(idxs).foreach { case (p, idx) =>
+          b.w32(p.length.toLong); b.w64(coll); b.w32(idx.toLong)
+        }
+        (VlenStrT(16), if (vs.length == 1) Nil else Seq(vs.length.toLong), b.result())
       case s: String =>
         val bs = s.getBytes("UTF-8")
         (StrT(bs.length.max(1)), Nil, if (bs.isEmpty) Array[Byte](0) else bs)
@@ -835,6 +909,26 @@ object Hdf5 {
         buf.bytes(new Array[Byte](16))
         (e, r)
       }
+
+    /** One GCOL collection per VL attribute: object header (index,
+      * refcount, reserved, size) + 8-padded payload per value. Written into
+      * the file body immediately (data-first, like dataset payloads), so
+      * the attribute's 16-byte references are final. */
+    def writeGheap(values: Seq[Array[Byte]]): (Long, Seq[Int]) = {
+      val objs = new Buf
+      values.zipWithIndex.foreach { case (v, i) =>
+        objs.w16(i + 1); objs.w16(1); objs.w32(0L)
+        objs.w64(v.length.toLong)
+        objs.bytes(v); objs.pad(8)
+      }
+      val collAddr = buf.len.toLong
+      buf.bytes("GCOL".getBytes)
+      buf.w8(1); buf.w8(0); buf.w16(0)
+      buf.w64(16L + objs.len)
+      buf.bytes(objs.result())
+      (collAddr, (1 to values.length).toSeq)
+    }
+    def attrB(a: Attr): Array[Byte] = attrBody(a, writeGheap)
 
     def msg(out: Buf, typ: Int, body: Array[Byte]): Unit =
       if (v2Layout) {
@@ -941,7 +1035,7 @@ object Hdf5 {
       msg(msgsB, 0x0005, fvB.result())
       msg(msgsB, 0x0008, layoutB.result())
       filterB.foreach(fb => msg(msgsB, 0x000B, fb))
-      v.atts.foreach(a => msg(msgsB, 0x000C, attrBody(a)))
+      v.atts.foreach(a => msg(msgsB, 0x000C, attrB(a)))
       writeHeader(4 + filterB.size + v.atts.length, msgsB.result())
     }
 
@@ -985,7 +1079,7 @@ object Hdf5 {
       stB.w64(btreeAddr); stB.w64(heapAddr)
       val msgsB = new Buf
       msg(msgsB, 0x0011, stB.result())
-      atts.foreach(a => msg(msgsB, 0x000C, attrBody(a)))
+      atts.foreach(a => msg(msgsB, 0x000C, attrB(a)))
       writeHeader(1 + atts.length, msgsB.result())
     }
 

@@ -62,12 +62,17 @@ object NetCDFGranules {
     * in whole seconds from a `units` attribute like
     * "seconds since 1990-01-01 00:00:00" — the SIF products' 1990 epoch
     * (`OCO3SifProcessor.py:66,93-95`) decodes correctly without callers
-    * knowing the mission. Unparseable/absent units → unix epoch. */
+    * knowing the mission. ABSENT units → unix epoch (bare fixture files);
+    * a units attribute that is PRESENT but undecodable is an error — a
+    * silent 1970 fallback would shift every timestamp by the real epoch,
+    * a wrong-answer path, not a metadata gap. */
   private[netcdf] def epochOffsetSeconds(units: String): Long =
     "since\\s+(\\d{4})-(\\d{2})-(\\d{2})".r.findFirstMatchIn(units).map { m =>
       java.time.LocalDate.of(m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
         .toEpochDay * 86400L
-    }.getOrElse(0L)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"undecodable time 'units' attribute: \"$units\" — expected CF form " +
+        "\"<unit> since YYYY-MM-DD[ HH:MM:SS]\"; refusing to guess the epoch"))
 
   /** Map the raw netcdf3 columns to the pipeline's logical granule schema.
     * Column pruning pushes through this projection to the file scan. */
@@ -137,7 +142,8 @@ object NetCDFGranules {
       soundings: Seq[Sounding],
       chunkRows: Int = 0,
       deflateLevel: Int = 6,
-      timeUnits: String = "seconds since 1970-01-01 00:00:00"): Array[Byte] = {
+      timeUnits: String = "seconds since 1970-01-01 00:00:00",
+      vlenUnits: Boolean = false): Array[Byte] = {
     import Hdf5._
     val n  = soundings.length
     val nv = soundings.headOption.map(_.vertex_latitude.length).getOrElse(4)
@@ -154,7 +160,9 @@ object NetCDFGranules {
       WVar("latitude", Seq(n.toLong), d(_.latitude), chunkRows = cr, deflateLevel = deflateLevel),
       WVar("longitude", Seq(n.toLong), d(_.longitude), chunkRows = cr, deflateLevel = deflateLevel),
       WVar("time", Seq(n.toLong), d(s => s.time.getTime / 1000.0 - epochOff),
-        atts = Seq(Attr("units", timeUnits)),
+        // vlenUnits exercises the NC_STRING profile: libnetcdf writes
+        // string attrs as VL global-heap references on real products
+        atts = Seq(Attr("units", if (vlenUnits) Vlen(timeUnits) else timeUnits)),
         chunkRows = cr, deflateLevel = deflateLevel),
       WVar("vertex_latitude", Seq(n.toLong, nv.toLong),
         soundings.flatMap(_.vertex_latitude).toArray, chunkRows = cr, deflateLevel = deflateLevel),

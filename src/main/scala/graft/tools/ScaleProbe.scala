@@ -85,6 +85,9 @@ object ScaleProbe {
       // same operator, corpus-sized band width (15-bit bands = 32k buckets):
       // the knob that keeps banded LSH linear as the corpus grows
       "simhash_neardup60" -> (() => TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 60, nBands = 4, maxHamming = 3)),
+      // the self-sizing entry point (includes its own sizing count) — must
+      // track simhash_neardup60 at every scale, unlike the fixed-8-bit shape
+      "simhash_neardup_sized" -> (() => TextAnalysis.simHashNearDupSized(docs, "doc_id", "text", maxHamming = 3)),
       "bpe_tokens"     -> (() => TextAnalysis.bpeTokenStats(docs, "doc_id", "text")),
       "winnow"         -> (() => TextAnalysis.winnowFingerprints(docs, "doc_id", "text")))
     // warm-up pass, then timed pass (same protocol as Bench)

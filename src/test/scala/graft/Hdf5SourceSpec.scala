@@ -167,6 +167,53 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(t === soundings.head.time)
   }
 
+  test("VL (NC_STRING-style) attributes decode through the global heap") {
+    // codec round trip: scalar and array VL attrs, alongside fixed types
+    val bytes = Hdf5.write(Seq(Hdf5.WGroup("", Seq(
+      Hdf5.WVar("v", Seq(2L), Array(1.0, 2.0), atts = Seq(
+        Hdf5.Attr("units", Hdf5.Vlen("seconds since 1990-01-01 00:00:00")),
+        Hdf5.Attr("names", Hdf5.Vlen(Seq("alpha", "", "a longer value crossing the 8-byte pad"))),
+        Hdf5.Attr("scale", Array(2.5))))))))
+    val f  = Hdf5.open(new Hdf5.BytesInput(bytes))
+    val ds = f.dataset("v").get
+    assert(ds.att("units") === Some("seconds since 1990-01-01 00:00:00"))
+    assert(ds.att("names").get.asInstanceOf[Array[String]].toSeq ===
+      Seq("alpha", "", "a longer value crossing the 8-byte pad"))
+    assert(ds.att("scale").get.asInstanceOf[Array[Double]].toSeq === Seq(2.5))
+  }
+
+  test("a VL-encoded time units attribute drives the epoch decode end to end") {
+    val dir = Files.createTempDirectory("h5-vlen-epoch")
+    val p = dir.resolve("sif_vlen.nc4")
+    Files.write(p, NetCDFGranules.writeGranuleH5(
+      soundings.take(3), timeUnits = "seconds since 1990-01-01 00:00:00", vlenUnits = true))
+    val raw = spark.read.format("hdf5").load(p.toString)
+    assert(raw.schema("time").metadata.getString("units") === "seconds since 1990-01-01 00:00:00")
+    val t = NetCDFGranules.readGranules(spark, Seq(p.toString))
+      .orderBy("sounding_index").select("time").collect()(0).getTimestamp(0)
+    assert(t === soundings.head.time) // no silent 1970 fallback
+  }
+
+  test("a present but undecodable time units attribute fails loudly, not as a 1970 fallback") {
+    val dir = Files.createTempDirectory("h5-bad-units")
+    val p = dir.resolve("bad_units.nc4")
+    // bypass writeGranuleH5 (it decodes units itself): patch the fixture's
+    // units attr to garbage at the codec level
+    import Hdf5._
+    val bytes = Hdf5.write(Seq(WGroup("", Seq(
+      WVar("sounding", Seq(2L), new Array[Double](2), atts = Seq(
+        Attr("CLASS", "DIMENSION_SCALE"),
+        Attr("NAME", f"This is a netCDF dimension but not a netCDF variable.${2}%10d"))),
+      WVar("time", Seq(2L), Array(1.0, 2.0), atts = Seq(Attr("units", Vlen("cycles of the moon")))),
+      WVar("latitude", Seq(2L), Array(0.1, 0.2))))))
+    Files.write(p, bytes)
+    // the epoch decode happens at plan-build time, before any column checks
+    val err = intercept[IllegalArgumentException] {
+      NetCDFGranules.toGranule(spark.read.format("hdf5").load(p.toString))
+    }
+    assert(err.getMessage.contains("cycles of the moon"))
+  }
+
   test("format dispatch unions classic and HDF5 granules in one batch") {
     val dir = Files.createTempDirectory("mixed-granules")
     val h5  = writeFixture(dir, "day1.nc4", soundings.take(5))

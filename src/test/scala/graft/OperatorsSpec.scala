@@ -90,6 +90,45 @@ class OperatorsSpec extends SparkSpec {
     assert(m(1L) !== m(3L))
   }
 
+  test("sizedSimHashBands follows the band-sizing law") {
+    // nBands = maxHamming + 1 (minimum pigeonhole-safe band count);
+    // bandBits = clamp(ceil(log2 n), 4, 60/nBands)
+    assert(TextAnalysis.sizedSimHashBands(1000L, 3) === ((40, 4)))     // ceil(log2 1000) = 10
+    assert(TextAnalysis.sizedSimHashBands(500000L, 3) === ((60, 4)))   // needs 19, portable cap 15
+    assert(TextAnalysis.sizedSimHashBands(4L, 3) === ((16, 4)))        // 4-bit floor
+    assert(TextAnalysis.sizedSimHashBands(1L << 40, 1) === ((60, 2)))  // needs 40, cap 30
+    assert(TextAnalysis.sizedSimHashBands(0L, 0) === ((4, 1)))
+  }
+
+  test("simHashNearDupSized matches the explicitly-sized operator and finds planted dups") {
+    val docs = (1L to 30L).map { i =>
+      val base = if (i <= 2) 100L else i // docs 1 and 2 identical
+      (i, (1 to 40).map(j => s"tok${(base * 31 + j) % 97}_$j").mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val (bits, nBands) = TextAnalysis.sizedSimHashBands(30L, 3)
+    val explicit = TextAnalysis.simHashNearDup(df, "doc_id", "text", bits, nBands, 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val sized = TextAnalysis.simHashNearDupSized(df, "doc_id", "text", 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    assert(sized === explicit)
+    assert(sized.map(s => (s(0), s(1))).contains((1L, 2L))) // hamming 0 pair survives
+  }
+
+  test("LshDiagnostics warns (without failing) on a degenerate exact-duplicate bucket") {
+    LshDiagnostics.lastWarning = None
+    val df = (1L to 300L).map(i => (i, "the very same document text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val bands = MinHashLSH.bandKeys(
+      MinHashLSH.signaturesWideKernel(df, "doc_id", "text", 3, 8), "doc_id", 2, 8)
+    val nPairs = MinHashLSH.candidatePairs(bands, "doc_id", bucketWarnThreshold = 50L).count()
+    assert(nPairs === 300L * 299L / 2) // the quadratic result the warning is about
+    val deadline = System.nanoTime() + 10_000_000_000L // listener bus is async
+    while (LshDiagnostics.lastWarning.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    val msg = LshDiagnostics.lastWarning.getOrElse(fail("no LSH bucket warning emitted"))
+    assert(msg.contains("exact") && msg.contains("dedup") && msg.contains("300"))
+  }
+
   test("Similarity.cosine: identity and orthogonality") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
