@@ -20,18 +20,25 @@ object SifPipeline {
   val SifEpochSeconds: Long = 631152000L // 1990-01-01T00:00:00Z - unix epoch
 
   /** J6/R5 step 1: resolve target ids through the sequences lookup
-    * (broadcast equi-join); missing/negative indices become 'none'. */
-  def resolveTargets(soundings: DataFrame, sequences: DataFrame): DataFrame =
+    * (broadcast equi-join); missing/negative indices become 'none'.
+    * Sequence indexes are per-granule — when both sides carry
+    * `granule_path` (multi-file batches), it joins as a second key so
+    * file A's sequence 0 never resolves through file B's table. */
+  def resolveTargets(soundings: DataFrame, sequences: DataFrame): DataFrame = {
+    val perGranule =
+      soundings.columns.contains("granule_path") && sequences.columns.contains("granule_path")
+    val rhsCols =
+      Seq(col("seq_index").as("sequences_index"), col("seq_target")) ++
+        (if (perGranule) Seq(col("granule_path")) else Nil)
+    val keys = if (perGranule) Seq("sequences_index", "granule_path") else Seq("sequences_index")
     soundings
-      .join(
-        broadcast(sequences.select(col("seq_index").as("sequences_index"), col("seq_target"))),
-        Seq("sequences_index"),
-        "left")
+      .join(broadcast(sequences.select(rhsCols: _*)), keys, "left")
       .withColumn(
         "target_id",
         when(col("sequences_index") < 0 || col("seq_target").isNull, lit("none"))
           .otherwise(col("seq_target")))
       .drop("seq_target")
+  }
 
   /** R5 step 2+3: 'none' wildcard coalescing then margin-merged run
     * detection on (mode, resolved target). */

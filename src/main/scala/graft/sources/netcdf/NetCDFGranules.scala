@@ -101,6 +101,82 @@ object NetCDFGranules {
   def readGranules(spark: SparkSession, paths: Seq[String]): DataFrame =
     toGranule(read(spark, paths))
 
+  // -------------------------------------------------------------- SIF files
+
+  /** Map raw SIF granule columns to [[graft.domain.SifPipeline]]'s input
+    * schema (`OCO3SifProcessor.py:363-366` variable set). SIF time stays as
+    * raw `delta_time` — the pipeline owns the 1990-epoch decode. */
+  def toSifGranule(raw: DataFrame): DataFrame =
+    raw.select(
+      col("row_index").as("sounding_index"),
+      col("latitude"),
+      col("longitude"),
+      col("delta_time"),
+      col("vertex_latitude").cast("array<double>").as("vertex_latitude"),
+      col("vertex_longitude").cast("array<double>").as("vertex_longitude"),
+      col("quality_flag"),
+      col("daily_sif"),
+      col("operation_mode"),
+      col("sequences_index"),
+      col("granule_path"))
+
+  /** SIF soundings, pipeline-ready. */
+  def readSifGranules(spark: SparkSession, paths: Seq[String]): DataFrame =
+    toSifGranule(spark.read.format("hdf5").load(paths: _*))
+
+  /** The per-granule sequences lookup (`sequences_index` → target name),
+    * read off the same files over their `sequences` dimension. Tiny by
+    * contract (dozens of sequences per granule) — callers broadcast it. */
+  def readSifSequences(spark: SparkSession, paths: Seq[String]): DataFrame =
+    spark.read.format("hdf5").option("rowdim", "sequences").load(paths: _*)
+      .select(
+        col("row_index").cast("int").as("seq_index"),
+        col("Sequences_target_id").as("seq_target"),
+        col("granule_path"))
+
+  /** SIF sounding for fixtures and probes. */
+  final case class SifSounding(
+      sounding_index: Long,
+      latitude: Double,
+      longitude: Double,
+      delta_time: Double, // seconds since the 1990 epoch
+      vertex_latitude: Seq[Double],
+      vertex_longitude: Seq[Double],
+      quality_flag: Int,
+      daily_sif: Double,
+      operation_mode: Int,
+      sequences_index: Int)
+
+  /** Encode a SIF granule as netCDF-4/HDF5: root science vars over the
+    * `sounding` dim plus a /Sequences group over its own `sequences` dim —
+    * the indirect target naming real SIF products use. */
+  def writeSifGranuleH5(soundings: Seq[SifSounding], sequences: Seq[String]): Array[Byte] = {
+    import Hdf5._
+    val n  = soundings.length
+    val m  = sequences.length
+    val nv = soundings.headOption.map(_.vertex_latitude.length).getOrElse(4)
+    def dimScale(len: Int) = Seq(
+      Attr("CLASS", "DIMENSION_SCALE"),
+      Attr("NAME", f"This is a netCDF dimension but not a netCDF variable.$len%10d"))
+    def d(f: SifSounding => Double): Array[Double] = soundings.map(f).toArray
+    val root = WGroup("", Seq(
+      WVar("sounding", Seq(n.toLong), new Array[Double](n), atts = dimScale(n)),
+      WVar("sequences", Seq(m.toLong), new Array[Double](m), atts = dimScale(m)),
+      WVar("latitude", Seq(n.toLong), d(_.latitude)),
+      WVar("longitude", Seq(n.toLong), d(_.longitude)),
+      WVar("delta_time", Seq(n.toLong), d(_.delta_time),
+        atts = Seq(Attr("units", Vlen("seconds since 1990-01-01 00:00:00")))),
+      WVar("vertex_latitude", Seq(n.toLong, nv.toLong), soundings.flatMap(_.vertex_latitude).toArray),
+      WVar("vertex_longitude", Seq(n.toLong, nv.toLong), soundings.flatMap(_.vertex_longitude).toArray),
+      WVar("quality_flag", Seq(n.toLong), soundings.map(_.quality_flag).toArray),
+      WVar("daily_sif", Seq(n.toLong), d(_.daily_sif)),
+      WVar("operation_mode", Seq(n.toLong), soundings.map(_.operation_mode).toArray),
+      WVar("sequences_index", Seq(n.toLong), soundings.map(_.sequences_index).toArray)))
+    val seqGroup = WGroup("Sequences", Seq(
+      WVar("target_id", Seq(m.toLong), sequences.toArray, strSize = 24)))
+    Hdf5.write(Seq(root, seqGroup), rootAtts = Seq(Attr("title", "graft synthetic SIF granule")))
+  }
+
   /** Encode soundings as a classic (CDF-5) NetCDF granule — the fixture
     * writer for specs and the S10 export encoder. Mirrors the reference
     * granule layout: root science vars + group-qualified Sounding vars. */

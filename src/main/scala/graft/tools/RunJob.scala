@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.domain.{GlobalPipeline, Pipeline, TargetCatalog}
+import graft.domain.{GlobalPipeline, Oco2Pipeline, Pipeline, SifPipeline, TargetCatalog}
 import graft.operators.Grid
 import graft.sinks.{CoGExport, NetCDFExport, ProductStore, ZarrStore}
 import graft.sources.netcdf.NetCDFGranules
@@ -17,7 +17,14 @@ import graft.sources.netcdf.NetCDFGranules
   * Recognized subset (reference keys, kebab-case):
   * {{{
   * input:
-  *   files: [granule.nc4, ...]        # or {oco3: [...]} mission map
+  *   files: [granule.nc4, ...]        # plain list = oco3, or a mission map
+  *                                    # {oco3: [...], oco2: [...],
+  *                                    #  oco3_sif: [...]} — each mission
+  *                                    # runs through ITS pipeline
+  *                                    # (Pipeline / Oco2Pipeline /
+  *                                    # SifPipeline) and multi-mission
+  *                                    # outputs merge per J5; unknown
+  *                                    # mission keys are rejected
   * output:
   *   local: /path/store               # required
   *   format: zarr | parquet           # extension; default parquet for
@@ -66,20 +73,30 @@ object RunJob {
     def int(keys: String*): Option[Int]    = at(keys: _*).map(_.asInt)
     def bool(keys: String*): Boolean       = at(keys: _*).exists(_.asBoolean)
 
-    // input.files: plain list, or mission-keyed map (values = lists)
-    val files: Seq[String] = at("input", "files") match {
+    // input.files: plain list (= oco3), or mission-keyed map (values =
+    // lists) dispatched per-mission like the reference's processor
+    // registry (`main.py:199-297`, `Processor.py:102`)
+    val missionFiles: Seq[(String, Seq[String])] = at("input", "files") match {
       case None => throw new IllegalArgumentException("config: input.files is required")
       case Some(n) if n.isArray =>
-        (0 until n.size).map(n.get(_).asText)
+        Seq("oco3" -> (0 until n.size).map(n.get(_).asText))
       case Some(n) =>
         import scala.jdk.CollectionConverters._
-        n.properties().asScala.toSeq.flatMap { e =>
+        n.properties().asScala.toSeq.map { e =>
           val v = e.getValue
-          if (v == null || v.isNull) Nil
-          else if (v.isArray) (0 until v.size).map(v.get(_).asText)
-          else Seq(v.asText)
-        }
+          val fs =
+            if (v == null || v.isNull) Nil
+            else if (v.isArray) (0 until v.size).map(v.get(_).asText).toSeq
+            else Seq(v.asText)
+          e.getKey -> fs
+        }.filter(_._2.nonEmpty)
     }
+    val knownMissions = Set("oco3", "oco2", "oco3_sif")
+    val unknown = missionFiles.map(_._1).filterNot(knownMissions)
+    require(
+      unknown.isEmpty,
+      s"config: unknown mission key(s) ${unknown.mkString(", ")} — supported: ${knownMissions.toSeq.sorted.mkString(", ")}")
+    val files = missionFiles.flatMap(_._2)
     val outPath   = str("output", "local").getOrElse(
       throw new IllegalArgumentException("config: output.local is required"))
     val isGlobal  = bool("output", "global")
@@ -95,18 +112,36 @@ object RunJob {
       x = int("chunking", "longitude").getOrElse(250))
     val maskScale = at("mask-scaling").map(_.asDouble).getOrElse(1.0)
 
-    // ---- catalog + granules → pipeline
+    // ---- catalog + per-mission pipelines → (J5) merged product
     val catalog = str("target-file").map(TargetCatalog.fromJson(spark, _))
-    val granules = NetCDFGranules.readGranules(spark, files).drop("sounding_id")
     val cfg = Pipeline.Config(gridN = gridN, method = method, maskScale = maskScale)
+    def cat = catalog.getOrElse(
+      throw new IllegalArgumentException("config: target-file is required unless output.global"))
+    def missionProduct(mission: String, paths: Seq[String]): DataFrame = mission match {
+      case "oco3" =>
+        Pipeline.process(NetCDFGranules.readGranules(spark, paths).drop("sounding_id"), cat, cfg)
+      case "oco2" =>
+        Oco2Pipeline.process(NetCDFGranules.readGranules(spark, paths).drop("sounding_id"), cat, cfg)
+      case "oco3_sif" =>
+        SifPipeline.process(
+          NetCDFGranules.readSifGranules(spark, paths),
+          NetCDFGranules.readSifSequences(spark, paths),
+          cat,
+          cfg.copy(samMode = 3, targetMode = 2))
+    }
     val product: DataFrame =
       if (isGlobal) {
+        require(
+          missionFiles.map(_._1) == Seq("oco3"),
+          "config: output.global currently runs the oco3 mission only; use target mode for mission maps")
         val mesh = Grid.GridSpec(-180.0, 180.0, meshW, -90.0, 90.0, meshH)
+        val granules = NetCDFGranules.readGranules(spark, files).drop("sounding_id")
         GlobalPipeline.process(granules, mesh, cfg)
-      } else {
-        val cat = catalog.getOrElse(
-          throw new IllegalArgumentException("config: target-file is required unless output.global"))
-        Pipeline.process(granules, cat, cfg)
+      } else missionFiles match {
+        case Seq((m, paths)) => missionProduct(m, paths)
+        case several => // J5: disjoint variable sets union in long form
+          GlobalPipeline.mergeMissions(
+            several.map { case (m, paths) => m -> missionProduct(m, paths) }.toMap)
       }
     val cleaned = if (dropEmpty) ProductStore.dropEmptySlices(product) else product
 

@@ -66,6 +66,81 @@ class RunJobSpec extends SparkSpec {
     assert(tifs.exists(_.startsWith("C40_001_xco2_")))
   }
 
+  test("a mission-keyed config dispatches each mission through its own pipeline and merges per J5") {
+    val dir = Files.createTempDirectory("runjob-missions")
+    // OCO-2 granule: NO target ids in the input — any target in the output
+    // can only come from Oco2Pipeline's nearest-centroid association (J2)
+    val oco2 = dir.resolve("oco2_LtCO2_20230615.nc4")
+    Files.write(oco2, NetCDFGranules.writeGranuleH5(
+      (0 until 6).map(i => sounding(i, 40.9 + 0.05 * i, 10.9 + 0.05 * i, mode = 2, target = "", xco2 = 400.0 + i))))
+    // SIF granule: targets resolve through /Sequences; delta_time is
+    // seconds since 1990 — a correct epoch decode is observable in `time`
+    val sif = dir.resolve("oco3_LtSIF_20231220.nc4")
+    val sifRows = (0 until 4).map { i =>
+      val lat = -0.5 + 0.05 * i; val lon = -4.5 + 0.05 * i
+      NetCDFGranules.SifSounding(
+        i.toLong, lat, lon, 1071878400.0 + i, // ~2023-12 since 1990
+        Seq(lat - 0.3, lat - 0.3, lat + 0.3, lat + 0.3),
+        Seq(lon - 0.3, lon + 0.3, lon + 0.3, lon - 0.3),
+        quality_flag = 0, daily_sif = 1.5 + i, operation_mode = 3, sequences_index = 0)
+    }
+    Files.write(sif, NetCDFGranules.writeSifGranuleH5(sifRows, Seq("volcano0002")))
+    val targets = dir.resolve("targets.json")
+    Files.write(targets,
+      """{
+        |  "fossil0001": {"bbox": {"max_lat": 42.0, "max_lon": 12.0, "min_lat": 40.0, "min_lon": 10.0},
+        |                 "centroid_wkt": "POINT(11.0 41.0)", "id": "fossil0001", "name": "Plant A"},
+        |  "volcano0002": {"bbox": {"max_lat": 1.0, "max_lon": -3.0, "min_lat": -1.0, "min_lon": -5.0},
+        |                  "centroid_wkt": "POINT(-4.0 0.0)", "id": "volcano0002", "name": "Volcano B"}
+        |}""".stripMargin.getBytes("UTF-8"))
+    val store = dir.resolve("store").toString
+    val cfg   = dir.resolve("run-config.yaml")
+    Files.write(cfg,
+      s"""input:
+         |  files:
+         |    oco2: [${oco2.toString}]
+         |    oco3_sif: [${sif.toString}]
+         |output:
+         |  local: $store
+         |  format: parquet
+         |grid:
+         |  method: nearest
+         |  target-n: 8
+         |target-file: ${targets.toString}
+         |""".stripMargin.getBytes("UTF-8"))
+    graft.tools.RunJob.main(Array(cfg.toString))
+    val out = spark.read.parquet(store)
+    val missions = out.select("mission").distinct().collect().map(_.getString(0)).sorted
+    assert(missions === Array("oco2", "oco3_sif"))
+    // OCO-2 rows: nearest-centroid target assignment, xco2 variables
+    val o2 = out.filter(col("mission") === "oco2")
+    assert(o2.select("target_id").distinct().collect().map(_.getString(0)) === Array("fossil0001"))
+    assert(o2.select("variable").distinct().collect().map(_.getString(0)).sorted ===
+      Array("xco2", "xco2_uncertainty"))
+    // SIF rows: sequence-resolved target, daily_sif variable, 1990 epoch
+    val sf = out.filter(col("mission") === "oco3_sif")
+    assert(sf.select("target_id").distinct().collect().map(_.getString(0)) === Array("volcano0002"))
+    assert(sf.select("variable").distinct().collect().map(_.getString(0)) === Array("daily_sif"))
+    val yrs = sf.select(year(col("time"))).distinct().collect().map(_.getInt(0))
+    assert(yrs === Array(2023)) // a silent 1970 fallback would read 2003
+  }
+
+  test("unknown mission keys in the config are rejected loudly") {
+    val dir = Files.createTempDirectory("runjob-badmission")
+    val cfg = dir.resolve("run-config.yaml")
+    Files.write(cfg,
+      s"""input:
+         |  files:
+         |    tropomi: [/nonexistent.nc4]
+         |output:
+         |  local: ${dir.resolve("store")}
+         |""".stripMargin.getBytes("UTF-8"))
+    val err = intercept[IllegalArgumentException] {
+      graft.tools.RunJob.main(Array(cfg.toString))
+    }
+    assert(err.getMessage.contains("tropomi"))
+  }
+
   test("catalog parser reads the reference targets.json format faithfully") {
     val dir = Files.createTempDirectory("cat")
     val f = dir.resolve("targets.json")
