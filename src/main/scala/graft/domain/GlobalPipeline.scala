@@ -28,12 +28,28 @@ object GlobalPipeline {
   val DefaultGrid: GridSpec = GridSpec(-180.0, 180.0, 360, -90.0, 90.0, 180)
 
   /** R4: mode runs only, not keyed by target; the mode label rides along. */
-  def sessionize(granule: DataFrame, cfg: Pipeline.Config): DataFrame =
+  def sessionize(granule: DataFrame, cfg: Pipeline.Config, partitionCols: Seq[String] = Nil): DataFrame =
     Sessionize.byKeyChangeWithMargin(
       granule.filter(col("operation_mode").isin(cfg.samMode, cfg.targetMode)),
       "sounding_index",
       Seq("operation_mode"),
-      cfg.margin)
+      cfg.margin,
+      partitionCols)
+
+  /** Multi-granule sessionization — same contract as
+    * [[Pipeline.sessionizePerGranule]]: per-file windows (each granule is
+    * an independent ordered stream; sounding indexes repeat across files)
+    * with region ids made globally unique by a broadcast granule index. */
+  def sessionizePerGranule(granule: DataFrame, cfg: Pipeline.Config, granuleCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = sessionize(granule, cfg, Seq(granuleCol))
+    val gids = s
+      .select(col(granuleCol)).distinct()
+      .withColumn("_gidx", row_number().over(Window.orderBy(col(granuleCol))).cast("long"))
+    s.join(broadcast(gids), granuleCol)
+      .withColumn("region_id", col("_gidx") * lit(1L << 40) + col("region_id"))
+      .drop("_gidx")
+  }
 
   /** Per-region footprint extent (drives which global pixels to generate). */
   def regionExtent(sessions: DataFrame): DataFrame =
@@ -76,7 +92,11 @@ object GlobalPipeline {
       cfg: Pipeline.Config = Pipeline.Config(),
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sessions0 = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+    val sessionized =
+      if (granule.columns.contains("granule_path"))
+        sessionizePerGranule(granule, cfg, "granule_path")
+      else sessionize(granule, cfg)
+    val sessions0 = Pipeline.qualityFilter(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
         sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -314,6 +314,30 @@ object ZarrStore {
     bcIdx.destroy()
   }
 
+  /** Grid of an existing store, reconstructed from its 1-D lat/lon
+    * coordinate arrays (driver-side: two tiny single-chunk reads). */
+  def gridOf(spark: SparkSession, path: String): GridSpec = {
+    val (root, fs) = fsFor(path, spark)
+    def coord(name: String): Array[Double] = {
+      val dir = new Path(root, name)
+      val json = new String(
+        readFileOpt(fs, new Path(dir, ".zarray")).getOrElse(
+          throw new IllegalArgumentException(s"store $path has no $name coordinate")), "UTF-8")
+      val n = "\"shape\"\\s*:\\s*\\[\\s*(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"bad .zarray for $name"))
+      lEDoubles(unzlib(
+        readFileOpt(fs, new Path(dir, "0")).getOrElse(
+          throw new IllegalArgumentException(s"store $path: $name coordinate has no chunk")),
+        n * 8))
+    }
+    val lat = coord("lat"); val lon = coord("lon")
+    require(lat.nonEmpty && lon.nonEmpty, s"store $path has empty coordinate arrays")
+    GridSpec(
+      lat.length, lon.length,
+      lat(0), if (lat.length > 1) lat(1) - lat(0) else 1.0,
+      lon(0), if (lon.length > 1) lon(1) - lon(0) else 1.0)
+  }
+
   /** Read one variable back as (time_idx, lat_idx, lon_idx, value) — the
     * round-trip verification surface. Chunk files fan out one per task;
     * `maxPartitions` defaults to the cluster's parallelism (was a

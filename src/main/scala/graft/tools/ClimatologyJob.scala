@@ -1,0 +1,142 @@
+package graft.tools
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Climatology
+import graft.sinks.{ProductStore, ZarrStore}
+
+/** The reference's companion climatology tool
+  * (`tools/climatology/main.py:151-486`) over the engine's OWN product
+  * stores — both formats:
+  *
+  *  - **Zarr store** (the reference's primary sink): read each variable off
+  *    the chunk files, compute per-pixel temporal means
+  *    (monthly / seasonal / annual) and optionally the monthly-consolidated
+  *    second level (mean-of-monthly-means, `main.py:281-329`), and write
+  *    the result back as a new Zarr store whose time axis is the span
+  *    starts — the analytic output opens in any Zarr client exactly like
+  *    the product store it came from.
+  *  - **Parquet store** (target mode): the same two levels keyed
+  *    (target_id, variable), written as parquet.
+  *
+  * Scale shape: the Zarr scan fans one task per chunk file
+  * ([[ZarrStore.read]]); each climatology level is one hash aggregate with
+  * map-side partial combine keyed (span, lat_idx, lon_idx) — pixels never
+  * concentrate on the driver, and no shuffle is wider than the output cube
+  * itself. The entire reference tool (span slicing, dask pools, temp-Zarr
+  * spills) reduces to these aggregates.
+  *
+  * Usage: ClimatologyJob <store> <out> [span] [--consolidated]
+  *        [--variable <v>]
+  * span ∈ month | season | quarter | year (default month)
+  */
+object ClimatologyJob {
+
+  /** Store rows with real timestamps: time_idx resolves through the
+    * store's 1-D time coordinate (driver-read, broadcast — the time axis
+    * is bounded by the store's day count). */
+  def readWithTime(spark: SparkSession, store: String, variable: String): DataFrame = {
+    import spark.implicits._
+    val days = ZarrStore.existingDays(spark, store)
+    require(days.nonEmpty, s"store $store has no time axis")
+    val lookup = days.zipWithIndex
+      .map { case (d, i) => (i, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))) }
+      .toDF("time_idx", "date")
+    ZarrStore.read(spark, store, variable)
+      .join(broadcast(lookup), "time_idx")
+      .select(col("lat_idx"), col("lon_idx"), col("date").cast("timestamp").as("time"), col("value"))
+  }
+
+  /** Per-pixel per-span means over a Zarr store variable (A7). */
+  def spanMeans(spark: SparkSession, store: String, variable: String, span: String): DataFrame =
+    Climatology.temporalMean(
+      readWithTime(spark, store, variable), "time", "value", span,
+      keyCols = Seq("lat_idx", "lon_idx"))
+
+  /** Per-pixel monthly-consolidated means over a Zarr store variable (A8):
+    * mean-of-monthly-means per month-of-year, NOT mean-of-days. */
+  def consolidated(spark: SparkSession, store: String, variable: String): DataFrame =
+    Climatology.consolidateMonthly(
+      spanMeans(spark, store, variable, "month"),
+      keyCols = Seq("lat_idx", "lon_idx"))
+
+  /** Data variables of a Zarr store (array dirs minus the coordinates). */
+  def storeVariables(spark: SparkSession, store: String): Seq[String] = {
+    val root = new Path(store)
+    val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(Set("time", "lat", "lon"))
+      .filter(n => fs.exists(new Path(new Path(root, n), ".zarray")))
+      .sorted
+  }
+
+  /** Consolidated month-of-year → the nominal time axis of the output
+    * store (year 2000: a representative annual cycle). */
+  private def monthAxis(df: DataFrame): DataFrame =
+    df.select(
+      make_date(lit(2000), col("month_of_year"), lit(1)).cast("timestamp").as("time"),
+      col("lat_idx"), col("lon_idx"),
+      col("mean_of_means").as("value"))
+
+  private def runZarr(
+      spark: SparkSession, store: String, out: String, span: String,
+      doConsolidated: Boolean, variable: Option[String]): String = {
+    val vars = variable.map(Seq(_)).getOrElse(storeVariables(spark, store))
+    require(vars.nonEmpty, s"store $store has no data variables")
+    val meta = ZarrStore.gridOf(spark, store)
+    val means = vars.map { v =>
+      spanMeans(spark, store, v, span).select(
+        to_date(col("span_start")).cast("timestamp").as("time"),
+        col("lat_idx"), col("lon_idx"),
+        col("mean_value").as("value"))
+        .withColumn("variable", lit(s"${v}_${span}_mean"))
+    }.reduce(_.unionByName(_))
+    ZarrStore.write(means, out, meta)
+    if (doConsolidated) {
+      val cons = vars.map { v =>
+        monthAxis(consolidated(spark, store, v))
+          .withColumn("variable", lit(s"${v}_monthly_climatology"))
+      }.reduce(_.unionByName(_))
+      ZarrStore.write(cons, s"$out-consolidated", meta)
+    }
+    s""""format":"zarr","variables":${vars.size}"""
+  }
+
+  private def runParquet(
+      spark: SparkSession, store: String, out: String, span: String,
+      doConsolidated: Boolean): String = {
+    val product = ProductStore.read(spark, store)
+    val means   = Climatology.temporalMean(product, "time", "value", span, Seq("target_id", "variable"))
+    val result =
+      if (doConsolidated) Climatology.consolidateMonthly(means, Seq("target_id", "variable"))
+      else means
+    result.write.mode("overwrite").parquet(out)
+    s""""format":"parquet""""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>]")
+    val Array(store, out) = args.take(2)
+    val flags = args.drop(2)
+    val span  = flags.find(!_.startsWith("--")).getOrElse("month")
+    val doConsolidated = flags.contains("--consolidated")
+    val variable = flags.sliding(2).collectFirst { case Array("--variable", v) => v }
+    val preExisting = SparkSession.getActiveSession.isDefined
+    val spark = Jobs.session("graft-climatology")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val isZarr = {
+      val root = new Path(store)
+      root.getFileSystem(spark.sessionState.newHadoopConf()).exists(new Path(root, ".zgroup"))
+    }
+    val detail =
+      if (isZarr) runZarr(spark, store, out, span, doConsolidated, variable)
+      else runParquet(spark, store, out, span, doConsolidated)
+    println(s"""{"job":"climatology","store":"$store","span":"$span",$detail}""")
+    if (!preExisting) spark.stop()
+  }
+}

@@ -1,8 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Climatology
 import graft.sinks.ProductStore
 
 /** CLI equivalents of the reference's companion tools. */
@@ -16,34 +14,6 @@ object Jobs {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-  }
-}
-
-/** `tools/climatology` analog (SURVEY §3.3 / A7-A8): temporal-mean
-  * climatology over a product store.
-  *
-  * Usage: ClimatologyJob <storePath> <outPath> [span] [consolidated]
-  *   span ∈ month|season|quarter|year (default month)
-  *   consolidated = "true" → second-level month-of-year mean-of-means
-  *
-  * One groupBy per level — the entire reference tool (span slicing, dask
-  * pools, temp-Zarr spills, `tools/climatology/main.py:151-486`) reduces to
-  * these aggregates; day-partition pruning serves the time subsetting.
-  */
-object ClimatologyJob {
-  def main(args: Array[String]): Unit = {
-    val Array(store, out) = args.take(2)
-    val span         = if (args.length > 2) args(2) else "month"
-    val consolidated = args.length > 3 && args(3).toBoolean
-    val spark        = Jobs.session("graft-climatology")
-    spark.sparkContext.setLogLevel("WARN")
-    val product = ProductStore.read(spark, store)
-    val monthly = Climatology.temporalMean(product, "time", "value", span, Seq("target_id", "variable"))
-    val result =
-      if (consolidated) Climatology.consolidateMonthly(monthly, Seq("target_id", "variable"))
-      else monthly
-    result.write.mode("overwrite").parquet(out)
-    spark.stop()
   }
 }
 
