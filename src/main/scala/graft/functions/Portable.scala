@@ -38,6 +38,59 @@ object Portable {
   def avg2(c: Column): Column =
     sum(dec2(c)).cast("double") / count(c)
 
+  /** Unscaled integer view of a decimal column (the "cents" long). */
+  private def unscaled(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Exact decimal sum at long-add speed: two-limb integer accumulation of
+    * the decimal's unscaled value with a provable-overflow guard.
+    *
+    * The decimal forms ([[sum2]]/[[sum6]]) are exact but pay per-row
+    * Decimal object arithmetic. Here each value becomes its exact unscaled
+    * long (same cast, same rounding — bit-identical semantics), split into
+    * two limbs (high = v >> 26, low = v - (high << 26) ∈ [0, 2^26)) that
+    * accumulate as plain codegen long sums; the group's final value is
+    * reassembled in decimal once per group, so the result is bit-identical
+    * to `CAST(SUM(CAST(x AS DECIMAL(p,scale))) AS DOUBLE)` whenever it
+    * returns at all.
+    *
+    * Safety at 100 TB: the guard proves no limb overflow from the group's
+    * own (count, max |high limb|) — if it cannot (too many rows × too big
+    * magnitudes, or a value nulled by decimal-cast overflow), the aggregate
+    * raises with direction to the decimal forms. It never returns a wrong
+    * sum. For cents-scale columns the guard binds around 2^36 rows per
+    * group; beyond that scale use [[sum2]]/[[sum6]]. */
+  def sumFast(c: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, s"sumFast supports scale 0..6, got $scale")
+    val u  = unscaled(c.cast(DecimalType(24, scale)))
+    val q  = shiftright(u, 26)
+    val r  = u - (q * lit(1L << 26))
+    val n  = count(u)
+    val safe =
+      n === 0 ||
+        ((max(abs(q)) + 1) <= lit((1L << 62) - 1) / n &&
+          n < lit(1L << 36) &&
+          count(c) === n) // a decimal-cast overflow nulls u silently
+    val total =
+      sum(q).cast(DecimalType(38, 0)) * lit(1L << 26) + sum(r).cast(DecimalType(38, 0))
+    val exact = (total / lit(math.pow(10, scale).toLong)).cast("double")
+    when(safe, exact).otherwise(raise_error(lit(
+      "sumFast: overflow cannot be ruled out for this group (rows x magnitude too large, " +
+        "or a value overflowed the decimal cast) - use the exact decimal forms " +
+        "(Portable.sum2 / sum6) at this scale")))
+  }
+
+  /** [[sumFast]] at money scale. Oracle-equal to [[sum2]]. */
+  def sum2fast(c: Column): Column = sumFast(c, 2)
+
+  /** [[sumFast]] at 6-dp product scale. Oracle-equal to [[sum6]]. */
+  def sum6fast(c: Column): Column = sumFast(c, 6)
+
+  /** Fast deterministic average. Oracle-equal to [[avg2]]. */
+  def avg2fast(c: Column): Column = sumFast(c, 2) / count(c)
+
   /** Order-deterministic sum of arbitrary doubles (aggregate context).
     *
     * Decimal casts are only portable for conceptually low-scale values

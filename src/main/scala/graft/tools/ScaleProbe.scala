@@ -125,10 +125,19 @@ object ScaleProbe {
     val variant = if (args.length > 4) args(4) else "target"
     if (variant == "globalzarr") {
       // production sink probe: global pipeline over the parametric mesh,
-      // then the Zarr v2 store write (the reference's primary output path)
+      // then the Zarr v2 store write (the reference's primary output path).
+      // args(5) = number of days (each its own synthetic granule, so the
+      // time-chunk dimension and per-granule sessionization do real work;
+      // gridN=360 → the production 36000×18000 mesh at 250×250×5 chunking)
+      val nDays = if (args.length > 5) args(5).toInt else 1
       val nx = 100 * gridN; val ny = 50 * gridN
       val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, nx, -90.0, 90.0, ny)
-      val granule = syntheticGranule(spark, n, nTgt)
+      val granule = (0 until nDays).map { di =>
+        syntheticGranule(spark, n, nTgt)
+          .withColumn("time",
+            to_timestamp(lit("2023-06-15 10:30:00")) + expr(s"INTERVAL $di DAYS"))
+          .withColumn("granule_path", lit(s"synthetic://day$di.nc4"))
+      }.reduce(_.unionByName(_))
       val out = graft.domain.GlobalPipeline.process(granule, mesh, Pipeline.Config(gridN = gridN, method = method))
       val t0 = System.nanoTime()
       val zPath = java.nio.file.Files.createTempDirectory("zarrprobe").toString
@@ -143,7 +152,7 @@ object ScaleProbe {
       }
       val chunkFiles = files.count(_.getName.matches("\\d+\\.\\d+\\.\\d+"))
       val bytes = files.map(_.length()).sum
-      println(s"""{"probe":"global_zarr_write","soundings":$n,"mesh":"${nx}x$ny","chunk_files":$chunkFiles,"store_bytes":$bytes,"sec":$sec}""")
+      println(s"""{"probe":"global_zarr_write","soundings":$n,"days":$nDays,"mesh":"${nx}x$ny","chunk_files":$chunkFiles,"store_bytes":$bytes,"sec":$sec}""")
       spark.stop()
       return
     }
