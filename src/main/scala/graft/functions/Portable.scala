@@ -44,42 +44,97 @@ object Portable {
       org.apache.spark.sql.catalyst.expressions.UnscaledValue(
         org.apache.spark.sql.GraftSqlBridge.expression(c)))
 
+  private val GuardMsg =
+    "sumFast: overflow cannot be ruled out for this group (rows x magnitude too large, " +
+      "or a value overflowed the decimal cast) - use the exact decimal forms " +
+      "(Portable.sum2 / sum6) at this scale"
+
+  /** Exact unscaled long + limb split shared by the fast-sum forms.
+    * Precision 18 keeps the decimal in Spark's compact (long-backed)
+    * representation AND proves the unscaled value fits a long (10^18 <
+    * 2^63) — values too big for 18 digits null out (or raise under ANSI)
+    * and the guards catch them; they never truncate silently. */
+  private def limbs(c: Column, scale: Int): (Column, Column, Column) = {
+    require(scale >= 0 && scale <= 6, s"sumFast supports scale 0..6, got $scale")
+    val u = unscaled(c.cast(DecimalType(18, scale)))
+    val q = shiftright(u, 26)
+    val r = u - (q * lit(1L << 26))
+    (u, q, r)
+  }
+
+  /** Exact double view of the merged limb sums: (Σq)·2²⁶ + Σr in
+    * Decimal(38,0), scaled back down. The division result carries ≥ 6
+    * fractional digits and the true quotient has ≤ `scale` ≤ 6, so the
+    * value is exact; decimal→double is then correctly rounded — together
+    * bit-identical to `CAST(SUM(CAST(x AS DECIMAL(p,scale))) AS DOUBLE)`. */
+  private def reassemble(sumQ: Column, sumR: Column, scale: Int): Column =
+    ((sumQ.cast(DecimalType(38, 0)) * lit(1L << 26) + sumR.cast(DecimalType(38, 0))) /
+      lit(math.pow(10, scale).toLong)).cast("double")
+
   /** Exact decimal sum at long-add speed: two-limb integer accumulation of
     * the decimal's unscaled value with a provable-overflow guard.
     *
     * The decimal forms ([[sum2]]/[[sum6]]) are exact but pay per-row
-    * Decimal object arithmetic. Here each value becomes its exact unscaled
-    * long (same cast, same rounding — bit-identical semantics), split into
-    * two limbs (high = v >> 26, low = v - (high << 26) ∈ [0, 2^26)) that
-    * accumulate as plain codegen long sums; the group's final value is
-    * reassembled in decimal once per group, so the result is bit-identical
-    * to `CAST(SUM(CAST(x AS DECIMAL(p,scale))) AS DOUBLE)` whenever it
+    * Decimal object arithmetic in the aggregation buffer. Here each value
+    * becomes its exact unscaled long (same cast, same rounding —
+    * bit-identical semantics), split into two limbs (high = v >> 26,
+    * low = v - (high << 26) ∈ [0, 2^26)) that accumulate as plain codegen
+    * long sums; the group's final value is reassembled in decimal once per
+    * group, so the result is bit-identical to
+    * `CAST(SUM(CAST(x AS DECIMAL(p,scale))) AS DOUBLE)` whenever it
     * returns at all.
     *
     * Safety at 100 TB: the guard proves no limb overflow from the group's
     * own (count, max |high limb|) — if it cannot (too many rows × too big
-    * magnitudes, or a value nulled by decimal-cast overflow), the aggregate
-    * raises with direction to the decimal forms. It never returns a wrong
-    * sum. For cents-scale columns the guard binds around 2^36 rows per
-    * group; beyond that scale use [[sum2]]/[[sum6]]. */
-  def sumFast(c: Column, scale: Int): Column = {
-    require(scale >= 0 && scale <= 6, s"sumFast supports scale 0..6, got $scale")
-    val u  = unscaled(c.cast(DecimalType(24, scale)))
-    val q  = shiftright(u, 26)
-    val r  = u - (q * lit(1L << 26))
-    val n  = count(u)
+    * magnitudes, or a value that overflowed the decimal cast), the
+    * aggregate raises with direction to the decimal forms. It never
+    * returns a wrong sum. For cents-scale columns the guard binds around
+    * 2^36 rows per group; beyond that use [[sum2]]/[[sum6]]. */
+  def sumFast(c: Column, scale: Int): Column = sumFastGuarded(c, scale, (1L << 62) - 1)
+
+  /** [[sumFast]] with an injectable limb-sum capacity so specs can trip the
+    * magnitude branch of the guard without 10⁸ rows; production capacity is
+    * 2⁶²−1. */
+  private[graft] def sumFastGuarded(c: Column, scale: Int, limbCap: Long): Column = {
+    val (u, q, r) = limbs(c, scale)
+    val n         = count(u)
     val safe =
       n === 0 ||
-        ((max(abs(q)) + 1) <= lit((1L << 62) - 1) / n &&
+        ((max(abs(q)) + 1) <= lit(limbCap) / n &&
           n < lit(1L << 36) &&
-          count(c) === n) // a decimal-cast overflow nulls u silently
-    val total =
-      sum(q).cast(DecimalType(38, 0)) * lit(1L << 26) + sum(r).cast(DecimalType(38, 0))
-    val exact = (total / lit(math.pow(10, scale).toLong)).cast("double")
-    when(safe, exact).otherwise(raise_error(lit(
-      "sumFast: overflow cannot be ruled out for this group (rows x magnitude too large, " +
-        "or a value overflowed the decimal cast) - use the exact decimal forms " +
-        "(Portable.sum2 / sum6) at this scale")))
+          count(c) === n) // a decimal-cast overflow nulls u (non-ANSI)
+    when(safe, reassemble(sum(q), sum(r), scale)).otherwise(raise_error(lit(GuardMsg)))
+  }
+
+  /** Mergeable [[sumFast]] state: limb sums plus the guard witnesses, all
+    * plain longs. Limb addition is associative, so exact sums can
+    * pre-aggregate below a join (one row per fine key) and re-aggregate
+    * above it with [[sumFastMerge]] — the two-level aggregate shape that
+    * shrinks a 100 TB fact-table shuffle to its key cardinality. */
+  def sumFastPartial(c: Column, scale: Int): Column = {
+    val (u, q, r) = limbs(c, scale)
+    struct(
+      sum(q).as("sq"),
+      sum(r).as("sr"),
+      count(u).as("n"),
+      max(abs(q)).as("mq"),
+      count(c).as("nc"))
+  }
+
+  /** Merge + finish [[sumFastPartial]] states (aggregate context): the
+    * guard re-proves no limb overflow at ANY level from the merged
+    * witnesses (Σn, max mq bound every sub-group's sums too), then
+    * reassembles — bit-identical to [[sumFast]] over the underlying rows
+    * in one level. */
+  def sumFastMerge(p: Column, scale: Int): Column = {
+    require(scale >= 0 && scale <= 6, s"sumFast supports scale 0..6, got $scale")
+    val n = sum(p("n"))
+    val safe =
+      n === 0 ||
+        ((max(p("mq")) + 1) <= lit((1L << 62) - 1) / n &&
+          n < lit(1L << 36) &&
+          sum(p("nc")) === n)
+    when(safe, reassemble(sum(p("sq")), sum(p("sr")), scale)).otherwise(raise_error(lit(GuardMsg)))
   }
 
   /** [[sumFast]] at money scale. Oracle-equal to [[sum2]]. */

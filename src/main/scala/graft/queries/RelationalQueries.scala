@@ -17,20 +17,24 @@ object RelationalQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** TPC-H Q1-style pricing summary — hash aggregate with partial/map-side
-    * combine (reference analog: climatology-style rollups, SURVEY A7). */
+    * combine (reference analog: climatology-style rollups, SURVEY A7).
+    * Sums run through the two-limb long fast path ([[graft.functions
+    * .Portable.sumFast]]): bit-identical to the decimal forms (the oracle
+    * SQL is unchanged), but the aggregation buffer is plain codegen longs
+    * instead of per-row Decimal adds. */
   private val q01: Q = (s, dir) => {
     Tables
       .lineitem(s, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum2(col("l_quantity")).as("sum_qty"),
-        sum2(col("l_extendedprice")).as("sum_base_price"),
-        sum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        sum6(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+        sum2fast(col("l_quantity")).as("sum_qty"),
+        sum2fast(col("l_extendedprice")).as("sum_base_price"),
+        sum6fast(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        sum6fast(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
           .as("sum_charge"),
-        avg2(col("l_quantity")).as("avg_qty"),
-        avg2(col("l_extendedprice")).as("avg_price"),
-        avg2(col("l_discount")).as("avg_disc"),
+        avg2fast(col("l_quantity")).as("avg_qty"),
+        avg2fast(col("l_extendedprice")).as("avg_price"),
+        avg2fast(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
       .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -108,12 +112,12 @@ object RelationalQueries {
     // Pre-aggregate lineitem per order BEFORE the join: map-side partials
     // shrink the shuffle to one row per order, the COUNT DISTINCT becomes a
     // plain count (one row per order by construction — no Expand doubling
-    // the fact stream through the aggregate), and the per-order decimal
-    // sums re-sum exactly (decimal addition is associative). At 100 TB this
-    // is the difference between shuffling the fact table and shuffling the
-    // order table.
+    // the fact stream through the aggregate), and the per-order limb sums
+    // re-sum exactly above the join (sumFastPartial/Merge — long addition
+    // is associative). At 100 TB this is the difference between shuffling
+    // the fact table and shuffling the order table.
     val perOrder = l.groupBy(col("l_orderkey"))
-      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("_rev"))
+      .agg(sumFastPartial(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("_rev"))
     perOrder.join(o, perOrder("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
@@ -121,7 +125,7 @@ object RelationalQueries {
       .groupBy(col("r_name"), col("n_name"))
       .agg(
         count(lit(1)).as("n_orders"),
-        sum(col("_rev")).cast("double").as("revenue"))
+        sumFastMerge(col("_rev"), 6).as("revenue"))
       .orderBy(col("r_name"), col("n_name"))
   }
 
