@@ -85,18 +85,21 @@ object GlobalPipeline {
 
   /** Full global pipeline → sparse long form with per-pixel annotations
     * (M4: numeric target id, target type code, operation mode;
-    * first-writer-wins = lowest region_id). */
+    * first-writer-wins = lowest region_id). `quality` is the per-mission
+    * quality rule (default: the CO2 `xco2_quality_flag == 0` filter; SIF
+    * passes flags {0,1} via [[SifPipeline.qualityFilter]]). */
   def process(
       granule: DataFrame,
       grid: GridSpec = DefaultGrid,
       cfg: Pipeline.Config = Pipeline.Config(),
-      valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
+      valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty"),
+      quality: (DataFrame, Pipeline.Config) => DataFrame = Pipeline.qualityFilter): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sessionized =
       if (granule.columns.contains("granule_path"))
         sessionizePerGranule(granule, cfg, "granule_path")
       else sessionize(granule, cfg)
-    val sessions0 = Pipeline.qualityFilter(sessionized, cfg)
+    val sessions0 = quality(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
         sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -165,4 +168,66 @@ object GlobalPipeline {
     products
       .map { case (mission, df) => df.withColumn("mission", lit(mission)) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  // ------------------------------------------------- reference store naming
+
+  /** Reference global-product variable prefixes per mission
+    * (`OCO3SamGlobalProcessor.py:43`, `OCO2GlobalProcessor.py:40`,
+    * `OCO3SifGlobalProcessor.py:43`). */
+  val MissionPrefix: Map[String, String] = Map(
+    "oco3"     -> "OCO3_global_",
+    "oco2"     -> "OCO2_global_",
+    "oco3_sif" -> "OCO3_SIF_global_")
+
+  /** Science variables each mission contributes to the global store (the
+    * engine's defaults for the reference's `DEFAULT_INCLUDED_VARS`). */
+  val MissionScienceVars: Map[String, Seq[String]] = Map(
+    "oco3"     -> Seq("xco2", "xco2_uncertainty"),
+    "oco2"     -> Seq("xco2", "xco2_uncertainty"),
+    "oco3_sif" -> Seq("daily_sif"))
+
+  /** Missions whose global masking annotates per-pixel target metadata
+    * (`OCO3SamGlobalProcessor.py:353-410`, `OCO3SifGlobalProcessor.py:
+    * 748-751`); OCO-2's global mask takes no target args
+    * (`OCO2GlobalProcessor.py:206`). */
+  private val Annotating = Set("oco3", "oco3_sif")
+
+  /** Every variable a mission's slot in the global store carries — used to
+    * synthesize the arrays of ABSENT missions (G5, `main.py:219-230`,
+    * `:275-283`): in sparse form an empty day writes no chunks, so an
+    * absent mission is just its variable metadata with no data, and any
+    * Zarr client reads it back as all-fill. */
+  def missionStoreVariables(mission: String): Seq[String] = {
+    val p = MissionPrefix(mission)
+    MissionScienceVars(mission).map(p + _) ++
+      (if (Annotating(mission))
+         Seq("target_id", "target_type", "operation_mode").map(p + _)
+       else Nil)
+  }
+
+  /** Rename one mission's sparse global product ([[process]] output) to
+    * the reference's store naming: science variables prefixed, and — for
+    * annotating missions — the per-pixel annotation columns re-emitted as
+    * store variables (float64, like every array in the store; absence
+    * stays the fill). Annotation rows derive from the first science
+    * variable's pixel set: every variable of a pixel carries identical
+    * annotations (same first-writer-wins row), so no dedup shuffle is
+    * needed. */
+  def toStoreVariables(mission: String, product: DataFrame): DataFrame = {
+    val p    = MissionPrefix(mission)
+    val base = Seq("time", "lat_idx", "lon_idx", "lat", "lon").map(col)
+    val sci = product.select(
+      base :+ concat(lit(p), col("variable")).as("variable") :+ col("value"): _*)
+    if (!Annotating(mission)) sci
+    else {
+      val first = MissionScienceVars(mission).head
+      val ann = product
+        .filter(col("variable") === first)
+        .select(base :+ expr(
+          s"stack(3, '${p}target_id', CAST(target_num AS DOUBLE), " +
+            s"'${p}target_type', CAST(target_type AS DOUBLE), " +
+            s"'${p}operation_mode', CAST(operation_mode AS DOUBLE)) AS (variable, value)"): _*)
+      sci.unionByName(ann)
+    }
+  }
 }

@@ -20,26 +20,52 @@ import graft.functions.Portable._
 object Climatology {
 
   /** Span start boundary: calendar units via date_trunc, plus "season" =
-    * meteorological season (DJF/MAM/JJA/SON — the reference's seasonal
-    * climatology mode, `tools/climatology/main.py:183-210`), computed as
-    * quarter-truncate of (ts + 1 month) minus 1 month so December joins the
-    * following DJF. */
+    * meteorological season (DJF/MAM/JJA/SON — clean month-aligned seasons),
+    * computed as quarter-truncate of (ts + 1 month) minus 1 month so
+    * December joins the following DJF. For the reference tool's EXACT
+    * seasonal boundaries use [[spanStartSeasonalRef]]. */
   def spanStart(ts: Column, span: String): Column = span match {
     case "season" =>
       date_trunc("quarter", ts + expr("INTERVAL 1 MONTH")) - expr("INTERVAL 1 MONTH")
     case unit => date_trunc(unit, ts)
   }
 
+  /** Reference-faithful seasonal span start (`tools/climatology/main.py:
+    * 194-210`): the reference ends each seasonal span on the **20th** of
+    * Mar/Jun/Sep/Dec (month-end boundary dates re-pinned to day 20), so a
+    * span is [21st of one boundary month, 20th of the next], and the FIRST
+    * span is clipped to the store's coverage start — a partial span labeled
+    * by the coverage start itself (`time_slices[0] = slice(start_date,
+    * pd_dates[0])`).
+    *
+    * Shifting by 20 days maps [Mar 21, Jun 20] onto calendar [Mar 1,
+    * May 31], which is exactly the DJF-style season of the shifted date —
+    * so the unclipped boundary is `spanStart(ts - 20d, "season") + 20d`,
+    * then `greatest` applies the coverage clip. */
+  def spanStartSeasonalRef(ts: Column, coverageStart: Column): Column =
+    greatest(
+      spanStart(ts - expr("INTERVAL 20 DAYS"), "season") + expr("INTERVAL 20 DAYS"),
+      coverageStart.cast("timestamp"))
+
   /** Per-span mean/count over a value column, grouped by extra keys.
-    * `span` ∈ {"month", "quarter", "season", "year", ...}. */
+    * `span` ∈ {"month", "quarter", "season", "seasonal-ref", "year", ...}.
+    * "seasonal-ref" (the reference tool's 20th-of-month boundaries with a
+    * coverage-clipped partial first span) needs the data's coverage start:
+    * one single-row min aggregate, broadcast under every row — the only
+    * span mode whose boundary depends on the data itself. */
   def temporalMean(
       df: DataFrame,
       tsCol: String,
       valueCol: String,
       span: String,
       keyCols: Seq[String] = Nil): DataFrame = {
-    val spanCol = date_format(spanStart(col(tsCol), span), "yyyy-MM-dd").as("span_start")
-    df.groupBy(spanCol +: keyCols.map(col): _*)
+    val (in, start) =
+      if (span == "seasonal-ref") {
+        val cov = df.agg(min(col(tsCol)).as("_coverage_start"))
+        (df.crossJoin(broadcast(cov)), spanStartSeasonalRef(col(tsCol), col("_coverage_start")))
+      } else (df, spanStart(col(tsCol), span))
+    val spanCol = date_format(start, "yyyy-MM-dd").as("span_start")
+    in.groupBy(spanCol +: keyCols.map(col): _*)
       .agg(
         avg2(col(valueCol)).as("mean_value"),
         count(col(valueCol)).as("valid_count"),

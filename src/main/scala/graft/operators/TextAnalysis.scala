@@ -181,13 +181,25 @@ object TextAnalysis {
     simHashNearDup(df, idCol, textCol, bits, nBands, maxHamming)
   }
 
+  /** Unsized entry point: defaults are corpus-sized, not fixed — a fixed
+    * 16-bit/4-band geometry is quadratic past ~2^16 docs (dev/PLANS_r4.md),
+    * so the no-geometry call routes through [[sizedSimHashBands]]. Callers
+    * that already know their geometry use the explicit overload. */
   def simHashNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      bits: Int = 16,
-      nBands: Int = 4,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      nDocsHint: Option[Long] = None): DataFrame =
+    simHashNearDupSized(df, idCol, textCol, maxHamming, nDocsHint)
+
+  def simHashNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int,
+      nBands: Int,
+      maxHamming: Int): DataFrame = {
     require(bits % nBands == 0, "bits must divide into equal bands")
     require(maxHamming < nBands, "pigeonhole guarantee needs maxHamming < nBands")
     val bandBits = bits / nBands

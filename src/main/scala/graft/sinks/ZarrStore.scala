@@ -157,13 +157,18 @@ object ZarrStore {
 
   /** Create or append. `long` columns: time (castable to date), variable,
     * lat_idx, lon_idx, value. Appended days must all be AFTER the store's
-    * current coverage (the reference's forward-only time append). */
+    * current coverage (the reference's forward-only time append).
+    * `ensureVariables` forces arrays to exist even with zero input rows —
+    * the sparse form of the reference's empty-day/absent-mission synthesis
+    * (G5, `main.py:219-230`): metadata without chunks reads back as
+    * all-fill in any Zarr client. */
   def write(
       long: DataFrame,
       path: String,
       grid: GridSpec,
       chunks: Chunking = Chunking(),
       level: Int = 9,
+      ensureVariables: Seq[String] = Nil,
       now: String = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Unit = {
     val spark = long.sparkSession
@@ -182,7 +187,7 @@ object ZarrStore {
       col("value").cast("double").as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      writePersisted(proj, path, grid, chunks, level, now, root, fs, spark)
+      writePersisted(proj, path, grid, chunks, level, ensureVariables, now, root, fs, spark)
     } finally {
       proj.unpersist()
       ()
@@ -195,6 +200,7 @@ object ZarrStore {
       grid: GridSpec,
       chunks: Chunking,
       level: Int,
+      ensureVariables: Seq[String],
       now: String,
       root: Path,
       fs: org.apache.hadoop.fs.FileSystem,
@@ -215,7 +221,19 @@ object ZarrStore {
     require(allDays.nonEmpty, "zarr write: input has no days")
     val dayIndex = allDays.zipWithIndex.map { case (d, i) => d -> i }.toMap
 
-    val variables = dayVar.map(_._2).distinct.sorted.toSeq
+    // an append must extend EVERY array's time axis, including variables
+    // this batch doesn't mention (another mission's arrays in the shared
+    // global store): pick up existing array dirs so their .zarray shape
+    // tracks the new time length — their missing chunks read as fill
+    val existingVars =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath.getName)
+        .filterNot(Set("time", "lat", "lon"))
+        .filter(n => fs.exists(new Path(new Path(root, n), ".zarray")))
+    val variables =
+      (dayVar.map(_._2) ++ ensureVariables ++ existingVars).distinct.sorted.toSeq
     val conf   = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val bcIdx  = spark.sparkContext.broadcast(dayIndex)
     val bcVars = spark.sparkContext.broadcast(variables)

@@ -30,7 +30,11 @@ import graft.sinks.{ProductStore, ZarrStore}
   *
   * Usage: ClimatologyJob <store> <out> [span] [--consolidated]
   *        [--variable <v>]
-  * span ∈ month | season | quarter | year (default month)
+  * span ∈ month | season | seasonal-ref | quarter | year (default month);
+  * `seasonal-ref` reproduces the reference tool's exact season boundaries
+  * (spans end on the 20th of Mar/Jun/Sep/Dec, first span clipped to the
+  * store's coverage start — `tools/climatology/main.py:194-210`), while
+  * `season` keeps clean month-aligned DJF/MAM/JJA/SON.
   */
 object ClimatologyJob {
 

@@ -129,14 +129,38 @@ object RunJob {
           cat,
           cfg.copy(samMode = 3, targetMode = 2))
     }
+    // Global mode: every mission runs its GLOBAL pipeline onto the shared
+    // mesh with the reference's variable prefixes (`main.py:199-297`;
+    // prefix constants in the three global processors), then the products
+    // union in long form into ONE store. Missions absent from the config
+    // still get their arrays synthesized at the sink (G5 empty-day
+    // semantics — see the zarr write below).
+    def missionGlobal(mission: String, paths: Seq[String], mesh: Grid.GridSpec): DataFrame =
+      mission match {
+        case "oco3" =>
+          GlobalPipeline.toStoreVariables(mission, GlobalPipeline.process(
+            NetCDFGranules.readGranules(spark, paths).drop("sounding_id"), mesh, cfg))
+        case "oco2" =>
+          // Target-mode-only runs (R3); the reference's OCO-2 global mask
+          // adds no target annotations (`OCO2GlobalProcessor.py:206`)
+          GlobalPipeline.toStoreVariables(mission, GlobalPipeline.process(
+            NetCDFGranules.readGranules(spark, paths).drop("sounding_id"),
+            mesh, cfg.copy(samMode = cfg.targetMode)))
+        case "oco3_sif" =>
+          val soundings = NetCDFGranules.readSifGranules(spark, paths)
+            .withColumn("time", SifPipeline.sifTime(col("delta_time")))
+          val resolved = SifPipeline.resolveTargets(
+            soundings, NetCDFGranules.readSifSequences(spark, paths))
+          GlobalPipeline.toStoreVariables(mission, GlobalPipeline.process(
+            resolved, mesh, cfg.copy(samMode = 3, targetMode = 2),
+            valueCols = Seq("daily_sif"),
+            quality = (df, _) => SifPipeline.qualityFilter(df)))
+      }
     val product: DataFrame =
       if (isGlobal) {
-        require(
-          missionFiles.map(_._1) == Seq("oco3"),
-          "config: output.global currently runs the oco3 mission only; use target mode for mission maps")
         val mesh = Grid.GridSpec(-180.0, 180.0, meshW, -90.0, 90.0, meshH)
-        val granules = NetCDFGranules.readGranules(spark, files).drop("sounding_id")
-        GlobalPipeline.process(granules, mesh, cfg)
+        missionFiles.map { case (m, paths) => missionGlobal(m, paths, mesh) }
+          .reduce(_.unionByName(_))
       } else missionFiles match {
         case Seq((m, paths)) => missionProduct(m, paths)
         case several => // J5: disjoint variable sets union in long form
@@ -155,7 +179,11 @@ object RunJob {
             meshH, meshW,
             -90.0 + 180.0 / meshH / 2, 180.0 / meshH,
             -180.0 + 360.0 / meshW / 2, 360.0 / meshW),
-          chunking)
+          chunking,
+          // G5: absent missions' arrays exist (all-fill) for every day —
+          // the reference's empty-day synthesis (`main.py:219-230,275-283`)
+          ensureVariables = knownMissions.toSeq.sorted
+            .flatMap(GlobalPipeline.missionStoreVariables))
       case "parquet" =>
         ProductStore.appendIdempotent(cleaned, outPath, dropEmpty = false)
       case other => throw new IllegalArgumentException(s"config: unknown output.format $other")

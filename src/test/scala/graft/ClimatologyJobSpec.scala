@@ -49,14 +49,16 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(ZarrStore.existingDays(spark, store).length === 3)
 
     val out = dir.resolve("climo-out").toString
-    graft.tools.ClimatologyJob.main(Array(store, out, "month", "--consolidated", "--variable", "xco2"))
+    // global stores carry reference-prefixed variables (OCO3_global_*)
+    graft.tools.ClimatologyJob.main(
+      Array(store, out, "month", "--consolidated", "--variable", "OCO3_global_xco2"))
 
     // monthly store: two spans (2023-01, 2024-01); Jan 2024 pixels average
     // their two days to 420
     val monthlyDays = ZarrStore.existingDays(spark, out)
     assert(monthlyDays.map(java.time.LocalDate.ofEpochDay(_).toString) ===
       Seq("2023-01-01", "2024-01-01"))
-    val monthly = ZarrStore.read(spark, out, "xco2_month_mean")
+    val monthly = ZarrStore.read(spark, out, "OCO3_global_xco2_month_mean")
       .select("time_idx", "value").distinct()
       .collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
     assert(monthly === Set((0, 400.0), (1, 420.0)))
@@ -65,9 +67,59 @@ class ClimatologyJobSpec extends SparkSpec {
     // mean(400, 420) = 410 — mean-of-days would read 413.33
     val consDays = ZarrStore.existingDays(spark, s"$out-consolidated")
     assert(consDays.map(java.time.LocalDate.ofEpochDay(_).toString) === Seq("2000-01-01"))
-    val cons = ZarrStore.read(spark, s"$out-consolidated", "xco2_monthly_climatology")
+    val cons = ZarrStore.read(spark, s"$out-consolidated", "OCO3_global_xco2_monthly_climatology")
       .select("value").distinct().collect().map(_.getDouble(0))
     assert(cons === Array(410.0))
+  }
+
+  test("seasonal-ref spans match the reference tool's 20th-of-month boundaries, incl. the partial first span") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    // coverage starts 2023-01-10: the reference's first span is the
+    // coverage-clipped partial [2023-01-10 .. 2023-03-20], then
+    // [Mar 21 .. Jun 20], [Jun 21 .. Sep 20], [Sep 21 .. Dec 20],
+    // [Dec 21 .. coverage end] (`tools/climatology/main.py:194-210`:
+    // month-end dates filtered to month%3==0 and re-pinned to day 20)
+    val want = Seq(
+      "2023-01-10" -> "2023-01-10", // coverage start labels the partial span
+      "2023-03-15" -> "2023-01-10",
+      "2023-03-20" -> "2023-01-10", // the 20th still belongs to the first span
+      "2023-03-21" -> "2023-03-21", // the 21st opens the next season
+      "2023-03-25" -> "2023-03-21",
+      "2023-06-15" -> "2023-03-21",
+      "2023-06-20" -> "2023-03-21", // season runs THROUGH Jun 20...
+      "2023-06-21" -> "2023-06-21", // ...and flips on the 21st
+      "2023-06-25" -> "2023-06-21",
+      "2023-09-20" -> "2023-06-21",
+      "2023-09-21" -> "2023-09-21",
+      "2023-12-20" -> "2023-09-21",
+      "2023-12-21" -> "2023-12-21", // Dec 21 wraps into the next year's span
+      "2024-01-05" -> "2023-12-21")
+    val df = want.map(_._1).map(d => (d, 1.0)).toDF("day", "v")
+      .select(col("day").cast("timestamp").as("time"), col("v"))
+    val got = Climatology
+      .temporalMean(df, "time", "v", "seasonal-ref", keyCols = Nil)
+      .select(col("span_start"))
+      .collect().map(_.getString(0)).sorted
+    assert(got === want.map(_._2).distinct.sorted)
+    // per-day membership: group by (day, span) and check every pair
+    val cov = df.agg(min(col("time")).as("_cov"))
+    val pairs = df.crossJoin(broadcast(cov))
+      .select(
+        date_format(col("time"), "yyyy-MM-dd").as("day"),
+        date_format(
+          Climatology.spanStartSeasonalRef(col("time"), col("_cov")), "yyyy-MM-dd").as("span"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toSeq.sorted
+    assert(pairs === want.sorted)
+    // the clean DJF "season" mode is untouched (default behavior kept):
+    // Mar 15 truncates to Mar 1, Dec 21 to Dec 1
+    val djf = df.select(
+      date_format(col("time"), "yyyy-MM-dd").as("day"),
+      date_format(Climatology.spanStart(col("time"), "season"), "yyyy-MM-dd").as("span"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(djf("2023-03-15") === "2023-03-01")
+    assert(djf("2023-12-21") === "2023-12-01")
+    assert(djf("2024-01-05") === "2023-12-01")
   }
 
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {

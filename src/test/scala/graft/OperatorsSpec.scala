@@ -115,6 +115,36 @@ class OperatorsSpec extends SparkSpec {
     assert(sized.map(s => (s(0), s(1))).contains((1L, 2L))) // hamming 0 pair survives
   }
 
+  test("the unsized simHashNearDup call picks the corpus-sized geometry (30 docs and 50k docs)") {
+    // 30 docs: sized law says 5-bit bands (20, 4) — the unsized entry point
+    // must agree with that explicit geometry pair-for-pair
+    val small = (1L to 30L).map { i =>
+      val base = if (i <= 2) 100L else i
+      (i, (1 to 40).map(j => s"tok${(base * 31 + j) % 97}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(TextAnalysis.sizedSimHashBands(30L, 3) === ((20, 4)))
+    val smallUnsized = TextAnalysis.simHashNearDup(small, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    val smallExplicit = TextAnalysis.simHashNearDup(small, "doc_id", "text", 20, 4, 3)
+      .orderBy("id_a", "id_b").collect().map(_.toSeq)
+    assert(smallUnsized === smallExplicit)
+    assert(smallUnsized.map(s => (s(0), s(1))).contains((1L, 2L)))
+    // 50k docs: the portable 60-bit ceiling binds — (60, 4), i.e. 15-bit
+    // bands, the geometry that keeps bucket occupancy ~n/2^15 (linear);
+    // the old fixed default (16, 4) would put ~12k docs in every bucket
+    val big = spark.range(50000).select(
+      col("id").as("doc_id"),
+      concat_ws(" ",
+        transform(sequence(lit(1), lit(20)),
+          j => concat(lit("w"), pmod(xxhash64(col("id"), j), lit(5000))))).as("text"))
+    assert(TextAnalysis.sizedSimHashBands(50000L, 3) === ((60, 4)))
+    val bigUnsized = TextAnalysis.simHashNearDup(big, "doc_id", "text")
+      .agg(count(lit(1)), coalesce(sum(col("hamming")), lit(0L))).collect()(0).toSeq
+    val bigExplicit = TextAnalysis.simHashNearDup(big, "doc_id", "text", 60, 4, 3)
+      .agg(count(lit(1)), coalesce(sum(col("hamming")), lit(0L))).collect()(0).toSeq
+    assert(bigUnsized === bigExplicit)
+  }
+
   test("LshDiagnostics warns (without failing) on a degenerate exact-duplicate bucket") {
     LshDiagnostics.lastWarning = None
     val df = (1L to 300L).map(i => (i, "the very same document text repeated everywhere"))

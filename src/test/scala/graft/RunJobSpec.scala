@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
+import graft.sinks.ZarrStore
 import graft.sources.SyntheticGranule.sounding
 import graft.sources.netcdf.NetCDFGranules
 
@@ -123,6 +124,119 @@ class RunJobSpec extends SparkSpec {
     assert(sf.select("variable").distinct().collect().map(_.getString(0)) === Array("daily_sif"))
     val yrs = sf.select(year(col("time"))).distinct().collect().map(_.getInt(0))
     assert(yrs === Array(2023)) // a silent 1970 fallback would read 2003
+  }
+
+  test("a mixed-mission GLOBAL config builds one 3-mission-shaped store with reference prefixes") {
+    val dir = Files.createTempDirectory("runjob-global")
+    // oco3 SAM capture on 2023-06-15
+    val oco3 = dir.resolve("oco3_LtCO2_20230615.nc4")
+    Files.write(oco3, NetCDFGranules.writeGranuleH5(
+      (0 until 6).map(i => sounding(i, 41.0 + 0.05 * i, 11.0 + 0.05 * i, mode = 4,
+        target = "fossil0001", xco2 = 400.0 + i, day = "2023-06-15"))))
+    // SIF capture the NEXT day (multi-day forward append in one write);
+    // sequence-resolved volcano target, 1990-epoch delta_time
+    val sif = dir.resolve("oco3_LtSIF_20230616.nc4")
+    val sifT0 = (java.time.LocalDate.of(2023, 6, 16).toEpochDay -
+      java.time.LocalDate.of(1990, 1, 1).toEpochDay) * 86400.0
+    val sifRows = (0 until 5).map { i =>
+      val lat = -0.5 + 0.05 * i; val lon = -4.5 + 0.05 * i
+      NetCDFGranules.SifSounding(
+        i.toLong, lat, lon, sifT0 + 600 * i,
+        Seq(lat - 0.3, lat - 0.3, lat + 0.3, lat + 0.3),
+        Seq(lon - 0.3, lon + 0.3, lon + 0.3, lon - 0.3),
+        quality_flag = 0, daily_sif = 1.5 + i, operation_mode = 3, sequences_index = 0)
+    }
+    Files.write(sif, NetCDFGranules.writeSifGranuleH5(sifRows, Seq("volcano0002")))
+    val store = dir.resolve("store").toString
+    val cfg   = dir.resolve("run-config.yaml")
+    Files.write(cfg,
+      s"""input:
+         |  files:
+         |    oco3: [${oco3.toString}]
+         |    oco3_sif: [${sif.toString}]
+         |output:
+         |  local: $store
+         |  format: zarr
+         |  global: true
+         |grid:
+         |  latitude: 180
+         |  longitude: 360
+         |  method: nearest
+         |""".stripMargin.getBytes("UTF-8"))
+    graft.tools.RunJob.main(Array(cfg.toString))
+
+    // one store, both days on the time axis
+    assert(ZarrStore.existingDays(spark, store)
+      .map(java.time.LocalDate.ofEpochDay(_).toString) === Seq("2023-06-15", "2023-06-16"))
+    // all THREE mission prefixes exist as arrays — including the absent
+    // oco2 mission (empty-day synthesis: metadata, no chunks, reads as fill)
+    val root = new java.io.File(store)
+    def hasArray(v: String) = new java.io.File(new java.io.File(root, v), ".zarray").isFile
+    def chunkFiles(v: String) = Option(new java.io.File(root, v).listFiles()).toSeq.flatten
+      .count(_.getName.matches("\\d+\\.\\d+\\.\\d+"))
+    for (v <- Seq("OCO3_global_xco2", "OCO3_global_xco2_uncertainty", "OCO3_global_target_id",
+      "OCO3_global_target_type", "OCO3_global_operation_mode",
+      "OCO2_global_xco2", "OCO2_global_xco2_uncertainty",
+      "OCO3_SIF_global_daily_sif", "OCO3_SIF_global_target_id",
+      "OCO3_SIF_global_target_type", "OCO3_SIF_global_operation_mode"))
+      assert(hasArray(v), s"missing store array $v")
+    assert(chunkFiles("OCO3_global_xco2") > 0)
+    assert(chunkFiles("OCO3_SIF_global_daily_sif") > 0)
+    assert(chunkFiles("OCO2_global_xco2") === 0) // synthesized absent mission
+    // data lands on the right day with the right annotations
+    val xco2 = ZarrStore.read(spark, store, "OCO3_global_xco2")
+    assert(xco2.filter(col("time_idx") === 0).count() > 0)
+    assert(xco2.filter(col("time_idx") === 1).count() === 0)
+    val sifV = ZarrStore.read(spark, store, "OCO3_SIF_global_daily_sif")
+    assert(sifV.filter(col("time_idx") === 1).count() > 0) // 1990 epoch decoded to 2023-06-16
+    assert(sifV.filter(col("time_idx") === 0).count() === 0)
+    val mode = ZarrStore.read(spark, store, "OCO3_global_operation_mode")
+      .select("value").distinct().collect().map(_.getDouble(0))
+    assert(mode === Array(4.0)) // the SAM capture
+    val sifTgt = ZarrStore.read(spark, store, "OCO3_SIF_global_target_id")
+      .select("value").distinct().collect().map(_.getDouble(0))
+    assert(sifTgt === Array(2.0)) // volcano0002 -> numeric id 2
+  }
+
+  test("an oco3_sif-only config runs end-to-end through SifPipeline to parquet") {
+    val dir = Files.createTempDirectory("runjob-sifonly")
+    val sif = dir.resolve("oco3_LtSIF_20231220.nc4")
+    val sifRows = (0 until 4).map { i =>
+      val lat = -0.5 + 0.05 * i; val lon = -4.5 + 0.05 * i
+      NetCDFGranules.SifSounding(
+        i.toLong, lat, lon, 1071878400.0 + i, // ~2023-12 seconds since 1990
+        Seq(lat - 0.3, lat - 0.3, lat + 0.3, lat + 0.3),
+        Seq(lon - 0.3, lon + 0.3, lon + 0.3, lon - 0.3),
+        quality_flag = 1, daily_sif = 1.5 + i, operation_mode = 3, sequences_index = 0)
+    }
+    Files.write(sif, NetCDFGranules.writeSifGranuleH5(sifRows, Seq("volcano0002")))
+    val targets = dir.resolve("targets.json")
+    Files.write(targets,
+      """{"volcano0002": {"bbox": {"max_lat": 1.0, "max_lon": -3.0, "min_lat": -1.0, "min_lon": -5.0},
+        |  "centroid_wkt": "POINT(-4.0 0.0)", "id": "volcano0002", "name": "Volcano B"}}""".stripMargin.getBytes("UTF-8"))
+    val store = dir.resolve("store").toString
+    val cfg   = dir.resolve("run-config.yaml")
+    Files.write(cfg,
+      s"""input:
+         |  files:
+         |    oco3_sif: [${sif.toString}]
+         |output:
+         |  local: $store
+         |  format: parquet
+         |grid:
+         |  method: nearest
+         |  target-n: 8
+         |target-file: ${targets.toString}
+         |""".stripMargin.getBytes("UTF-8"))
+    graft.tools.RunJob.main(Array(cfg.toString))
+    val out = spark.read.parquet(store)
+    // sequence-resolved target id, SIF science variable, quality flag 1 kept
+    assert(out.select("target_id").distinct().collect().map(_.getString(0)) === Array("volcano0002"))
+    assert(out.select("variable").distinct().collect().map(_.getString(0)) === Array("daily_sif"))
+    assert(out.count() > 0)
+    // 1990-epoch decode is observable: a silent 1970 fallback reads 2003
+    val yrs = out.select(year(col("time"))).distinct().collect().map(_.getInt(0))
+    assert(yrs === Array(2023))
   }
 
   test("unknown mission keys in the config are rejected loudly") {
