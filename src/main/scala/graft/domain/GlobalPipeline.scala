@@ -40,16 +40,8 @@ object GlobalPipeline {
     * [[Pipeline.sessionizePerGranule]]: per-file windows (each granule is
     * an independent ordered stream; sounding indexes repeat across files)
     * with region ids made globally unique by a broadcast granule index. */
-  def sessionizePerGranule(granule: DataFrame, cfg: Pipeline.Config, granuleCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = sessionize(granule, cfg, Seq(granuleCol))
-    val gids = s
-      .select(col(granuleCol)).distinct()
-      .withColumn("_gidx", row_number().over(Window.orderBy(col(granuleCol))).cast("long"))
-    s.join(broadcast(gids), granuleCol)
-      .withColumn("region_id", col("_gidx") * lit(1L << 40) + col("region_id"))
-      .drop("_gidx")
-  }
+  def sessionizePerGranule(granule: DataFrame, cfg: Pipeline.Config, granuleCol: String): DataFrame =
+    Sessionize.globalizeRegionIds(sessionize(granule, cfg, Seq(granuleCol)), granuleCol)
 
   /** Per-region footprint extent (drives which global pixels to generate). */
   def regionExtent(sessions: DataFrame): DataFrame =

@@ -192,16 +192,8 @@ object Pipeline {
     * (region ids are dense PER PARTITION; without the offset, granule A's
     * region 0 would merge with granule B's region 0 in every downstream
     * groupBy). The index dim is one row per granule — broadcast-sized. */
-  def sessionizePerGranule(granule: DataFrame, cfg: Config, granuleCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = sessionize(granule, cfg, Seq(granuleCol))
-    val gids = s
-      .select(col(granuleCol)).distinct()
-      .withColumn("_gidx", row_number().over(Window.orderBy(col(granuleCol))).cast("long"))
-    s.join(broadcast(gids), granuleCol)
-      .withColumn("region_id", col("_gidx") * lit(1L << 40) + col("region_id"))
-      .drop("_gidx")
-  }
+  def sessionizePerGranule(granule: DataFrame, cfg: Config, granuleCol: String): DataFrame =
+    Sessionize.globalizeRegionIds(sessionize(granule, cfg, Seq(granuleCol)), granuleCol)
 
   /** Full target-focused pipeline → sparse long form
     * (target_id, time, lat_idx, lon_idx, lat, lon, variable, value).

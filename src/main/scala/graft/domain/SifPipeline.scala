@@ -41,17 +41,28 @@ object SifPipeline {
   }
 
   /** R5 step 2+3: 'none' wildcard coalescing then margin-merged run
-    * detection on (mode, resolved target). */
-  def sessionize(resolved: DataFrame, cfg: Pipeline.Config): DataFrame = {
-    val coalesced = Sessionize.coalesceWildcard(resolved, "sounding_index", "target_id", "none")
+    * detection on (mode, resolved target). `partitionCols` MUST carry the
+    * granule column for multi-file batches: sounding indexes repeat per
+    * file, so a global window would interleave files — wrong coalescing
+    * AND cross-file region merges. */
+  def sessionize(resolved: DataFrame, cfg: Pipeline.Config, partitionCols: Seq[String] = Nil): DataFrame = {
+    val coalesced =
+      Sessionize.coalesceWildcard(resolved, "sounding_index", "target_id", "none", partitionCols)
     Sessionize.byKeyChangeWithMargin(
       coalesced.filter(
         col("operation_mode").isin(cfg.samMode, cfg.targetMode) &&
           !col("target_id").isin("none", "Missing", "missing")),
       "sounding_index",
       Seq("operation_mode", "target_id"),
-      cfg.margin)
+      cfg.margin,
+      partitionCols)
   }
+
+  /** Multi-granule sessionization — same contract as
+    * [[Pipeline.sessionizePerGranule]]: per-file windows with region ids
+    * made globally unique. */
+  def sessionizePerGranule(resolved: DataFrame, cfg: Pipeline.Config, granuleCol: String): DataFrame =
+    Sessionize.globalizeRegionIds(sessionize(resolved, cfg, Seq(granuleCol)), granuleCol)
 
   /** SIF quality: flags {0,1} are good (`OCO3SifProcessor.py:499-505`). */
   def qualityFilter(sessions: DataFrame): DataFrame =
@@ -72,7 +83,12 @@ object SifPipeline {
       catalog: DataFrame,
       cfg: Pipeline.Config = Pipeline.Config(samMode = 3, targetMode = 2)): DataFrame = {
     val withTime = soundings.withColumn("time", sifTime(col("delta_time")))
-    val sessions = qualityFilter(sessionize(resolveTargets(withTime, sequences), cfg))
+    val resolved = resolveTargets(withTime, sequences)
+    val sessionized =
+      if (resolved.columns.contains("granule_path"))
+        sessionizePerGranule(resolved, cfg, "granule_path")
+      else sessionize(resolved, cfg)
+    val sessions = qualityFilter(sessionized)
     val regions  = TargetCatalog.associate(Pipeline.regionSummary(sessions), catalog)
     Pipeline.gridInterpMask(regions, sessions, cfg, Seq("daily_sif"))
   }

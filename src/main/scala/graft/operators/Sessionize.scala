@@ -119,6 +119,21 @@ object Sessionize {
         max(col(tsCol)).as("session_end"))
       .drop("_w")
 
+  /** Make per-granule region ids globally unique: region ids from
+    * granule-partitioned windows are dense PER PARTITION, so granule A's
+    * region 0 would merge with granule B's region 0 in every downstream
+    * groupBy. Offsets each granule's ids by a dense granule index from a
+    * broadcast one-row-per-granule dimension (bounded by the manifest,
+    * never the data). */
+  def globalizeRegionIds(s: DataFrame, granuleCol: String, regionCol: String = "region_id"): DataFrame = {
+    val gids = s
+      .select(col(granuleCol)).distinct()
+      .withColumn("_gidx", row_number().over(Window.orderBy(col(granuleCol))).cast("long"))
+    s.join(broadcast(gids), granuleCol)
+      .withColumn(regionCol, col("_gidx") * lit(1L << 40) + col(regionCol))
+      .drop("_gidx")
+  }
+
   /** Wildcard coalescing (R5, SIF 'none' targets): rows whose `keyCol` equals
     * `wildcard` inherit the nearest preceding non-wildcard value in
     * `orderCol` order (forward fill), falling back to the nearest following

@@ -87,16 +87,19 @@ object ProductStore {
     * only arise from upstream NaN propagation; the guard is one aggregate +
     * a semi join, no wide shuffle. */
   def dropEmptySlices(df: DataFrame): DataFrame = {
+    // global products carry no target column — their slice key is the day
+    val tgt  = if (df.columns.contains("target_id")) Some("target_id") else None
     val keep = df
-      .groupBy(col("target_id"), col("time").cast("date").as("_d"))
+      .groupBy(tgt.map(col).toSeq :+ col("time").cast("date").as("_d"): _*)
       .agg(max(when(col("value").isNotNull && !isnan(col("value")), 1).otherwise(0)).as("_any"))
       .filter(col("_any") === 1)
-      .select(col("target_id"), col("_d"))
+      .drop("_any")
     // null-safe keys: a null target_id/time row must match its own slice,
     // not be silently dropped by three-valued === semantics
     df.join(
       keep,
-      df("target_id") <=> keep("target_id") && df("time").cast("date") <=> keep("_d"),
+      tgt.map(t => df(t) <=> keep(t)).getOrElse(lit(true)) &&
+        df("time").cast("date") <=> keep("_d"),
       "left_semi")
   }
 

@@ -29,7 +29,12 @@ import graft.sources.netcdf.NetCDFGranules
   *   local: /path/store               # required
   *   format: zarr | parquet           # extension; default parquet for
   *                                    # target mode, zarr for global mode
-  *   global: false                    # true → GlobalPipeline onto the mesh
+  *   global: false                    # true → GlobalPipeline onto the mesh;
+  *                                    # mission maps build the reference's
+  *                                    # 3-mission store (variables prefixed
+  *                                    # OCO3_global_/OCO2_global_/
+  *                                    # OCO3_SIF_global_, absent missions
+  *                                    # synthesized all-fill per G5)
   *   drop-empty: true
   *   cog: {output: {local: /path}}    # optional GeoTIFF slice export
   *   nc4: {output: {local: /path}}    # optional netCDF-4 slice export (ext)

@@ -128,23 +128,41 @@ object ScaleProbe {
       // then the Zarr v2 store write (the reference's primary output path).
       // args(5) = number of days (each its own synthetic granule, so the
       // time-chunk dimension and per-granule sessionization do real work;
-      // gridN=360 → the production 36000×18000 mesh at 250×250×5 chunking)
+      // gridN=360 → the production 36000×18000 mesh at 250×250×5 chunking).
+      // Days 0..n-2 write as one batch (store CREATE), the last day as a
+      // SECOND write to the same store — the daily forward append that
+      // overlays the shared boundary time-chunk files executor-side — then
+      // the store is read back and each day's pixel count compared against
+      // the pipeline output, and the climatology tool runs over the store.
       val nDays = if (args.length > 5) args(5).toInt else 1
       val nx = 100 * gridN; val ny = 50 * gridN
       val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, nx, -90.0, 90.0, ny)
-      val granule = (0 until nDays).map { di =>
+      def dayGranule(di: Int) =
         syntheticGranule(spark, n, nTgt)
           .withColumn("time",
             to_timestamp(lit("2023-06-15 10:30:00")) + expr(s"INTERVAL $di DAYS"))
           .withColumn("granule_path", lit(s"synthetic://day$di.nc4"))
-      }.reduce(_.unionByName(_))
-      val out = graft.domain.GlobalPipeline.process(granule, mesh, Pipeline.Config(gridN = gridN, method = method))
-      val t0 = System.nanoTime()
+      val cfg = Pipeline.Config(gridN = gridN, method = method)
+      def dayCounts(out: org.apache.spark.sql.DataFrame) = out
+        .filter(col("variable") === "xco2")
+        .groupBy(to_date(col("time")).cast("string").as("day")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val zPath = java.nio.file.Files.createTempDirectory("zarrprobe").toString
-      graft.sinks.ZarrStore.write(
-        out, zPath,
-        graft.sinks.ZarrStore.GridSpec(ny, nx, -90.0 + 180.0 / ny / 2, 180.0 / ny, -180.0 + 360.0 / nx / 2, 360.0 / nx))
-      val sec = (System.nanoTime() - t0) / 1e9
+      val gspec = graft.sinks.ZarrStore.GridSpec(
+        ny, nx, -90.0 + 180.0 / ny / 2, 180.0 / ny, -180.0 + 360.0 / nx / 2, 360.0 / nx)
+      val bulk = (0 until math.max(1, nDays - 1)).map(dayGranule).reduce(_.unionByName(_))
+      val out1 = graft.domain.GlobalPipeline.process(bulk, mesh, cfg)
+      val t0 = System.nanoTime()
+      graft.sinks.ZarrStore.write(out1, zPath, gspec)
+      val createSec = (System.nanoTime() - t0) / 1e9
+      val appendSec =
+        if (nDays < 2) 0.0
+        else {
+          val out2 = graft.domain.GlobalPipeline.process(dayGranule(nDays - 1), mesh, cfg)
+          val t1 = System.nanoTime()
+          graft.sinks.ZarrStore.write(out2, zPath, gspec)
+          (System.nanoTime() - t1) / 1e9
+        }
       val files = {
         def walk(f: java.io.File): Seq[java.io.File] =
           if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
@@ -152,7 +170,24 @@ object ScaleProbe {
       }
       val chunkFiles = files.count(_.getName.matches("\\d+\\.\\d+\\.\\d+"))
       val bytes = files.map(_.length()).sum
-      println(s"""{"probe":"global_zarr_write","soundings":$n,"days":$nDays,"mesh":"${nx}x$ny","chunk_files":$chunkFiles,"store_bytes":$bytes,"sec":$sec}""")
+      // round-trip: per-day store counts must equal the pipeline output's
+      // (the append day reads back through the overlaid boundary chunks)
+      val days = graft.sinks.ZarrStore.existingDays(spark, zPath)
+      val got = graft.sinks.ZarrStore.read(spark, zPath, "xco2")
+        .groupBy(col("time_idx")).count()
+        .collect().map(r => java.time.LocalDate.ofEpochDay(days(r.getInt(0))).toString -> r.getLong(1)).toMap
+      val want = dayCounts(out1) ++
+        (if (nDays >= 2) dayCounts(graft.domain.GlobalPipeline.process(dayGranule(nDays - 1), mesh, cfg))
+         else Map.empty)
+      val roundTrip = got == want
+      // the reference's analytic tool over the store at this geometry
+      val t2 = System.nanoTime()
+      graft.tools.ClimatologyJob.main(Array(zPath, s"$zPath-climo", "month"))
+      val climoSec = (System.nanoTime() - t2) / 1e9
+      println(
+        s"""{"probe":"global_zarr_write","soundings":$n,"days":$nDays,"mesh":"${nx}x$ny",""" +
+          s""""chunk_files":$chunkFiles,"store_bytes":$bytes,"create_sec":$createSec,""" +
+          s""""append_sec":$appendSec,"roundtrip_ok":$roundTrip,"climatology_sec":$climoSec}""")
       spark.stop()
       return
     }

@@ -62,6 +62,45 @@ class MissionVariantsSpec extends SparkSpec {
     assert(fossilVals.contains(2.5)) // the coalesced 'none' sounding's value
   }
 
+  test("SIF multi-granule batches sessionize per file — repeated sounding indexes must not interleave") {
+    // two files with IDENTICAL sounding_index ranges and their own
+    // /Sequences tables: a global window would interleave A,B,A,B by index
+    // (fragmenting runs and coalescing 'none' across files); per-granule
+    // windows keep each file an independent ordered stream
+    val sequences = Seq(
+      ("A.nc4", 0, "fossil0001"),
+      ("B.nc4", 0, "volcano0002")
+    ).toDF("granule_path", "seq_index", "seq_target")
+    def rows(path: String, lat0: Double, lon0: Double) = (0 until 3).map { i =>
+      val lat = lat0 + 0.05 * i; val lon = lon0 + 0.05 * i
+      (i.toLong, lat, lon, 1071878400.0 + i,
+        Seq(lat - 0.3, lat - 0.3, lat + 0.3, lat + 0.3),
+        Seq(lon - 0.3, lon + 0.3, lon + 0.3, lon - 0.3),
+        0, 1.5 + i, 3, 0, path)
+    }
+    val soundings = (rows("A.nc4", 41.0, 11.0) ++ rows("B.nc4", -0.5, -4.5))
+      .toDF("sounding_index", "latitude", "longitude", "delta_time",
+        "vertex_latitude", "vertex_longitude", "quality_flag", "daily_sif",
+        "operation_mode", "sequences_index", "granule_path")
+    val cfg = Pipeline.Config(samMode = 3, targetMode = 2)
+    val s = SifPipeline.sessionizePerGranule(
+      SifPipeline.resolveTargets(soundings, sequences), cfg, "granule_path")
+    val regions = s.groupBy(col("region_id"))
+      .agg(
+        countDistinct(col("granule_path")).as("n_files"),
+        min(col("target_id")).as("t"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(regions.length === 2) // one region per file, not 6 fragments
+    assert(regions.forall(r => r.getAs[Long]("n_files") === 1L && r.getAs[Long]("n") === 3L))
+    // per-granule sequence resolution: file A's seq 0 != file B's seq 0
+    assert(regions.map(_.getAs[String]("t")).sorted === Array("fossil0001", "volcano0002"))
+    // end-to-end: both files' products come out of the full pipeline
+    val out = SifPipeline.process(soundings, sequences, catalog, cfg)
+    assert(out.select("target_id").distinct().collect().map(_.getString(0)).sorted ===
+      Array("fossil0001", "volcano0002"))
+  }
+
   test("global product: first-writer-wins annotation on overlapping regions") {
     // two SAM regions over the same area (separated by a non-SAM gap so they
     // sessionize apart), different targets: lower region_id must win

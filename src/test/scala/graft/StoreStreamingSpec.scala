@@ -71,6 +71,17 @@ class StoreStreamingSpec extends SparkSpec {
     val path = tmp("dropempty")
     ProductStore.create(df, path, dropEmpty = true)
     assert(ProductStore.read(spark, path).select("target_id").distinct().count() === 1)
+    // global long form has NO target column: the slice key degrades to the
+    // day — an all-NaN day drops, a mixed day survives whole
+    val global = Seq(
+      ("2023-06-15 00:00:00", Double.NaN),
+      ("2023-06-16 00:00:00", Double.NaN),
+      ("2023-06-16 00:00:00", 2.5)
+    ).toDF("s", "value").withColumn("time", to_timestamp($"s")).drop("s")
+    val gkept = ProductStore.dropEmptySlices(global)
+    assert(gkept.select($"time".cast("date").cast("string")).distinct()
+      .collect().map(_.getString(0)) === Array("2023-06-16"))
+    assert(gkept.count() === 2)
   }
 
   test("foreachBatch ingestion with idempotent sink is exactly-once in effect") {
