@@ -67,7 +67,9 @@ object Climatology {
     val spanCol = date_format(start, "yyyy-MM-dd").as("span_start")
     in.groupBy(spanCol +: keyCols.map(col): _*)
       .agg(
-        avg2(col(valueCol)).as("mean_value"),
+        // fast two-limb exact mean — bit-identical to avg2 (PortableSpec),
+        // long aggregation buffers instead of per-row Decimal adds
+        avg2fast(col(valueCol)).as("mean_value"),
         count(col(valueCol)).as("valid_count"),
         countDistinct(col(tsCol).cast("date")).as("n_days"))
   }

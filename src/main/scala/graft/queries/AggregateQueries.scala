@@ -59,7 +59,7 @@ object AggregateQueries {
     Tables
       .events(s, dir)
       .rollup(col("event_type"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum2(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum2fast(col("value")).as("total_value"))
       .orderBy(col("event_type").asc_nulls_first, col("user_id").asc_nulls_first)
 
   private val q14Sql =
@@ -130,7 +130,7 @@ object AggregateQueries {
       .events(s, dir)
       .groupBy(col("user_id"))
       .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-      .agg(sum2(col("value")))
+      .agg(sum2fast(col("value")))
       .orderBy(col("user_id"))
 
   private val q41Sql =

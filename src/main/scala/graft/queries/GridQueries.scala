@@ -35,7 +35,7 @@ object GridQueries {
     Tables
       .lineitem(s, dir)
       .groupBy(col("l_discount").as("px"), col("l_tax").as("py"))
-      .agg(avg2(col("l_extendedprice")).as("pv"))
+      .agg(avg2fast(col("l_extendedprice")).as("pv"))
 
   private val scatterSql =
     """SELECT l_discount AS px, l_tax AS py,

@@ -89,7 +89,7 @@ object RelationalQueries {
       .groupBy(col("p_brand"))
       .agg(
         count(lit(1)).as("n_items"),
-        sum2(col("l_extendedprice")).as("revenue"))
+        sum2fast(col("l_extendedprice")).as("revenue"))
       .orderBy(col("p_brand"))
   }
 

@@ -51,7 +51,7 @@ object SessionQueries {
       .groupBy(col("user_id"), col("session_id"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum2(col("value")).as("session_value"),
+        sum2fast(col("value")).as("session_value"),
         (unix_timestamp(max(col("ts"))) - unix_timestamp(min(col("ts")))).as("duration_s"),
         tsStr(min(col("ts"))).as("session_start"))
       .orderBy(col("user_id"), col("session_id"))

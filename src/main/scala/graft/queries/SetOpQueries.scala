@@ -51,7 +51,7 @@ object SetOpQueries {
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("disc")).as("n_valid"),
-        avg2(col("disc")).as("mean_disc"))
+        avg2fast(col("disc")).as("mean_disc"))
       .orderBy(col("l_returnflag"))
 
   private val q36Sql =
@@ -114,7 +114,7 @@ object SetOpQueries {
     Tables
       .lineitem(s, dir)
       .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n"), sum2(col("l_quantity")).as("qty"))
+      .agg(count(lit(1)).as("n"), sum2fast(col("l_quantity")).as("qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
   private val q40Sql =
