@@ -20,13 +20,22 @@ import graft.operators.{NearestJoin, Sessionize}
   */
 object Oco2Pipeline {
 
-  /** Target-mode-only sessionization (no target key — R3). */
-  def sessionize(granule: DataFrame, cfg: Pipeline.Config): DataFrame =
+  /** Target-mode-only sessionization (no target key — R3). `partitionCols`
+    * MUST carry the granule column for multi-file batches (sounding
+    * indexes repeat per file). */
+  def sessionize(granule: DataFrame, cfg: Pipeline.Config, partitionCols: Seq[String] = Nil): DataFrame =
     Sessionize.byKeyChangeWithMargin(
       granule.filter(col("operation_mode") === cfg.targetMode),
       "sounding_index",
       Seq("operation_mode"),
-      cfg.margin)
+      cfg.margin,
+      partitionCols)
+
+  /** Multi-granule sessionization — same contract as
+    * [[Pipeline.sessionizePerGranule]]: per-file windows with region ids
+    * made globally unique. */
+  def sessionizePerGranule(granule: DataFrame, cfg: Pipeline.Config, granuleCol: String): DataFrame =
+    Sessionize.globalizeRegionIds(sessionize(granule, cfg, Seq(granuleCol)), granuleCol)
 
   /** Region summary with centroid (A4) and bbox (A5). */
   def regionGeo(sessions: DataFrame): DataFrame =
@@ -71,7 +80,11 @@ object Oco2Pipeline {
       catalog: DataFrame,
       cfg: Pipeline.Config = Pipeline.Config(),
       valueCols: Seq[String] = Seq("xco2", "xco2_uncertainty")): DataFrame = {
-    val sessions0 = Pipeline.qualityFilter(sessionize(granule, cfg), cfg)
+    val sessionized =
+      if (granule.columns.contains("granule_path"))
+        sessionizePerGranule(granule, cfg, "granule_path")
+      else sessionize(granule, cfg)
+    val sessions0 = Pipeline.qualityFilter(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
         sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

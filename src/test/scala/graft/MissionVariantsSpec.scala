@@ -62,6 +62,28 @@ class MissionVariantsSpec extends SparkSpec {
     assert(fossilVals.contains(2.5)) // the coalesced 'none' sounding's value
   }
 
+  test("OCO-2 multi-granule batches sessionize per file (no target key, indexes repeat)") {
+    // two files, identical index ranges, Target-mode runs near different
+    // catalog targets: a global window would interleave them into one
+    // fragmented stream; per-granule windows give one region per file,
+    // each nearest-centroid-associated to its own target
+    val g = ((0 until 6).map(i =>
+      sounding(i, 40.9 + 0.05 * i, 10.9 + 0.05 * i, mode = 2, target = "")) ++
+      (0 until 6).map(i =>
+        sounding(i, -0.9 + 0.05 * i, -4.9 + 0.05 * i, mode = 2, target = "")))
+    val df = SyntheticGranule.toDF(spark, g.take(6)).withColumn("granule_path", lit("A.nc4"))
+      .unionByName(SyntheticGranule.toDF(spark, g.drop(6)).withColumn("granule_path", lit("B.nc4")))
+    val s = Oco2Pipeline.sessionizePerGranule(df, Pipeline.Config(), "granule_path")
+    val regions = s.groupBy(col("region_id"))
+      .agg(countDistinct(col("granule_path")).as("n_files"), count(lit(1)).as("n"))
+      .collect()
+    assert(regions.length === 2)
+    assert(regions.forall(r => r.getAs[Long]("n_files") === 1L && r.getAs[Long]("n") === 6L))
+    val out = Oco2Pipeline.process(df, catalog)
+    assert(out.select("target_id").distinct().collect().map(_.getString(0)).sorted ===
+      Array("fossil0001", "volcano0002"))
+  }
+
   test("SIF multi-granule batches sessionize per file — repeated sounding indexes must not interleave") {
     // two files with IDENTICAL sounding_index ranges and their own
     // /Sequences tables: a global window would interleave A,B,A,B by index
