@@ -122,6 +122,30 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(djf("2024-01-05") === "2023-12-01")
   }
 
+  test("ClimatologyJob CLI runs seasonal-ref over a Zarr store with reference span boundaries") {
+    val dir = Files.createTempDirectory("climo-ref")
+    import spark.implicits._
+    // store days straddling the Mar-20 boundary: coverage starts Mar 10, so
+    // spans are [Mar 10 .. Mar 20] (partial first) and [Mar 21 .. ...]
+    val rows = Seq(
+      ("2023-03-10", 400.0), ("2023-03-20", 420.0), // first (clipped) span: mean 410
+      ("2023-03-21", 430.0), ("2023-03-25", 450.0)) // second span: mean 440
+    val long = rows.map { case (d, v) => (d, "xco2", 3, 4, v) }
+      .toDF("time", "variable", "lat_idx", "lon_idx", "value")
+      .withColumn("time", col("time").cast("timestamp"))
+    val store = dir.resolve("store").toString
+    val grid = ZarrStore.GridSpec(180, 360, -89.5, 1.0, -179.5, 1.0)
+    ZarrStore.write(long, store, grid)
+    val out = dir.resolve("out").toString
+    graft.tools.ClimatologyJob.main(Array(store, out, "seasonal-ref"))
+    val spanDays = ZarrStore.existingDays(spark, out)
+      .map(java.time.LocalDate.ofEpochDay(_).toString)
+    assert(spanDays === Seq("2023-03-10", "2023-03-21")) // coverage-clipped + 21st boundary
+    val means = ZarrStore.read(spark, out, "xco2_seasonal-ref_mean")
+      .select("time_idx", "value").collect().map(r => (r.getInt(0), r.getDouble(1))).toSet
+    assert(means === Set((0, 410.0), (1, 440.0)))
+  }
+
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {
     val dir = Files.createTempDirectory("gridof")
     import spark.implicits._

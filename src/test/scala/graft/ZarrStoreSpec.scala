@@ -93,6 +93,34 @@ class ZarrStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("forward"))
   }
 
+  test("an append extends the time axis of arrays the batch does not mention (shared multi-mission store)") {
+    val path = Files.createTempDirectory("zarr-othervar").toString
+    // day 1: variable xco2 only, but the store is declared with a second
+    // (absent-mission) array via ensureVariables
+    val day1 = product.filter(col("variable") === "xco2")
+    ZarrStore.write(day1, path, grid, chunks, ensureVariables = Seq("daily_sif"))
+    assert(slurp(s"$path/daily_sif/.zarray").contains("\"shape\": [1, 16, 16]"))
+    // day 2: a SIF-only batch — xco2's metadata must still track the new
+    // 2-day axis even though this batch never mentions it
+    val day2 = product.filter(col("variable") === "xco2")
+      .withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+      .withColumn("variable", lit("daily_sif"))
+    ZarrStore.write(day2, path, grid, chunks)
+    assert(slurp(s"$path/xco2/.zarray").contains("\"shape\": [2, 16, 16]"))
+    assert(slurp(s"$path/daily_sif/.zarray").contains("\"shape\": [2, 16, 16]"))
+    // xco2 still reads its day-1 data; its day 2 is absent (all-fill);
+    // daily_sif has day 2 only
+    val xb = ZarrStore.read(spark, path, "xco2")
+    assert(xb.filter(col("time_idx") === 0).count() > 0)
+    assert(xb.filter(col("time_idx") === 1).count() === 0)
+    val sb = ZarrStore.read(spark, path, "daily_sif")
+    assert(sb.filter(col("time_idx") === 0).count() === 0)
+    assert(sb.filter(col("time_idx") === 1).count() > 0)
+    // consolidated metadata covers both arrays after both writes
+    val zmeta = slurp(s"$path/.zmetadata")
+    assert(zmeta.contains("\"xco2/.zarray\"") && zmeta.contains("\"daily_sif/.zarray\""))
+  }
+
   test("streaming foreachBatch appends days to the Zarr store (the reference's production loop)") {
     // the reference's run loop: queue batch → pipeline → Zarr append along
     // time. Here: a file-manifest stream of two day-stamped batches through
