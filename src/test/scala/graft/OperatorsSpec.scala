@@ -234,6 +234,32 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => (a < 20) == (b < 20) })
   }
 
+  test("quantile sketch tracks the exact baseline within its rank-error bound") {
+    // 100k skewed values across 3 groups: the GK sketch (the 100 TB path —
+    // one hash aggregate, no per-group sort) must land within rank error
+    // 1/acc of the exact sort-based quantile
+    val df = spark.range(100000).select(
+      (col("id") % 3).cast("string").as("g"),
+      (pow(rand(11), 3.0) * 1000).as("v"))
+    val ps = Seq(0.1, 0.5, 0.9, 0.99)
+    val ex = Quantiles.exact(df, Seq("g"), "v", ps)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val sk = Quantiles.sketch(df, Seq("g"), "v", ps, acc = 10000)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(sk.keySet === ex.keySet)
+    // rank-error check: the sketch value's true rank must be within
+    // n*(p ± 1/acc); translate via the per-group sorted values
+    val groups = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+      g -> rows.map(_.getDouble(1)).sorted
+    }
+    for (((g, p), qv) <- sk) {
+      val vs   = groups(g)
+      val rank = vs.count(_ <= qv).toDouble / vs.length
+      assert(math.abs(rank - p) <= 1.0 / 10000 + 2.0 / vs.length,
+        s"group $g p=$p: sketch rank $rank drifted")
+    }
+  }
+
   test("Checksum.merkle is order-insensitive to input partitioning but order-sensitive to keys") {
     val df1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val df2 = df1.repartition(3).sortWithinPartitions(desc("k"))
