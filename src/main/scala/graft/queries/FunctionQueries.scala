@@ -31,6 +31,31 @@ object FunctionQueries {
       |GROUP BY 1, 2
       |ORDER BY span_start, event_type""".stripMargin
 
+  /** A7 seasonal with the reference tool's EXACT boundaries: spans end on
+    * the 20th of Mar/Jun/Sep/Dec and the first span is clipped to the
+    * data's coverage start (`tools/climatology/main.py:194-210`). The
+    * boundary is data-dependent (coverage start), so the oracle carries
+    * the same GREATEST(min-over-all, 20-day-shifted quarter) arithmetic. */
+  private val q51: Q = (s, dir) =>
+    Climatology
+      .temporalMean(Tables.events(s, dir), "ts", "value", "seasonal-ref", Seq("event_type"))
+      .orderBy(col("span_start"), col("event_type"))
+
+  private val q51Sql =
+    """WITH t AS (
+      |  SELECT *, GREATEST(
+      |      date_trunc('quarter', ts - INTERVAL 20 DAY + INTERVAL 1 MONTH)
+      |        - INTERVAL 1 MONTH + INTERVAL 20 DAY,
+      |      MIN(ts) OVER ()) AS span_ts
+      |  FROM events)
+      |SELECT strftime(span_ts, '%Y-%m-%d') AS span_start, event_type,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS mean_value,
+      |  COUNT(value) AS valid_count,
+      |  COUNT(DISTINCT CAST(ts AS DATE)) AS n_days
+      |FROM t
+      |GROUP BY 1, 2
+      |ORDER BY span_start, event_type""".stripMargin
+
   /** §2.7 scalar function surface, one row per order: granule-style
     * filename build + parse-back, component timestamp assembly, WKT bbox
     * serialization (decimal-string coordinates), clamp, Euclidean distance,
@@ -88,11 +113,13 @@ object FunctionQueries {
 
   val queries: Map[String, Q] = Map(
     "q33_climatology_seasonal" -> q33,
-    "q34_scalar_functions"     -> q34
+    "q34_scalar_functions"     -> q34,
+    "q51_climatology_seasonal_ref" -> q51
   )
 
   val oracles: Map[String, String] = Map(
     "q33_climatology_seasonal" -> q33Sql,
-    "q34_scalar_functions"     -> q34Sql
+    "q34_scalar_functions"     -> q34Sql,
+    "q51_climatology_seasonal_ref" -> q51Sql
   )
 }
