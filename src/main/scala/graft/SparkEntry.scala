@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.FunctionQueries.queries ++
       graft.queries.SetOpQueries.queries ++
       graft.queries.AsOfQueries.queries ++
+      graft.queries.SamplingQueries.queries ++
       graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -38,5 +39,6 @@ object SparkEntry {
       graft.queries.FunctionQueries.oracles ++
       graft.queries.SetOpQueries.oracles ++
       graft.queries.AsOfQueries.oracles ++
+      graft.queries.SamplingQueries.oracles ++
       graft.queries.DomainQueries.oracles
 }

@@ -124,14 +124,22 @@ object MinHashLSH {
     LshDiagnostics
       .observeBucketStats(buckets, size(col("ids")), bucketWarnThreshold, "minhash_candidate_pairs")
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(
-        sequence(lit(0), size(col("ids")) - 2),
-        i => transform(
-          slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(element_at(col("ids"), i + 1).as("doc_a"), b.as("doc_b")))))).as("p"))
+      .select(explode(inBucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
+
+  /** All (doc_a < doc_b) pairs from one bucket's sorted id array, as an
+    * array of structs — the in-bucket pair explosion shared by every
+    * bucketing strategy (minhash bands here, raw shingle postings in
+    * [[SetSimilarity]]). Quadratic only in the bucket size, which each
+    * caller bounds by its own contract. */
+  private[operators] def inBucketPairs(ids: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(
+      sequence(lit(0), size(ids) - 2),
+      i => transform(
+        slice(ids, i + 2, size(ids)),
+        b => struct(element_at(ids, i + 1).as("doc_a"), b.as("doc_b")))))
 
   /** Exact Jaccard verification of candidate pairs against the shingle sets:
     * |A∩B| via a two-sided shingle join, sizes via per-doc counts. */
@@ -174,8 +182,24 @@ object MinHashLSH {
     val sig   = signaturesWideKernel(df, idCol, textCol, shingleLen, numHashes)
     val bands = bandKeys(sig, idCol, rowsPerBand, numHashes)
     val cand  = candidatePairs(bands, idCol)
-    val ta    = df.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
-    val tb    = df.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
+    verifyJaccardKernel(df, idCol, textCol, cand, shingleLen, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of a (doc_a, doc_b) candidate set via the
+    * single-pass [[graft.functions.JaccardShingles]] kernel: the candidate
+    * set broadcasts through two hash joins that pull both texts off
+    * unshuffled document scans, then one kernel call per pair computes
+    * (|A∩B|, |A|, |B|) from the raw texts. Shared by the minhash and
+    * postings ([[SetSimilarity]]) candidate generators. */
+  private[operators] def verifyJaccardKernel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      cand: DataFrame,
+      shingleLen: Int,
+      minJaccard: Double): DataFrame = {
+    val ta = df.select(col(idCol).as("doc_a"), col(textCol).as("text_a"))
+    val tb = df.select(col(idCol).as("doc_b"), col(textCol).as("text_b"))
     val withTexts = tb.join(broadcast(ta.join(broadcast(cand), "doc_a")), "doc_b")
     val j = graft.functions.JaccardShingles(col("text_a"), col("text_b"), shingleLen)
     withTexts

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment for
+  * training-data pipelines.
+  *
+  * Every primitive derives from a 60-bit md5 prefix of the row's id — a
+  * content-addressed coin flip, so the same row lands in the same
+  * split/sample on every run, on every engine, at any parallelism, with no
+  * RNG state and no seed-ordering hazards (the properties `rand()`-based
+  * sampling lacks on a cluster: Spark's `sample` is partition-order
+  * dependent under retries/AQE re-plans). DuckDB reproduces the bucket
+  * exactly via `('0x' || substr(md5(id::VARCHAR), 1, 15))::BIGINT`, which
+  * is the oracle form of [[hashBucket]].
+  *
+  * All primitives are pure projections/filters — nothing shuffles, so they
+  * compose under any downstream plan at any scale.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, nBuckets): first 15 hex chars of
+    * md5(id as string) read as a 60-bit integer, mod nBuckets. Always
+    * non-negative (60 bits never sets the sign bit). */
+  def hashBucket(id: Column, nBuckets: Int): Column = {
+    require(nBuckets >= 1)
+    conv(substring(md5(id.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % nBuckets
+  }
+
+  /** Weighted split assignment (train/val/test and friends): `splits` is
+    * (name, weight) with integer weights; a row's bucket out of
+    * Σweights picks the split by cumulative range. Adds `bucket` and
+    * `split` columns. */
+  def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    val total  = splits.map(_._2).sum
+    val bucket = hashBucket(col(idCol), total)
+    val cum    = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
+    val assign = splits.zip(cum).init.foldRight(lit(splits.last._1): Column) {
+      case (((name, _), upper), rest) => when(col("bucket") < upper, name).otherwise(rest)
+    }
+    df.withColumn("bucket", bucket).withColumn("split", assign)
+  }
+
+  /** Deterministic `numer`/`denom` fractional sample: keeps rows whose
+    * hash bucket out of `denom` falls below `numer`. Repeated calls with
+    * growing `numer` are NESTED samples (a 5% sample contains the 1%
+    * sample) — the property that makes deterministic subsampling safe to
+    * tune without re-materializing upstream stages. */
+  def deterministicSample(df: DataFrame, idCol: String, numer: Int, denom: Int): DataFrame = {
+    require(denom >= 1 && numer >= 0 && numer <= denom)
+    df.filter(hashBucket(col(idCol), denom) < numer)
+  }
+}

@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** Corpus-preparation coverage on the `documents` table: deterministic
+  * hash-split assignment (train/val/test) and the composed C4-style
+  * cleaning pipeline (quality stats → language filter → exact dedup) — the
+  * end-to-end shapes a training-data run executes before tokenization.
+  */
+object SamplingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic 90/5/5 split assignment from the md5 hash bucket —
+    * content-addressed, so assignment is stable across runs, engines, and
+    * parallelism (no RNG). */
+  private val q53: Q = (s, dir) =>
+    Sampling
+      .hashSplit(Tables.documents(s, dir), "doc_id",
+        Seq(("train", 90), ("val", 5), ("test", 5)))
+      .select(col("doc_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+
+  private val q53Sql =
+    """SELECT doc_id,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket,
+      |  CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+      |       WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The composed cleaning pipeline (the C4/RefinedWeb shape): token-count
+    * window + repetition (distinct-ratio) floor + heuristic language ID →
+    * keep English → exact content dedup keep-first. All three stages are
+    * existing operators; the composition is the query. */
+  private val q54: Q = (s, dir) => {
+    val d     = Tables.documents(s, dir)
+    val stats = TextAnalysis.tokenStats(d, "doc_id", "text", Seq("the", "a"))
+    val lang  = TextAnalysis.languageId(d, "doc_id", "text", TextQueries.stopwordTable(s))
+    val clean = stats
+      .join(lang, Seq("doc_id"))
+      .filter(
+        col("pred_lang") === "en" &&
+          col("n_tokens").between(20, 90) &&
+          col("n_distinct").cast("double") / col("n_tokens") >= 0.3)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"))
+    val survivors = Dedup
+      .exactByHash(
+        d.join(clean.select("doc_id"), Seq("doc_id"), "leftsemi"),
+        md5(col("text").cast("binary")), "doc_id")
+      .select("doc_id")
+    clean.join(survivors, Seq("doc_id"), "leftsemi").orderBy(col("doc_id"))
+  }
+
+  private val q54Sql =
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |stats AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct
+      |  FROM t GROUP BY doc_id),
+      |sw AS (${TextQueries.stopwordSql}),
+      |sc AS (
+      |  SELECT doc_id, lang, COUNT(*) AS score
+      |  FROM t JOIN sw ON t.token = sw.word GROUP BY doc_id, lang),
+      |best AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+      |  FROM sc),
+      |clean AS (
+      |  SELECT s.doc_id, s.n_tokens, s.n_distinct
+      |  FROM stats s JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b ON s.doc_id = b.doc_id
+      |  WHERE b.lang = 'en' AND s.n_tokens BETWEEN 20 AND 90
+      |    AND CAST(s.n_distinct AS DOUBLE) / s.n_tokens >= 0.3),
+      |keep AS (
+      |  SELECT MIN(d.doc_id) AS doc_id
+      |  FROM documents d JOIN clean c ON d.doc_id = c.doc_id
+      |  GROUP BY md5(d.text))
+      |SELECT c.doc_id, c.n_tokens, c.n_distinct
+      |FROM clean c JOIN keep k ON c.doc_id = k.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q53_hash_split"     -> q53,
+    "q54_clean_pipeline" -> q54
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q53_hash_split"     -> q53Sql,
+    "q54_clean_pipeline" -> q54Sql
+  )
+}

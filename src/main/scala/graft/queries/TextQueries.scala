@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, MinHashLSH, Multimodal, TextAnalysis}
+import graft.operators.{Dedup, MinHashLSH, Multimodal, SetSimilarity, TextAnalysis}
 
 /** Training-data text-pipeline coverage on the `documents` table: exact
   * dedup, MinHash-LSH near-dup with exact-Jaccard verification, SimHash,
@@ -40,7 +40,7 @@ object TextQueries {
       |    AS stopword_ratio
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  private def stopwordTable(s: SparkSession): DataFrame = {
+  private[queries] def stopwordTable(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq(
       ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "a"),
@@ -50,7 +50,7 @@ object TextQueries {
     ).toDF("lang", "word")
   }
 
-  private val stopwordSql =
+  private[queries] val stopwordSql =
     """SELECT * FROM (VALUES
       |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
       |  ('fr','le'),('fr','la'),('fr','et'),('fr','de'),('fr','un'),
@@ -114,6 +114,42 @@ object TextQueries {
       |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
       |  FROM bands l JOIN bands r
       |    ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.doc_a
+      |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+      |FROM common
+      |  JOIN sizes na ON na.doc_id = doc_a
+      |  JOIN sizes nb ON nb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Exact n-gram Jaccard near-dup via df-capped shingle postings — the
+    * signature-free dedup: candidates from the inverted shingle index,
+    * exact single-pass kernel verify. Same output contract as q26. */
+  private val q52: Q = (s, dir) =>
+    SetSimilarity
+      .ngramJaccardNearDup(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, minJaccard = 0.5, maxDocFreq = 100)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q52Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |post AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a
+      |    JOIN post p ON p.shingle = a.shingle AND p.df BETWEEN 2 AND 100
+      |    JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
       |common AS (
       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
       |  FROM cand c
@@ -291,6 +327,7 @@ object TextQueries {
     "q25_fingerprint"     -> q25,
     "q26_minhash_neardup" -> q26,
     "q27_simhash"         -> q27,
+    "q52_ngram_jaccard_neardup" -> q52,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -303,6 +340,7 @@ object TextQueries {
     "q25_fingerprint"     -> q25Sql,
     "q26_minhash_neardup" -> q26Sql,
     "q27_simhash"         -> q27Sql,
+    "q52_ngram_jaccard_neardup" -> q52Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

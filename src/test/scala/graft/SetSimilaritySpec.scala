@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MinHashLSH, Sampling, SetSimilarity}
+
+/** SetSimilarity (exact n-gram Jaccard postings join) and Sampling
+  * (deterministic hash splits/samples). */
+class SetSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("ngramJaccardNearDup: exact pairs, exact jaccard, a<b ordering") {
+    val d = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d e f", // identical to 1 → jaccard 1.0
+      3L -> "a b c d e g", // 3 of 4 shingles shared with 1 → 3/5 = 0.6
+      4L -> "x y z w v u"  // disjoint
+    )
+    val got = SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", shingleLen = 3, minJaccard = 0.5)
+      .orderBy($"doc_a", $"doc_b")
+      .as[(Long, Long, Long, Double)]
+      .collect()
+      .toList
+    // doc1/doc2: 4 shingles each, all common → (4, 1.0); doc1/doc3 and
+    // doc2/doc3: shingles {abc,bcd,cde} common of {abc,bcd,cde,def} vs
+    // {abc,bcd,cde,deg} → (3, 3/5)
+    assert(got === List(
+      (1L, 2L, 4L, 1.0),
+      (1L, 3L, 3L, 0.6),
+      (2L, 3L, 3L, 0.6)))
+  }
+
+  test("ngramJaccardNearDup: df-cap drops boilerplate-only pairs, keeps real overlap") {
+    // Shingle "a b c" occurs in ALL 4 docs (df=4 > cap=3): pairs whose only
+    // overlap is that shingle must vanish; the pair that ALSO shares a rare
+    // shingle survives, and its jaccard still counts the capped shingle
+    // (verification is exact over full sets).
+    val d = docs(
+      1L -> "a b c p q r", // shares "a b c" with everyone, {p q r} with 2
+      2L -> "a b c p q r",
+      3L -> "a b c m n o",
+      4L -> "a b c s t u"
+    )
+    val all = SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", shingleLen = 3, minJaccard = 0.0, maxDocFreq = 4)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    val capped = SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", shingleLen = 3, minJaccard = 0.0, maxDocFreq = 3)
+      .as[(Long, Long, Long, Double)].collect().toList
+    // Only 1-2 share a sub-cap shingle; its n_common still counts ALL 4
+    // common shingles (a b c, b c p, c p q, p q r) → jaccard 1.0
+    assert(capped === List((1L, 2L, 4L, 1.0)))
+  }
+
+  test("ngramJaccardNearDup superset of MinHash-LSH pairs on the documents table") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val exact = SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", 3, 0.5, 100)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = MinHashLSH
+      .nearDuplicates(d, "doc_id", "text", 3, 8, 2, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH found pairs exact missed: ${lsh -- exact}")
+    assert(exact.nonEmpty)
+  }
+
+  test("hashSplit: deterministic, exhaustive, weight-shaped") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val splits = Seq(("train", 90), ("val", 5), ("test", 5))
+    val a = Sampling.hashSplit(d, "doc_id", splits).select("doc_id", "bucket", "split")
+    val b = Sampling.hashSplit(d, "doc_id", splits).select("doc_id", "bucket", "split")
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0) // stable
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    val n = d.count()
+    assert(counts.values.sum === n)                    // exhaustive
+    assert(counts("train") > counts.getOrElse("val", 0L))
+    assert(a.filter($"bucket" < 0 || $"bucket" >= 100).count() === 0)
+    // every bucket < 90 is train, etc. — range assignment is exact
+    assert(a.filter($"bucket" < 90 && $"split" =!= "train").count() === 0)
+    assert(a.filter($"bucket".between(90, 94) && $"split" =!= "val").count() === 0)
+    assert(a.filter($"bucket" >= 95 && $"split" =!= "test").count() === 0)
+  }
+
+  test("deterministicSample: nested fractions, id-addressed") {
+    val d  = Tables.documents(spark, sf("sf0.001"))
+    val s1 = Sampling.deterministicSample(d, "doc_id", 1, 100).select("doc_id")
+    val s5 = Sampling.deterministicSample(d, "doc_id", 5, 100).select("doc_id")
+    assert(s1.except(s5).count() === 0, "1% sample must nest inside 5% sample")
+    assert(s5.count() >= s1.count())
+    val all = Sampling.deterministicSample(d, "doc_id", 100, 100)
+    assert(all.count() === d.count())
+  }
+}
