@@ -53,4 +53,20 @@ object Sampling {
     require(denom >= 1 && numer >= 0 && numer <= denom)
     df.filter(hashBucket(col(idCol), denom) < numer)
   }
+
+  /** Deterministic stratified sample: the `k` rows per group whose id
+    * md5 sorts lowest (ties impossible — md5 of distinct ids), i.e. "k
+    * documents per language/source", reproducibly. One shuffle on the
+    * group key; within-group selection is a window rank, so skewed strata
+    * cost sort-of-stratum, never a global sort. For very hot strata at
+    * 100 TB, pre-thin with [[deterministicSample]] first (nested-sample
+    * property keeps the final pick identical to sorting the full
+    * stratum whenever the pre-thin keeps ≥ k rows). */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 1 && groupCols.nonEmpty)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(col(idCol).cast("string").cast("binary")))
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+  }
 }

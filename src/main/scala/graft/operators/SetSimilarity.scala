@@ -8,23 +8,35 @@ import org.apache.spark.sql.functions._
   * [[TextAnalysis.simHashNearDup]]'s hamming buckets).
   *
   * Candidate pairs come from an inverted shingle index (postings): two
-  * documents are candidates iff they share at least one shingle whose
-  * document frequency is ≤ `maxDocFreq`. Every candidate is then verified
-  * with the single-pass [[graft.functions.JaccardShingles]] kernel over the
-  * pair's full texts, so reported Jaccard is EXACT — no probabilistic
-  * recall loss from band geometry at any threshold.
+  * documents pair iff they share at least one shingle whose document
+  * frequency is ≤ `maxDocFreq`. Reported (n_common, jaccard) are EXACT over
+  * the FULL shingle sets — the cap's only effect is dropping pairs whose
+  * entire overlap is capped boilerplate (a shingle shared by thousands of
+  * documents contributes candidate pairs quadratically while adding at most
+  * 1 to any pair's intersection) — the documented contract, mirrored
+  * exactly by the SQL oracle.
   *
-  * Scale design (the postings / prefix-filter family, cf. PPJoin): distinct
-  * (doc, shingle) rows shuffle once to build postings; buckets larger than
-  * `maxDocFreq` are dropped from candidate generation because a shingle
-  * shared by thousands of documents is stopword-like boilerplate — it
-  * contributes candidate pairs quadratically while adding at most 1 to any
-  * pair's intersection. Verification still scans the FULL shingle sets (the
-  * kernel recomputes them from the texts), so the cap's only effect is
-  * dropping pairs whose entire overlap is capped boilerplate — the
-  * documented contract, mirrored exactly by the SQL oracle. Candidates are
-  * tiny by the near-dup premise and broadcast through two hash joins
-  * exactly as in [[MinHashLSH.nearDuplicates]].
+  * Scale design (the postings / prefix-filter family, cf. PPJoin), fully
+  * relational — NO per-pair kernel and NO candidate broadcast, because on
+  * overlap-heavy corpora the candidate set is itself large (sf0.1's shared
+  * synthetic vocabulary yields ~10⁶ pairs from 5k docs; a broadcast +
+  * per-pair re-shingling verify took minutes where this plan takes
+  * seconds):
+  *
+  *  1. one shuffle builds per-shingle postings (distinct doc ids);
+  *  2. buckets with 2..maxDocFreq docs explode to in-bucket pairs — one row
+  *     per SHARED sub-cap shingle — and a hash aggregate counts them, which
+  *     yields the candidate set and its sub-cap intersection size in the
+  *     same pass (work = Σ df², bounded per-shingle by the cap, fully
+  *     distributed);
+  *  3. the few over-cap (hot) shingles contribute their exact intersection
+  *     term through a postings join against the candidate pairs — bounded
+  *     by |candidates| × hot-shingles-per-doc;
+  *  4. per-doc set sizes join in (narrow (id, n) rows; AQE broadcasts them
+  *     when small) and the Jaccard filter runs last.
+  *
+  * At 100 TB the shingle table feeding steps 1–4 would be persisted once;
+  * here the plan lets exchange reuse deduplicate the shared subtrees.
   */
 object SetSimilarity {
 
@@ -42,11 +54,41 @@ object SetSimilarity {
     val buckets = sh
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
+    // per-doc set sizes re-derived from the postings rather than a third
+    // pass over the texts: every branch below then shares the ONE shingle
+    // scan + bucket aggregate (AQE exchange reuse collapses the repeats)
+    val sizes = buckets
+      .select(explode(col("ids")).as(idCol))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n"))
+    // candidate pairs + their sub-cap intersection count, in one aggregate:
+    // each in-bucket pair row is one shared sub-cap shingle
+    val sub = buckets
       .filter(size(col("ids")).between(2, maxDocFreq))
-    val cand = buckets
       .select(explode(MinHashLSH.inBucketPairs(col("ids"))).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
-    MinHashLSH.verifyJaccardKernel(df, idCol, textCol, cand, shingleLen, minJaccard)
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_sub"))
+    // exact correction for shingles above the cap: how many hot shingles
+    // each candidate pair ALSO shares (keeps n_common exact over full sets)
+    val hot = buckets
+      .filter(size(col("ids")) > maxDocFreq)
+      .select(col("shingle"), explode(col("ids")).as("id"))
+    val nHot = sub
+      .select(col("doc_a"), col("doc_b"))
+      .join(hot.select(col("shingle"), col("id").as("doc_a")), "doc_a")
+      .join(hot.select(col("shingle"), col("id").as("doc_b")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_hot"))
+    sub
+      .join(nHot, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", col("n_sub") + coalesce(col("n_hot"), lit(0L)))
+      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
 }

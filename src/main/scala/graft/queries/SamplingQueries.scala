@@ -81,13 +81,32 @@ object SamplingQueries {
       |FROM clean c JOIN keep k ON c.doc_id = k.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** Deterministic stratified sample: 3 docs per (lang, source) stratum,
+    * picked by md5-of-id order — balanced eval-set drawing, stable across
+    * runs and engines. */
+  private val q55: Q = (s, dir) =>
+    Sampling
+      .stratifiedSample(Tables.documents(s, dir), "doc_id", Seq("lang", "source"), 3)
+      .select(col("lang"), col("source"), col("doc_id"))
+      .orderBy(col("lang"), col("source"), col("doc_id"))
+
+  private val q55Sql =
+    """SELECT lang, source, doc_id FROM (
+      |  SELECT lang, source, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source
+      |                       ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY lang, source, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
-    "q53_hash_split"     -> q53,
-    "q54_clean_pipeline" -> q54
+    "q53_hash_split"        -> q53,
+    "q54_clean_pipeline"    -> q54,
+    "q55_stratified_sample" -> q55
   )
 
   val oracles: Map[String, String] = Map(
-    "q53_hash_split"     -> q53Sql,
-    "q54_clean_pipeline" -> q54Sql
+    "q53_hash_split"        -> q53Sql,
+    "q54_clean_pipeline"    -> q54Sql,
+    "q55_stratified_sample" -> q55Sql
   )
 }

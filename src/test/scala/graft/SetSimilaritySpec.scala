@@ -84,6 +84,27 @@ class SetSimilaritySpec extends SparkSpec {
     assert(a.filter($"bucket" >= 95 && $"split" =!= "test").count() === 0)
   }
 
+  test("stratifiedSample: exactly min(k, |stratum|) per group, deterministic, nests in pre-thin") {
+    val d  = Tables.documents(spark, sf("sf0.001"))
+    val s3 = Sampling.stratifiedSample(d, "doc_id", Seq("lang", "source"), 3)
+    val sizes = s3.groupBy("lang", "source").count().as[(String, String, Long)].collect()
+    assert(sizes.forall(_._3 <= 3))
+    val strata = d.groupBy("lang", "source").count().as[(String, String, Long)]
+      .collect().map { case (l, src, n) => (l, src) -> n }.toMap
+    sizes.foreach { case (l, src, n) => assert(n === math.min(3L, strata((l, src)))) }
+    assert(sizes.map(_._3).sum === strata.values.map(math.min(3L, _)).sum) // every stratum present
+    val again = Sampling.stratifiedSample(d, "doc_id", Seq("lang", "source"), 3)
+    assert(s3.select("doc_id").except(again.select("doc_id")).count() === 0)
+    // pre-thinning with a sample that keeps >= k per stratum picks the SAME rows
+    val thin = Sampling.stratifiedSample(
+      Sampling.deterministicSample(d, "doc_id", 80, 100), "doc_id", Seq("lang", "source"), 1)
+    val full = Sampling.stratifiedSample(d, "doc_id", Seq("lang", "source"), 1)
+    // only strata whose rank-1 row survived the thin can be compared
+    val surviving = Sampling.deterministicSample(d, "doc_id", 80, 100).select("doc_id")
+    val fullKept  = full.join(surviving, "doc_id").select($"lang", $"source", $"doc_id")
+    assert(fullKept.except(thin.select($"lang", $"source", $"doc_id")).count() === 0)
+  }
+
   test("deterministicSample: nested fractions, id-addressed") {
     val d  = Tables.documents(spark, sf("sf0.001"))
     val s1 = Sampling.deterministicSample(d, "doc_id", 1, 100).select("doc_id")
