@@ -91,4 +91,46 @@ object SetSimilarity {
       .filter(col("jaccard") >= lit(minJaccard))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
   }
+
+  /** Cross-corpus n-gram overlap — the decontamination primitive: every
+    * (left, right) document pair ACROSS two corpora sharing at least
+    * `minOverlap` distinct shingles, with the exact shared count. The
+    * training-data use is benchmark/eval leakage detection: left = the
+    * train split, right = the held-out or benchmark set; any train doc
+    * that surfaces here carries eval content.
+    *
+    * Scale shape: ONE shuffle groups a side-tagged shingle union into
+    * per-shingle postings split by side; shingles above `maxDocFreq` on
+    * either side are boilerplate and drop (same contract as
+    * [[ngramJaccardNearDup]] — the cross product a hot shingle would emit
+    * is quadratic while raising any pair's overlap by 1); surviving
+    * buckets explode to (left, right) cross rows — work Σ df_l × df_r
+    * bounded per shingle by the caps — and a hash aggregate counts them.
+    * The right side is typically tiny (a benchmark), but nothing here
+    * requires it: both sides stream through the same postings shuffle. */
+  def crossOverlap(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minOverlap: Int = 5,
+      maxDocFreq: Int = 100): DataFrame = {
+    require(minOverlap >= 1 && maxDocFreq >= 1)
+    val l = MinHashLSH.shingles(left, idCol, textCol, shingleLen).withColumn("_side", lit(0))
+    val r = MinHashLSH.shingles(right, idCol, textCol, shingleLen).withColumn("_side", lit(1))
+    l.unionByName(r)
+      .groupBy(col("shingle"))
+      .agg(
+        collect_list(when(col("_side") === 0, col(idCol))).as("l_ids"),
+        collect_list(when(col("_side") === 1, col(idCol))).as("r_ids"))
+      .filter(
+        size(col("l_ids")).between(1, maxDocFreq) &&
+          size(col("r_ids")).between(1, maxDocFreq))
+      .select(explode(col("l_ids")).as("left_id"), col("r_ids"))
+      .select(col("left_id"), explode(col("r_ids")).as("right_id"))
+      .groupBy(col("left_id"), col("right_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= lit(minOverlap))
+  }
 }

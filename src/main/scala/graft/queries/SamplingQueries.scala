@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, SetSimilarity, TextAnalysis}
 
 /** Corpus-preparation coverage on the `documents` table: deterministic
   * hash-split assignment (train/val/test) and the composed C4-style
@@ -98,15 +98,60 @@ object SamplingQueries {
       |  FROM documents)
       |WHERE rk <= 3 ORDER BY lang, source, doc_id""".stripMargin
 
+  /** Eval-set decontamination: train-split docs sharing ≥5 distinct
+    * 3-gram shingles with any val/test-split doc — the split assignment
+    * (q53) composed with the cross-corpus overlap primitive. Any row here
+    * is benchmark leakage a real pipeline must drop before training. */
+  private val q56: Q = (s, dir) => {
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+    SetSimilarity
+      .crossOverlap(
+        split.filter(col("split") === "train"),
+        split.filter(col("split") =!= "train"),
+        "doc_id", "text", shingleLen = 3, minOverlap = 5, maxDocFreq = 100)
+      .select(
+        col("left_id").as("train_id"),
+        col("right_id").as("holdout_id"),
+        col("n_overlap"))
+      .orderBy(col("train_id"), col("holdout_id"))
+  }
+
+  private val q56Sql =
+    """WITH sp AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |tr AS (SELECT sh.* FROM sh JOIN sp USING (doc_id) WHERE sp.b < 90),
+      |ho AS (SELECT sh.* FROM sh JOIN sp USING (doc_id) WHERE sp.b >= 90),
+      |trd AS (SELECT shingle FROM tr GROUP BY shingle HAVING COUNT(*) <= 100),
+      |hod AS (SELECT shingle FROM ho GROUP BY shingle HAVING COUNT(*) <= 100),
+      |ov AS (
+      |  SELECT tr.doc_id AS train_id, ho.doc_id AS holdout_id, COUNT(*) AS n_overlap
+      |  FROM tr
+      |    JOIN trd ON trd.shingle = tr.shingle
+      |    JOIN hod ON hod.shingle = tr.shingle
+      |    JOIN ho ON ho.shingle = tr.shingle
+      |  GROUP BY tr.doc_id, ho.doc_id)
+      |SELECT train_id, holdout_id, n_overlap FROM ov
+      |WHERE n_overlap >= 5 ORDER BY train_id, holdout_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
-    "q55_stratified_sample" -> q55
+    "q55_stratified_sample" -> q55,
+    "q56_decontaminate"     -> q56
   )
 
   val oracles: Map[String, String] = Map(
     "q53_hash_split"        -> q53Sql,
     "q54_clean_pipeline"    -> q54Sql,
-    "q55_stratified_sample" -> q55Sql
+    "q55_stratified_sample" -> q55Sql,
+    "q56_decontaminate"     -> q56Sql
   )
 }

@@ -67,6 +67,28 @@ class SetSimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("crossOverlap: exact cross-corpus counts, no within-side pairs, df-cap drops hot shingles") {
+    val train = docs(
+      1L -> "a b c d e f",  // shares shingles {abc,bcd,cde} with holdout 10
+      2L -> "a b c x y z",  // shares only "a b c" with 10
+      3L -> "p q r s t u")  // disjoint from holdout
+    val holdout = docs(
+      10L -> "a b c d e g",
+      11L -> "p q r s t u") // identical to train 3
+    val got = SetSimilarity
+      .crossOverlap(train, holdout, "doc_id", "text", shingleLen = 3, minOverlap = 2, maxDocFreq = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // 1↔10 share {abc,bcd,cde} = 3; 3↔11 share all 4; 2↔10 share 1 (< minOverlap);
+    // 1↔2 both in train — never paired
+    assert(got === Set((1L, 10L, 3L), (3L, 11L, 4L)))
+    // cap=1 on the holdout side: "a b c" has holdout-df 1 but train-df 2 → dropped;
+    // 1↔10 falls to {bcd,cde} = 2, 3↔11 unaffected (its shingles are train-df 1)
+    val capped = SetSimilarity
+      .crossOverlap(train, holdout, "doc_id", "text", shingleLen = 3, minOverlap = 2, maxDocFreq = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === Set((1L, 10L, 2L), (3L, 11L, 4L)))
+  }
+
   test("hashSplit: deterministic, exhaustive, weight-shaped") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val splits = Seq(("train", 90), ("val", 5), ("test", 5))
