@@ -68,7 +68,7 @@ object ScaleProbe {
       .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
 
   private def textProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
-    import graft.operators.{Dedup, MinHashLSH, TextAnalysis}
+    import graft.operators.{Dedup, MinHashLSH, Sampling, SetSimilarity, TextAnalysis}
     val docs = corpus(spark, n).persist()
     docs.count() // materialize the input so op timings exclude generation
     val stopwords = Seq("the", "a", "of", "and", "w1", "w2", "w3")
@@ -89,7 +89,21 @@ object ScaleProbe {
       // track simhash_neardup60 at every scale, unlike the fixed-8-bit shape
       "simhash_neardup_sized" -> (() => TextAnalysis.simHashNearDupSized(docs, "doc_id", "text", maxHamming = 3)),
       "bpe_tokens"     -> (() => TextAnalysis.bpeTokenStats(docs, "doc_id", "text")),
-      "winnow"         -> (() => TextAnalysis.winnowFingerprints(docs, "doc_id", "text")))
+      "winnow"         -> (() => TextAnalysis.winnowFingerprints(docs, "doc_id", "text")),
+      // exact set-similarity postings join: work is Σ df² over sub-cap
+      // shingles — near-linear here because the shingle space is huge
+      // relative to the corpus (the realistic regime; a df-capped hot
+      // shingle can only DROP work, never add it)
+      "ngram_jaccard"  -> (() => SetSimilarity.ngramJaccardNearDup(docs, "doc_id", "text")),
+      "hash_split"     -> (() => Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5)))),
+      "stratified"     -> (() => Sampling.stratifiedSample(
+        docs.withColumn("stratum", pmod(col("doc_id"), lit(16))), "doc_id", Seq("stratum"), 100)),
+      "decontaminate"  -> (() => {
+        val sp = Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5)))
+        SetSimilarity.crossOverlap(
+          sp.filter(col("split") === "train"), sp.filter(col("split") =!= "train"),
+          "doc_id", "text")
+      }))
     // warm-up pass, then timed pass (same protocol as Bench)
     ops.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }
     val timed = ops.map { case (name, f) =>
