@@ -52,13 +52,88 @@ object LshDiagnostics {
       first(lit(opName)).as("op"))
   }
 
+  /** Max-tracking accumulator (LongAccumulator only sums). */
+  private class MaxAcc extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long] {
+    private var _max                 = Long.MinValue
+    override def isZero: Boolean     = _max == Long.MinValue
+    override def copy(): MaxAcc      = { val c = new MaxAcc; c._max = _max; c }
+    override def reset(): Unit       = _max = Long.MinValue
+    override def add(v: java.lang.Long): Unit = if (v != null && v > _max) _max = v
+    override def merge(o: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.lang.Long]): Unit =
+      o match { case m: MaxAcc => if (m._max > _max) _max = m._max }
+    override def value: java.lang.Long = _max
+  }
+
+  private case class Guard(
+      op: String,
+      cap: Long,
+      nHot: org.apache.spark.util.LongAccumulator,
+      maxDf: MaxAcc)
+
+  private val guards = new java.util.concurrent.ConcurrentLinkedQueue[Guard]()
+
+  /** Hot-shingle guard for postings candidate generation (one input row per
+    * shingle bucket, `sizeCol` = document frequency). The postings failure
+    * mode is the INVERSE of LSH's: over-cap shingles are dropped from
+    * candidate generation, so work stays bounded but pairs whose entire
+    * overlap is capped boilerplate silently disappear.
+    *
+    * Returns an always-true predicate — apply it as its OWN `.filter(...)`
+    * immediately upstream of the df-cap filter. It counts hot buckets into
+    * accumulators as the bucket stream evaluates, and the session listener
+    * warns after the caller's action. Accumulators (not an `observe` node)
+    * because AQE's empty-relation propagation removes CollectMetrics
+    * subtrees exactly in the all-dropped degenerate case this guard exists
+    * for; accumulator values survive plan replacement. The predicate is
+    * marked nondeterministic so Catalyst neither reorders it behind the cap
+    * filter (it must see EVERY bucket) nor pushes it below the aggregate.
+    * Task retries can over-count — harmless for a fires-when-nonzero
+    * warning. Zero extra passes, zero extra shuffles. */
+  def postingsCapGuard(
+      spark: SparkSession,
+      sizeCol: Column,
+      maxDocFreq: Long,
+      opName: String): Column = {
+    ensureListener(spark)
+    val nHot  = spark.sparkContext.longAccumulator(s"graft_postings_hot_$opName")
+    val maxDf = new MaxAcc
+    spark.sparkContext.register(maxDf, s"graft_postings_maxdf_$opName")
+    guards.add(Guard(opName, maxDocFreq, nHot, maxDf))
+    val probe = udf { df: java.lang.Long =>
+      if (df != null) {
+        maxDf.add(df)
+        if (df > maxDocFreq) nHot.add(1L)
+      }
+      true
+    }
+    probe.asNondeterministic()(sizeCol.cast("long"))
+  }
+
   private def ensureListener(spark: SparkSession): Unit =
     registered.synchronized {
       if (registered.add(spark)) spark.listenerManager.register(Listener)
     }
 
   private object Listener extends QueryExecutionListener {
-    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
+      // postings-cap guards: accumulator-backed, so they survive AQE plan
+      // replacement; sweep-and-reset after every completed query
+      guards.forEach { g =>
+        val n = g.nHot.value
+        if (n > 0) {
+          val msg =
+            s"${g.op}: $n shingle bucket(s) above maxDocFreq=${g.cap} (largest df: " +
+              s"${g.maxDf.value}) were excluded from candidate generation. Work stays " +
+              "bounded, but pairs whose ENTIRE overlap is such boilerplate are silently " +
+              "missed (emitted pairs remain exact). If these are genuine duplicate " +
+              "clusters, run exact dedup (Dedup.exactStats / keep-first) first or raise " +
+              "maxDocFreq."
+          lastWarning = Some(msg)
+          log.warn(msg)
+          g.nHot.reset()
+          g.maxDf.reset()
+        }
+      }
       qe.observedMetrics.foreach {
         case (name, row) if name.startsWith(Prefix) =>
           def num(i: Int): Long =
@@ -80,6 +155,7 @@ object LshDiagnostics {
           }
         case _ => ()
       }
+    }
 
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
   }

@@ -62,8 +62,12 @@ object SetSimilarity {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n"))
     // candidate pairs + their sub-cap intersection count, in one aggregate:
-    // each in-bucket pair row is one shared sub-cap shingle
+    // each in-bucket pair row is one shared sub-cap shingle. The guard
+    // predicate (its own filter, before the cap filter) makes cap-dropped
+    // hot shingles loud via the session listener.
     val sub = buckets
+      .filter(LshDiagnostics.postingsCapGuard(
+        df.sparkSession, size(col("ids")), maxDocFreq.toLong, "ngram_jaccard"))
       .filter(size(col("ids")).between(2, maxDocFreq))
       .select(explode(MinHashLSH.inBucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -119,11 +123,15 @@ object SetSimilarity {
     require(minOverlap >= 1 && maxDocFreq >= 1)
     val l = MinHashLSH.shingles(left, idCol, textCol, shingleLen).withColumn("_side", lit(0))
     val r = MinHashLSH.shingles(right, idCol, textCol, shingleLen).withColumn("_side", lit(1))
-    l.unionByName(r)
+    val sides = l.unionByName(r)
       .groupBy(col("shingle"))
       .agg(
         collect_list(when(col("_side") === 0, col(idCol))).as("l_ids"),
         collect_list(when(col("_side") === 1, col(idCol))).as("r_ids"))
+    sides
+      .filter(LshDiagnostics.postingsCapGuard(
+        left.sparkSession,
+        greatest(size(col("l_ids")), size(col("r_ids"))), maxDocFreq.toLong, "cross_overlap"))
       .filter(
         size(col("l_ids")).between(1, maxDocFreq) &&
           size(col("r_ids")).between(1, maxDocFreq))

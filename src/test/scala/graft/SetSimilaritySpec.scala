@@ -67,6 +67,24 @@ class SetSimilaritySpec extends SparkSpec {
     assert(exact.nonEmpty)
   }
 
+  test("ngramJaccardNearDup: degenerate all-duplicate corpus yields no pairs but warns loudly") {
+    // every shingle's df equals the corpus size → all hot under the cap →
+    // bounded work, zero pairs (the documented false-negative contract),
+    // and the postings-cap observe guard must make the silent drop loud
+    val d = docs((1L to 20L).map(i => i -> "a b c d e f"): _*)
+    graft.operators.LshDiagnostics.lastWarning = None
+    val out = SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", shingleLen = 3, minJaccard = 0.5, maxDocFreq = 10)
+      .collect()
+    assert(out.isEmpty)
+    val deadline = System.nanoTime() + 10_000_000_000L // listener bus is async
+    while (graft.operators.LshDiagnostics.lastWarning.isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    val w = graft.operators.LshDiagnostics.lastWarning
+    assert(w.exists(m => m.contains("ngram_jaccard") && m.contains("maxDocFreq=10") &&
+      m.contains("largest df: 20")), s"expected postings-cap warning, got $w")
+  }
+
   test("crossOverlap: exact cross-corpus counts, no within-side pairs, df-cap drops hot shingles") {
     val train = docs(
       1L -> "a b c d e f",  // shares shingles {abc,bcd,cde} with holdout 10
