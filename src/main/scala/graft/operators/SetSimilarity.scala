@@ -63,12 +63,15 @@ object SetSimilarity {
       .agg(count(lit(1)).as("n"))
     // candidate pairs + their sub-cap intersection count, in one aggregate:
     // each in-bucket pair row is one shared sub-cap shingle. The guard
-    // predicate (its own filter, before the cap filter) makes cap-dropped
-    // hot shingles loud via the session listener.
+    // predicate (its own filter, between the codegen df >= 2 pre-filter and
+    // the cap filter) makes cap-dropped hot shingles loud via the session
+    // listener; the pre-filter keeps the row-at-a-time guard off the df = 1
+    // long tail, which can never be hot.
     val sub = buckets
+      .filter(size(col("ids")) >= 2)
       .filter(LshDiagnostics.postingsCapGuard(
         df.sparkSession, size(col("ids")), maxDocFreq.toLong, "ngram_jaccard"))
-      .filter(size(col("ids")).between(2, maxDocFreq))
+      .filter(size(col("ids")) <= maxDocFreq)
       .select(explode(MinHashLSH.inBucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
@@ -128,13 +131,16 @@ object SetSimilarity {
       .agg(
         collect_list(when(col("_side") === 0, col(idCol))).as("l_ids"),
         collect_list(when(col("_side") === 1, col(idCol))).as("r_ids"))
+    // one-sided buckets can never pair, so dropping them first is both the
+    // cheap codegen pre-filter for the guard AND makes the warning precise:
+    // only hot buckets that actually LOSE cross pairs count
     sides
+      .filter(size(col("l_ids")) >= 1 && size(col("r_ids")) >= 1)
       .filter(LshDiagnostics.postingsCapGuard(
         left.sparkSession,
         greatest(size(col("l_ids")), size(col("r_ids"))), maxDocFreq.toLong, "cross_overlap"))
       .filter(
-        size(col("l_ids")).between(1, maxDocFreq) &&
-          size(col("r_ids")).between(1, maxDocFreq))
+        size(col("l_ids")) <= maxDocFreq && size(col("r_ids")) <= maxDocFreq)
       .select(explode(col("l_ids")).as("left_id"), col("r_ids"))
       .select(col("left_id"), explode(col("r_ids")).as("right_id"))
       .groupBy(col("left_id"), col("right_id"))
