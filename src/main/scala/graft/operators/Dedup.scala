@@ -44,4 +44,22 @@ object Dedup {
   def exactStats(df: DataFrame, contentHash: Column, idCol: String): DataFrame =
     df.groupBy(contentHash.as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Streaming exact dedup: content-addressed first-occurrence-wins over a
+    * watermarked stream. A later arrival whose hash matches anything seen
+    * within the watermark horizon is dropped; the engine evicts hash state
+    * older than the watermark, which is the only bounded-state exact-dedup
+    * contract possible on an infinite stream (an unbounded seen-set is the
+    * batch operator, [[exactByHash]], run over the closed corpus). Pure
+    * stateful-operator composition — no custom state, no extra shuffle
+    * beyond the dedup's own hash exchange. */
+  def streamingExactByHash(
+      df: DataFrame,
+      tsCol: String,
+      watermark: String,
+      contentHash: Column): DataFrame =
+    df.withColumn("_h", contentHash)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
 }
