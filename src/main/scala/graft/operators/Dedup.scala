@@ -45,6 +45,61 @@ object Dedup {
     df.groupBy(contentHash.as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  /** Connected components over an undirected pair list (the near-dup
+    * CLUSTERING step: pair-finding emits edges; dedup needs one canonical
+    * doc per transitive cluster). Iterative min-label propagation:
+    * comp(v) ← min(comp(v), min over neighbors) until fixpoint — each round
+    * is one shuffle join + one aggregate over the PAIR GRAPH only (vertices
+    * = docs appearing in ≥1 pair, a sliver of the corpus), with an eager
+    * localCheckpoint per round so lineage stays flat. Converges in
+    * O(cluster diameter) rounds — near-dup clusters are dense, so a handful
+    * in practice; a graph that fails to converge within `maxIter` throws
+    * rather than silently mis-clustering (raise maxIter, or switch to a
+    * star-contraction algorithm if clusters are genuinely chain-shaped).
+    *
+    * Returns (id, comp) where comp is the smallest doc id in the cluster —
+    * the canonical selection (keep comp, drop the rest) falls out directly. */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var it   = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("_nc")).as("_nbr"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.withColumnRenamed("comp", "_old"), "id")
+        .filter(col("comp") < col("_old"))
+        .count()
+      labels = next
+      done = changed == 0
+      it += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — cluster diameter " +
+          "exceeds the bound; raise maxIter")
+    labels
+  }
+
   /** Streaming exact dedup: content-addressed first-occurrence-wins over a
     * watermarked stream. A later arrival whose hash matches anything seen
     * within the watermark horizon is dropped; the engine evicts hash state

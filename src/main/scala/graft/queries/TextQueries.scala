@@ -165,6 +165,53 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Near-dup clustering: connected components over the exact-Jaccard pair
+    * graph (q52's edges), each doc labeled with its cluster's smallest doc
+    * id — the canonical-selection step a real dedup pipeline runs after
+    * pair-finding. Oracle is a recursive transitive closure. */
+  private val q57: Q = (s, dir) =>
+    Dedup
+      .connectedComponents(
+        SetSimilarity.ngramJaccardNearDup(Tables.documents(s, dir), "doc_id", "text",
+          shingleLen = 3, minJaccard = 0.5, maxDocFreq = 100),
+        "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
+  private val q57Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |post AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a
+      |    JOIN post p ON p.shingle = a.shingle AND p.df BETWEEN 2 AND 100
+      |    JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.doc_a
+      |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |    JOIN sizes na ON na.doc_id = doc_a
+      |    JOIN sizes nb ON nb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a)
+      |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
+      |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   /** SimHash (16-bit, majority vote, no row explosion). */
   private val q27: Q = (s, dir) =>
     TextAnalysis
@@ -328,6 +375,7 @@ object TextQueries {
     "q26_minhash_neardup" -> q26,
     "q27_simhash"         -> q27,
     "q52_ngram_jaccard_neardup" -> q52,
+    "q57_neardup_clusters" -> q57,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -341,6 +389,7 @@ object TextQueries {
     "q26_minhash_neardup" -> q26Sql,
     "q27_simhash"         -> q27Sql,
     "q52_ngram_jaccard_neardup" -> q52Sql,
+    "q57_neardup_clusters" -> q57Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

@@ -107,6 +107,19 @@ class SetSimilaritySpec extends SparkSpec {
     assert(capped === Set((1L, 10L, 2L), (3L, 11L, 4L)))
   }
 
+  test("connectedComponents: transitive clusters, min-id labels, non-convergence throws") {
+    import graft.operators.Dedup
+    // path 1-2-3-4 (needs diameter rounds) + disjoint pair (10,11)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a 4-node path cannot converge in one propagation round
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 1).collect()
+    }
+  }
+
   test("hashSplit: deterministic, exhaustive, weight-shaped") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val splits = Seq(("train", 90), ("val", 5), ("test", 5))
