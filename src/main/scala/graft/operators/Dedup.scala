@@ -64,6 +64,10 @@ object Dedup {
       aCol: String,
       bCol: String,
       maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // the only checkpoint outside the loop: edges carry the full upstream
+    // lineage (e.g. the whole pair-finding plan), which must not re-run
+    // per round. Initial labels derive from checkpointed edges cheaply.
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -72,10 +76,15 @@ object Dedup {
     var labels = edges
       .select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
-      .localCheckpoint()
     var it   = 0
     var done = false
     while (!done && it < maxIter) {
+      // convergence detection rides the checkpoint materialization as an
+      // accumulator (one Spark job per round, not two); retries can
+      // over-count, which only matters as zero/nonzero
+      val changedAcc = spark.sparkContext.longAccumulator(s"graft_cc_changed_$it")
+      val track = udf { shrunk: Boolean => { if (shrunk) changedAcc.add(1L); true } }
+        .asNondeterministic()
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
         .groupBy(col("src"))
@@ -83,14 +92,13 @@ object Dedup {
         .withColumnRenamed("src", "id")
       val next = labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("comp"))
+        .select(col("id"), least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_new"),
+          col("comp").as("_old"))
+        .filter(track(col("_new") < col("_old")))
+        .select(col("id"), col("_new").as("comp"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.withColumnRenamed("comp", "_old"), "id")
-        .filter(col("comp") < col("_old"))
-        .count()
       labels = next
-      done = changed == 0
+      done = changedAcc.value == 0
       it += 1
     }
     if (!done)
