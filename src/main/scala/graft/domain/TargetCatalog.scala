@@ -43,7 +43,7 @@ object TargetCatalog {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val rootN  = mapper.readTree(text)
     val targets = scala.collection.mutable.ArrayBuffer.empty[Target]
-    val it = rootN.fields()
+    val it = rootN.properties().iterator()
     while (it.hasNext) {
       val e    = it.next()
       val v    = e.getValue

@@ -55,7 +55,7 @@ object AsOfJoin {
     val rAligned = l.columns.foldLeft(r) { (df, c) =>
       if (df.columns.contains(c)) df
       else df.withColumn(c, lit(null))
-    }.select(l.columns.map(col): _*)
+    }.select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window
       .partitionBy(keyCols.map(col): _*)

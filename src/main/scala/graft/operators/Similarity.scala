@@ -76,8 +76,8 @@ object Similarity {
     * bucket are ANN candidates; at 10⁹ vectors the bucket join replaces the
     * brute-force cross product. */
   def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    concat(planes.map { p =>
-      val lp = array(p.map(lit): _*)
+    concat(planes.toIndexedSeq.map { p =>
+      val lp = array(p.toIndexedSeq.map(lit): _*)
       when(dot(vec, lp) >= 0, lit("1")).otherwise(lit("0"))
     }: _*)
 

@@ -33,8 +33,11 @@ object NetCDFGranules {
     val sniffed = NetCDF3Util.parMap(paths) { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
+      val isFile =
+        try fs.getFileStatus(hp).isFile
+        catch { case _: java.io.FileNotFoundException => false }
       val isH5 =
-        if (!fs.isFile(hp)) false
+        if (!isFile) false
         else {
           val in = fs.open(hp)
           try {
