@@ -65,12 +65,15 @@ object Dedup {
       bCol: String,
       maxIter: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
-    // the only checkpoint outside the loop: edges carry the full upstream
-    // lineage (e.g. the whole pair-finding plan), which must not re-run
-    // per round. Initial labels derive from checkpointed edges cheaply.
-    val edges = pairs
+    // materialize the DIRECTED pairs before mirroring: the undirected
+    // self-union would otherwise run the full upstream pair-finding plan
+    // twice (exchange reuse does not reliably collapse the two union
+    // branches), and the loop must not re-run it per round either
+    val p0 = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .localCheckpoint()
+    val edges = p0
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
     var labels = edges

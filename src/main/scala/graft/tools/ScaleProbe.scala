@@ -103,7 +103,13 @@ object ScaleProbe {
         SetSimilarity.crossOverlap(
           sp.filter(col("split") === "train"), sp.filter(col("split") =!= "train"),
           "doc_id", "text")
-      }))
+      }),
+      // clustering over the near-dup pair graph: the iterative label
+      // propagation (the only driver-looped text op) at a dup-pair
+      // population the corpus's every-25th/50th dup structure scales
+      // linearly with n
+      "neardup_clusters" -> (() => graft.operators.Dedup.connectedComponents(
+        SetSimilarity.ngramJaccardNearDup(docs, "doc_id", "text"), "doc_a", "doc_b")))
     // warm-up pass, then timed pass (same protocol as Bench)
     ops.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }
     val timed = ops.map { case (name, f) =>
