@@ -158,6 +158,19 @@ class SetSimilaritySpec extends SparkSpec {
     assert(fullKept.except(thin.select($"lang", $"source", $"doc_id")).count() === 0)
   }
 
+  test("empty and sub-shingle inputs flow through without errors") {
+    import graft.operators.Dedup
+    val empty = docs()
+    val short = docs(1L -> "a b", 2L -> "x") // fewer words than shingleLen
+    assert(SetSimilarity.ngramJaccardNearDup(empty, "doc_id", "text").count() === 0)
+    assert(SetSimilarity.ngramJaccardNearDup(short, "doc_id", "text").count() === 0)
+    assert(SetSimilarity.crossOverlap(empty, short, "doc_id", "text", minOverlap = 1).count() === 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b"), "doc_a", "doc_b").count() === 0)
+    assert(Sampling.hashSplit(empty, "doc_id", Seq(("train", 1))).count() === 0)
+    assert(Sampling.stratifiedSample(short, "doc_id", Seq("text"), 1).count() === 2)
+  }
+
   test("deterministicSample: nested fractions, id-addressed") {
     val d  = Tables.documents(spark, sf("sf0.001"))
     val s1 = Sampling.deterministicSample(d, "doc_id", 1, 100).select("doc_id")
