@@ -73,6 +73,44 @@ object TextAnalysis {
         countDistinct(col("piece")).as("n_distinct_pieces"),
         sum(when(col("piece").rlike("^ ?[a-zA-Z]+$"), 1).otherwise(0)).as("n_word_pieces"))
 
+  /** Corpus vocabulary: the `k` most frequent BPE-ish pieces with counts —
+    * the precursor to training a sub-word vocabulary. One hash aggregate
+    * over the piece stream (map-side combined), then a k-bounded total
+    * order; ties break lexicographically so the cut is deterministic. */
+  def vocabulary(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(expr(
+        s"regexp_extract_all($textCol, '${BpePattern.replace("'", "\\'")}', 0)")).as("piece"))
+      .groupBy(col("piece"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece").asc)
+      .limit(k)
+
+  /** Corpus-frequency quality score (the CCNet-style rare-token filter,
+    * self-trained, in integer-exact form): token frequencies over the
+    * whole corpus form the unigram model; each document reports its mean
+    * corpus term frequency and its rare-token count (tokens with corpus
+    * tf < `rareBelow`). Low mean-tf / high rare density flags gibberish.
+    * Integer sums only — a float log-prob sum would be partition-order
+    * dependent and break the exact oracle hash; the rational mean is the
+    * same ranking signal, bit-deterministic. Two hash aggregates + one
+    * token join; the model table is vocabulary-sized and broadcasts under
+    * AQE. */
+  def tokenRarity(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rareBelow: Long = 5L): DataFrame = {
+    val toks  = tokens(df, idCol, textCol)
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("_tf"))
+    toks
+      .join(model, "token")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(col("_tf")).cast("double") / count(lit(1))).as("mean_tf"),
+        sum(when(col("_tf") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+  }
+
   /** Winnowing fingerprint (the MOSS rolling-hash scheme, Schleimer et al.
     * SIGMOD 2003): hash every k-gram of the character stream, slide a
     * window of `w` consecutive k-gram hashes, keep each window's minimum

@@ -320,6 +320,33 @@ object TextQueries {
       |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Corpus vocabulary: top-200 BPE-ish pieces with counts — the sub-word
+    * vocabulary precursor; deterministic (count desc, piece asc) cut. */
+  private val q58: Q = (s, dir) =>
+    TextAnalysis.vocabulary(Tables.documents(s, dir), "text", k = 200)
+
+  private val q58Sql =
+    """SELECT piece, COUNT(*) AS n
+      |FROM (SELECT unnest(regexp_extract_all(text,
+      |        ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+| +')) AS piece
+      |      FROM documents)
+      |GROUP BY piece ORDER BY n DESC, piece ASC LIMIT 200""".stripMargin
+
+  /** Self-trained corpus-frequency quality score (rare-token filter). */
+  private val q59: Q = (s, dir) =>
+    TextAnalysis
+      .tokenRarity(Tables.documents(s, dir), "doc_id", "text", rareBelow = 5L)
+      .orderBy(col("doc_id"))
+
+  private val q59Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |model AS (SELECT token, COUNT(*) AS tf FROM t GROUP BY token)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |  CAST(SUM(tf) AS DOUBLE) / COUNT(*) AS mean_tf,
+      |  CAST(SUM(CASE WHEN tf < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+      |FROM t JOIN model USING (token)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
     TextAnalysis
@@ -376,6 +403,8 @@ object TextQueries {
     "q27_simhash"         -> q27,
     "q52_ngram_jaccard_neardup" -> q52,
     "q57_neardup_clusters" -> q57,
+    "q58_vocabulary"      -> q58,
+    "q59_token_rarity"    -> q59,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -390,6 +419,8 @@ object TextQueries {
     "q27_simhash"         -> q27Sql,
     "q52_ngram_jaccard_neardup" -> q52Sql,
     "q57_neardup_clusters" -> q57Sql,
+    "q58_vocabulary"      -> q58Sql,
+    "q59_token_rarity"    -> q59Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

@@ -171,6 +171,22 @@ class SetSimilaritySpec extends SparkSpec {
     assert(Sampling.stratifiedSample(short, "doc_id", Seq("text"), 1).count() === 2)
   }
 
+  test("vocabulary and tokenRarity: exact counts on a known corpus") {
+    import graft.operators.TextAnalysis
+    val d = docs(1L -> "aa bb aa", 2L -> "aa cc")
+    // pieces: doc1 = "aa", " bb", " aa"; doc2 = "aa", " cc" — the
+    // leading-space form is a distinct piece, so "aa" (start-of-doc) has
+    // n=2 and the n=1 tie breaks lexicographically
+    val vocab = TextAnalysis.vocabulary(d, "text", k = 3)
+      .as[(String, Long)].collect().toList
+    assert(vocab === List(("aa", 2L), (" aa", 1L), (" bb", 1L)))
+    val rare = TextAnalysis.tokenRarity(d, "doc_id", "text", rareBelow = 2L)
+      .orderBy($"doc_id").as[(Long, Long, Double, Long)].collect().toList
+    // corpus tf: aa=3, bb=1, cc=1 → doc1 mean (3+1+3)/3, 1 rare (bb);
+    // doc2 mean (3+1)/2, 1 rare (cc)
+    assert(rare === List((1L, 3L, 7.0 / 3, 1L), (2L, 2L, 2.0, 1L)))
+  }
+
   test("deterministicSample: nested fractions, id-addressed") {
     val d  = Tables.documents(spark, sf("sf0.001"))
     val s1 = Sampling.deterministicSample(d, "doc_id", 1, 100).select("doc_id")
