@@ -21,16 +21,21 @@ object Dedup {
 
   /** Keep the first row per key, "first" = smallest `orderCol`. */
   def keepFirst(df: DataFrame, keyCols: Seq[String], orderCol: String): DataFrame = {
+    val rn = "__graft_dedup_rn"
+    require(!df.columns.contains(rn), s"input already has a '$rn' column")
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(orderCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
   /** Exact content dedup: canonical row per distinct `contentHash`, choosing
     * the smallest `idCol`. Returns the full surviving rows. */
   def exactByHash(df: DataFrame, contentHash: Column, idCol: String): DataFrame = {
-    val hashed = df.withColumn("_h", contentHash)
-    val w      = Window.partitionBy(col("_h")).orderBy(col(idCol))
-    hashed.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn", "_h")
+    val (h, rn) = ("__graft_dedup_h", "__graft_dedup_rn")
+    require(!df.columns.contains(h) && !df.columns.contains(rn),
+      s"input already has a '$h' / '$rn' column")
+    val hashed = df.withColumn(h, contentHash)
+    val w      = Window.partitionBy(col(h)).orderBy(col(idCol))
+    hashed.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn, h)
   }
 
   /** Normalized text hash used for exact document dedup: lowercase, collapse
@@ -45,17 +50,22 @@ object Dedup {
     df.groupBy(contentHash.as("content_hash"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Connected components over an undirected pair list (the near-dup
     * CLUSTERING step: pair-finding emits edges; dedup needs one canonical
     * doc per transitive cluster). Iterative min-label propagation:
     * comp(v) ← min(comp(v), min over neighbors) until fixpoint — each round
     * is one shuffle join + one aggregate over the PAIR GRAPH only (vertices
     * = docs appearing in ≥1 pair, a sliver of the corpus), with an eager
-    * localCheckpoint per round so lineage stays flat. Converges in
+    * localCheckpoint per round so lineage stays flat (each round's blocks
+    * are freed once the next round materializes — nothing accumulates in
+    * executor storage across rounds or invocations). Converges in
     * O(cluster diameter) rounds — near-dup clusters are dense, so a handful
-    * in practice; a graph that fails to converge within `maxIter` throws
-    * rather than silently mis-clustering (raise maxIter, or switch to a
-    * star-contraction algorithm if clusters are genuinely chain-shaped).
+    * in practice; a graph that fails to converge within `maxIter` rounds
+    * (genuinely chain-shaped clusters) falls back to
+    * [[connectedComponentsStar]], whose round count is logarithmic in the
+    * diameter, rather than failing or silently mis-clustering.
     *
     * Returns (id, comp) where comp is the smallest doc id in the cluster —
     * the canonical selection (keep comp, drop the rest) falls out directly. */
@@ -76,6 +86,7 @@ object Dedup {
       .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint()
+    Checkpoints.free(p0) // edges materialized; the directed blocks are dead
     var labels = edges
       .select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -100,15 +111,120 @@ object Dedup {
         .filter(track(col("_new") < col("_old")))
         .select(col("id"), col("_new").as("comp"))
         .localCheckpoint()
+      Checkpoints.free(labels) // no-op on round 0 (labels is edge-derived)
       labels = next
       done = changedAcc.value == 0
       it += 1
     }
-    if (!done)
-      throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter rounds — cluster diameter " +
-          "exceeds the bound; raise maxIter")
+    if (!done) {
+      // O(diameter) propagation lost to a chain-shaped graph — rerun with
+      // the O(log diameter) algorithm instead of giving up (the dense-
+      // cluster common case never gets here, so propagation stays the
+      // cheaper default: one join+aggregate per round vs star's four)
+      log.warn(
+        s"connectedComponents: label propagation did not converge in $maxIter rounds " +
+          "(chain-shaped clusters); falling back to alternating star contraction")
+      Checkpoints.free(labels)
+      val out = connectedComponentsStar(edges, "src", "dst")
+      Checkpoints.free(edges)
+      return out
+    }
+    Checkpoints.free(edges) // labels is checkpointed — independent of edges
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the chain-diameter-proof variant: round count is
+    * logarithmic in the component diameter on ANY topology, where
+    * min-label propagation is linear. Each round rewrites the edge set —
+    * large-star hangs every node's larger neighbors off its minimum
+    * neighbor, small-star its smaller ones — preserving connectivity until
+    * the edges form stars centered on each component's minimum id.
+    * Per round: two (groupBy + join) phases plus one exact convergence
+    * probe (a union of stars iff no edge's low endpoint has a smaller
+    * neighbor — checked against the per-node minima the phase already
+    * computed, never against a fallible checksum). Same output contract as
+    * [[connectedComponents]]: (id, comp), comp = smallest id in the
+    * cluster, one row per id appearing in `pairs`. */
+  def connectedComponentsStar(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 60): DataFrame = {
+    val p0 = pairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .localCheckpoint()
+    var e = p0
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    def und(ed: DataFrame) = ed
+      .select(col("u").as("x"), col("v").as("y"))
+      .unionByName(ed.select(col("v").as("x"), col("u").as("y")))
+    // m(x) = min(x, min neighbor of x)
+    def mins(u: DataFrame) = u
+      .groupBy(col("x"))
+      .agg(min(col("y")).as("_mn"))
+      .select(col("x"), least(col("x"), col("_mn")).as("m"))
+    var it        = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val u1 = und(e)
+      val m1 = mins(u1)
+      converged = e
+        .join(m1.select(col("x").as("u"), col("m").as("_mu")), "u")
+        .filter(col("_mu") < col("u"))
+        .isEmpty
+      if (!converged) {
+        // large-star: (m(x), y) for neighbors y > x, plus (m(x), x) so x
+        // itself stays attached — every emitted edge is within-component,
+        // and each original edge x–y survives via m(x)
+        val ls = u1
+          .join(m1, "x")
+          .filter(col("y") > col("x"))
+          .select(col("m").as("u"), col("y").as("v"))
+          .unionByName(
+            m1.filter(col("m") =!= col("x")).select(col("m").as("u"), col("x").as("v")))
+          .distinct()
+          .localCheckpoint()
+        Checkpoints.free(e)
+        // small-star: (m(x), y) for neighbors y < x (m(x) ≤ y by
+        // minimality), plus the same self-attachment
+        val u2 = und(ls)
+        val m2 = mins(u2)
+        val ss = u2
+          .join(m2, "x")
+          .filter(col("y") < col("x") && col("m") =!= col("y"))
+          .select(col("m").as("u"), col("y").as("v"))
+          .unionByName(
+            m2.filter(col("m") =!= col("x")).select(col("m").as("u"), col("x").as("v")))
+          .distinct()
+          .localCheckpoint()
+        Checkpoints.free(ls)
+        e = ss
+      }
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — at O(log diameter) " +
+          "per round this graph is beyond any physical component; raise maxIter")
+    // e is now a union of stars: every node's minimum neighbor IS its
+    // component minimum; nodes only in degenerate self-pairs label themselves
+    val stars = und(e)
+      .groupBy(col("x"))
+      .agg(min(col("y")).as("_mn"))
+      .select(col("x").as("id"), least(col("x"), col("_mn")).as("comp"))
+    val verts = p0.select(col("u").as("id")).unionByName(p0.select(col("v").as("id"))).distinct()
+    val out = verts
+      .join(stars, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .localCheckpoint()
+    Checkpoints.free(e)
+    Checkpoints.free(p0)
+    out
   }
 
   /** Streaming exact dedup: content-addressed first-occurrence-wins over a
@@ -123,9 +239,13 @@ object Dedup {
       df: DataFrame,
       tsCol: String,
       watermark: String,
-      contentHash: Column): DataFrame =
-    df.withColumn("_h", contentHash)
+      contentHash: Column): DataFrame = {
+    // an internal working column must not silently clobber caller data
+    val h = "__graft_dedup_h"
+    require(!df.columns.contains(h), s"input already has a '$h' column")
+    df.withColumn(h, contentHash)
       .withWatermark(tsCol, watermark)
-      .dropDuplicatesWithinWatermark("_h")
-      .drop("_h")
+      .dropDuplicatesWithinWatermark(h)
+      .drop(h)
+  }
 }

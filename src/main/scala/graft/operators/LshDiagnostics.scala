@@ -70,7 +70,36 @@ object LshDiagnostics {
       nHot: org.apache.spark.util.LongAccumulator,
       maxDf: MaxAcc)
 
-  private val guards = new java.util.concurrent.ConcurrentLinkedQueue[Guard]()
+  /** One guard per (session, opName), created on first use and REUSED by
+    * every later plan for that operator: guard count is bounded by the
+    * number of distinct operator names, not by how many plans a long-lived
+    * session builds (the former unbounded-queue shape registered two fresh
+    * accumulators per plan construction, executed or not). Weak session
+    * keys let closed sessions drop their guards. Known, documented limit:
+    * the sweep below still reads a session's guards on EVERY completed
+    * query, so with concurrent queries in one session a warning can
+    * attribute to the wrong query — diagnostics-only (emitted pairs stay
+    * exact), and accepted over threading plan identity through `observe`,
+    * which AQE deletes in exactly the degenerate case this guard polices. */
+  private val guards =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, Guard]]()
+
+  private def guardFor(spark: SparkSession, opName: String, cap: Long): Guard = {
+    val perSession = guards.synchronized {
+      var m = guards.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, Guard]()
+        guards.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(opName, { _ =>
+      val nHot  = spark.sparkContext.longAccumulator(s"graft_postings_hot_$opName")
+      val maxDf = new MaxAcc
+      spark.sparkContext.register(maxDf, s"graft_postings_maxdf_$opName")
+      Guard(opName, cap, nHot, maxDf)
+    })
+  }
 
   /** Hot-shingle guard for postings candidate generation (one input row per
     * shingle bucket, `sizeCol` = document frequency). The postings failure
@@ -95,10 +124,8 @@ object LshDiagnostics {
       maxDocFreq: Long,
       opName: String): Column = {
     ensureListener(spark)
-    val nHot  = spark.sparkContext.longAccumulator(s"graft_postings_hot_$opName")
-    val maxDf = new MaxAcc
-    spark.sparkContext.register(maxDf, s"graft_postings_maxdf_$opName")
-    guards.add(Guard(opName, maxDocFreq, nHot, maxDf))
+    val g             = guardFor(spark, opName, maxDocFreq)
+    val (nHot, maxDf) = (g.nHot, g.maxDf)
     val probe = udf { df: java.lang.Long =>
       if (df != null) {
         maxDf.add(df)
@@ -117,8 +144,10 @@ object LshDiagnostics {
   private object Listener extends QueryExecutionListener {
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
       // postings-cap guards: accumulator-backed, so they survive AQE plan
-      // replacement; sweep-and-reset after every completed query
-      guards.forEach { g =>
+      // replacement; sweep-and-reset THIS session's guards after every
+      // completed query (guards are per-session — see `guards`)
+      val sessionGuards = guards.synchronized(Option(guards.get(qe.sparkSession)))
+      sessionGuards.foreach(_.values.forEach { g =>
         val n = g.nHot.value
         if (n > 0) {
           val msg =
@@ -133,7 +162,7 @@ object LshDiagnostics {
           g.nHot.reset()
           g.maxDf.reset()
         }
-      }
+      })
       qe.observedMetrics.foreach {
         case (name, row) if name.startsWith(Prefix) =>
           def num(i: Int): Long =

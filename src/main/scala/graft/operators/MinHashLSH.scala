@@ -21,19 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLSH {
 
-  /** Distinct word n-gram shingles per document (docs shorter than n words
-    * produce none). */
-  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val words = split(col(textCol), " ")
-    df.select(col(idCol), words.as("w"))
-      .filter(size(col("w")) >= n)
-      .select(
-        col(idCol),
-        explode(transform(
-          sequence(lit(0), size(col("w")) - n),
-          i => array_join(slice(col("w"), i + 1, lit(n)), " "))).as("shingle"))
-      .distinct()
+  /** The distinct word n-gram shingle SET of one text value, as an array
+    * column (empty for texts shorter than n words). Per-row
+    * `array_distinct` instead of a post-explode `.distinct()` so the
+    * dedup costs no shuffle — the shingle stream is the largest
+    * intermediate in every set-similarity plan, and this keeps it narrow
+    * until the one aggregate that actually needs a shuffle. */
+  def shingleArray(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
+    val w = split(textCol, " ")
+    when(size(w) >= n,
+      array_distinct(transform(
+        sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
   }
+
+  /** Distinct word n-gram shingles per document (docs shorter than n words
+    * produce none). One row per (id, shingle); assumes one input row per
+    * id (the dedup is per-row, shuffle-free — see [[shingleArray]]). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingleArray(col(textCol), n)).as("shingle"))
 
   /** MinHash signatures, wide form: all numHashes minimums computed as
     * parallel aggregates in ONE hash aggregate over the shingle table —

@@ -35,6 +35,10 @@ object Sampling {
     * `split` columns. */
   def hashSplit(df: DataFrame, idCol: String, splits: Seq[(String, Int)]): DataFrame = {
     require(splits.nonEmpty && splits.forall(_._2 > 0), "splits need positive weights")
+    // the output columns are part of the contract — refuse to silently
+    // overwrite caller data rather than clobber it
+    require(!df.columns.contains("bucket") && !df.columns.contains("split"),
+      "input already has a 'bucket'/'split' column; rename it before hashSplit")
     val total  = splits.map(_._2).sum
     val bucket = hashBucket(col(idCol), total)
     val cum    = splits.scanLeft(0)(_ + _._2).tail // cumulative upper bounds
@@ -64,9 +68,11 @@ object Sampling {
     * stratum whenever the pre-thin keeps ≥ k rows). */
   def stratifiedSample(df: DataFrame, idCol: String, groupCols: Seq[String], k: Int): DataFrame = {
     require(k >= 1 && groupCols.nonEmpty)
+    val rk = "__graft_sample_rk"
+    require(!df.columns.contains(rk), s"input already has a '$rk' column")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(md5(col(idCol).cast("string").cast("binary")))
-    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+    df.withColumn(rk, row_number().over(w)).filter(col(rk) <= k).drop(rk)
   }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Exact n-gram Jaccard near-duplicate join — the signature-free member of
   * the dedup family (vs [[MinHashLSH]]'s approximate minhash candidates and
@@ -35,31 +36,68 @@ import org.apache.spark.sql.functions._
   *  4. per-doc set sizes join in (narrow (id, n) rows; AQE broadcasts them
   *     when small) and the Jaccard filter runs last.
   *
-  * At 100 TB the shingle table feeding steps 1–4 would be persisted once;
-  * here the plan lets exchange reuse deduplicate the shared subtrees.
+  * The postings aggregate ([[shinglePostings]]) feeds THREE consumers
+  * (steps 2, 3, 4). Spark's exchange reuse shares the shuffle but re-runs
+  * the aggregate per consumer, so at scale the aggregate should
+  * materialize ONCE: either pass `persist = Some(level)` (registers the
+  * postings with the session cache — free them with
+  * `spark.catalog.clearCache()` or let LRU evict), or for precise
+  * lifecycle control build the postings yourself and release them when the
+  * pair output has been consumed:
+  *
+  * {{{
+  * val post  = SetSimilarity.shinglePostings(docs, "doc_id", "text").persist()
+  * val pairs = SetSimilarity.ngramJaccardFromPostings(post)
+  * pairs.write.parquet(out)          // one aggregate, three cache reads
+  * post.unpersist()
+  * }}}
   */
 object SetSimilarity {
 
+  /** Inverted shingle index: one row per distinct shingle with the sorted
+    * list of containing doc ids — the shared subtree of the whole exact
+    * set-similarity family (one shuffle on the shingle). */
+  def shinglePostings(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame =
+    MinHashLSH.shingles(df, idCol, textCol, shingleLen)
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(col(idCol))).as("ids"))
+
   /** Near-duplicate (doc_a, doc_b, n_common, jaccard) pairs with exact
-    * n-gram Jaccard ≥ `minJaccard`, candidates from df-capped postings. */
+    * n-gram Jaccard ≥ `minJaccard`, candidates from df-capped postings.
+    * `persist` caches the postings aggregate so its three consumers read
+    * it instead of re-running it (see object scaladoc for lifecycle). */
   def ngramJaccardNearDup(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleLen: Int = 3,
       minJaccard: Double = 0.5,
+      maxDocFreq: Int = 100,
+      persist: Option[StorageLevel] = None): DataFrame = {
+    val post    = shinglePostings(df, idCol, textCol, shingleLen)
+    val buckets = persist.map(post.persist).getOrElse(post)
+    ngramJaccardFromPostings(buckets, minJaccard, maxDocFreq)
+  }
+
+  /** The pair join over a prebuilt [[shinglePostings]] frame — callers that
+    * persist the postings themselves get the materialize-once plan with an
+    * explicit `unpersist()` point. */
+  def ngramJaccardFromPostings(
+      buckets: DataFrame,
+      minJaccard: Double = 0.5,
       maxDocFreq: Int = 100): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 can never produce a candidate pair")
-    val sh = MinHashLSH.shingles(df, idCol, textCol, shingleLen)
-    val buckets = sh
-      .groupBy(col("shingle"))
-      .agg(array_sort(collect_list(col(idCol))).as("ids"))
-    // per-doc set sizes re-derived from the postings rather than a third
+    // per-doc set sizes re-derived from the postings rather than a second
     // pass over the texts: every branch below then shares the ONE shingle
-    // scan + bucket aggregate (AQE exchange reuse collapses the repeats)
+    // scan + bucket aggregate (persisted once, or deduplicated by AQE
+    // exchange reuse when not)
     val sizes = buckets
-      .select(explode(col("ids")).as(idCol))
-      .groupBy(col(idCol))
+      .select(explode(col("ids")).as("_id"))
+      .groupBy(col("_id"))
       .agg(count(lit(1)).as("n"))
     // candidate pairs + their sub-cap intersection count, in one aggregate:
     // each in-bucket pair row is one shared sub-cap shingle. The guard
@@ -70,7 +108,7 @@ object SetSimilarity {
     val sub = buckets
       .filter(size(col("ids")) >= 2)
       .filter(LshDiagnostics.postingsCapGuard(
-        df.sparkSession, size(col("ids")), maxDocFreq.toLong, "ngram_jaccard"))
+        buckets.sparkSession, size(col("ids")), maxDocFreq.toLong, "ngram_jaccard"))
       .filter(size(col("ids")) <= maxDocFreq)
       .select(explode(MinHashLSH.inBucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
@@ -90,8 +128,8 @@ object SetSimilarity {
     sub
       .join(nHot, Seq("doc_a", "doc_b"), "left")
       .withColumn("n_common", col("n_sub") + coalesce(col("n_hot"), lit(0L)))
-      .join(sizes.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(sizes.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(sizes.select(col("_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn(
         "jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
@@ -114,7 +152,13 @@ object SetSimilarity {
     * buckets explode to (left, right) cross rows — work Σ df_l × df_r
     * bounded per shingle by the caps — and a hash aggregate counts them.
     * The right side is typically tiny (a benchmark), but nothing here
-    * requires it: both sides stream through the same postings shuffle. */
+    * requires it: both sides stream through the same postings shuffle.
+    *
+    * `persist` caches the side-tagged postings. Unlike
+    * [[ngramJaccardNearDup]] this plan consumes them once, so the option
+    * only matters when the CALLER holds the returned frame for several
+    * actions; when left/right share an upstream scan (e.g. two split
+    * filters of one corpus), persist that INPUT instead. */
   def crossOverlap(
       left: DataFrame,
       right: DataFrame,
@@ -122,15 +166,17 @@ object SetSimilarity {
       textCol: String,
       shingleLen: Int = 3,
       minOverlap: Int = 5,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100,
+      persist: Option[StorageLevel] = None): DataFrame = {
     require(minOverlap >= 1 && maxDocFreq >= 1)
     val l = MinHashLSH.shingles(left, idCol, textCol, shingleLen).withColumn("_side", lit(0))
     val r = MinHashLSH.shingles(right, idCol, textCol, shingleLen).withColumn("_side", lit(1))
-    val sides = l.unionByName(r)
+    val sides0 = l.unionByName(r)
       .groupBy(col("shingle"))
       .agg(
         collect_list(when(col("_side") === 0, col(idCol))).as("l_ids"),
         collect_list(when(col("_side") === 1, col(idCol))).as("r_ids"))
+    val sides = persist.map(sides0.persist).getOrElse(sides0)
     // one-sided buckets can never pair, so dropping them first is both the
     // cheap codegen pre-filter for the guard AND makes the warning precise:
     // only hot buckets that actually LOSE cross pairs count

@@ -141,17 +141,68 @@ object SamplingQueries {
       |SELECT train_id, holdout_id, n_overlap FROM ov
       |WHERE n_overlap >= 5 ORDER BY train_id, holdout_id""".stripMargin
 
+  /** Ingest-style contamination flag: every train-split doc labeled with
+    * its strongest holdout overlap via the broadcast benchmark kernel
+    * (the streaming decontamination primitive, run in batch where the SQL
+    * oracle can see it) — q56 reports the leaking PAIRS, this flags every
+    * doc including the clean ones. Uncapped (the kernel has no df cap);
+    * ties break on the bench id's STRING form, which the oracle mirrors. */
+  private val q60: Q = (s, dir) => {
+    val split = Sampling.hashSplit(Tables.documents(s, dir), "doc_id",
+      Seq(("train", 90), ("val", 5), ("test", 5)))
+    graft.operators.Decontaminate
+      .flagContaminated(
+        split.filter(col("split") === "train").drop("bucket", "split"),
+        split.filter(col("split") =!= "train"),
+        "doc_id", "text", shingleLen = 3, minOverlap = 5)
+      .select(
+        col("doc_id"),
+        col("n_overlap"),
+        coalesce(col("bench_id"), lit("")).as("bench_id"),
+        col("contaminated").cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q60Sql =
+    """WITH sp AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |tr AS (SELECT sh.* FROM sh JOIN sp USING (doc_id) WHERE sp.b < 90),
+      |ho AS (SELECT sh.* FROM sh JOIN sp USING (doc_id) WHERE sp.b >= 90),
+      |ov AS (
+      |  SELECT tr.doc_id AS train_id, ho.doc_id AS bench, COUNT(*) AS n
+      |  FROM tr JOIN ho ON ho.shingle = tr.shingle
+      |  GROUP BY tr.doc_id, ho.doc_id),
+      |best AS (
+      |  SELECT train_id, n, bench,
+      |    ROW_NUMBER() OVER (PARTITION BY train_id
+      |                       ORDER BY n DESC, CAST(bench AS VARCHAR) ASC) AS rn
+      |  FROM ov)
+      |SELECT d.doc_id, COALESCE(b.n, 0) AS n_overlap,
+      |  COALESCE(CAST(b.bench AS VARCHAR), '') AS bench_id,
+      |  CASE WHEN COALESCE(b.n, 0) >= 5 THEN 1 ELSE 0 END AS contaminated
+      |FROM sp d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.train_id = d.doc_id
+      |WHERE d.b < 90 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
     "q55_stratified_sample" -> q55,
-    "q56_decontaminate"     -> q56
+    "q56_decontaminate"     -> q56,
+    "q60_contamination_flag" -> q60
   )
 
   val oracles: Map[String, String] = Map(
     "q53_hash_split"        -> q53Sql,
     "q54_clean_pipeline"    -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
-    "q56_decontaminate"     -> q56Sql
+    "q56_decontaminate"     -> q56Sql,
+    "q60_contamination_flag" -> q60Sql
   )
 }

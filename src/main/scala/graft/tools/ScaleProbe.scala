@@ -69,52 +69,68 @@ object ScaleProbe {
 
   private def textProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
     import graft.operators.{Dedup, MinHashLSH, Sampling, SetSimilarity, TextAnalysis}
+    import org.apache.spark.storage.StorageLevel
     val docs = corpus(spark, n).persist()
     docs.count() // materialize the input so op timings exclude generation
     val stopwords = Seq("the", "a", "of", "and", "w1", "w2", "w3")
     val langs = spark.createDataFrame(
       Seq(("en", "w1"), ("en", "w2"), ("de", "w3"), ("de", "w4"))).toDF("lang", "word")
-    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-      "exact_dedup"    -> (() => Dedup.exactStats(docs, Dedup.normalizedTextHash(col("text")), "doc_id")),
-      "token_stats"    -> (() => TextAnalysis.tokenStats(docs, "doc_id", "text", stopwords)),
-      "lang_id"        -> (() => TextAnalysis.languageId(docs, "doc_id", "text", langs)),
-      "fingerprint"    -> (() => TextAnalysis.fingerprint(docs, "doc_id", "text")),
-      "minhash_neardup" -> (() => MinHashLSH.nearDuplicates(docs, "doc_id", "text")),
-      "simhash"        -> (() => TextAnalysis.simHash(docs, "doc_id", "text", bits = 32)),
-      "simhash_neardup" -> (() => TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 32, nBands = 4, maxHamming = 3)),
+    def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // the postings family materializes its shared shingle aggregate ONCE
+    // per run (persist → consume → blocking unpersist inside the timed
+    // window, so every pass pays the honest full cost and nothing lingers
+    // into the next op's timing)
+    def withPostings(use: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val post = SetSimilarity.shinglePostings(docs, "doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try noopWrite(use(post))
+      finally post.unpersist(blocking = true)
+    }
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "exact_dedup"    -> (() => noopWrite(Dedup.exactStats(docs, Dedup.normalizedTextHash(col("text")), "doc_id"))),
+      "token_stats"    -> (() => noopWrite(TextAnalysis.tokenStats(docs, "doc_id", "text", stopwords))),
+      "lang_id"        -> (() => noopWrite(TextAnalysis.languageId(docs, "doc_id", "text", langs))),
+      "fingerprint"    -> (() => noopWrite(TextAnalysis.fingerprint(docs, "doc_id", "text"))),
+      "minhash_neardup" -> (() => noopWrite(MinHashLSH.nearDuplicates(docs, "doc_id", "text"))),
+      "simhash"        -> (() => noopWrite(TextAnalysis.simHash(docs, "doc_id", "text", bits = 32))),
+      "simhash_neardup" -> (() => noopWrite(TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 32, nBands = 4, maxHamming = 3))),
       // same operator, corpus-sized band width (15-bit bands = 32k buckets):
       // the knob that keeps banded LSH linear as the corpus grows
-      "simhash_neardup60" -> (() => TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 60, nBands = 4, maxHamming = 3)),
+      "simhash_neardup60" -> (() => noopWrite(TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 60, nBands = 4, maxHamming = 3))),
       // the self-sizing entry point (includes its own sizing count) — must
       // track simhash_neardup60 at every scale, unlike the fixed-8-bit shape
-      "simhash_neardup_sized" -> (() => TextAnalysis.simHashNearDupSized(docs, "doc_id", "text", maxHamming = 3)),
-      "bpe_tokens"     -> (() => TextAnalysis.bpeTokenStats(docs, "doc_id", "text")),
-      "winnow"         -> (() => TextAnalysis.winnowFingerprints(docs, "doc_id", "text")),
+      "simhash_neardup_sized" -> (() => noopWrite(TextAnalysis.simHashNearDupSized(docs, "doc_id", "text", maxHamming = 3))),
+      "bpe_tokens"     -> (() => noopWrite(TextAnalysis.bpeTokenStats(docs, "doc_id", "text"))),
+      "winnow"         -> (() => noopWrite(TextAnalysis.winnowFingerprints(docs, "doc_id", "text"))),
       // exact set-similarity postings join: work is Σ df² over sub-cap
       // shingles — near-linear here because the shingle space is huge
       // relative to the corpus (the realistic regime; a df-capped hot
-      // shingle can only DROP work, never add it)
-      "ngram_jaccard"  -> (() => SetSimilarity.ngramJaccardNearDup(docs, "doc_id", "text")),
-      "hash_split"     -> (() => Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5)))),
-      "stratified"     -> (() => Sampling.stratifiedSample(
-        docs.withColumn("stratum", pmod(col("doc_id"), lit(16))), "doc_id", Seq("stratum"), 100)),
+      // shingle can only DROP work, never add it). The shared postings
+      // aggregate materializes once for its three consumers.
+      "ngram_jaccard"  -> (() => withPostings(SetSimilarity.ngramJaccardFromPostings(_))),
+      "hash_split"     -> (() => noopWrite(Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5))))),
+      "stratified"     -> (() => noopWrite(Sampling.stratifiedSample(
+        docs.withColumn("stratum", pmod(col("doc_id"), lit(16))), "doc_id", Seq("stratum"), 100))),
       "decontaminate"  -> (() => {
         val sp = Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5)))
-        SetSimilarity.crossOverlap(
+        noopWrite(SetSimilarity.crossOverlap(
           sp.filter(col("split") === "train"), sp.filter(col("split") =!= "train"),
-          "doc_id", "text")
+          "doc_id", "text"))
       }),
       // clustering over the near-dup pair graph: the iterative label
       // propagation (the only driver-looped text op) at a dup-pair
       // population the corpus's every-25th/50th dup structure scales
-      // linearly with n
-      "neardup_clusters" -> (() => graft.operators.Dedup.connectedComponents(
-        SetSimilarity.ngramJaccardNearDup(docs, "doc_id", "text"), "doc_a", "doc_b")))
+      // linearly with n; pair-finding inside reads the same materialized
+      // postings (the stored-pipeline relationship q57 has to q52)
+      "neardup_clusters" -> (() => withPostings(post =>
+        Dedup.connectedComponents(
+          SetSimilarity.ngramJaccardFromPostings(post), "doc_a", "doc_b"))))
     // warm-up pass, then timed pass (same protocol as Bench)
-    ops.foreach { case (_, f) => f().write.format("noop").mode("overwrite").save() }
+    ops.foreach { case (_, f) => f() }
     val timed = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
-      f().write.format("noop").mode("overwrite").save()
+      f()
       name -> (System.nanoTime() - t0) / 1e9
     }
     docs.unpersist()

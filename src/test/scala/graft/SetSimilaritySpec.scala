@@ -107,17 +107,48 @@ class SetSimilaritySpec extends SparkSpec {
     assert(capped === Set((1L, 10L, 2L), (3L, 11L, 4L)))
   }
 
-  test("connectedComponents: transitive clusters, min-id labels, non-convergence throws") {
+  test("connectedComponents: transitive clusters, min-id labels, star fallback past maxIter") {
     import graft.operators.Dedup
     // path 1-2-3-4 (needs diameter rounds) + disjoint pair (10,11)
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // a 4-node path cannot converge in one propagation round
-    assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 1).collect()
-    }
+    // a 4-node path cannot converge in one propagation round — the star
+    // fallback must take over and still produce the exact labels
+    val fb = Dedup.connectedComponents(pairs, "doc_a", "doc_b", maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(fb === got)
+  }
+
+  test("connectedComponentsStar: exact labels on paths, cliques, self-pairs; result survives re-read") {
+    import graft.operators.Dedup
+    // mixed topology: a path, a triangle sharing no nodes, an isolated
+    // self-pair (degenerate input a==b), min ids NOT at the path ends
+    val pairs = Seq((5L, 2L), (2L, 9L), (9L, 7L), (20L, 21L), (21L, 22L), (20L, 22L), (30L, 30L))
+      .toDF("doc_a", "doc_b")
+    val star = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+    val want = Map(2L -> 2L, 5L -> 2L, 7L -> 2L, 9L -> 2L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L)
+    assert(star.as[(Long, Long)].collect().toMap === want)
+    // the freed intermediate checkpoints must not break a SECOND action on
+    // the returned frame (only the final labels stay materialized)
+    assert(star.as[(Long, Long)].collect().toMap === want)
+  }
+
+  test("connectedComponentsStar: a 10^4-node path converges (chain diameter beyond propagation)") {
+    import graft.operators.Dedup
+    val n = 10000
+    // worst case for min-label propagation: one chain of diameter n, with
+    // ids permuted so the minimum sits mid-chain (position-based ids would
+    // gift monotone chains to the algorithm)
+    val perm  = scala.util.Random.shuffle((0 until n).toVector)
+    val pairs = (0 until n - 1).map(i => (perm(i).toLong, perm(i + 1).toLong))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+      .as[(Long, Long)].collect()
+    assert(labels.length === n)
+    assert(labels.forall(_._2 === 0L), "every node labels to the component minimum")
   }
 
   test("hashSplit: deterministic, exhaustive, weight-shaped") {
