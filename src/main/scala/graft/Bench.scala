@@ -24,7 +24,22 @@ object Bench {
     }.getOrElse(Map.empty)
   }
 
+  /** Machine-load stamp from /proc/loadavg: (1m, 5m, 15m averages,
+    * currently-runnable task count). Recorded at run start AND end so a
+    * load-contaminated bench is machine-detectable afterwards — the r7
+    * driver bench ran under heavy background load and the resulting
+    * +20-80% per-query drift was unfalsifiable from the committed JSON. */
+  def loadStamp(): String =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try {
+        val p = f.mkString.trim.split("\\s+")
+        s"""[${p(0)},${p(1)},${p(2)},${p(3).split("/")(0).toInt}]"""
+      } finally f.close()
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadStamp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -99,9 +114,13 @@ object Bench {
       }
       s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
     }.getOrElse("")
-    // failures are machine-visible in the metric line, not just stderr
+    // failures are machine-visible in the metric line, not just stderr;
+    // load stamps make drift-vs-regression adjudicable after the fact
+    // (load = [1m, 5m, 15m, runnable-tasks] at run start / end)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,"queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,""" +
+        s""""load_start":$loadStart,"load_end":${loadStamp()},""" +
+        s""""queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}"""
     println(line)
     // persist the FULL metric JSON next to the round artifacts: the driver
     // stores a truncated log tail, which made r3's q01–q33 raw timings

@@ -235,29 +235,54 @@ class OperatorsSpec extends SparkSpec {
   }
 
   test("quantile sketch tracks the exact baseline within its rank-error bound") {
-    // 100k skewed values across 3 groups: the GK sketch (the 100 TB path —
-    // one hash aggregate, no per-group sort) must land within rank error
-    // 1/acc of the exact sort-based quantile
-    val df = spark.range(100000).select(
+    // The GK rank-error contract (|rank(q_sketch) − p·n| ≤ n/acc), checked
+    // as a property over several skewed shapes — the sketch is the 100 TB
+    // path (one hash aggregate, no per-group sort) and its results cannot
+    // hash-match an oracle, so THIS bound is its correctness gate. Ties
+    // are handled properly: a tied value's true rank is an interval
+    // [count(< v), count(≤ v)], and the contract holds if p·n is within
+    // 1/acc of that interval.
+    val acc = 10000
+    val ps  = Seq(0.1, 0.5, 0.9, 0.99)
+    def check(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val ex = Quantiles.exact(df, Seq("g"), "v", ps)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val sk = Quantiles.sketch(df, Seq("g"), "v", ps, acc)
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      assert(sk.keySet === ex.keySet, s"[$name] (group, p) key sets differ")
+      val groups = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
+        g -> rows.map(_.getDouble(1)).sorted
+      }
+      for (((g, p), qv) <- sk) {
+        val vs  = groups(g)
+        val eps = 1.0 / acc + 2.0 / vs.length
+        val lo  = vs.count(_ < qv).toDouble / vs.length
+        val hi  = vs.count(_ <= qv).toDouble / vs.length
+        assert(p >= lo - eps && p <= hi + eps,
+          s"[$name] group $g p=$p: sketch value $qv has rank interval [$lo, $hi]")
+        // and the exact baseline must satisfy the same rank contract (its
+        // interpolated value can sit strictly between tied runs, hence the
+        // interval form here too)
+        val exLo = vs.count(_ < ex((g, p))).toDouble / vs.length
+        val exHi = vs.count(_ <= ex((g, p))).toDouble / vs.length
+        assert(p >= exLo - eps && p <= exHi + eps,
+          s"[$name] group $g p=$p: exact value ${ex((g, p))} has rank interval [$exLo, $exHi]")
+      }
+    }
+    // (a) cubed uniform: soft left skew
+    check("cubed-uniform", spark.range(100000).select(
       (col("id") % 3).cast("string").as("g"),
-      (pow(rand(11), 3.0) * 1000).as("v"))
-    val ps = Seq(0.1, 0.5, 0.9, 0.99)
-    val ex = Quantiles.exact(df, Seq("g"), "v", ps)
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    val sk = Quantiles.sketch(df, Seq("g"), "v", ps, acc = 10000)
-      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
-    assert(sk.keySet === ex.keySet)
-    // rank-error check: the sketch value's true rank must be within
-    // n*(p ± 1/acc); translate via the per-group sorted values
-    val groups = df.collect().groupBy(_.getString(0)).map { case (g, rows) =>
-      g -> rows.map(_.getDouble(1)).sorted
-    }
-    for (((g, p), qv) <- sk) {
-      val vs   = groups(g)
-      val rank = vs.count(_ <= qv).toDouble / vs.length
-      assert(math.abs(rank - p) <= 1.0 / 10000 + 2.0 / vs.length,
-        s"group $g p=$p: sketch rank $rank drifted")
-    }
+      (pow(rand(11), 3.0) * 1000).as("v")))
+    // (b) lognormal: heavy right tail (orders of magnitude in one group)
+    check("lognormal", spark.range(100000).select(
+      (col("id") % 3).cast("string").as("g"),
+      exp(randn(7) * lit(2.0)).as("v")))
+    // (c) Zipf-like integers: massive ties — most of the mass sits on a
+    // handful of values, the regime where a naive rank check breaks and a
+    // sketch's duplicate handling is actually exercised
+    check("zipf-ties", spark.range(100000).select(
+      (col("id") % 3).cast("string").as("g"),
+      floor(lit(1.0) / (rand(13) + lit(0.001))).cast("double").as("v")))
   }
 
   test("Checksum.merkle is order-insensitive to input partitioning but order-sensitive to keys") {
