@@ -13,6 +13,15 @@ import graft.functions.Portable._
   * explicitly mean-of-monthly-means, not mean-of-days
   * (`tools/climatology/main.py:281-329`).
   *
+  * Consolidation exists ONLY at monthly granularity: the tool's span
+  * choices are exactly `['monthly', 'seasonal', 'annual',
+  * 'monthly-consolidated']` (`tools/climatology/main.py:544`) and the
+  * consolidation block is gated on `span == 'monthly-consolidated'`
+  * (`main.py:281`) — there is no seasonal- or annual-consolidated level,
+  * so none is implemented here. [[consolidateMonthly]] composed over
+  * [[temporalMean]]("seasonal-ref") would express one in two aggregates if
+  * the reference ever grows it.
+  *
   * In Spark each level is one hash aggregate with map-side partial
   * aggregation; on a time-partitioned store the span filter prunes
   * partitions before the scan.

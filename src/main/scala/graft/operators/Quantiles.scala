@@ -52,10 +52,19 @@ object Quantiles {
       .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(w).cast("long") - 1)
       .withColumn("_n", count(lit(1)).over(part))
+    val pArr = array(ps.map(lit): _*)
+    def isBoundary(p: org.apache.spark.sql.Column) = {
+      val pos = p * (col("_n") - lit(1))
+      col("_rn") === floor(pos) || col("_rn") === ceil(pos)
+    }
     val pos = col("p") * (col("_n") - lit(1))
     ranked
-      .withColumn("p", explode(array(ps.map(lit): _*)))
-      .filter(col("_rn") === floor(pos) || col("_rn") === ceil(pos))
+      // drop non-boundary rows BEFORE the ×|ps| explode: only ≤ 2|ps| rows
+      // per group survive, so the explode runs over O(groups·|ps|) rows
+      // instead of every ranked row
+      .filter(exists(pArr, isBoundary))
+      .withColumn("p", explode(pArr))
+      .filter(isBoundary(col("p")))
       .withColumn("_pos", pos)
       .groupBy((groupCols :+ "p").map(col): _*)
       .agg(

@@ -383,6 +383,47 @@ object TextQueries {
       |FROM t JOIN model USING (token)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Gopher-style repetition signals: duplicated / most-frequent n-gram
+    * counts per doc. The Spark side is a zero-shuffle per-row kernel
+    * (higher-order array functions); the oracle states the same counts
+    * relationally (explode → group → max) — integer-exact both ways. */
+  private val q61: Q = (s, dir) =>
+    TextAnalysis
+      .repetitionStats(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val q61Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 2 THEN
+      |      list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      |      ELSE [] END AS g2,
+      |    CASE WHEN len(toks) >= 3 THEN
+      |      list_transform(range(1, len(toks) - 1),
+      |                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |      ELSE [] END AS g3
+      |  FROM t),
+      |top2 AS (
+      |  SELECT doc_id, MAX(cnt) AS top FROM (
+      |    SELECT doc_id, gram, COUNT(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(g2) AS gram FROM g) GROUP BY 1, 2)
+      |  GROUP BY doc_id),
+      |top3 AS (
+      |  SELECT doc_id, MAX(cnt) AS top FROM (
+      |    SELECT doc_id, gram, COUNT(*) AS cnt
+      |    FROM (SELECT doc_id, unnest(g3) AS gram FROM g) GROUP BY 1, 2)
+      |  GROUP BY doc_id)
+      |SELECT g.doc_id,
+      |  len(g2) AS n_2gram,
+      |  len(g2) - len(list_distinct(g2)) AS dup_2gram,
+      |  COALESCE(top2.top, 0) AS top_2gram,
+      |  len(g3) AS n_3gram,
+      |  len(g3) - len(list_distinct(g3)) AS dup_3gram,
+      |  COALESCE(top3.top, 0) AS top_3gram
+      |FROM g LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+      |ORDER BY g.doc_id""".stripMargin
+
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
     TextAnalysis
@@ -441,6 +482,7 @@ object TextQueries {
     "q57_neardup_clusters" -> q57,
     "q58_vocabulary"      -> q58,
     "q59_token_rarity"    -> q59,
+    "q61_repetition"      -> q61,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -457,6 +499,7 @@ object TextQueries {
     "q57_neardup_clusters" -> q57Sql,
     "q58_vocabulary"      -> q58Sql,
     "q59_token_rarity"    -> q59Sql,
+    "q61_repetition"      -> q61Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

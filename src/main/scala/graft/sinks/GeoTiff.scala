@@ -82,6 +82,70 @@ object GeoTiff {
       l += 1
     }
 
+    // materialize each level's tile bytes first (deflate makes lengths
+    // data-dependent, so offsets need the real sizes)
+    def tileBytes(d: Array[Double], w: Int, h: Int): IndexedSeq[Array[Byte]] =
+      for (ty <- 0 until tilesAcross(h); tx <- 0 until tilesAcross(w)) yield {
+        val b = ByteBuffer.allocate(TileLen).order(ByteOrder.LITTLE_ENDIAN)
+        var r = 0
+        while (r < TileSize) {
+          var c = 0
+          while (c < TileSize) {
+            val row = ty * TileSize + r
+            val col = tx * TileSize + c
+            b.putDouble(if (row < h && col < w) d(row * w + col) else Double.NaN)
+            c += 1
+          }
+          r += 1
+        }
+        if (deflate) deflateTile(b.array()) else b.array()
+      }
+    assembleTiles(
+      levels.toIndexedSeq.zip(levels.map { case (d, w, h) => tileBytes(d, w, h) })
+        .map { case ((_, w, h), ts) => LevelTiles(w, h, ts) },
+      originLon, originLat, scaleLon, scaleLat, deflate)
+  }
+
+  /** Deflate one raw tile payload (the per-tile compression step; callers
+    * that assemble tiles on executors run this there so only compressed
+    * bytes reach the file-writer task). */
+  def deflateTile(raw: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val outB = new java.io.ByteArrayOutputStream(raw.length / 4)
+    val buf  = new Array[Byte](8192)
+    while (!defl.finished()) outB.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    outB.toByteArray
+  }
+
+  /** One pyramid level as pre-compressed tile payloads in row-major tile
+    * order (`tilesAcross(height) * tilesAcross(width)` entries). An EMPTY
+    * array marks a sparse all-nodata tile: it is written with TileOffset 0
+    * and TileByteCount 0 — the sparse-file convention COG readers (and
+    * [[decode]]) interpret as nodata without storing anything. */
+  final case class LevelTiles(width: Int, height: Int, tiles: IndexedSeq[Array[Byte]])
+
+  /** Assemble a (possibly sparse) tiled GeoTIFF from pre-compressed tile
+    * payloads — the file-layout half of [[encode]], exposed so distributed
+    * exporters can deflate tiles on the executors that own them and funnel
+    * only compressed bytes into the single task that owns the output file
+    * (a file format imposes one writer; it should never impose one
+    * *encoder*). */
+  def assembleTiles(
+      levels: IndexedSeq[LevelTiles],
+      originLon: Double,
+      originLat: Double,
+      scaleLon: Double,
+      scaleLat: Double,
+      deflate: Boolean = true): Array[Byte] = {
+    require(levels.nonEmpty, "need at least the full-resolution level")
+    levels.foreach { lt =>
+      require(
+        lt.tiles.length == tilesAcross(lt.width) * tilesAcross(lt.height),
+        s"level ${lt.width}x${lt.height}: expected ${tilesAcross(lt.width) * tilesAcross(lt.height)} tiles, got ${lt.tiles.length}")
+    }
+
     def shorts(v: Seq[Int]): Array[Byte] = {
       val b = ByteBuffer.allocate(v.length * 2).order(ByteOrder.LITTLE_ENDIAN)
       v.foreach(x => b.putShort(x.toShort)); b.array()
@@ -100,38 +164,13 @@ object GeoTiff {
       1025, 0, 1, 1,   // GTRasterType = PixelIsArea
       2048, 0, 1, 4326) // GeographicType = WGS84
 
-    // materialize each level's tile bytes first (deflate makes lengths
-    // data-dependent, so offsets need the real sizes)
-    def tileBytes(d: Array[Double], w: Int, h: Int): IndexedSeq[Array[Byte]] =
-      for (ty <- 0 until tilesAcross(h); tx <- 0 until tilesAcross(w)) yield {
-        val b = ByteBuffer.allocate(TileLen).order(ByteOrder.LITTLE_ENDIAN)
-        var r = 0
-        while (r < TileSize) {
-          var c = 0
-          while (c < TileSize) {
-            val row = ty * TileSize + r
-            val col = tx * TileSize + c
-            b.putDouble(if (row < h && col < w) d(row * w + col) else Double.NaN)
-            c += 1
-          }
-          r += 1
-        }
-        if (deflate) {
-          val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
-          defl.setInput(b.array()); defl.finish()
-          val outB = new java.io.ByteArrayOutputStream(TileLen / 4)
-          val buf  = new Array[Byte](8192)
-          while (!defl.finished()) outB.write(buf, 0, defl.deflate(buf))
-          defl.end()
-          outB.toByteArray
-        } else b.array()
-      }
-    val levelTiles = levels.map { case (d, w, h) => tileBytes(d, w, h) }
+    val levelTiles = levels.map(_.tiles)
 
     // entry spec per level: (tag, type, count, Left(inline)|Right(payload));
     // TileOffsets carry a placeholder resolved once data offsets are known
     def levelEntries(li: Int): Seq[(Int, Int, Int, Either[Long, Array[Byte]])] = {
-      val (_, w, h) = levels(li)
+      val w  = levels(li).width
+      val h  = levels(li).height
       val nT = tilesAcross(w) * tilesAcross(h)
       val common = Seq(
         (256, 4, 1, Left(w.toLong)),
@@ -168,10 +207,11 @@ object GeoTiff {
       }.toArray
     }
     val dataStart = (off + 7) / 8 * 8
-    // per-tile offsets: each level's tiles laid out sequentially
+    // per-tile offsets: each level's tiles laid out sequentially; sparse
+    // (empty) tiles take offset 0 and no space
     var dOff = dataStart.toLong
     val tileOffs: IndexedSeq[IndexedSeq[Long]] = levelTiles.toIndexedSeq.map { ts =>
-      ts.map { t => val o = dOff; dOff += t.length; o }
+      ts.map { t => if (t.isEmpty) 0L else { val o = dOff; dOff += t.length; o } }
     }
 
     val out = ByteBuffer.allocate(dOff.toInt).order(ByteOrder.LITTLE_ENDIAN)
@@ -201,8 +241,10 @@ object GeoTiff {
     }
     levels.indices.foreach { li =>
       levelTiles(li).zipWithIndex.foreach { case (t, ti) =>
-        out.position(tileOffs(li)(ti).toInt)
-        out.put(t)
+        if (t.nonEmpty) {
+          out.position(tileOffs(li)(ti).toInt)
+          out.put(t)
+        }
       }
     }
     out.array()
@@ -229,6 +271,35 @@ object GeoTiff {
       off = in.getInt(off + 2 + count * 12)
     }
     n
+  }
+
+  /** (total, present) tile counts for one level — sparse-file accounting
+    * without materializing the raster (a production-mesh level 0 is a
+    * 5 GB dense plane; its IFD is a few KB). */
+  def tileStats(bytes: Array[Byte], level: Int = 0): (Int, Int) = {
+    val in = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    var ifd = in.getInt(4)
+    var li = 0
+    while (li < level) {
+      val count = in.getShort(ifd).toInt
+      ifd = in.getInt(ifd + 2 + count * 12)
+      require(ifd != 0, s"level $level not present")
+      li += 1
+    }
+    val n = in.getShort(ifd).toInt
+    var total = 0; var present = 0
+    (0 until n).foreach { i =>
+      val base = ifd + 2 + i * 12
+      if ((in.getShort(base) & 0xffff) == 325) {
+        val count = in.getInt(base + 4)
+        val value = in.getInt(base + 8)
+        total = count
+        present =
+          if (count == 1) (if (value > 0) 1 else 0)
+          else (0 until count).count(j => in.getInt(value + j * 4) > 0)
+      }
+    }
+    (total, present)
   }
 
   /** Decode one pyramid level of a GeoTIFF produced by [[encode]]. */
@@ -280,7 +351,8 @@ object GeoTiff {
     }
     val tilesX = (width + tileW - 1) / tileW
     val data   = Array.fill(width * height)(Double.NaN)
-    tileOffsets.zipWithIndex.foreach { case (toff, t) =>
+    // sparse tiles (offset 0, bytecount 0) stay NaN — nothing to read
+    tileOffsets.zipWithIndex.filter { case (_, t) => tileCounts(t) > 0 }.foreach { case (toff, t) =>
       val ty = t / tilesX; val tx = t % tilesX
       val tileRaw: Array[Byte] =
         if (compression == 8) {
@@ -368,6 +440,115 @@ object CoGExport {
         val out = new Path(outDir, s"${target}_${variable}_$day.tif")
         ZarrStore.atomicWriteFile(conf.value, out, bytes)
         SliceFile(target, variable, day, out.toString)
+      }
+  }
+
+  /** Distributed global-mosaic export: one (possibly sparse) Cloud-Optimized
+    * GeoTIFF per (variable, day) over the FULL grid — the production-mesh
+    * shape (36000×18000 ⇒ a 5.2 GB dense plane) where [[exportSlices]]'s
+    * assemble-one-slice-per-task design cannot hold: no single task may ever
+    * materialize the dense plane.
+    *
+    * Scale shape (mirrors ZarrStore's owner-task chunk writes):
+    *  1. overview pyramid levels are built SPARSELY — a NaN-aware 2×2 mean
+    *     is `avg` over the present cells of the previous level, so empty
+    *     ocean never materializes at any level (identical semantics to
+    *     [[GeoTiff.downsample]] on dense data);
+    *  2. each 256×256 tile is assembled dense and deflated by the task that
+    *     owns it (one `groupByKey` on the tile key — bounded 512 KB memory
+    *     per group);
+    *  3. only compressed tile bytes shuffle to the per-(variable, day)
+    *     writer task, which lays out the file with [[GeoTiff.assembleTiles]];
+    *     absent tiles are written sparse (TileOffset/ByteCount 0, the COG
+    *     sparse-file convention).
+    * The file format imposes one writer per file; encode work and memory
+    * stay distributed. Overview cell values are float means and so partial-
+    * aggregation-order dependent in the last bits; level 0 is exact.
+    *
+    * `long` needs (variable, time, lat_idx, lon_idx, value) on the
+    * ascending-index global grid; `minLon/dLon/minLat/dLat` are the CELL
+    * CENTER origin and step (ZarrStore.GridSpec convention). */
+  def exportGlobalMosaic(
+      long: DataFrame,
+      outDir: String,
+      nLon: Int,
+      nLat: Int,
+      minLon: Double,
+      dLon: Double,
+      minLat: Double,
+      dLat: Double,
+      overviews: Int = 3): Dataset[SliceFile] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+    val ts = GeoTiff.TileSize
+
+    def dims(l: Int): (Int, Int) = ((nLon + (1 << l) - 1) >> l, (nLat + (1 << l) - 1) >> l)
+    val nLevels = {
+      var l = 0
+      while (l < overviews && dims(l)._1 > 1 && dims(l)._2 > 1) l += 1
+      l + 1
+    }
+
+    // level 0: north-up rows (G6 flip), then successive sparse 2×2 means
+    val level0 = long.select(
+      col("variable").cast("string"),
+      col("time").cast("date").cast("string").as("day"),
+      (lit(nLat - 1) - col("lat_idx")).cast("int").as("row"),
+      col("lon_idx").cast("int").as("col"),
+      col("value").cast("double"))
+    val levels = Iterator.iterate(level0) { prev =>
+      prev.groupBy(
+        col("variable"), col("day"),
+        (col("row") / 2).cast("int").as("row"),
+        (col("col") / 2).cast("int").as("col"))
+        .agg(avg(col("value")).as("value"))
+    }.take(nLevels).toIndexedSeq
+    val cells = levels.zipWithIndex.map { case (df, l) =>
+      df.select(
+        col("variable"), col("day"), lit(l).as("level"),
+        (col("row") / ts).cast("int").as("ty"),
+        (col("col") / ts).cast("int").as("tx"),
+        (col("row") % ts).cast("int").as("r"),
+        (col("col") % ts).cast("int").as("c"),
+        col("value"))
+    }.reduce(_.unionByName(_))
+      .as[(String, String, Int, Int, Int, Int, Int, Double)]
+
+    // 2. owner-task tile assembly + deflate (≤ 512 KB dense per group)
+    val tiles = cells
+      .groupByKey(t => (t._1, t._2, t._3, t._4, t._5))
+      .mapGroups { (key: (String, String, Int, Int, Int), it: Iterator[(String, String, Int, Int, Int, Int, Int, Double)]) =>
+        val raw = java.nio.ByteBuffer.allocate(ts * ts * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < ts * ts) { raw.putDouble(i * 8, Double.NaN); i += 1 }
+        it.foreach(t => raw.putDouble((t._6 * ts + t._7) * 8, t._8))
+        (key._1, key._2, key._3, key._4, key._5, GeoTiff.deflateTile(raw.array()))
+      }
+
+    // 3. per-file layout from compressed bytes only
+    tiles
+      .groupByKey(t => (t._1, t._2))
+      .mapGroups { (key: (String, String), it: Iterator[(String, String, Int, Int, Int, Array[Byte])]) =>
+        val (variable, day) = key
+        val byLevel = it.toSeq.groupBy(_._3)
+        val lts = (0 until nLevels).map { l =>
+          val (w, h) = dims(l)
+          val tX = (w + ts - 1) / ts
+          val arr = Array.fill(tX * ((h + ts - 1) / ts))(Array.emptyByteArray)
+          byLevel.getOrElse(l, Nil).foreach(t => arr(t._4 * tX + t._5) = t._6)
+          GeoTiff.LevelTiles(w, h, arr.toIndexedSeq)
+        }
+        // cell-center grid → outer-corner origin of pixel (0,0) (north-west)
+        val bytes = GeoTiff.assembleTiles(
+          lts,
+          originLon = minLon - dLon / 2,
+          originLat = (minLat + (nLat - 1) * dLat) + dLat / 2,
+          scaleLon = dLon, scaleLat = dLat)
+        val out = new Path(outDir, s"global_${variable}_$day.tif")
+        ZarrStore.atomicWriteFile(conf.value, out, bytes)
+        SliceFile("global", variable, day, out.toString)
       }
   }
 }

@@ -134,4 +134,99 @@ object NetCDFExport {
         SliceFile(target, day, out.toString, cells.length.toLong / math.max(grids.length, 1))
       }
   }
+
+  /** Distributed global export: one netCDF-4/HDF5 file per day over the
+    * FULL grid — the production-mesh shape (36000×18000 ⇒ a 5.2 GB dense
+    * plane per variable) where [[exportTargetDailyH5]]'s one-slice-per-task
+    * assembly cannot hold. Each (cLat × cLon) HDF5 chunk is assembled dense
+    * and deflated by the task that owns it (one `groupByKey` on the chunk
+    * key, bounded memory per group); only compressed chunk payloads reach
+    * the per-day writer task, which lays the file out through
+    * `Hdf5.WChunkedVar`. All-fill chunks are never materialized: absent
+    * B-tree entries read back as the NaN fill value — the same
+    * absent-empty-chunk convention as the Zarr store. Coordinates are 1-D
+    * `lat`/`lon` dimension-scale vectors computed from the grid spec
+    * (O(nLat + nLon), driver-free, written by the file task).
+    *
+    * `long` needs (variable, time, lat_idx, lon_idx, value) on the
+    * ascending-index global grid; `minLon/dLon/minLat/dLat` are cell-center
+    * origin and step (ZarrStore.GridSpec convention). */
+  def exportGlobalDailyH5(
+      long: DataFrame,
+      outDir: String,
+      nLon: Int,
+      nLat: Int,
+      minLon: Double,
+      dLon: Double,
+      minLat: Double,
+      dLat: Double,
+      cLat: Int = 250,
+      cLon: Int = 250,
+      deflateLevel: Int = 9): Dataset[SliceFile] = {
+    val spark = long.sparkSession
+    import spark.implicits._
+    val conf = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
+
+    val cells = long.select(
+      col("time").cast("date").cast("string").as("day"),
+      col("variable").cast("string"),
+      (col("lat_idx") / cLat).cast("int").as("cy"),
+      (col("lon_idx") / cLon).cast("int").as("cx"),
+      (col("lat_idx") % cLat).cast("int").as("r"),
+      (col("lon_idx") % cLon).cast("int").as("c"),
+      col("value").cast("double"))
+      .as[(String, String, Int, Int, Int, Int, Double)]
+
+    // owner-task chunk assembly + deflate (cLat*cLon*8 bytes dense per group)
+    val chunks = cells
+      .groupByKey(t => (t._1, t._2, t._3, t._4))
+      .mapGroups { (key: (String, String, Int, Int), it: Iterator[(String, String, Int, Int, Int, Int, Double)]) =>
+        val raw = java.nio.ByteBuffer.allocate(cLat * cLon * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < cLat * cLon) { raw.putDouble(i * 8, Double.NaN); i += 1 }
+        it.foreach(t => raw.putDouble((t._5 * cLon + t._6) * 8, t._7))
+        val stored =
+          if (deflateLevel > 0) {
+            val d = new java.util.zip.Deflater(deflateLevel)
+            d.setInput(raw.array()); d.finish()
+            val o = new java.io.ByteArrayOutputStream(raw.capacity() / 4)
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) o.write(tmp, 0, d.deflate(tmp))
+            d.end()
+            o.toByteArray
+          } else raw.array()
+        (key._1, key._2, key._3, key._4, stored)
+      }
+
+    chunks
+      .groupByKey(_._1)
+      .mapGroups { (day: String, it: Iterator[(String, String, Int, Int, Array[Byte])]) =>
+        import Hdf5._
+        val byVar = it.toSeq.groupBy(_._2)
+        def axis(n: Int, origin: Double, step: Double): Array[Double] =
+          Array.tabulate(n)(i => origin + i * step)
+        def dimScale(name: String, values: Array[Double]) = WVar(
+          name, Seq(values.length.toLong), values,
+          atts = Seq(
+            Attr("CLASS", "DIMENSION_SCALE"),
+            Attr("NAME", f"This is a netCDF dimension but not a netCDF variable.${values.length}%10d")))
+        val cvars = byVar.toSeq.sortBy(_._1).map { case (variable, cs) =>
+          WChunkedVar(
+            variable, Seq(nLat.toLong, nLon.toLong), Seq(cLat, cLon),
+            cs.map(c => (Seq(c._3.toLong * cLat, c._4.toLong * cLon), c._5)),
+            atts = Seq(Attr("_FillValue", Array(Double.NaN))),
+            deflateLevel = deflateLevel)
+        }
+        val nPix = cvars.map(_.chunks.size.toLong).sum
+        val bytes = Hdf5.write(
+          Seq(WGroup("",
+            Seq(dimScale("lat", axis(nLat, minLat, dLat)), dimScale("lon", axis(nLon, minLon, dLon))),
+            chunked = cvars)),
+          rootAtts = Seq(Attr("day", day)))
+        val out = new Path(outDir, s"global_$day.nc4")
+        ZarrStore.atomicWriteFile(conf.value, out, bytes)
+        SliceFile("global", day, out.toString, nPix)
+      }
+  }
 }

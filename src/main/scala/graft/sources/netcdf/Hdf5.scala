@@ -571,7 +571,12 @@ object Hdf5 {
   private def readRows(in: Input, ds: Dataset, r0: Long, r1: Long): Array[Byte] = {
     val elem    = ds.dtype.size
     val perRow  = if (ds.shape.length <= 1) 1L else ds.shape.drop(1).product
-    val outLen  = ((r1 - r0) * perRow * elem).toInt
+    val outLenL = (r1 - r0) * perRow * elem
+    require(
+      outLenL <= Int.MaxValue - 8,
+      s"hdf5: row range [$r0,$r1) of ${ds.path} is $outLenL bytes — over the JVM " +
+        "array limit; read through narrower splits (maxbytespersplit/maxrowspersplit)")
+    val outLen = outLenL.toInt
     val out     = new Array[Byte](outLen)
     // unallocated data reads as fill (or zero)
     ds.fillBytes.filter(_.length == elem).foreach { fb =>
@@ -753,8 +758,24 @@ object Hdf5 {
       chunkRows: Int = 0,
       deflateLevel: Int = 0)
 
+  /** A chunked float64 dataset supplied as PRE-ENCODED chunk payloads
+    * (already deflated when `deflateLevel` > 0): `chunks` = (per-dim
+    * element offsets, stored bytes). Chunks absent from the list stay
+    * unallocated and read back as `fill` — the same sparse-store rule as
+    * ZarrStore's absent-empty-chunk convention. This is the seam that lets
+    * a distributed exporter deflate chunks on the executors that own them
+    * and funnel only compressed bytes into the single file-writer task. */
+  final case class WChunkedVar(
+      name: String,
+      dims: Seq[Long],
+      cdims: Seq[Int],
+      chunks: Seq[(Seq[Long], Array[Byte])],
+      atts: Seq[Attr] = Nil,
+      deflateLevel: Int = 0,
+      fill: Double = Double.NaN)
+
   /** A group to write: name → vars. Root vars pass with group name "". */
-  final case class WGroup(name: String, vars: Seq[WVar])
+  final case class WGroup(name: String, vars: Seq[WVar], chunked: Seq[WChunkedVar] = Nil)
 
   private def dtypeOf(v: WVar): H5Type = v.data match {
     case _: Array[Double] => FloatT(8, littleEndian = true)
@@ -1039,6 +1060,65 @@ object Hdf5 {
       writeHeader(4 + filterB.size + v.atts.length, msgsB.result())
     }
 
+    /** Write one pre-encoded chunked dataset: payloads first (addresses
+      * known), then the v1 chunk B-tree (keys ascending, per-dim offsets),
+      * then the object header with a DEFINED fill value so unallocated
+      * chunks read back as `fill`. Returns the object header address. */
+    def writeChunkedDataset(v: WChunkedVar): Long = {
+      val dt   = FloatT(8, littleEndian = true)
+      val rank = v.dims.length
+      require(v.cdims.length == rank, s"${v.name}: cdims rank ${v.cdims.length} != dims rank $rank")
+      import scala.math.Ordering.Implicits.seqOrdering
+      val entries = v.chunks.sortBy(_._1.toList).map { case (offs, stored) =>
+        require(offs.length == rank, s"${v.name}: chunk offset rank mismatch")
+        val addr = buf.len.toLong
+        buf.bytes(stored)
+        (offs, stored.length, addr)
+      }
+      val btreeAddr = buf.len.toLong
+      buf.bytes("TREE".getBytes)
+      buf.w8(1); buf.w8(0); buf.w16(entries.length)
+      buf.w64(Undef); buf.w64(Undef)
+      entries.foreach { case (offs, storedLen, addr) =>
+        buf.w32(storedLen.toLong); buf.w32(0L)
+        offs.foreach(buf.w64); buf.w64(0L)
+        buf.w64(addr)
+      }
+      // final key
+      buf.w32(0L); buf.w32(0L)
+      v.dims.foreach(buf.w64); buf.w64(0L)
+
+      val layoutB = new Buf
+      layoutB.w8(3); layoutB.w8(2)
+      layoutB.w8(rank + 1)
+      layoutB.w64(btreeAddr)
+      v.cdims.foreach(d => layoutB.w32(d.toLong))
+      layoutB.w32(dt.size.toLong)
+
+      val msgsB = new Buf
+      msg(msgsB, 0x0001, dataspaceBody(v.dims))
+      msg(msgsB, 0x0003, dtypeBody(dt))
+      val fvB = new Buf
+      fvB.w8(2); fvB.w8(2); fvB.w8(2); fvB.w8(1)
+      fvB.w32(8L)
+      val fb8 = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      fb8.putDouble(v.fill)
+      fvB.bytes(fb8.array())
+      msg(msgsB, 0x0005, fvB.result())
+      msg(msgsB, 0x0008, layoutB.result())
+      var nMsgs = 4
+      if (v.deflateLevel > 0) {
+        val fb = new Buf
+        fb.w8(1); fb.w8(1); fb.bytes(new Array[Byte](6))
+        fb.w16(1); fb.w16(0); fb.w16(0); fb.w16(1)
+        fb.w32(v.deflateLevel.toLong); fb.w32(0L)
+        msg(msgsB, 0x000B, fb.result())
+        nMsgs += 1
+      }
+      v.atts.foreach(a => msg(msgsB, 0x000C, attrB(a)))
+      writeHeader(nMsgs + v.atts.length, msgsB.result())
+    }
+
     /** Write a symbol-table group over (name → header addr) children.
       * Returns the group object header address. */
     def writeGroup(children: Seq[(String, Long)], atts: Seq[Attr]): Long = {
@@ -1083,11 +1163,14 @@ object Hdf5 {
       writeHeader(1 + atts.length, msgsB.result())
     }
 
-    val rootVars = groups.find(_.name == "").map(_.vars).getOrElse(Nil)
+    val root = groups.find(_.name == "")
     val subGroups = groups.filter(_.name.nonEmpty)
+    def datasetChildren(g: WGroup): Seq[(String, Long)] =
+      g.vars.map(v => v.name -> writeDataset(v)) ++
+        g.chunked.map(v => v.name -> writeChunkedDataset(v))
     val rootChildren =
-      rootVars.map(v => v.name -> writeDataset(v)) ++
-        subGroups.map(g => g.name -> writeGroup(g.vars.map(v => v.name -> writeDataset(v)), Nil))
+      root.map(datasetChildren).getOrElse(Nil) ++
+        subGroups.map(g => g.name -> writeGroup(datasetChildren(g), Nil))
     val rootHdr = writeGroup(rootChildren, rootAtts)
     buf.patch64(rootHdrPatch, rootHdr)
     buf.patch64(eofPatch, buf.len.toLong)

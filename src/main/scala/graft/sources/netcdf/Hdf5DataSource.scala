@@ -75,10 +75,25 @@ class Hdf5Scan(required: StructType, options: CaseInsensitiveStringMap) extends 
     val conf    = SparkSession.active.sessionState.newHadoopConf()
     val paths   = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
+    val maxBytes = Option(options.get("maxbytespersplit")).map(_.toLong).getOrElse(256L << 20)
+    val reqCols = required.fieldNames.toSet
     // parallel driver metadata reads, as in the netcdf3 source
     NetCDF3Util.parMap(paths) { p =>
-      val n = Hdf5Util.withFile(p, conf)(f => Hdf5Util.rowCount(f, Option(options.get("rowdim"))))
-      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)): InputPartition)
+      Hdf5Util.withFile(p, conf) { f =>
+        val n = Hdf5Util.rowCount(f, Option(options.get("rowdim")))
+        // split size is bounded in BYTES via the widest row among the
+        // columns this scan actually reads (all variables when the
+        // projection keeps none): a fixed row default alone turns a
+        // 36000-wide float64 row (production global mesh) into a
+        // 288 GB split whose read buffer overflows the JVM array limit
+        val cand = Hdf5Util.variableDatasets(f).filter(_.shape.headOption.contains(n))
+        val sel  = cand.filter(d => reqCols.contains(Hdf5Util.columnName(d.path)))
+        val widest = (if (sel.nonEmpty) sel else cand)
+          .map(d => math.max(d.shape.drop(1).product, 1L) * d.dtype.size)
+          .maxOption.getOrElse(1L)
+        val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
+        (0L until n by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, n)): InputPartition)
+      }
     }.flatten.toArray
   }
 

@@ -87,12 +87,21 @@ class NetCDF3Scan(required: StructType, options: CaseInsensitiveStringMap) exten
     val conf     = SparkSession.active.sessionState.newHadoopConf()
     val paths    = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows  = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
+    val maxBytes = Option(options.get("maxbytespersplit")).map(_.toLong).getOrElse(256L << 20)
     // header reads parallelize across a bounded pool: a 10k-granule
     // manifest must not serialize 10k driver round-trips
     NetCDF3Util.parMap(paths) { p =>
       val header = NetCDF3Util.readHeader(p, conf)
-      val n      = header.dims(NetCDF3Util.rowDimId(header, NetCDF3Util.rowDim(header, options))).length
-      (0L until n by maxRows).map(s => NetCDF3Partition(p, s, math.min(s + maxRows, n)): InputPartition)
+      val rowDim = NetCDF3Util.rowDimId(header, NetCDF3Util.rowDim(header, options))
+      val n      = header.dims(rowDim).length
+      // byte-bound the split via the widest row-dimensioned variable, so
+      // wide 2-D rows (a global-mesh plane) can't overflow a read buffer
+      val widest = header.vars
+        .filter(_.dimIds.headOption.contains(rowDim))
+        .map(v => math.max(header.shape(v).drop(1).product, 1L) * NetCDF3.typeSize(v.ncType))
+        .maxOption.getOrElse(1L)
+      val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
+      (0L until n by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, n)): InputPartition)
     }.flatten.toArray
   }
 
@@ -161,7 +170,12 @@ class NetCDF3PartitionReader(
     val perRow   = if (shape.length <= 1) 1L else shape.drop(1).product
     val sz       = typeSize(v.ncType)
     val offset   = v.begin + part.start * perRow * sz
-    val numBytes = (nRows * perRow * sz).toInt
+    val numBytesL = nRows.toLong * perRow * sz
+    require(
+      numBytesL <= Int.MaxValue - 8,
+      s"netcdf3: row range of ${v.name} is $numBytesL bytes — over the JVM array " +
+        "limit; read through narrower splits (maxbytespersplit/maxrowspersplit)")
+    val numBytes = numBytesL.toInt
     val buf      = new Array[Byte](numBytes)
     in.readFully(offset, buf, 0, numBytes)
     val bb   = java.nio.ByteBuffer.wrap(buf)

@@ -220,10 +220,47 @@ object ScaleProbe {
       val t2 = System.nanoTime()
       graft.tools.ClimatologyJob.main(Array(zPath, s"$zPath-climo", "month"))
       val climoSec = (System.nanoTime() - t2) / 1e9
+      // dense-export legs at the same geometry (S9 CoG + S10 netCDF-4),
+      // both distributed-encode: tiles/chunks deflate on their owning
+      // tasks, only compressed bytes reach the per-file writer. The export
+      // input is persisted and materialized first so cog_sec/netcdf_sec
+      // time the EXPORT, not a recompute of the pipeline subtree.
+      val xco2 = out1.filter(col("variable") === "xco2")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      xco2.count()
+      val expDir = java.nio.file.Files.createTempDirectory("expprobe").toString
+      val t3 = System.nanoTime()
+      val cogs = graft.sinks.CoGExport.exportGlobalMosaic(
+        xco2, s"$expDir/cog", nx, ny,
+        minLon = gspec.lon0, dLon = gspec.dlon, minLat = gspec.lat0, dLat = gspec.dlat).collect()
+      val cogSec = (System.nanoTime() - t3) / 1e9
+      // round-trip: the file's present-tile count must equal the distinct
+      // tile keys of the exported day (the IFD is KBs; the plane is 5 GB)
+      val day0 = cogs.head.day
+      val cogBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(new java.net.URI(
+        if (cogs.head.path.startsWith("file:")) cogs.head.path else "file://" + cogs.head.path)))
+      val wantTiles = xco2.filter(to_date(col("time")).cast("string") === day0)
+        .select(
+          ((lit(ny - 1) - col("lat_idx")) / graft.sinks.GeoTiff.TileSize).cast("int").as("ty"),
+          (col("lon_idx") / graft.sinks.GeoTiff.TileSize).cast("int").as("tx"))
+        .distinct().count()
+      val cogOk = graft.sinks.GeoTiff.tileStats(cogBytes)._2.toLong == wantTiles
+      val t4 = System.nanoTime()
+      val ncs = graft.sinks.NetCDFExport.exportGlobalDailyH5(
+        xco2, s"$expDir/nc", nx, ny,
+        minLon = gspec.lon0, dLon = gspec.dlon, minLat = gspec.lat0, dLat = gspec.dlat).collect()
+      val ncSec = (System.nanoTime() - t4) / 1e9
+      // round-trip: non-fill cells read back through the hdf5 source must
+      // equal the exported day's pixel count
+      val ncDay = ncs.head
+      val ncBack = spark.read.format("hdf5").option("rowdim", "lat").load(ncDay.path)
+        .selectExpr("explode(xco2) AS v").filter(col("v").isNotNull).count()
+      val ncOk = ncBack == xco2.filter(to_date(col("time")).cast("string") === ncDay.day).count()
       println(
         s"""{"probe":"global_zarr_write","soundings":$n,"days":$nDays,"mesh":"${nx}x$ny",""" +
           s""""chunk_files":$chunkFiles,"store_bytes":$bytes,"create_sec":$createSec,""" +
-          s""""append_sec":$appendSec,"roundtrip_ok":$roundTrip,"climatology_sec":$climoSec}""")
+          s""""append_sec":$appendSec,"roundtrip_ok":$roundTrip,"climatology_sec":$climoSec,""" +
+          s""""cog_sec":$cogSec,"cog_tiles_ok":$cogOk,"netcdf_sec":$ncSec,"netcdf_roundtrip_ok":$ncOk}""")
       spark.stop()
       return
     }
