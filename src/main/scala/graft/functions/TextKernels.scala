@@ -230,6 +230,60 @@ object TextKernelFns {
     }
     new GenericArrayData(Array(nTok, sig))
   }
+
+  /** Gopher-style repetition counts in one pass over the single-space
+    * token split (mirrors `string_split(text, ' ')` including empty
+    * tokens): for word n-grams of each length in 2..3, the total count,
+    * duplicated count (total − distinct), and the most frequent n-gram's
+    * occurrence count. Returns `[n_2gram, dup_2gram, top_2gram, n_3gram,
+    * dup_3gram, top_3gram]`. Exact string-equality semantics (a hash map
+    * over the gram strings, not hashes), identical to the relational
+    * explode → group → max oracle. */
+  def repetition(text: UTF8String): ArrayData = {
+    val s = text.toString
+    // manual split preserving leading/interior/trailing empties — the
+    // shared split(text, ' ') contract of Spark and DuckDB
+    val toks = {
+      val out = new scala.collection.mutable.ArrayBuffer[String](64)
+      var start = 0
+      var i = 0
+      while (i <= s.length) {
+        if (i == s.length || s.charAt(i) == ' ') { out += s.substring(start, i); start = i + 1 }
+        i += 1
+      }
+      out
+    }
+    val res = new Array[Long](6)
+    var n = 2
+    while (n <= 3) {
+      val total = math.max(toks.length - n + 1, 0)
+      if (total > 0) {
+        val m = new java.util.HashMap[String, Integer](total * 2)
+        var top = 0
+        val sb = new java.lang.StringBuilder(64)
+        var i = 0
+        while (i < total) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(i + j))
+            j += 1
+          }
+          val g = sb.toString
+          val c = m.merge(g, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+          if (c > top) top = c
+          i += 1
+        }
+        val base = (n - 2) * 3
+        res(base) = total.toLong
+        res(base + 1) = total.toLong - m.size
+        res(base + 2) = top.toLong
+      }
+      n += 1
+    }
+    new GenericArrayData(res)
+  }
 }
 
 /** `minhash(text, n, numHashes)` as a codegen scalar expression →
@@ -373,4 +427,38 @@ object SimHashSig {
   def apply(text: Column, bits: Int): Column =
     GraftSqlBridge.column(new SimHashSig(
       GraftSqlBridge.expression(text.cast("string")), bits))
+}
+
+/** `repetition(text)` as a codegen scalar expression → array<long>
+  * [n_2gram, dup_2gram, top_2gram, n_3gram, dup_3gram, top_3gram]. */
+case class RepetitionCounts(child: Expression) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null else TextKernelFns.repetition(t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kernel.repetition(${c.value});
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object RepetitionCounts {
+  def apply(text: Column): Column =
+    GraftSqlBridge.column(new RepetitionCounts(
+      GraftSqlBridge.expression(text.cast("string"))))
 }

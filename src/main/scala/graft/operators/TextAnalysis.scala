@@ -37,39 +37,25 @@ object TextAnalysis {
     * hash-portable across engines; ratios (dup fraction, top-gram
     * fraction) are one downstream division.
     *
-    * Scale shape: a PURE per-row projection — n-grams, duplicate counts
-    * and the top-gram run length all come from higher-order array
-    * functions (`transform`/`array_distinct`/`aggregate` over the sorted
-    * gram array), so the operator is zero-shuffle and pipelines with the
-    * scan at any corpus size; the relational explode+group formulation is
-    * left to the oracle. */
+    * Scale shape: a PURE per-row projection — all six counts compute in
+    * ONE generated-code pass per document ([[graft.functions.
+    * RepetitionCounts]]: manual split, gram hash map, running max), so the
+    * operator is zero-shuffle and pipelines with the scan at any corpus
+    * size; the relational explode+group formulation is left to the oracle.
+    * (A first cut over higher-order array functions — transform +
+    * array_sort + struct-accumulator aggregate — was 35 s at sf0.1 vs
+    * ~1 s for this kernel: nested HOF lambdas evaluate interpreted
+    * per element, the same lesson as the winnow/simhash kernels.) */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = split(col(textCol), " ")
-    def grams(n: Int) =
-      when(size(toks) >= n,
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array())
-    // longest equal-adjacent run in the SORTED gram array = occurrences of
-    // the most frequent gram; struct-accumulator fold stays in codegen
-    def topRun(g: org.apache.spark.sql.Column) =
-      aggregate(
-        array_sort(g),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (acc, x) => {
-          val run = when(x === acc.getField("prev"), acc.getField("run") + 1L).otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"), greatest(acc.getField("best"), run).as("best"))
-        },
-        acc => acc.getField("best"))
-    def stats(n: Int, tag: String) = {
-      val g = grams(n)
-      Seq(
-        size(g).cast("long").as(s"n_${tag}gram"),
-        (size(g) - size(array_distinct(g))).cast("long").as(s"dup_${tag}gram"),
-        topRun(g).as(s"top_${tag}gram"))
-    }
-    df.select(col(idCol) +: (stats(2, "2") ++ stats(3, "3")): _*)
+    val r = graft.functions.RepetitionCounts(col(textCol))
+    df.select(
+      col(idCol),
+      r.getItem(0).as("n_2gram"),
+      r.getItem(1).as("dup_2gram"),
+      r.getItem(2).as("top_2gram"),
+      r.getItem(3).as("n_3gram"),
+      r.getItem(4).as("dup_3gram"),
+      r.getItem(5).as("top_3gram"))
   }
 
   /** Heuristic language ID: per-language stopword hit count, argmax with

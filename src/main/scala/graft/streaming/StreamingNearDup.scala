@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming near-duplicate detection at ingest — the queue-mode face of
+  * `MinHashLSH.nearDuplicates` (SURVEY §2.9 composed with the LLM-pipeline
+  * dedup family; the reference's queue loop is `main.py:670-801`).
+  *
+  * Each arriving document's minhash signature computes in the same
+  * one-pass kernel as the batch operator (`MinHashSigExpr` — a pure
+  * projection, streaming-safe), is banded into LSH bucket keys, and a
+  * `flatMapGroupsWithState` cell per bucket holds the signatures seen
+  * within the watermark. A bucket collision emits one candidate row per
+  * (band, prior doc) with the signature-estimated Jaccard — the fraction
+  * of equal minhash components, the standard unbiased estimator. The exact
+  * shingle-set verify of the batch operator would mean carrying full
+  * shingle sets in state; at ingest the estimator gates cheaply and the
+  * batch `verifyJaccard` remains the offline arbiter (same
+  * estimate-online / verify-offline split as the reference's post-append
+  * verification S8).
+  *
+  * State is bounded three ways: entries older than the watermark are
+  * pruned on every group invocation, idle buckets are removed by
+  * event-time timeout, and per-bucket size is capped by the near-dup
+  * premise (run streaming EXACT dedup upstream, as in the batch pipeline
+  * order, so buckets hold genuine near-dup clusters, not exact-copy
+  * floods).
+  *
+  * The same pair can surface through several bands (distinct band_key
+  * rows); compose with `dropDuplicatesWithinWatermark` on (doc_a, doc_b)
+  * for unique pairs — kept outside this operator so the per-band evidence
+  * stays observable.
+  */
+object StreamingNearDup {
+
+  final case class BandedDoc(doc_id: Long, ts: Timestamp, band_key: String, sig: Seq[String])
+  final case class BucketEntry(doc_id: Long, ts: Long, sig: Seq[String])
+  final case class BucketState(entries: List[BucketEntry])
+  final case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double, band_key: String)
+
+  /** Banded signatures with event time — shared by the streaming operator
+    * and its batch-equivalence oracle in specs. */
+  def banded(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      shingleLen: Int,
+      numHashes: Int,
+      rowsPerBand: Int): Dataset[BandedDoc] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
+    val nBands = numHashes / rowsPerBand
+    val sig = graft.functions.MinHashSigExpr(col(textCol), shingleLen, numHashes)
+    val bandKeys = (0 until nBands).map { b =>
+      concat_ws("|",
+        lit(b.toString) +: (0 until rowsPerBand).map(r => col("_sig").getItem(b * rowsPerBand + r)): _*)
+    }
+    df.filter(size(split(col(textCol), " ")) >= shingleLen)
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        sig.as("_sig"))
+      .select(
+        col("doc_id"), col("ts"),
+        explode(array(bandKeys: _*)).as("band_key"),
+        col("_sig").as("sig"))
+      .as[BandedDoc]
+  }
+
+  /** Candidate near-dup pairs from a document STREAM. `watermarkMs` is
+    * both the event-time watermark and the bucket-state retention: a pair
+    * is only discoverable while the earlier document is younger than the
+    * watermark — the deliberate ingest-window semantics (full-corpus
+    * near-dup is the batch operator's job). */
+  def candidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermarkMs: Long = 10 * 60 * 1000L,
+      shingleLen: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5): Dataset[CandidatePair] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    banded(df, idCol, textCol, tsCol, shingleLen, numHashes, rowsPerBand)
+      .withWatermark("ts", s"$watermarkMs milliseconds")
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[BandedDoc], state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil).filter(_.ts >= wm)
+            val out = Seq.newBuilder[CandidatePair]
+            // deterministic within-batch order: event time, then id
+            it.toSeq.sortBy(d => (d.ts.getTime, d.doc_id)).foreach { d =>
+              entries.foreach { e =>
+                if (e.doc_id != d.doc_id) {
+                  val eq = d.sig.iterator.zip(e.sig.iterator).count { case (a, b) => a == b }
+                  val est = eq.toDouble / numHashes
+                  if (est >= minEstJaccard)
+                    out += CandidatePair(
+                      math.min(d.doc_id, e.doc_id), math.max(d.doc_id, e.doc_id), est, key)
+                }
+              }
+              entries = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: entries
+            }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(BucketState(entries))
+              // expire when the newest entry ages past the watermark delay
+              state.setTimeoutTimestamp(math.max(entries.map(_.ts).max + watermarkMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -296,12 +296,16 @@ class ExportSpec extends SparkSpec {
   }
 
   test("global netCDF-4 export: sparse chunked file round-trips through the hdf5 source") {
-    val (nLon, nLat) = (500, 300)
-    val cells = for {
+    // deliberately NOT divisible by the 100x100 chunking, with data in the
+    // ragged bottom-right corner: partial edge chunks must round-trip
+    val (nLon, nLat) = (510, 290)
+    val cells = (for {
       latIdx <- 20 until 120
       lonIdx <- 150 until 420
       if (latIdx + lonIdx) % 4 != 3
-    } yield (latIdx, lonIdx, (latIdx * 1000 + lonIdx).toDouble)
+    } yield (latIdx, lonIdx, (latIdx * 1000 + lonIdx).toDouble)) ++
+      (for { latIdx <- 285 until 290; lonIdx <- 505 until 510 }
+        yield (latIdx, lonIdx, (latIdx * 1000 + lonIdx).toDouble))
     val long = spark.createDataFrame(cells.map { case (la, lo, v) =>
       ("xco2", java.sql.Timestamp.valueOf("2023-06-15 00:00:00"), la, lo, v)
     }).toDF("variable", "time", "lat_idx", "lon_idx", "value")

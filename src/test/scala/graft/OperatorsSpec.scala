@@ -81,6 +81,27 @@ class OperatorsSpec extends SparkSpec {
     assert(relV.length === 3 && kernV === relV)
   }
 
+  test("repetition kernel: hand-checked counts incl. empty tokens, ties, sub-gram docs") {
+    val df = Seq(
+      (1L, "a b a b a"),       // 2-grams: ab ba ab ba — 4 total, 2 dup, top 2; 3-grams: aba bab aba — 3,1,2
+      (2L, "x x x x"),         // 2-grams: xx xx xx — 3 total, 2 dup, top 3; 3-grams: xxx xxx — 2,1,2
+      (3L, "one two"),         // one 2-gram, no 3-gram
+      (4L, "solo"),            // no grams at all
+      (5L, ""),                // split("") = [""] — one empty token, no grams
+      (6L, "a  b")             // interior empty token: 2-grams "a|" "|b" distinct
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(1L) === ((4L, 2L, 2L, 3L, 1L, 2L)))
+    assert(got(2L) === ((3L, 2L, 3L, 2L, 1L, 2L)))
+    assert(got(3L) === ((1L, 0L, 1L, 0L, 0L, 0L)))
+    assert(got(4L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(5L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(6L) === ((2L, 0L, 1L, 1L, 0L, 1L)))
+  }
+
   test("SimHash: identical docs hash identically, disjoint docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "zeta eta theta iota")).toDF("doc_id", "text")
