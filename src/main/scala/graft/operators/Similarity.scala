@@ -118,6 +118,44 @@ object Similarity {
     nearDupPairsBucketed(bucketed, minCos)
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup via the
+    * learned coarse quantizer — k-means cluster the embeddings, find
+    * within-cluster cosine near-dups, and KEEP the lowest id of each
+    * duplicate pair (the keep-first convention of the whole dedup family).
+    * Returns one row per input vector: (id, cluster, keep).
+    *
+    * Scale shape: clustering is the quantizer's (corpus never shuffles in
+    * assignment), pair-finding is per-cluster — quadratic only within a
+    * cluster, which is the published algorithm's own contract (k grows
+    * with the corpus so clusters stay bounded); the drop set is
+    * id-distinct pair losers and broadcasts under AQE. `iters = 0`
+    * assigns against the deterministic init exemplars (exact input
+    * vectors — no float drift anywhere, the oracle-able configuration);
+    * trained quantizers (iters > 0) are the production path, convergence
+    * spec-gated via KMeans. */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minCos: Double,
+      iters: Int = 5): DataFrame = {
+    val centroids = KMeans.fit(df, vecCol, idCol, k, iters)
+    val bucketed = KMeans.assign(df, vecCol, centroids)
+      .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
+    val drops = nearDupPairsBucketed(bucketed, minCos)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("_drop", lit(true))
+    bucketed
+      .join(drops, Seq("id"), "left")
+      .select(
+        col("id"),
+        col("bucket").as("cluster"),
+        coalesce(col("_drop"), lit(false)).as("_d"))
+      .select(col("id"), col("cluster"), (!col("_d")).as("keep"))
+  }
+
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
     * precomputed per vector. */

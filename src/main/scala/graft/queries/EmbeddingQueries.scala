@@ -164,17 +164,54 @@ object EmbeddingQueries {
       |FROM dims d LEFT JOIN upd u ON u.c = d.c AND u.dim = d.dim
       |ORDER BY cluster, dim""".stripMargin
 
+  /** SemDeDup at the oracle-able configuration: assignment against the
+    * deterministic init exemplars (`iters = 0` — exact input vectors, so
+    * every distance/cosine is a bit-identical sequential fold in both
+    * engines; the trained-quantizer path is covered by q43 + KMeans
+    * specs). Discrete output (id, cluster, keep) — no float columns. */
+  private val q62: Q = (s, dir) =>
+    Similarity
+      .semDedup(emb(s, dir), "vec_id", "vec", k = 4, minCos = 0.35, iters = 0)
+      .orderBy(col("id"))
+
+  private val q62Sql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |init AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |dist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN init i),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |e AS (
+      |  SELECT a.cluster, v.vec_id, v.vec, sqrt(${dotSql("v.vec", "v.vec")}) AS nrm
+      |  FROM v JOIN assign a USING (vec_id)),
+      |drops AS (
+      |  SELECT DISTINCT r.vec_id AS id
+      |  FROM e l JOIN e r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      |  WHERE ${cosSql("l.vec", "r.vec", "l.nrm", "r.nrm")} >= 0.35)
+      |SELECT e.vec_id AS id, CAST(e.cluster AS INT) AS cluster,
+      |  (d.id IS NULL) AS keep
+      |FROM e LEFT JOIN drops d ON e.vec_id = d.id
+      |ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
     "q38_lsh_topk"       -> q38,
-    "q43_kmeans_quantize" -> q43
+    "q43_kmeans_quantize" -> q43,
+    "q62_semdedup"        -> q62
   )
 
   val oracles: Map[String, String] = Map(
     "q29_ann_topk"       -> q29Sql,
     "q30_embed_neardup"  -> q30Sql,
     "q38_lsh_topk"       -> q38Sql,
-    "q43_kmeans_quantize" -> q43Sql
+    "q43_kmeans_quantize" -> q43Sql,
+    "q62_semdedup"        -> q62Sql
   )
 }

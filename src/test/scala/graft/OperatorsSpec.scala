@@ -81,6 +81,21 @@ class OperatorsSpec extends SparkSpec {
     assert(relV.length === 3 && kernV === relV)
   }
 
+  test("semDedup keeps the lowest id of each within-cluster near-dup group") {
+    val df = Seq(
+      (1L, Array(1.0, 0.0)),  // exemplar
+      (2L, Array(1.0, 0.0)),  // exact dup of 1 → dropped
+      (3L, Array(0.0, 1.0)),  // own cluster, kept
+      (4L, Array(0.9, 0.1))   // cos(1,4) = 0.9938 ≥ 0.95 → dropped
+    ).toDF("vec_id", "vec")
+    val out = Similarity.semDedup(df, "vec_id", "vec", k = 2, minCos = 0.95, iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._2 && out(3L)._2 && !out(2L)._2 && !out(4L)._2)
+    assert(out(1L)._1 === out(2L)._1 && out(1L)._1 === out(4L)._1) // one semantic cluster
+    assert(out(1L)._1 !== out(3L)._1)
+  }
+
   test("repetition kernel: hand-checked counts incl. empty tokens, ties, sub-gram docs") {
     val df = Seq(
       (1L, "a b a b a"),       // 2-grams: ab ba ab ba — 4 total, 2 dup, top 2; 3-grams: aba bab aba — 3,1,2
