@@ -424,6 +424,15 @@ object TextQueries {
       |FROM g LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
       |ORDER BY g.doc_id""".stripMargin
 
+  /** Learned BPE merge table (Sennrich 2016): corpus word counts (one
+    * hash aggregate) + driver merge loop over the bounded dictionary.
+    * Iterative training is not SQL-expressible — no oracle; the merge
+    * semantics are pinned by the hand-computed Sennrich-example spec
+    * (OperatorsSpec), and the row surface here is fully deterministic
+    * ((weight desc, pair lex asc) total order). */
+  private val q63: Q = (s, dir) =>
+    graft.operators.BpeTrain.trainMergesDF(Tables.documents(s, dir), "text", numMerges = 50)
+
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
     TextAnalysis
@@ -483,6 +492,7 @@ object TextQueries {
     "q58_vocabulary"      -> q58,
     "q59_token_rarity"    -> q59,
     "q61_repetition"      -> q61,
+    "q63_bpe_merges"      -> q63,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45

@@ -81,6 +81,36 @@ class OperatorsSpec extends SparkSpec {
     assert(relV.length === 3 && kernV === relV)
   }
 
+  test("BPE training learns the hand-computed merges of the Sennrich example") {
+    // word frequencies {low:5, lower:2, newest:6, widest:3} (the paper's
+    // example, no end-of-word marker). Hand derivation:
+    //  1. (e,s)=9 ties (s,t)=9 → lex asc picks (e,s)
+    //  2. (es,t)=9
+    //  3. (l,o)=7 ties (o,w)=7 → (l,o)
+    //  4. (lo,w)=7
+    //  5. (e,w)=6 ties (n,e)=6 and (w,est)=6 → lex asc picks (e,w)
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.trainMerges(docs, "text", numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.weight)) ===
+      Seq(("e", "s", 9L), ("es", "t", 9L), ("l", "o", 7L), ("lo", "w", 7L), ("e", "w", 6L)))
+    assert(merges.map(_.rank) === Seq(0, 1, 2, 3, 4))
+    // early stop: a single-char corpus has no pairs to merge
+    val tiny = Seq((1L, "a a b")).toDF("doc_id", "text")
+    assert(BpeTrain.trainMerges(tiny, "text", 10).isEmpty)
+    // segmentation with the learned table: rank-greedy encode
+    assert(BpeTrain.segmentWord("newest", merges.map(m => (m.left, m.right) -> m.rank).toMap)
+      .toSeq === Seq("n", "ew", "est"))
+    // "low" → l o w → (l,o) → lo w → (lo,w) → low: one piece;
+    // "newest" → 3 pieces (checked above); "widest" → w i d est: 4 pieces
+    val segged = BpeTrain
+      .segmentStats(docs.filter(col("doc_id").isin(0L, 7L, 13L)), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(segged === Map(0L -> 1L, 7L -> 3L, 13L -> 4L))
+  }
+
   test("semDedup keeps the lowest id of each within-cluster near-dup group") {
     val df = Seq(
       (1L, Array(1.0, 0.0)),  // exemplar
