@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: concatenate documents in a
+  * deterministic order and cut fixed-length token windows (the GPT-style
+  * pack-and-slice that turns a document store into training sequences;
+  * documents may span window boundaries).
+  *
+  * The primitive underneath is a DISTRIBUTED exclusive prefix sum. A naive
+  * `sum over (order by id)` window has no partition key, so Spark moves
+  * the whole corpus to ONE task (the classic WindowExec warning) — the
+  * opposite of scale. Here: range-partition by the order column, per-task
+  * running sums inside each partition, one tiny per-partition total
+  * aggregate (numPartitions rows) to the driver, exclusive-prefix those
+  * totals, and broadcast-join the per-partition base offsets back. The
+  * corpus shuffles once (the range partitioning); everything else is
+  * narrow. Same two-phase shape a 1000-executor scan would use.
+  */
+object Packing {
+
+  /** Exclusive prefix sum of `valueCol` over the TOTAL order `orderCol`
+    * (must be unique — document ids). Adds `outCol`. */
+  def prefixSum(df: DataFrame, orderCol: String, valueCol: String, outCol: String = "offset"): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    require(!df.columns.contains("_pid"), "input already has a '_pid' column")
+    val parts = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    // per-partition running (exclusive) sums: the window key is the
+    // partition id, so parallelism stays width-of-cluster
+    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = parts.withColumn("_local", coalesce(sum(col(valueCol)).over(w), lit(0L)))
+    // per-partition totals → driver exclusive prefix → broadcast base map
+    val totals = parts.groupBy(col("_pid")).agg(sum(col(valueCol)).as("_t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val bases = totals.map { case (pid, t) => val b = acc; acc += t; pid -> b }
+    val baseDF = spark.createDataFrame(bases.toSeq).toDF("_pid", "_base")
+    withLocal
+      .join(broadcast(baseDF), Seq("_pid"))
+      .withColumn(outCol, col("_base") + col("_local"))
+      .drop("_pid", "_local", "_base")
+  }
+
+  /** Pack documents into `seqLen`-token training sequences in `orderCol`
+    * order. Output per document: its token count, global token offset,
+    * the first/last sequence index it lands in, and its offset within the
+    * first sequence — everything a loader needs to materialize packed
+    * batches, all integer-exact. */
+  def packOffsets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val n = size(split(col(textCol), " ")).cast("long")
+    val withN = df.select(col(idCol), n.as("n_tokens"))
+    val off = prefixSum(withN, idCol, "n_tokens")
+    off.select(
+      col(idCol),
+      col("n_tokens"),
+      col("offset"),
+      (col("offset") / seqLen).cast("long").as("first_seq"),
+      when(col("n_tokens") === 0, (col("offset") / seqLen).cast("long"))
+        .otherwise(((col("offset") + col("n_tokens") - 1) / seqLen).cast("long"))
+        .as("last_seq"),
+      (col("offset") % seqLen).as("offset_in_seq"))
+  }
+}

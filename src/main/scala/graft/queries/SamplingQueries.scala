@@ -190,12 +190,37 @@ object SamplingQueries {
       |FROM sp d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.train_id = d.doc_id
       |WHERE d.b < 90 ORDER BY doc_id""".stripMargin
 
+  /** GPT-style sequence packing: concatenate docs in id order, cut
+    * seqLen-token windows; per doc the global token offset and spanned
+    * sequence range. Spark side is the DISTRIBUTED two-phase prefix sum
+    * (no single-partition window); the oracle states the same integers
+    * with a plain cumulative window. */
+  private val q64: Q = (s, dir) =>
+    graft.operators.Packing
+      .packOffsets(Tables.documents(s, dir), "doc_id", "text", seqLen = 256)
+      .orderBy(col("doc_id"))
+
+  private val q64Sql =
+    """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |        COALESCE(CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS "offset"
+      |      FROM t)
+      |SELECT doc_id, n_tokens, "offset",
+      |  "offset" // 256 AS first_seq,
+      |  CASE WHEN n_tokens = 0 THEN "offset" // 256
+      |       ELSE ("offset" + n_tokens - 1) // 256 END AS last_seq,
+      |  "offset" % 256 AS offset_in_seq
+      |FROM o ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
     "q55_stratified_sample" -> q55,
     "q56_decontaminate"     -> q56,
-    "q60_contamination_flag" -> q60
+    "q60_contamination_flag" -> q60,
+    "q64_sequence_pack"     -> q64
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,6 +228,7 @@ object SamplingQueries {
     "q54_clean_pipeline"    -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_decontaminate"     -> q56Sql,
-    "q60_contamination_flag" -> q60Sql
+    "q60_contamination_flag" -> q60Sql,
+    "q64_sequence_pack"     -> q64Sql
   )
 }

@@ -81,6 +81,32 @@ class OperatorsSpec extends SparkSpec {
     assert(relV.length === 3 && kernV === relV)
   }
 
+  test("distributed prefix sum matches a sequential fold under any partitioning") {
+    val rows = (0L until 1000L).map(i => (i, (i * 7 + 3) % 50))
+    val seqOffsets = rows.scanLeft(0L)(_ + _._2).init // exclusive
+    for (nPart <- Seq(1, 7, 32)) {
+      val df = spark.createDataFrame(rows).toDF("id", "n").repartition(nPart)
+      val got = Packing.prefixSum(df, "id", "n")
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      rows.indices.foreach(i => assert(got(i.toLong) === seqOffsets(i), s"nPart=$nPart id=$i"))
+    }
+  }
+
+  test("sequence packing: offsets, spans, and boundary-crossing docs are exact") {
+    // doc 0: 200 tokens [0,200); doc 1: 100 tokens [200,300) — crosses the
+    // 256 boundary; doc 2: 56 tokens [300,356)
+    val docs = Seq(
+      (0L, (1 to 200).map(_ => "w").mkString(" ")),
+      (1L, (1 to 100).map(_ => "x").mkString(" ")),
+      (2L, (1 to 56).map(_ => "y").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Packing.packOffsets(docs, "doc_id", "text", seqLen = 256)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got(0L) === ((200L, 0L, 0L, 0L, 0L)))
+    assert(got(1L) === ((100L, 200L, 0L, 1L, 200L))) // spans sequences 0 and 1
+    assert(got(2L) === ((56L, 300L, 1L, 1L, 44L)))
+  }
+
   test("BPE training learns the hand-computed merges of the Sennrich example") {
     // word frequencies {low:5, lower:2, newest:6, widest:3} (the paper's
     // example, no end-of-word marker). Hand derivation:
