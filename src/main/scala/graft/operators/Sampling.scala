@@ -48,6 +48,25 @@ object Sampling {
     df.withColumn("bucket", bucket).withColumn("split", assign)
   }
 
+  /** Deterministic corpus shuffle: a dense rank over the md5-of-(seed, id)
+    * order — the reproducible global permutation a training run reads the
+    * corpus in. Engine-portable (same hash both engines) and seed-keyed
+    * (a new seed is a fresh permutation; same seed is bit-identical on
+    * any partitioning). The rank comes from [[Packing.prefixSum]] of ones
+    * over the hash order — the distributed two-phase form, NOT a
+    * single-partition row_number window. Adds `shuffle_key` (the hex
+    * hash) and `shuffle_rank` (0-based). */
+  def shuffleRank(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    require(!df.columns.contains("shuffle_key") && !df.columns.contains("shuffle_rank") &&
+      !df.columns.contains("_one"),
+      "input already has a shuffle_key/shuffle_rank/_one column; rename it first")
+    val keyed = df.withColumn(
+      "shuffle_key",
+      md5(concat(lit(seed.toString), lit("|"), col(idCol).cast("string")).cast("binary")))
+    Packing.prefixSum(keyed.withColumn("_one", lit(1L)), "shuffle_key", "_one", "shuffle_rank")
+      .drop("_one")
+  }
+
   /** Deterministic `numer`/`denom` fractional sample: keeps rows whose
     * hash bucket out of `denom` falls below `numer`. Repeated calls with
     * growing `numer` are NESTED samples (a 5% sample contains the 1%

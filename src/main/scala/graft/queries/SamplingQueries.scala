@@ -214,13 +214,27 @@ object SamplingQueries {
       |  "offset" % 256 AS offset_in_seq
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Deterministic seed-keyed corpus shuffle (the reproducible read order
+    * of a training run): md5(seed|id) key + the distributed prefix-sum
+    * rank; the oracle states the same rank with ROW_NUMBER. */
+  private val q65: Q = (s, dir) =>
+    graft.operators.Sampling
+      .shuffleRank(Tables.documents(s, dir).select("doc_id"), "doc_id", seed = 42L)
+      .orderBy(col("doc_id"))
+
+  private val q65Sql =
+    """SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      |  ROW_NUMBER() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) - 1 AS shuffle_rank
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
     "q55_stratified_sample" -> q55,
     "q56_decontaminate"     -> q56,
     "q60_contamination_flag" -> q60,
-    "q64_sequence_pack"     -> q64
+    "q64_sequence_pack"     -> q64,
+    "q65_shuffle_rank"      -> q65
   )
 
   val oracles: Map[String, String] = Map(
@@ -229,6 +243,7 @@ object SamplingQueries {
     "q55_stratified_sample" -> q55Sql,
     "q56_decontaminate"     -> q56Sql,
     "q60_contamination_flag" -> q60Sql,
-    "q64_sequence_pack"     -> q64Sql
+    "q64_sequence_pack"     -> q64Sql,
+    "q65_shuffle_rank"      -> q65Sql
   )
 }

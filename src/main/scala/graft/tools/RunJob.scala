@@ -193,11 +193,25 @@ object RunJob {
         ProductStore.appendIdempotent(cleaned, outPath, dropEmpty = false)
       case other => throw new IllegalArgumentException(s"config: unknown output.format $other")
     }
+    // slice exports are per-target rasters in target mode; in global mode
+    // the same config keys dispatch to the distributed full-mesh exporters
+    // (one COG mosaic per (variable, day) / one netCDF-4 per day — a
+    // per-target slice export has no target_id to slice on there)
     val nCog = str("output", "cog", "output", "local").map { dir =>
-      CoGExport.exportSlices(cleaned, dir).count()
+      if (isGlobal)
+        CoGExport.exportGlobalMosaic(
+          cleaned, dir, meshW, meshH,
+          minLon = -180.0 + 360.0 / meshW / 2, dLon = 360.0 / meshW,
+          minLat = -90.0 + 180.0 / meshH / 2, dLat = 180.0 / meshH).count()
+      else CoGExport.exportSlices(cleaned, dir).count()
     }
     val nNc4 = str("output", "nc4", "output", "local").map { dir =>
-      NetCDFExport.exportTargetDailyH5(cleaned, dir).count()
+      if (isGlobal)
+        NetCDFExport.exportGlobalDailyH5(
+          cleaned, dir, meshW, meshH,
+          minLon = -180.0 + 360.0 / meshW / 2, dLon = 360.0 / meshW,
+          minLat = -90.0 + 180.0 / meshH / 2, dLat = 180.0 / meshH).count()
+      else NetCDFExport.exportTargetDailyH5(cleaned, dir).count()
     }
 
     val nOut = format match {

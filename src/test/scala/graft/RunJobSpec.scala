@@ -148,6 +148,8 @@ class RunJobSpec extends SparkSpec {
     }
     Files.write(sif, NetCDFGranules.writeSifGranuleH5(sifRows, Seq("volcano0002")))
     val store = dir.resolve("store").toString
+    val gcog  = dir.resolve("gcog").toString
+    val gnc   = dir.resolve("gnc").toString
     val cfg   = dir.resolve("run-config.yaml")
     Files.write(cfg,
       s"""input:
@@ -158,6 +160,12 @@ class RunJobSpec extends SparkSpec {
          |  local: $store
          |  format: zarr
          |  global: true
+         |  cog:
+         |    output:
+         |      local: $gcog
+         |  nc4:
+         |    output:
+         |      local: $gnc
          |grid:
          |  latitude: 180
          |  longitude: 360
@@ -196,6 +204,24 @@ class RunJobSpec extends SparkSpec {
     val sifTgt = ZarrStore.read(spark, store, "OCO3_SIF_global_target_id")
       .select("value").distinct().collect().map(_.getDouble(0))
     assert(sifTgt === Array(2.0)) // volcano0002 -> numeric id 2
+
+    // the same cog/nc4 config keys dispatch to the GLOBAL exporters here:
+    // one sparse full-mesh COG per (variable, day), one netCDF-4 per day
+    val tifs = Option(new java.io.File(gcog).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".tif"))
+    assert(tifs.contains("global_OCO3_global_xco2_2023-06-15.tif"))
+    assert(tifs.contains("global_OCO3_SIF_global_daily_sif_2023-06-16.tif"))
+    val tif = graft.sinks.GeoTiff.decode(java.nio.file.Files.readAllBytes(
+      new java.io.File(gcog, "global_OCO3_global_xco2_2023-06-15.tif").toPath))
+    assert(tif.width === 360 && tif.height === 180)
+    assert(tif.data.count(!_.isNaN) === xco2.filter(col("time_idx") === 0).count())
+    val ncs = Option(new java.io.File(gnc).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.endsWith(".nc4"))
+    assert(ncs.sorted === Seq("global_2023-06-15.nc4", "global_2023-06-16.nc4"))
+    val back = spark.read.format("hdf5").option("rowdim", "lat")
+      .load(new java.io.File(gnc, "global_2023-06-16.nc4").toString)
+      .selectExpr("explode(OCO3_SIF_global_daily_sif) AS v").filter(col("v").isNotNull)
+    assert(back.count() === sifV.filter(col("time_idx") === 1).count())
   }
 
   test("an oco3_sif-only config runs end-to-end through SifPipeline to parquet") {
