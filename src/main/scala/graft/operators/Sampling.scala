@@ -77,6 +77,31 @@ object Sampling {
     df.filter(hashBucket(col(idCol), denom) < numer)
   }
 
+  /** Deterministic domain-mixture resampling: per-group keep rates out of
+    * a common `denom` (e.g. web 300/1000, code 800/1000, wiki 1000/1000) —
+    * the mixture-reweighting step that turns a raw crawl into a training
+    * mix (the Pile/Dolma recipe shape). Groups absent from `rates` drop
+    * entirely; a rate equal to `denom` keeps the whole group. Built on
+    * [[hashBucket]], so it inherits every determinism property: same rows
+    * on every run and engine, and raising a group's rate strictly grows
+    * its sample (nested-sample property per group — mixtures can be tuned
+    * upward without churning previously selected rows). Pure filter, zero
+    * shuffle; the rate table folds into a codegen'd CASE. */
+  def mixtureResample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      rates: Seq[(String, Int)],
+      denom: Int): DataFrame = {
+    require(denom >= 1, "denom must be positive")
+    require(rates.nonEmpty && rates.forall { case (_, r) => r >= 0 && r <= denom },
+      s"rates must lie in [0, $denom]")
+    val rate = rates.foldRight(lit(0): Column) { case ((g, r), rest) =>
+      when(col(groupCol) === g, lit(r)).otherwise(rest)
+    }
+    df.filter(hashBucket(col(idCol), denom) < rate)
+  }
+
   /** Deterministic stratified sample: the `k` rows per group whose id
     * md5 sorts lowest (ties impossible — md5 of distinct ids), i.e. "k
     * documents per language/source", reproducibly. One shuffle on the

@@ -139,6 +139,80 @@ object TextAnalysis {
         sum(when(col("_tf") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
   }
 
+  /** Cross-document duplicated-span statistics — the corpus-level signal
+    * behind exact-substring dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): for each document, how much of its
+    * word n-gram stream also occurs in at least one OTHER document. A high
+    * duplicated fraction marks boilerplate/mirrored text that survives
+    * whole-document dedup because the wrapper differs.
+    *
+    * Output per doc: total n-gram occurrences, occurrences whose n-gram has
+    * corpus document-frequency ≥ 2, distinct such n-grams, and the
+    * duplicated fraction (one IEEE division of two exact longs — portable).
+    * Docs shorter than n words report zeros with a null fraction.
+    *
+    * Scale shape: per-(doc, gram) counts aggregate FIRST (map-side
+    * combined), so the corpus-wide df aggregate and the join back both run
+    * over the distinct (doc, gram) table, never the raw occurrence stream;
+    * the gram with max df is boilerplate-shaped but contributes one row per
+    * containing doc, not df² work (no pairing here, unlike
+    * [[SetSimilarity]]). */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val grams = df.select(
+      col(idCol),
+      explode(
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    val perDoc = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
+    val docFreq = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val stats = perDoc
+      .join(docFreq, "gram")
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("occ")).as("_n"),
+        sum(when(col("df") >= 2, col("occ")).otherwise(0L)).as("_dup"),
+        countDistinct(when(col("df") >= 2, col("gram"))).as("_dupd"))
+    df.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        coalesce(col("_dup"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("_dupd"), lit(0L)).as("n_dup_distinct"),
+        (col("_dup").cast("double") / col("_n")).as("dup_fraction"))
+  }
+
+  /** Top-k distinctive terms per document by tf-idf, in the log-free idf
+    * form score = tf × (N / df): raw inverse document frequency instead of
+    * its logarithm, because ln() is a libm call whose low bits differ
+    * across engines while IEEE-754 division and multiplication are
+    * bit-exact everywhere — the same portability rule as [[tokenRarity]]'s
+    * rational mean. Ties break (score desc, token asc) so the cut is
+    * deterministic. N (corpus size) stays in-plan as a 1-row broadcast —
+    * no driver-side count. Two hash aggregates + one vocabulary join + a
+    * per-doc window rank. */
+  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val tf     = tokens(df, idCol, textCol).groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs  = df.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf
+      .join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "score",
+        col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowing fingerprint (the MOSS rolling-hash scheme, Schleimer et al.
     * SIGMOD 2003): hash every k-gram of the character stream, slide a
     * window of `w` consecutive k-gram hashes, keep each window's minimum

@@ -227,7 +227,32 @@ object SamplingQueries {
       |  ROW_NUMBER() OVER (ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))) - 1 AS shuffle_rank
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Domain-mixture resampling: per-source keep rates out of 1000 (full /
+    * half / fifth / drop tiers over the 20 synthetic sources) — the
+    * mixture-reweighting step of a training-mix recipe, on the same md5
+    * coin as q53 so the kept set is stable across runs and engines. */
+  private val q69: Q = (s, dir) => {
+    val rates = (0 until 20).map { i =>
+      val r = if (i < 5) 1000 else if (i < 10) 500 else if (i < 15) 200 else 0
+      (s"src$i", r)
+    }
+    Sampling
+      .mixtureResample(Tables.documents(s, dir), "doc_id", "source", rates, denom = 1000)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q69Sql =
+    """SELECT doc_id, source FROM documents
+      |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 <
+      |  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+      |       WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+      |       WHEN source IN ('src10','src11','src12','src13','src14') THEN 200
+      |       ELSE 0 END
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q69_mixture_resample"  -> q69,
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
     "q55_stratified_sample" -> q55,
@@ -238,6 +263,7 @@ object SamplingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_mixture_resample"  -> q69Sql,
     "q53_hash_split"        -> q53Sql,
     "q54_clean_pipeline"    -> q54Sql,
     "q55_stratified_sample" -> q55Sql,

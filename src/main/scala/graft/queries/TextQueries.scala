@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, MinHashLSH, Multimodal, SetSimilarity, TextAnalysis}
+import graft.operators.{Dedup, MinHashLSH, Multimodal, Pii, SetSimilarity, TextAnalysis}
 
 /** Training-data text-pipeline coverage on the `documents` table: exact
   * dedup, MinHash-LSH near-dup with exact-Jaccard verification, SimHash,
@@ -477,8 +477,104 @@ object TextQueries {
       |SELECT doc_id, fp_pos, fp_hash FROM sel
       |ORDER BY doc_id, fp_pos""".stripMargin
 
+  /** PII scrub over deterministically synthesized contact text (the base
+    * corpus is PII-free word soup, so the gate builds addresses, phone
+    * numbers, and IPs from the customer table — identically in both
+    * engines — and then runs the generic [[Pii.scrub]] projection). */
+  private val q66: Q = (s, dir) => {
+    val synth = Tables.customer(s, dir).select(
+      col("c_custkey"),
+      concat(
+        lit("reach "), col("c_name"), lit(" at "),
+        translate(lower(col("c_name")), "#", "."),
+        lit("@corp"), col("c_nationkey").cast("string"), lit(".example.com or call 555-"),
+        (col("c_custkey") % 900 + 100).cast("string"), lit("-"),
+        (col("c_custkey") % 9000 + 1000).cast("string"),
+        lit(" from 10."), col("c_nationkey").cast("string"), lit(".0."),
+        (col("c_custkey") % 256).cast("string")).as("text"))
+    Pii.scrub(synth, "text").orderBy(col("c_custkey"))
+  }
+
+  private val q66Sql =
+    """WITH t AS (
+      |  SELECT c_custkey,
+      |    concat('reach ', c_name, ' at ', replace(lower(c_name), '#', '.'),
+      |           '@corp', CAST(c_nationkey AS VARCHAR), '.example.com or call 555-',
+      |           CAST(c_custkey % 900 + 100 AS VARCHAR), '-',
+      |           CAST(c_custkey % 9000 + 1000 AS VARCHAR),
+      |           ' from 10.', CAST(c_nationkey AS VARCHAR), '.0.',
+      |           CAST(c_custkey % 256 AS VARCHAR)) AS text
+      |  FROM customer),
+      |r1 AS (
+      |  SELECT c_custkey,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+      |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      |  FROM t),
+      |r2 AS (
+      |  SELECT c_custkey, n_email,
+      |    CAST(len(regexp_extract_all(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |    regexp_replace(t1, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2
+      |  FROM r1)
+      |SELECT c_custkey, n_email, n_ipv4,
+      |  CAST(len(regexp_extract_all(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+      |  regexp_replace(t2, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+      |FROM r2 ORDER BY c_custkey""".stripMargin
+
+  /** Cross-document duplicated 3-gram span statistics (the exact-substring
+    * dedup signal). */
+  private val q67: Q = (s, dir) =>
+    TextAnalysis
+      .dupSpanStats(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
+  private val q67Sql =
+    """WITH g AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |pd AS (SELECT doc_id, gram, COUNT(*) AS occ FROM g GROUP BY doc_id, gram),
+      |dfq AS (SELECT gram, COUNT(*) AS dfreq FROM pd GROUP BY gram),
+      |st AS (
+      |  SELECT pd.doc_id,
+      |    CAST(SUM(occ) AS BIGINT) AS n_grams,
+      |    CAST(SUM(CASE WHEN dfreq >= 2 THEN occ ELSE 0 END) AS BIGINT) AS n_dup_grams,
+      |    COUNT(DISTINCT CASE WHEN dfreq >= 2 THEN pd.gram END) AS n_dup_distinct
+      |  FROM pd JOIN dfq ON pd.gram = dfq.gram GROUP BY pd.doc_id)
+      |SELECT d.doc_id, COALESCE(n_grams, 0) AS n_grams,
+      |  COALESCE(n_dup_grams, 0) AS n_dup_grams,
+      |  COALESCE(n_dup_distinct, 0) AS n_dup_distinct,
+      |  CAST(n_dup_grams AS DOUBLE) / n_grams AS dup_fraction
+      |FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Top-3 distinctive terms per document by log-free tf-idf. */
+  private val q68: Q = (s, dir) =>
+    TextAnalysis
+      .tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  private val q68Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM t GROUP BY doc_id, token),
+      |dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |sc AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+      |    CAST(tf.tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+      |  FROM tf JOIN dfq USING(token) CROSS JOIN nd),
+      |rk AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, token ASC) AS rank
+      |  FROM sc)
+      |SELECT doc_id, rank, token, tf, df, score FROM rk WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_simhash_neardup" -> q46,
+    "q66_pii_redact"      -> q66,
+    "q67_dup_span"        -> q67,
+    "q68_tfidf_topk"      -> q68,
     "q48_bpe_tokens"      -> q48,
     "q49_winnow_fingerprint" -> q49,
     "q22_dedup_exact"     -> q22,
@@ -499,6 +595,9 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q66_pii_redact"      -> q66Sql,
+    "q67_dup_span"        -> q67Sql,
+    "q68_tfidf_topk"      -> q68Sql,
     "q22_dedup_exact"     -> q22Sql,
     "q23_token_stats"     -> q23Sql,
     "q24_lang_id"         -> q24Sql,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pii, Sampling, TextAnalysis}
+
+/** Round-8 text-pipeline additions: PII scrub, duplicated-span stats,
+  * tf-idf top-k, domain-mixture resampling. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("Pii.scrub: counts and redacts each category, sequential semantics") {
+    val d = docs(
+      1L -> "mail a.b@x.co and c%d@y.org now",
+      2L -> "server 10.0.0.1 and 192.168.1.255 up",
+      3L -> "call 555-123-4567 or 555-000-1111",
+      4L -> "nothing sensitive here",
+      5L -> "root@10.0.0.1 logged from mail x@y.net" // numeric TLD → not an email; its IP still scrubs
+    )
+    val got = Pii.scrub(d, "text").orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toList
+    assert(got === List(
+      (1L, 2L, 0L, 0L, "mail <EMAIL> and <EMAIL> now"),
+      (2L, 0L, 2L, 0L, "server <IP> and <IP> up"),
+      (3L, 0L, 0L, 2L, "call <PHONE> or <PHONE>"),
+      (4L, 0L, 0L, 0L, "nothing sensitive here"),
+      (5L, 1L, 1L, 0L, "root@<IP> logged from mail <EMAIL>")))
+  }
+
+  test("Pii.scrub: keeps non-text columns, drops the text column") {
+    val d = Seq((1L, "en", "a@b.co")).toDF("doc_id", "lang", "text")
+    val out = Pii.scrub(d, "text")
+    assert(out.columns.toSeq === Seq("doc_id", "lang", "n_email", "n_ipv4", "n_phone", "redacted"))
+  }
+
+  test("dupSpanStats: per-occurrence counts, df>=2 rule, short docs report zeros") {
+    val d = docs(
+      1L -> "a b c d",     // grams: "a b c", "b c d"
+      2L -> "a b c x",     // grams: "a b c", "b c x"
+      3L -> "a b c a b c", // grams: "a b c", "b c a", "c a b", "a b c" — "a b c" twice
+      4L -> "q r"          // too short for 3-grams
+    )
+    val got = TextAnalysis.dupSpanStats(d, "doc_id", "text", n = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toList
+    // "a b c" df=3; every other gram df=1
+    assert(got === List(
+      (1L, 2L, 1L, 1L, Some(0.5)),
+      (2L, 2L, 1L, 1L, Some(0.5)),
+      (3L, 4L, 2L, 1L, Some(0.5)),
+      (4L, 0L, 0L, 0L, None)))
+  }
+
+  test("tfIdfTopK: rarity ranks above frequency, deterministic ties, k bound") {
+    // 4 docs; "common" in all (df=4), "rare" only in doc 1 (df=1).
+    val d = docs(
+      1L -> "common rare common",
+      2L -> "common x",
+      3L -> "common y",
+      4L -> "common z")
+    val got = TextAnalysis.tfIdfTopK(d, "doc_id", "text", k = 2)
+      .orderBy($"doc_id", $"rank")
+      .as[(Long, Long, String, Long, Long, Double)].collect().toList
+    // doc1: rare tf=1 df=1 → 1*(4/1)=4.0; common tf=2 df=4 → 2*(4/4)=2.0
+    assert(got.filter(_._1 == 1L) === List(
+      (1L, 1L, "rare", 1L, 1L, 4.0),
+      (1L, 2L, "common", 2L, 4L, 2.0)))
+    // docs 2-4: singleton term (df=1, score 4.0) outranks "common" (1.0)
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)) === List((1L, "x"), (2L, "common")))
+    assert(got.groupBy(_._1).forall(_._2.size <= 2))
+    // deterministic tie: two df-equal tf-equal tokens order by token asc
+    val tie = TextAnalysis.tfIdfTopK(docs(9L -> "bb aa"), "doc_id", "text", k = 2)
+      .orderBy($"rank").as[(Long, Long, String, Long, Long, Double)].collect().toList
+    assert(tie.map(_._3) === List("aa", "bb"))
+  }
+
+  test("mixtureResample: rate tiers, nesting, determinism, guards") {
+    val d = Tables.documents(spark, sf("sf0.001"))
+    val groups = d.select($"source").distinct().as[String].collect().sorted.toSeq
+    assert(groups.nonEmpty)
+    val full = groups.map(_ -> 1000)
+    assert(Sampling.mixtureResample(d, "doc_id", "source", full, 1000).count() === d.count())
+    val zero = groups.map(_ -> 0)
+    assert(Sampling.mixtureResample(d, "doc_id", "source", zero, 1000).count() === 0)
+    // unlisted groups drop
+    val onlyFirst = Seq(groups.head -> 1000)
+    val kept = Sampling.mixtureResample(d, "doc_id", "source", onlyFirst, 1000)
+    assert(kept.select($"source").distinct().as[String].collect().toSeq === Seq(groups.head))
+    // nested-sample property per group: rate 300 ⊆ rate 700
+    val r300 = Sampling.mixtureResample(d, "doc_id", "source", groups.map(_ -> 300), 1000)
+    val r700 = Sampling.mixtureResample(d, "doc_id", "source", groups.map(_ -> 700), 1000)
+    assert(r300.select("doc_id").except(r700.select("doc_id")).count() === 0)
+    assert(r300.count() < r700.count())
+    // determinism
+    val again = Sampling.mixtureResample(d, "doc_id", "source", groups.map(_ -> 300), 1000)
+    assert(r300.select("doc_id").except(again.select("doc_id")).count() === 0 &&
+      again.select("doc_id").except(r300.select("doc_id")).count() === 0)
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(d, "doc_id", "source", Seq("a" -> 1001), 1000)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureResample(d, "doc_id", "source", Seq.empty, 1000)
+    }
+  }
+}
