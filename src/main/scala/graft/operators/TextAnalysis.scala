@@ -184,6 +184,54 @@ object TextAnalysis {
         (col("_dup").cast("double") / col("_n")).as("dup_fraction"))
   }
 
+  /** Duplicated-span REMOVAL — the transform behind [[dupSpanStats]]'s
+    * statistic (Lee et al.'s exact-substring dedup, at word n-gram
+    * granularity): every token covered by an n-gram occurrence whose gram
+    * appears in ≥ 2 distinct documents is cut, and the survivors reassemble
+    * in order. Fully duplicated documents come back as empty strings (the
+    * caller decides whether to drop them); docs shorter than n words pass
+    * through untouched.
+    *
+    * Output: (id, clean_text, n_tokens, n_removed).
+    *
+    * Scale shape: gram df aggregates over the distinct (doc, gram) table as
+    * in [[dupSpanStats]]; coverage expands dup gram STARTS (≤ n rows per
+    * start, never gram × gram), and reassembly is one per-doc aggregate of
+    * (pos, token) structs — bounded by document length, the same contract
+    * as every per-doc kernel here. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val w = split(col(textCol), " ")
+    val toks = df.select(col(idCol), posexplode(w).as(Seq("pos", "token")))
+    val grams = df.select(
+      col(idCol),
+      posexplode(
+        when(size(w) >= n,
+          transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("start", "gram")))
+    val docFreq = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    val covered = grams
+      .join(docFreq.filter(col("df") >= 2), "gram")
+      .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+            x => x.getField("token")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(w).as("n_tokens"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
+  }
+
   /** Top-k distinctive terms per document by tf-idf, in the log-free idf
     * form score = tf × (N / df): raw inverse document frequency instead of
     * its logarithm, because ln() is a libm call whose low bits differ

@@ -570,11 +570,41 @@ object TextQueries {
       |SELECT doc_id, rank, token, tf, df, score FROM rk WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** Duplicated-span removal at 3-gram granularity — q67's statistic as a
+    * transform (tokens covered by cross-document grams cut, survivors
+    * reassembled in order). */
+  private val q70: Q = (s, dir) =>
+    TextAnalysis
+      .dedupSpans(Tables.documents(s, dir), "doc_id", "text", n = 3)
+      .orderBy(col("doc_id"))
+
+  private val q70Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, w[i] AS token
+      |        FROM w, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |g AS (SELECT doc_id, CAST(t.i - 1 AS INT) AS start,
+      |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |      FROM w, UNNEST(generate_series(1, len(w)-2)) AS t(i) WHERE len(w) >= 3),
+      |dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram),
+      |cov AS (SELECT DISTINCT g.doc_id, start + o AS pos
+      |        FROM g JOIN dfq ON g.gram = dfq.gram AND dfq.df >= 2,
+      |             UNNEST(generate_series(0, 2)) AS u(o)),
+      |kept AS (
+      |  SELECT t.doc_id, string_agg(t.token, ' ' ORDER BY t.pos) AS clean_text,
+      |         COUNT(*) AS n_kept
+      |  FROM tok t ANTI JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id, COALESCE(clean_text, '') AS clean_text,
+      |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
+      |FROM documents d LEFT JOIN kept USING(doc_id) ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_simhash_neardup" -> q46,
     "q66_pii_redact"      -> q66,
     "q67_dup_span"        -> q67,
     "q68_tfidf_topk"      -> q68,
+    "q70_dedup_spans"     -> q70,
     "q48_bpe_tokens"      -> q48,
     "q49_winnow_fingerprint" -> q49,
     "q22_dedup_exact"     -> q22,
@@ -598,6 +628,7 @@ object TextQueries {
     "q66_pii_redact"      -> q66Sql,
     "q67_dup_span"        -> q67Sql,
     "q68_tfidf_topk"      -> q68Sql,
+    "q70_dedup_spans"     -> q70Sql,
     "q22_dedup_exact"     -> q22Sql,
     "q23_token_stats"     -> q23Sql,
     "q24_lang_id"         -> q24Sql,

@@ -75,6 +75,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(tie.map(_._3) === List("aa", "bb"))
   }
 
+  test("dedupSpans: covered tokens cut, order kept, short and fully-dup docs") {
+    val d = docs(
+      1L -> "a b c d e",   // grams "a b c","b c d","c d e"; "a b c" shared with doc 2
+      2L -> "a b c x y",   // shares "a b c" only
+      3L -> "p q r s t",   // no shared grams → untouched
+      4L -> "a b c",       // exactly the shared gram → fully removed
+      5L -> "u v"          // shorter than n → untouched
+    )
+    val got = TextAnalysis.dedupSpans(d, "doc_id", "text", n = 3)
+      .orderBy($"doc_id").as[(Long, String, Long, Long)].collect().toList
+    // doc1: positions 0-2 covered → "d e"; doc2: 0-2 covered → "x y"
+    assert(got === List(
+      (1L, "d e", 5L, 3L),
+      (2L, "x y", 5L, 3L),
+      (3L, "p q r s t", 5L, 0L),
+      (4L, "", 3L, 3L),
+      (5L, "u v", 2L, 0L)))
+    // within-doc repetition alone (df=1 gram) does NOT trigger removal
+    val solo = TextAnalysis.dedupSpans(docs(9L -> "m n o m n o"), "doc_id", "text", n = 3)
+      .as[(Long, String, Long, Long)].collect().toList
+    assert(solo === List((9L, "m n o m n o", 6L, 0L)))
+  }
+
   test("mixtureResample: rate tiers, nesting, determinism, guards") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val groups = d.select($"source").distinct().as[String].collect().sorted.toSeq
