@@ -23,6 +23,50 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextKernelFns {
 
+  /** Word n-grams of a single-space-tokenized string, as byte slices of
+    * the input (the gram text from token i to token i+n-1 is exactly the
+    * source bytes between those tokens' bounds — same separator in and
+    * out). Empty array for null input or fewer than n tokens; `distinct`
+    * keeps first-occurrence order (array_distinct semantics). 0x20 never
+    * occurs inside a UTF-8 multibyte sequence, so the byte scan is safe. */
+  def wordGrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val b = text.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    val ends   = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val m = nTok - n + 1
+    if (!distinct) {
+      val out = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        out(j) = UTF8String.fromBytes(b, starts(j), ends(j + n - 1) - starts(j))
+        j += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.HashSet[UTF8String](m * 2)
+      val out  = new java.util.ArrayList[Any](m)
+      var j = 0
+      while (j < m) {
+        val g = UTF8String.fromBytes(b, starts(j), ends(j + n - 1) - starts(j))
+        if (seen.add(g)) out.add(g)
+        j += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+  }
+
   /** Character (code point) start offsets of a UTF-8 byte array. A char
     * start is any byte not matching 10xxxxxx. */
   private def charStarts(b: Array[Byte]): Array[Int] = {
@@ -284,6 +328,48 @@ object TextKernelFns {
     }
     new GenericArrayData(res)
   }
+}
+
+/** `wordGrams(text, n, distinct)` as a codegen scalar expression →
+  * array<string> of word n-grams (space-joined), empty for docs shorter
+  * than n words or null input — the codegen replacement for the
+  * interpreted `transform(sequence(...), i -> array_join(slice(...)))`
+  * HOF chain that every shingle consumer used to pay (~2× on the gram
+  * build at sf0.1). Because split and join use the SAME single-space
+  * separator, each gram is a BYTE SLICE of the original UTF-8 string —
+  * the kernel allocates one UTF8String per gram and never builds
+  * characters. Split semantics match `split(text, ' ')` exactly (empty
+  * tokens kept, so "a  b" has tokens "a","","b"). `distinct = true`
+  * keeps first occurrence order, matching `array_distinct`. */
+case class WordGrams(child: Expression, n: Int, distinct: Boolean) extends Expression {
+  require(n >= 1)
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    TextKernelFns.wordGrams(child.eval(input).asInstanceOf[UTF8String], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.wordGrams(${c.isNull} ? null : ${c.value}, $n, $distinct);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object WordGrams {
+  def apply(text: Column, n: Int, distinct: Boolean): Column =
+    GraftSqlBridge.column(new WordGrams(
+      GraftSqlBridge.expression(text.cast("string")), n, distinct))
 }
 
 /** `minhash(text, n, numHashes)` as a codegen scalar expression →

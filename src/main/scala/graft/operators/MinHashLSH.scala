@@ -23,18 +23,15 @@ object MinHashLSH {
 
   /** The distinct word n-gram shingle SET of one text value, as an array
     * column (empty for texts shorter than n words). Per-row
-    * `array_distinct` instead of a post-explode `.distinct()` so the
-    * dedup costs no shuffle — the shingle stream is the largest
-    * intermediate in every set-similarity plan, and this keeps it narrow
-    * until the one aggregate that actually needs a shuffle. */
-  def shingleArray(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column = {
-    val w = split(textCol, " ")
-    when(size(w) >= n,
-      array_distinct(transform(
-        sequence(lit(0), size(w) - n),
-        i => array_join(slice(w, i + 1, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * dedup (first-occurrence order) instead of a post-explode
+    * `.distinct()` so the dedup costs no shuffle — the shingle stream is
+    * the largest intermediate in every set-similarity plan, and this
+    * keeps it narrow until the one aggregate that actually needs a
+    * shuffle. The grams come from the [[graft.functions.WordGrams]]
+    * codegen kernel (byte-sliced from the source string), which replaced
+    * an interpreted transform/slice/array_join HOF chain. */
+  def shingleArray(textCol: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    graft.functions.WordGrams(textCol, n, distinct = true)
 
   /** Distinct word n-gram shingles per document (docs shorter than n words
     * produce none). One row per (id, shingle); assumes one input row per

@@ -193,4 +193,41 @@ object SetSimilarity {
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= lit(minOverlap))
   }
+
+  /** Per-document n-gram novelty of a probe corpus against a reference
+    * corpus: for each probe doc, how many of its distinct shingles occur
+    * ANYWHERE in the reference, and the novel fraction. The data-audit
+    * companion to [[crossOverlap]] — where crossOverlap reports pairwise
+    * leakage (which train doc leaked), novelty reports aggregate
+    * memorization exposure per held-out doc ("87% of this eval doc's
+    * trigrams appear in train"), the metric generalization audits track.
+    *
+    * Scale shape: NO pairing — the probe gram stream left-joins the
+    * reference's distinct gram universe on the gram key (one shuffle
+    * each side, work linear in both corpora; hot boilerplate grams cost
+    * one row per probe occurrence, never df², so no df cap is needed) and
+    * aggregates per doc. Docs shorter than the shingle length report
+    * zeros with a null fraction. */
+  def gramNovelty(
+      reference: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame = {
+    val ref = MinHashLSH.shingles(reference, idCol, textCol, shingleLen)
+      .select(col("shingle")).distinct().withColumn("_seen", lit(1L))
+    val stats = MinHashLSH.shingles(probe, idCol, textCol, shingleLen)
+      .join(ref, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("_n"),
+        sum(coalesce(col("_seen"), lit(0L))).as("_seen_n"))
+    probe.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("_n"), lit(0L)).as("n_grams"),
+        coalesce(col("_seen_n"), lit(0L)).as("n_seen"),
+        ((col("_n") - col("_seen_n")).cast("double") / col("_n")).as("novelty"))
+  }
 }

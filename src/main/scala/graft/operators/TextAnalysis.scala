@@ -152,23 +152,22 @@ object TextAnalysis {
     * Docs shorter than n words report zeros with a null fraction.
     *
     * Scale shape: per-(doc, gram) counts aggregate FIRST (map-side
-    * combined), so the corpus-wide df aggregate and the join back both run
-    * over the distinct (doc, gram) table, never the raw occurrence stream;
-    * the gram with max df is boilerplate-shaped but contributes one row per
-    * containing doc, not df² work (no pairing here, unlike
-    * [[SetSimilarity]]). */
+    * combined); corpus document frequency then comes from a count-over-
+    * gram-partition WINDOW on that table rather than a df aggregate joined
+    * back — a self-join would make the (doc, gram) aggregate a two-consumer
+    * subtree that re-executes per consumer (the round-7 postings lesson),
+    * where the window keeps ONE linear lineage: gram build and aggregate
+    * run exactly once. The gram with max df is boilerplate-shaped but
+    * contributes one row per containing doc, not df² work (no pairing
+    * here, unlike [[SetSimilarity]]). */
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val w = split(col(textCol), " ")
+    import org.apache.spark.sql.expressions.Window
     val grams = df.select(
       col(idCol),
-      explode(
-        when(size(w) >= n,
-          transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      explode(graft.functions.WordGrams(col(textCol), n, distinct = false)).as("gram"))
     val perDoc = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
-    val docFreq = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val stats = perDoc
-      .join(docFreq, "gram")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
       .groupBy(col(idCol))
       .agg(
         sum(col("occ")).as("_n"),
@@ -194,24 +193,30 @@ object TextAnalysis {
     *
     * Output: (id, clean_text, n_tokens, n_removed).
     *
-    * Scale shape: gram df aggregates over the distinct (doc, gram) table as
-    * in [[dupSpanStats]]; coverage expands dup gram STARTS (≤ n rows per
-    * start, never gram × gram), and reassembly is one per-doc aggregate of
-    * (pos, token) structs — bounded by document length, the same contract
-    * as every per-doc kernel here. */
+    * Scale shape: corpus df comes from two stacked windows over the raw
+    * gram stream (first-occurrence flag per (gram, doc), then its sum per
+    * gram) so the gram build stays a ONE-consumer lineage — the join-back
+    * formulation would re-execute it per consumer (the round-7 postings
+    * lesson). Coverage expands dup gram STARTS (≤ n rows per start, never
+    * gram × gram), and reassembly is one per-doc aggregate of (pos, token)
+    * structs — bounded by document length, the same contract as every
+    * per-doc kernel here. */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = split(col(textCol), " ")
     val toks = df.select(col(idCol), posexplode(w).as(Seq("pos", "token")))
     val grams = df.select(
       col(idCol),
-      posexplode(
-        when(size(w) >= n,
-          transform(sequence(lit(0), size(w) - n), i => array_join(slice(w, i + 1, lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as(Seq("start", "gram")))
-    val docFreq = grams.select(col(idCol), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      posexplode(graft.functions.WordGrams(col(textCol), n, distinct = false))
+        .as(Seq("start", "gram")))
+    val firstInDoc = row_number()
+      .over(Window.partitionBy(col("gram"), col(idCol)).orderBy(col("start")))
+    val docFreq = sum(when(col("_rn") === 1, 1L).otherwise(0L))
+      .over(Window.partitionBy(col("gram")))
     val covered = grams
-      .join(docFreq.filter(col("df") >= 2), "gram")
+      .withColumn("_rn", firstInDoc)
+      .withColumn("_df", docFreq)
+      .filter(col("_df") >= 2)
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
     val kept = toks
@@ -239,17 +244,19 @@ object TextAnalysis {
     * bit-exact everywhere — the same portability rule as [[tokenRarity]]'s
     * rational mean. Ties break (score desc, token asc) so the cut is
     * deterministic. N (corpus size) stays in-plan as a 1-row broadcast —
-    * no driver-side count. Two hash aggregates + one vocabulary join + a
-    * per-doc window rank. */
+    * no driver-side count. Document frequency comes from a count window
+    * over the token partition of the (doc, token) tf table — one linear
+    * lineage, vs a df-aggregate join that would re-execute the tf
+    * aggregate per consumer (the round-7 postings lesson). One hash
+    * aggregate + two window passes. */
   def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1)
     import org.apache.spark.sql.expressions.Window
     val tf     = tokens(df, idCol, textCol).groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs  = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf
-      .join(dfreq, "token")
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "score",

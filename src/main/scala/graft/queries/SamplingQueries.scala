@@ -251,8 +251,48 @@ object SamplingQueries {
       |       ELSE 0 END
       |ORDER BY doc_id""".stripMargin
 
+  /** Held-out n-gram novelty vs the train split: the aggregate
+    * memorization-exposure audit (how much of each eval doc's trigram
+    * stream already sits in train) — q56 reports the leaking pairs, this
+    * reports per-doc exposure including sub-threshold seepage. */
+  private val q71: Q = (s, dir) => {
+    val sp = Sampling.hashSplit(
+      Tables.documents(s, dir), "doc_id", Seq(("train", 90), ("heldout", 10)))
+    SetSimilarity
+      .gramNovelty(
+        sp.filter(col("split") === "train"),
+        sp.filter(col("split") === "heldout"),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  private val q71Sql =
+    """WITH sp AS (
+      |  SELECT doc_id, text,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+      |  FROM documents),
+      |tr AS (
+      |  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT string_split(text, ' ') AS w FROM sp WHERE b < 90),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |pg AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE b >= 90),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |st AS (
+      |  SELECT pg.doc_id, COUNT(*) AS n_grams,
+      |    CAST(SUM(CASE WHEN tr.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+      |  FROM pg LEFT JOIN tr ON pg.gram = tr.gram GROUP BY pg.doc_id)
+      |SELECT h.doc_id, COALESCE(n_grams, 0) AS n_grams, COALESCE(n_seen, 0) AS n_seen,
+      |  CAST(n_grams - n_seen AS DOUBLE) / n_grams AS novelty
+      |FROM (SELECT doc_id FROM sp WHERE b >= 90) h LEFT JOIN st USING(doc_id)
+      |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q69_mixture_resample"  -> q69,
+    "q71_gram_novelty"      -> q71,
     "q53_hash_split"        -> q53,
     "q54_clean_pipeline"    -> q54,
     "q55_stratified_sample" -> q55,
@@ -264,6 +304,7 @@ object SamplingQueries {
 
   val oracles: Map[String, String] = Map(
     "q69_mixture_resample"  -> q69Sql,
+    "q71_gram_novelty"      -> q71Sql,
     "q53_hash_split"        -> q53Sql,
     "q54_clean_pipeline"    -> q54Sql,
     "q55_stratified_sample" -> q55Sql,

@@ -599,9 +599,33 @@ object TextQueries {
       |  CAST(len(string_split(d.text, ' ')) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed
       |FROM documents d LEFT JOIN kept USING(doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** Per-source corpus datasheet: the release-report aggregate every
+    * dataset ships with (doc/token volumes, exact-dup rate per source).
+    * One hash aggregate over per-row projections — the cheapest query in
+    * the family and the one run most often. */
+  private val q72: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        countDistinct(md5(col("text").cast("binary"))).as("n_distinct_texts"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
+      .withColumn("n_dup_docs", col("n_docs") - col("n_distinct_texts"))
+      .orderBy(col("source"))
+
+  private val q72Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |  COUNT(DISTINCT md5(text)) AS n_distinct_texts,
+      |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q46_simhash_neardup" -> q46,
     "q66_pii_redact"      -> q66,
+    "q72_corpus_datasheet" -> q72,
     "q67_dup_span"        -> q67,
     "q68_tfidf_topk"      -> q68,
     "q70_dedup_spans"     -> q70,
@@ -629,6 +653,7 @@ object TextQueries {
     "q67_dup_span"        -> q67Sql,
     "q68_tfidf_topk"      -> q68Sql,
     "q70_dedup_spans"     -> q70Sql,
+    "q72_corpus_datasheet" -> q72Sql,
     "q22_dedup_exact"     -> q22Sql,
     "q23_token_stats"     -> q23Sql,
     "q24_lang_id"         -> q24Sql,

@@ -125,7 +125,17 @@ object ScaleProbe {
       // postings (the stored-pipeline relationship q57 has to q52)
       "neardup_clusters" -> (() => withPostings(post =>
         Dedup.connectedComponents(
-          SetSimilarity.ngramJaccardFromPostings(post), "doc_a", "doc_b"))))
+          SetSimilarity.ngramJaccardFromPostings(post), "doc_a", "doc_b"))),
+      // round-8 additions: zero-shuffle projections (pii, mixture) and the
+      // corpus-df gram family (dup-span stats / removal, tf-idf)
+      "pii_scrub"      -> (() => noopWrite(graft.operators.Pii.scrub(
+        docs.withColumn("t2", concat(col("text"), lit(" x@y.com 10.0.0.1 555-123-4567"))), "t2"))),
+      "mixture"        -> (() => noopWrite(Sampling.mixtureResample(
+        docs.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16)))),
+        "doc_id", "src", (0 until 16).map(i => (s"s$i", (i % 11) * 100)), 1000))),
+      "dup_span_stats" -> (() => noopWrite(TextAnalysis.dupSpanStats(docs, "doc_id", "text"))),
+      "dedup_spans"    -> (() => noopWrite(TextAnalysis.dedupSpans(docs, "doc_id", "text"))),
+      "tfidf_topk"     -> (() => noopWrite(TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5))))
     // warm-up pass, then timed pass (same protocol as Bench)
     ops.foreach { case (_, f) => f() }
     val timed = ops.map { case (name, f) =>

@@ -98,6 +98,49 @@ class TextPipelineSpec extends SparkSpec {
     assert(solo === List((9L, "m n o m n o", 6L, 0L)))
   }
 
+  test("gramNovelty: seen/novel counts against a reference corpus") {
+    import graft.operators.SetSimilarity
+    val ref = docs(1L -> "a b c d", 2L -> "x y z w")     // grams: abc,bcd / xyz,yzw
+    val probe = docs(
+      10L -> "a b c d e", // abc,bcd seen; cde novel → 3 grams, 2 seen
+      11L -> "p q r s",   // none seen
+      12L -> "x y z",     // xyz seen → 1/1
+      13L -> "u v")       // too short → zeros, null novelty
+    val got = SetSimilarity.gramNovelty(ref, probe, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Option[Double])].collect().toList
+    assert(got === List(
+      (10L, 3L, 2L, Some(1.0 / 3.0)),
+      (11L, 2L, 0L, Some(1.0)),
+      (12L, 1L, 1L, Some(0.0)),
+      (13L, 0L, 0L, None)))
+  }
+
+  test("WordGrams kernel: bit-parity with the HOF formulation on edge cases") {
+    val texts = Seq(
+      "a b c d e",
+      "a b c a b c",        // repeats — distinct order matters
+      "a  b c",             // double space → empty token "a|<empty>|b c" grams
+      " a b",               // leading space → empty first token
+      "a b ",               // trailing space → empty last token
+      "",                   // one empty token
+      "one two",            // shorter than n=3
+      "héllo wörld ünïcode ∀x y", // multibyte
+      "x y z"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val w = split($"text", " ")
+    def hof(distinct: Boolean) = {
+      val raw = transform(sequence(lit(0), size(w) - 3), i => array_join(slice(w, i + 1, lit(3)), " "))
+      when(size(w) >= 3, if (distinct) array_distinct(raw) else raw)
+        .otherwise(array().cast("array<string>"))
+    }
+    for (d <- Seq(true, false)) {
+      val got = texts.select($"doc_id",
+        graft.functions.WordGrams($"text", 3, d).as("k"), hof(d).as("h"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      got.foreach { case (id, k, h) => assert(k === h, s"doc $id distinct=$d") }
+    }
+  }
+
   test("mixtureResample: rate tiers, nesting, determinism, guards") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val groups = d.select($"source").distinct().as[String].collect().sorted.toSeq
