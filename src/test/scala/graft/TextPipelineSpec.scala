@@ -141,6 +141,44 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("Pii.scrub + mixtureResample compose into a streaming ingest pipeline") {
+    // both are pure projections/filters, so they are streaming-safe by
+    // construction — this pins that the ingest-tier composition (scrub →
+    // mixture gate) actually runs under the streaming planner and that
+    // batch and stream agree row for row
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val rows = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "srcA" else "srcB", s"doc $i mail u$i@ex$i.org end")
+    }
+    val rates = Seq("srcA" -> 1000, "srcB" -> 300)
+    val ms = MemoryStream[(Long, String, String)]
+    val piped = Sampling.mixtureResample(
+      Pii.scrub(ms.toDF().toDF("doc_id", "source", "text"), "text"),
+      "doc_id", "source", rates, 1000)
+    val q = piped.writeStream.outputMode("append").format("memory").queryName("ingest").start()
+    try {
+      ms.addData(rows.take(20): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(20): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ingest")
+        .select("doc_id", "source", "n_email", "redacted")
+        .as[(Long, String, Long, String)].collect().toSet
+      val batch = Sampling.mixtureResample(
+        Pii.scrub(rows.toDF("doc_id", "source", "text"), "text"),
+        "doc_id", "source", rates, 1000)
+        .select("doc_id", "source", "n_email", "redacted")
+        .as[(Long, String, Long, String)].collect().toSet
+      assert(streamed === batch)
+      assert(streamed.nonEmpty && streamed.forall(_._3 === 1L))
+      assert(streamed.forall(r => r._4.contains("<EMAIL>") && !r._4.contains("@")))
+      // srcA passes whole; srcB is gated
+      val bySrc = streamed.groupBy(_._2).view.mapValues(_.size).toMap
+      assert(bySrc("srcA") === 20 && bySrc.getOrElse("srcB", 0) < 20)
+    } finally q.stop()
+  }
+
   test("mixtureResample: rate tiers, nesting, determinism, guards") {
     val d = Tables.documents(spark, sf("sf0.001"))
     val groups = d.select($"source").distinct().as[String].collect().sorted.toSeq
