@@ -152,22 +152,35 @@ object TextAnalysis {
     * Docs shorter than n words report zeros with a null fraction.
     *
     * Scale shape: per-(doc, gram) counts aggregate FIRST (map-side
-    * combined); corpus document frequency then comes from a count-over-
-    * gram-partition WINDOW on that table rather than a df aggregate joined
-    * back — a self-join would make the (doc, gram) aggregate a two-consumer
-    * subtree that re-executes per consumer (the round-7 postings lesson),
-    * where the window keeps ONE linear lineage: gram build and aggregate
-    * run exactly once. The gram with max df is boilerplate-shaped but
-    * contributes one row per containing doc, not df² work (no pairing
-    * here, unlike [[SetSimilarity]]). */
-  def dupSpanStats(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * combined), then corpus document frequency aggregates from that table
+    * and joins back on the gram key. The two consumers of the (doc, gram)
+    * aggregate request the SAME gram partitioning, so AQE materializes one
+    * reused exchange — the gram build and the expensive partial aggregate
+    * run once, and only the cheap reduce-side final re-executes. This is
+    * deliberately NOT a count-over-gram-partition window, which would be a
+    * single lineage but lands EVERY row of a hot gram on one task — a
+    * boilerplate gram shared by 10⁸ docs is a skew cliff, where the
+    * aggregate+join form gets map-side combine on the df count and AQE
+    * skew-split on the join. The gram with max df contributes one row per
+    * containing doc, never df² work (no pairing here, unlike
+    * [[SetSimilarity]]). `persist` caches the (doc, gram) aggregate so its
+    * two consumers read one materialization instead of re-running the
+    * final aggregate (the [[SetSimilarity.shinglePostings]] lifecycle
+    * pattern; free via `spark.catalog.clearCache()`). */
+  def dupSpanStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      persist: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     val grams = df.select(
       col(idCol),
       explode(graft.functions.WordGrams(col(textCol), n, distinct = false)).as("gram"))
-    val perDoc = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
+    val perDoc0 = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
+    val perDoc  = persist.map(perDoc0.persist).getOrElse(perDoc0)
+    val docFreq = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val stats = perDoc
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .join(docFreq, "gram")
       .groupBy(col(idCol))
       .agg(
         sum(col("occ")).as("_n"),
@@ -193,30 +206,39 @@ object TextAnalysis {
     *
     * Output: (id, clean_text, n_tokens, n_removed).
     *
-    * Scale shape: corpus df comes from two stacked windows over the raw
-    * gram stream (first-occurrence flag per (gram, doc), then its sum per
-    * gram) so the gram build stays a ONE-consumer lineage — the join-back
-    * formulation would re-execute it per consumer (the round-7 postings
-    * lesson). Coverage expands dup gram STARTS (≤ n rows per start, never
-    * gram × gram), and reassembly is one per-doc aggregate of (pos, token)
-    * structs — bounded by document length, the same contract as every
-    * per-doc kernel here. */
-  def dedupSpans(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    * Scale shape: the dup-gram set aggregates from the distinct (doc,
+    * gram) table (map-side combined — a hot gram is cheap) and joins back
+    * to the positioned gram stream on the gram key, where AQE skew-split
+    * handles boilerplate grams; a count-over-gram-partition window would
+    * land every occurrence of a hot gram on one task (see
+    * [[dupSpanStats]]). The gram build feeds the df subtree and the
+    * coverage join under different partitionings, so it evaluates twice —
+    * it is a narrow codegen'd projection off the scan (two linear passes);
+    * `persist` caches the positioned gram stream instead (the
+    * [[SetSimilarity.shinglePostings]] lifecycle pattern). Coverage
+    * expands dup gram STARTS (≤ n rows per start, never gram × gram), and
+    * reassembly is one per-doc aggregate of (pos, token) structs — bounded
+    * by document length, the same contract as every per-doc kernel
+    * here. */
+  def dedupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      persist: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     val w = split(col(textCol), " ")
     val toks = df.select(col(idCol), posexplode(w).as(Seq("pos", "token")))
-    val grams = df.select(
+    val grams0 = df.select(
       col(idCol),
       posexplode(graft.functions.WordGrams(col(textCol), n, distinct = false))
         .as(Seq("start", "gram")))
-    val firstInDoc = row_number()
-      .over(Window.partitionBy(col("gram"), col(idCol)).orderBy(col("start")))
-    val docFreq = sum(when(col("_rn") === 1, 1L).otherwise(0L))
-      .over(Window.partitionBy(col("gram")))
+    val grams = persist.map(grams0.persist).getOrElse(grams0)
+    val dupGrams = grams.select(col(idCol), col("gram")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("gram"))
     val covered = grams
-      .withColumn("_rn", firstInDoc)
-      .withColumn("_df", docFreq)
-      .filter(col("_df") >= 2)
+      .join(dupGrams, "gram")
       .select(col(idCol), explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .distinct()
     val kept = toks
@@ -244,19 +266,31 @@ object TextAnalysis {
     * bit-exact everywhere — the same portability rule as [[tokenRarity]]'s
     * rational mean. Ties break (score desc, token asc) so the cut is
     * deterministic. N (corpus size) stays in-plan as a 1-row broadcast —
-    * no driver-side count. Document frequency comes from a count window
-    * over the token partition of the (doc, token) tf table — one linear
-    * lineage, vs a df-aggregate join that would re-execute the tf
-    * aggregate per consumer (the round-7 postings lesson). One hash
-    * aggregate + two window passes. */
-  def tfIdfTopK(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    * no driver-side count. Document frequency aggregates from the
+    * (doc, token) tf table (map-side combined — stopword-grade hot tokens
+    * are cheap) and joins back on the token key under AQE skew-split; both
+    * consumers of the tf aggregate request the same token partitioning, so
+    * AQE reuses one exchange and only the cheap final aggregate
+    * re-executes. A count-over-token-partition window would put every
+    * (doc, "the") row on one task — the skew cliff this shape avoids (see
+    * [[dupSpanStats]]). `persist` caches the tf aggregate for its two
+    * consumers (the [[SetSimilarity.shinglePostings]] lifecycle
+    * pattern). */
+  def tfIdfTopK(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      persist: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     require(k >= 1)
     import org.apache.spark.sql.expressions.Window
-    val tf     = tokens(df, idCol, textCol).groupBy(col(idCol), col("token"))
+    val tf0    = tokens(df, idCol, textCol).groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
+    val tf     = persist.map(tf0.persist).getOrElse(tf0)
+    val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs  = df.select(countDistinct(col(idCol)).as("n_docs"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("token"))))
+      .join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "score",

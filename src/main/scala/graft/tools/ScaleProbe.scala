@@ -133,15 +133,33 @@ object ScaleProbe {
       "mixture"        -> (() => noopWrite(Sampling.mixtureResample(
         docs.withColumn("src", concat(lit("s"), pmod(col("doc_id"), lit(16)))),
         "doc_id", "src", (0 until 16).map(i => (s"s$i", (i % 11) * 100)), 1000))),
-      "dup_span_stats" -> (() => noopWrite(TextAnalysis.dupSpanStats(docs, "doc_id", "text"))),
-      "dedup_spans"    -> (() => noopWrite(TextAnalysis.dedupSpans(docs, "doc_id", "text"))),
-      "tfidf_topk"     -> (() => noopWrite(TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5))))
+      // the gram/tf family runs persist-once here (the cluster
+      // configuration); their internal cache entries are flushed by the
+      // cleanup hook below, OUTSIDE the timed window
+      "dup_span_stats" -> (() => noopWrite(TextAnalysis.dupSpanStats(docs, "doc_id", "text",
+        persist = Some(StorageLevel.MEMORY_AND_DISK)))),
+      "dedup_spans"    -> (() => noopWrite(TextAnalysis.dedupSpans(docs, "doc_id", "text",
+        persist = Some(StorageLevel.MEMORY_AND_DISK)))),
+      "tfidf_topk"     -> (() => noopWrite(TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5,
+        persist = Some(StorageLevel.MEMORY_AND_DISK)))))
+    // ops that persist internal frames need a flush between passes so a
+    // repeated run can never read its predecessor's cache; the flush also
+    // evicts the corpus, so re-warm it — all OUTSIDE the timed window
+    val needsFlush = Set("dup_span_stats", "dedup_spans", "tfidf_topk")
+    def cleanup(name: String): Unit = if (needsFlush(name)) {
+      spark.catalog.clearCache()
+      docs.persist()
+      docs.count()
+      ()
+    }
     // warm-up pass, then timed pass (same protocol as Bench)
-    ops.foreach { case (_, f) => f() }
+    ops.foreach { case (name, f) => f(); cleanup(name) }
     val timed = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
       f()
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      cleanup(name)
+      name -> dt
     }
     docs.unpersist()
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
