@@ -248,4 +248,53 @@ object Dedup {
       .dropDuplicatesWithinWatermark(h)
       .drop(h)
   }
+
+  /** Incremental ingest dedup: flag each incoming row whose content hash
+    * already exists in the corpus-hash index. Output is EXACT (the bloom
+    * never decides membership, it only prunes the join).
+    *
+    * The 100 TB shape: a daily ingest batch joined directly against a
+    * corpus-scale hash index shuffles the whole index every day. Instead a
+    * Bloom filter of the index (mergeable aggregate — built map-side in one
+    * pass, byte size fixed by `expectedCorpusItems`/`fpp`, NOT by data
+    * volume) is broadcast to the ingest side; rows that MISS the bloom are
+    * definitively new and never reach the join, so only true dups + an fpp
+    * share of new rows join — and that maybe-hit sliver is typically
+    * broadcast-able against the bucketed index at ingest scale. Sizing: ~1.2
+    * bytes/item at fpp 0.01, so 10⁹ corpus hashes ≈ 1.2 GB of filter — at
+    * larger index cardinalities raise `fpp` (the join stays exact, only the
+    * prune weakens) or shard the index by hash prefix and run one
+    * incremental pass per shard. The membership probe is a broadcast-closure
+    * filter (not codegen) — one hash probe per row against in-memory bits,
+    * never the hot cost next to the md5 itself.
+    *
+    * `corpusHashes` must be the single-column hash index (`hashCol`);
+    * `contentHash` computes the same hash on `incoming` (use
+    * [[normalizedTextHash]] on both sides). Returns all incoming rows with
+    * an `is_dup` flag. */
+  def incrementalByHash(
+      incoming: DataFrame,
+      corpusHashes: DataFrame,
+      hashCol: String,
+      contentHash: Column,
+      expectedCorpusItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val h = "__graft_dedup_h"
+    require(!incoming.columns.contains(h), s"input already has a '$h' column")
+    require(!incoming.columns.contains("is_dup"), "input already has an 'is_dup' column")
+    val spark = incoming.sparkSession
+    val bloom = corpusHashes.stat.bloomFilter(hashCol, expectedCorpusItems, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((s: String) => s != null && bloomB.value.mightContainString(s))
+    val hashed = incoming.withColumn(h, contentHash)
+    val maybe  = hashed.filter(mightContain(col(h)))
+    val fresh  = hashed.filter(!mightContain(col(h))).withColumn("is_dup", lit(false))
+    val index  = corpusHashes.select(col(hashCol).as(h)).distinct()
+      .withColumn("__graft_hit", lit(true))
+    val flagged = maybe
+      .join(index, Seq(h), "left")
+      .withColumn("is_dup", coalesce(col("__graft_hit"), lit(false)))
+      .drop("__graft_hit")
+    flagged.unionByName(fresh).drop(h)
+  }
 }

@@ -58,6 +58,71 @@ object TextAnalysis {
       r.getItem(5).as("top_3gram"))
   }
 
+  /** Gopher/MassiveText-style document quality rules (Rae et al. 2021,
+    * table A1): word-count bounds, mean-word-length bounds, symbol-to-word
+    * ratio ('#' and '…'/'...'), alphabetic-word fraction, and a minimum
+    * stopword-hit count. Emits the signal columns AND per-rule booleans plus
+    * the conjunction (`pass`), so a pipeline can either hard-filter or keep
+    * the flags for analysis. Within-doc repetition gates (the other half of
+    * the Gopher rule table) are [[repetitionStats]].
+    *
+    * Counts are integer-exact; the two emitted ratios are single IEEE
+    * divisions and the rule comparisons cross-multiply against integer sums
+    * (one IEEE multiply), so results hash identically across engines.
+    *
+    * Scale shape: one explode + map-side-combined hash aggregate for the
+    * word-level sums, one narrow projection for the doc-level symbol counts,
+    * joined back on the id — both sides hash-partition on the id, no
+    * corpus-wide hot key, pipelines at any corpus size. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L): DataFrame = {
+    val words = tokens(df, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("token"))).as("_sum_len"),
+        sum(when(col("token").rlike("[A-Za-z]"), 1L).otherwise(0L)).as("_n_alpha"),
+        sum(when(col("token").isin(stopwords: _*), 1L).otherwise(0L)).as("n_stop_hits"))
+    val nHash = length(col(textCol)) - length(translate(col(textCol), "#", ""))
+    val nDots = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / lit(3)
+    val nElli = length(col(textCol)) - length(translate(col(textCol), "…", ""))
+    val perDoc = df.select(
+      col(idCol),
+      (nHash + nDots + nElli).cast("long").as("n_symbols"))
+    words
+      .join(perDoc, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_words"),
+        (col("_sum_len").cast("double") / col("n_words")).as("mean_word_len"),
+        (col("_n_alpha").cast("double") / col("n_words")).as("alpha_frac"),
+        col("n_symbols"),
+        col("n_stop_hits"),
+        (col("n_words") >= minWords && col("n_words") <= maxWords).as("pass_words"),
+        (col("_sum_len").cast("double") >= lit(minMeanLen) * col("n_words") &&
+          col("_sum_len").cast("double") <= lit(maxMeanLen) * col("n_words"))
+          .as("pass_mean_len"),
+        (col("n_symbols").cast("double") <= lit(maxSymbolRatio) * col("n_words"))
+          .as("pass_symbols"),
+        (col("_n_alpha").cast("double") >= lit(minAlphaFrac) * col("n_words"))
+          .as("pass_alpha"),
+        (col("n_stop_hits") >= minStopHits).as("pass_stop"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
+          col("pass_alpha") && col("pass_stop"))
+  }
+
   /** Heuristic language ID: per-language stopword hit count, argmax with
     * deterministic (score desc, lang asc) tie-break; no hits → 'und'. */
   def languageId(

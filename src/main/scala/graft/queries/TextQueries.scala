@@ -622,7 +622,82 @@ object TextQueries {
       |  COUNT(*) - COUNT(DISTINCT md5(text)) AS n_dup_docs
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  /** Incremental ingest dedup: an incoming batch (docs 300+, simulating a
+    * re-crawl window) flagged against the standing corpus (docs < 400) by
+    * normalized content hash — bloom prefilter prunes the join, output
+    * exact. Docs 300–399 are literal re-ingests (is_dup), 400+ are fresh. */
+  private val q73: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup
+      .incrementalByHash(
+        incoming    = docs.filter(col("doc_id") >= 300),
+        corpusHashes = docs.filter(col("doc_id") < 400)
+          .select(Dedup.normalizedTextHash(col("text")).as("h")),
+        hashCol     = "h",
+        contentHash = Dedup.normalizedTextHash(col("text")),
+        expectedCorpusItems = 1000000L)
+      .select(col("doc_id"), col("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q73Sql =
+    """WITH corpus AS (
+      |  SELECT DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+      |  FROM documents WHERE doc_id < 400),
+      |inc AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS h
+      |  FROM documents WHERE doc_id >= 300)
+      |SELECT inc.doc_id, (corpus.h IS NOT NULL) AS is_dup
+      |FROM inc LEFT JOIN corpus ON inc.h = corpus.h
+      |ORDER BY inc.doc_id""".stripMargin
+
+  /** Gopher/MassiveText quality rule table: signals + per-rule flags +
+    * the conjunction. Word-count and stopword rules discriminate on this
+    * corpus; mean-len/symbol/alpha columns are still hash-verified. */
+  private val q74: Q = (s, dir) =>
+    TextAnalysis
+      .gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        stopwords = Seq("the", "a", "and", "of", "to"),
+        minWords = 30L, maxWords = 90L)
+      .orderBy(col("doc_id"))
+
+  private val q74Sql =
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |w AS (
+      |  SELECT doc_id, COUNT(*) AS n_words, SUM(LENGTH(token)) AS sum_len,
+      |    SUM(CASE WHEN regexp_matches(token, '[A-Za-z]') THEN 1 ELSE 0 END) AS n_alpha,
+      |    SUM(CASE WHEN token IN ('the','a','and','of','to') THEN 1 ELSE 0 END)
+      |      AS n_stop_hits
+      |  FROM t GROUP BY doc_id),
+      |s AS (
+      |  SELECT doc_id,
+      |    (LENGTH(text) - LENGTH(replace(text, '#', '')))
+      |    + (LENGTH(text) - LENGTH(replace(text, '...', ''))) // 3
+      |    + (LENGTH(text) - LENGTH(replace(text, '…', ''))) AS n_symbols
+      |  FROM documents)
+      |SELECT w.doc_id, n_words,
+      |  CAST(sum_len AS DOUBLE) / n_words AS mean_word_len,
+      |  CAST(n_alpha AS DOUBLE) / n_words AS alpha_frac,
+      |  CAST(n_symbols AS BIGINT) AS n_symbols,
+      |  CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+      |  n_words >= 30 AND n_words <= 90 AS pass_words,
+      |  CAST(sum_len AS DOUBLE) >= 3.0 * n_words
+      |    AND CAST(sum_len AS DOUBLE) <= 10.0 * n_words AS pass_mean_len,
+      |  CAST(n_symbols AS DOUBLE) <= 0.1 * n_words AS pass_symbols,
+      |  CAST(n_alpha AS DOUBLE) >= 0.8 * n_words AS pass_alpha,
+      |  n_stop_hits >= 2 AS pass_stop,
+      |  (n_words >= 30 AND n_words <= 90)
+      |    AND (CAST(sum_len AS DOUBLE) >= 3.0 * n_words
+      |         AND CAST(sum_len AS DOUBLE) <= 10.0 * n_words)
+      |    AND CAST(n_symbols AS DOUBLE) <= 0.1 * n_words
+      |    AND CAST(n_alpha AS DOUBLE) >= 0.8 * n_words
+      |    AND n_stop_hits >= 2 AS pass
+      |FROM w JOIN s ON w.doc_id = s.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q73_incremental_dedup" -> q73,
+    "q74_gopher_rules"    -> q74,
     "q46_simhash_neardup" -> q46,
     "q66_pii_redact"      -> q66,
     "q72_corpus_datasheet" -> q72,
@@ -649,6 +724,8 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q73_incremental_dedup" -> q73Sql,
+    "q74_gopher_rules"    -> q74Sql,
     "q66_pii_redact"      -> q66Sql,
     "q67_dup_span"        -> q67Sql,
     "q68_tfidf_topk"      -> q68Sql,

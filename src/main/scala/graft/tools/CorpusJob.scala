@@ -1,0 +1,221 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Dedup, MinHashLSH, Pii, Sampling, SetSimilarity, TextAnalysis}
+
+/** Config-driven corpus-preparation run — the training-data twin of
+  * [[RunJob]] (which drives the reference's domain pipelines,
+  * `sam_extract/main.py`): one YAML file composes the corpus-prep operators
+  * into an end-to-end cleaning job, so the whole dedup/scrub/filter/split
+  * tier runs as a single batch entry point instead of hand-written driver
+  * code.
+  *
+  * Usage: CorpusJob <corpus-config.yaml>
+  *
+  * Config shape (steps apply in listed order, each consuming the previous
+  * output; every step is one of the oracle-gated operators):
+  * {{{
+  * input:
+  *   documents: /path/documents.parquet   # required
+  *   id-column: doc_id                    # default doc_id
+  *   text-column: text                    # default text
+  * steps:
+  *   - op: exact-dedup                    # normalized-hash keep-first
+  *   - op: pii-scrub                      # redact in place, keep counts
+  *   - op: quality-filter                 # Gopher rules, keep `pass` rows
+  *     min-words: 30                      # optional rule overrides
+  *     max-words: 100000
+  *   - op: lang-filter                    # heuristic language ID
+  *     keep: [en]
+  *   - op: neardup                        # MinHash-LSH pairs -> clusters ->
+  *     min-jaccard: 0.8                   # keep cluster canonicals
+  *   - op: decontaminate                  # drop docs overlapping a benchmark
+  *     benchmark: /path/bench.parquet     # same id/text column names
+  *     min-overlap: 5
+  *   - op: split                          # deterministic hash split
+  *     weights: {train: 90, val: 5, test: 5}
+  * output:
+  *   local: /path/out                     # required
+  * }}}
+  *
+  * Writes `out/documents` (parquet, partitioned by `split` when a split
+  * step ran) and `out/datasheet.json` with per-step row counts — the
+  * retention report every dataset release ships with.
+  *
+  * Scale shape: each step's output is persisted (MEMORY_AND_DISK) before
+  * its count and the predecessor unpersisted, so the lineage never
+  * re-executes an upstream step — the job materializes each stage exactly
+  * once, the same stage-checkpoint discipline a 100 TB run needs anyway
+  * (on a cluster, swap the persist for a parquet checkpoint between
+  * stages by splitting the config; the step list composes identically).
+  */
+object CorpusJob {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: CorpusJob <corpus-config.yaml>")
+    val preExisting = SparkSession.getActiveSession.isDefined
+    val spark = Jobs.session("graft-corpus")
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val sheet = run(spark, args(0))
+      println(sheet.json)
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** Per-step retention record: rows entering each step, rows leaving. */
+  final case class StepCount(op: String, rowsIn: Long, rowsOut: Long)
+
+  final case class Datasheet(steps: Seq[StepCount], outputRows: Long) {
+    def json: String = {
+      val ss = steps.map(s =>
+        s"""{"op":"${s.op}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut}}""")
+      s"""{"steps":[${ss.mkString(",")}],"output_rows":$outputRows}"""
+    }
+  }
+
+  /** Built-in stopword table for lang-filter (same shape the language-ID
+    * oracle uses); override per-language lists via the config's
+    * `stopword-table` map. */
+  private def defaultStopwords(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq(
+      ("en", "the"), ("en", "and"), ("en", "of"), ("en", "to"), ("en", "a"),
+      ("fr", "le"), ("fr", "la"), ("fr", "et"), ("fr", "de"), ("fr", "un"),
+      ("de", "der"), ("de", "die"), ("de", "und"), ("de", "ein"), ("de", "das"),
+      ("es", "el"), ("es", "los"), ("es", "y"), ("es", "de"), ("es", "un")
+    ).toDF("lang", "word")
+  }
+
+  /** Parse + execute the config; returns the datasheet (tests call this
+    * directly with their own session). */
+  def run(spark: SparkSession, configPath: String): Datasheet = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p    = new org.apache.hadoop.fs.Path(configPath)
+    val fs   = p.getFileSystem(conf)
+    val text = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val yaml = new com.fasterxml.jackson.databind.ObjectMapper(
+      new com.fasterxml.jackson.dataformat.yaml.YAMLFactory())
+    val root = yaml.readTree(text)
+
+    def req(n: com.fasterxml.jackson.databind.JsonNode, key: String) = {
+      val v = n.get(key)
+      require(v != null, s"config missing required key '$key'")
+      v
+    }
+    val input   = req(root, "input")
+    val inPath  = req(input, "documents").asText
+    val idCol   = Option(input.get("id-column")).map(_.asText).getOrElse("doc_id")
+    val textCol = Option(input.get("text-column")).map(_.asText).getOrElse("text")
+    val outDir  = req(req(root, "output"), "local").asText
+
+    val stepsNode = Option(root.get("steps"))
+      .map(n => (0 until n.size).map(n.get))
+      .getOrElse(Seq.empty)
+    val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
+      "neardup", "decontaminate", "split")
+    stepsNode.foreach { s =>
+      val op = req(s, "op").asText
+      require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
+    }
+
+    val stopTable = Option(root.get("stopword-table")) match {
+      case Some(m) =>
+        import scala.jdk.CollectionConverters._
+        val rows = m.properties().asScala.toSeq.flatMap { e =>
+          (0 until e.getValue.size).map(i => (e.getKey, e.getValue.get(i).asText))
+        }
+        import spark.implicits._
+        rows.toDF("lang", "word")
+      case None => defaultStopwords(spark)
+    }
+
+    def applyStep(df: DataFrame, s: com.fasterxml.jackson.databind.JsonNode): DataFrame = {
+      def dbl(key: String, d: Double) = Option(s.get(key)).map(_.asDouble).getOrElse(d)
+      def lng(key: String, d: Long)   = Option(s.get(key)).map(_.asLong).getOrElse(d)
+      req(s, "op").asText match {
+        case "exact-dedup" =>
+          Dedup.exactByHash(df, Dedup.normalizedTextHash(col(textCol)), idCol)
+        case "pii-scrub" =>
+          // restore the text column name so downstream steps keep composing
+          Pii.scrub(df, textCol).withColumnRenamed("redacted", textCol)
+        case "quality-filter" =>
+          val stop = Option(s.get("stopwords")) match {
+            case Some(a) => (0 until a.size).map(a.get(_).asText)
+            case None    => Seq("the", "a", "and", "of", "to")
+          }
+          val pass = TextAnalysis
+            .gopherRules(df, idCol, textCol, stop,
+              minWords = lng("min-words", 50L), maxWords = lng("max-words", 100000L),
+              minMeanLen = dbl("min-mean-len", 3.0), maxMeanLen = dbl("max-mean-len", 10.0),
+              maxSymbolRatio = dbl("max-symbol-ratio", 0.1),
+              minAlphaFrac = dbl("min-alpha-frac", 0.8),
+              minStopHits = lng("min-stop-hits", 2L))
+            .filter(col("pass"))
+            .select(col(idCol))
+          df.join(pass, Seq(idCol), "left_semi")
+        case "lang-filter" =>
+          val keep = req(s, "keep")
+          val langs = (0 until keep.size).map(keep.get(_).asText)
+          val pred = TextAnalysis.languageId(df, idCol, textCol, stopTable)
+            .filter(col("pred_lang").isin(langs: _*))
+            .select(col(idCol))
+          df.join(pred, Seq(idCol), "left_semi")
+        case "neardup" =>
+          val pairs = MinHashLSH.nearDuplicates(df, idCol, textCol,
+            minJaccard = dbl("min-jaccard", 0.8))
+          val losers = Dedup
+            .connectedComponents(pairs, "doc_a", "doc_b")
+            .filter(col("comp") =!= col("id"))
+            .select(col("id").as(idCol))
+          df.join(losers, Seq(idCol), "left_anti")
+        case "decontaminate" =>
+          val bench = spark.read.parquet(req(s, "benchmark").asText)
+          val contaminated = SetSimilarity
+            .crossOverlap(df, bench, idCol, textCol,
+              minOverlap = lng("min-overlap", 5L).toInt)
+            .select(col("left_id").as(idCol)).distinct()
+          df.join(contaminated, Seq(idCol), "left_anti")
+        case "split" =>
+          val w = req(s, "weights")
+          import scala.jdk.CollectionConverters._
+          val weights = w.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
+          Sampling.hashSplit(df, idCol, weights)
+      }
+    }
+
+    val docs = spark.read.parquet(inPath)
+    require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
+      s"input needs '$idCol' and '$textCol' columns (has: ${docs.columns.mkString(", ")})")
+
+    // fold through the steps, materializing each stage once
+    var cur      = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    var curRows  = cur.count()
+    val counts   = Seq.newBuilder[StepCount]
+    var didSplit = false
+    stepsNode.foreach { s =>
+      val op   = req(s, "op").asText
+      val next = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
+      val n    = next.count()
+      counts += StepCount(op, curRows, n)
+      cur.unpersist()
+      cur = next
+      curRows = n
+      if (op == "split") didSplit = true
+    }
+
+    val writer = cur.write.mode("overwrite")
+    (if (didSplit) writer.partitionBy("split") else writer)
+      .parquet(s"$outDir/documents")
+    val sheet = Datasheet(counts.result(), curRows)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/datasheet.json"), true)
+    try out.write((sheet.json + "\n").getBytes("UTF-8")) finally out.close()
+    cur.unpersist()
+    sheet
+  }
+}

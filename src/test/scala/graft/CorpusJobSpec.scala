@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.tools.CorpusJob
+
+/** End-to-end config-driven corpus-prep job: YAML steps compose the
+  * oracle-gated operators, datasheet records per-step retention. */
+class CorpusJobSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDocs(dir: java.nio.file.Path): Unit = {
+    // 0/1 exact dups (after normalization), 2 short+stopword-poor, 3 PII,
+    // 4 clean, 5 benchmark-contaminated (shares its whole text), 6 clean
+    Seq(
+      (0L, "the quick brown fox jumps over a lazy dog near the old river bank today"),
+      (1L, "The  quick Brown fox jumps over a lazy dog near the old river bank today"),
+      (2L, "tiny doc"),
+      (3L, "contact a.b@x.co about the server and a backup plan for the long outage window here"),
+      (4L, "a steady rain fell on the quiet town while the market stayed open all day long"),
+      (5L, "this exact benchmark passage must never leak into the training corpus and the eval set"),
+      (6L, "children played in the park as the evening light faded over a calm and warm horizon"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((100L, "this exact benchmark passage must never leak into the training corpus and the eval set"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+  }
+
+  test("CorpusJob: full step chain, datasheet retention, split partitioning") {
+    val dir = Files.createTempDirectory("corpusjob")
+    writeDocs(dir)
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: exact-dedup
+         |  - op: pii-scrub
+         |  - op: quality-filter
+         |    min-words: 5
+         |  - op: decontaminate
+         |    benchmark: $dir/bench.parquet
+         |    min-overlap: 5
+         |  - op: split
+         |    weights: {train: 8, val: 1, test: 1}
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+
+    // exact-dedup: 7 -> 6 (doc 1 is doc 0 after normalization)
+    // pii-scrub: row-preserving
+    // quality-filter: drops doc 2 (2 words, 0 stop hits) -> 5
+    // decontaminate: drops doc 5 -> 4
+    // split: row-preserving
+    assert(sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) === Seq(
+      ("exact-dedup", 7L, 6L),
+      ("pii-scrub", 6L, 6L),
+      ("quality-filter", 6L, 5L),
+      ("decontaminate", 5L, 4L),
+      ("split", 4L, 4L)))
+    assert(sheet.outputRows === 4L)
+
+    val out = spark.read.parquet(s"$dir/out/documents")
+    assert(out.count() === 4L)
+    assert(out.columns.contains("split") && out.columns.contains("text"))
+    val ids = out.select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(0L, 3L, 4L, 6L))
+    // PII was redacted in place, text column name preserved
+    val d3 = out.filter($"doc_id" === 3L).select("text").as[String].head()
+    assert(d3.contains("<EMAIL>") && !d3.contains("a.b@x.co"))
+    // partitioned layout on disk
+    val parts = new java.io.File(s"$dir/out/documents").listFiles()
+      .filter(_.getName.startsWith("split=")).map(_.getName).sorted
+    assert(parts.nonEmpty)
+    // datasheet written and well-formed
+    val js = new String(Files.readAllBytes(dir.resolve("out/datasheet.json")), "UTF-8")
+    assert(js.contains("\"output_rows\":4"))
+  }
+
+  test("CorpusJob: unknown step op rejected before any work") {
+    val dir = Files.createTempDirectory("corpusjob-bad")
+    writeDocs(dir)
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: make-it-better
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      CorpusJob.run(spark, s"$dir/job.yaml")
+    }
+    assert(e.getMessage.contains("make-it-better"))
+  }
+
+  test("CorpusJob: neardup step keeps cluster canonicals") {
+    val dir = Files.createTempDirectory("corpusjob-neardup")
+    // 0 and 1 near-identical (one word differs), 2 unrelated
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (2L, "one two three four five six seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: neardup
+         |    min-jaccard: 0.5
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps === Seq(CorpusJob.StepCount("neardup", 3L, 2L)))
+    val ids = spark.read.parquet(s"$dir/out/documents")
+      .select("doc_id").as[Long].collect().sorted
+    assert(ids === Array(0L, 2L))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Pii, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
 
 /** Round-8 text-pipeline additions: PII scrub, duplicated-span stats,
   * tf-idf top-k, domain-mixture resampling. */
@@ -205,6 +205,76 @@ class TextPipelineSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] {
       Sampling.mixtureResample(d, "doc_id", "source", Seq.empty, 1000)
+    }
+  }
+
+  test("gopherRules: signals, per-rule flags, conjunction") {
+    val d = docs(
+      1L -> "the big cat sat on a mat beside the dog today", // passes (with low bounds)
+      2L -> "short one",                                     // fails word count + stopwords
+      3L -> "# # # the list a item # # # # #",               // symbol-heavy → fails symbols
+      4L -> "1 2 3 4 5 6 7 8 9 10 11 12 13 the a")           // digit words → fails alpha frac
+    val got = TextAnalysis
+      .gopherRules(d, "doc_id", "text", Seq("the", "a"),
+        minWords = 5L, maxWords = 100L, minStopHits = 2L)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_words", $"n_symbols", $"n_stop_hits",
+        $"pass_words", $"pass_symbols", $"pass_alpha", $"pass_stop", $"pass")
+      .as[(Long, Long, Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect()
+    assert(got === Seq(
+      (1L, 11L, 0L, 3L, true, true, true, true, true),
+      (2L, 2L, 0L, 0L, false, true, true, false, false),
+      (3L, 12L, 8L, 2L, true, false, false, true, false),
+      (4L, 15L, 0L, 2L, true, true, false, true, false)))
+  }
+
+  test("gopherRules: ellipsis and unicode-ellipsis symbol counting") {
+    val d = docs(1L -> "wait... more… and #tag ....")
+    // '...': "..." counts 1, "...." counts 1 (4 dots → one non-overlapping '...'); '…' 1; '#' 1
+    val got = TextAnalysis.gopherRules(d, "doc_id", "text", Seq("the"))
+      .select($"n_symbols").as[Long].head()
+    assert(got === 4L)
+  }
+
+  test("incrementalByHash: exact flags, bloom only prunes") {
+    val corpus = docs(
+      10L -> "alpha beta gamma",
+      11L -> "delta epsilon zeta",
+      12L -> "eta theta iota")
+      .select(Dedup.normalizedTextHash($"text").as("h"))
+    val incoming = docs(
+      20L -> "alpha beta gamma",    // exact dup
+      21L -> "ALPHA  beta   Gamma", // dup after normalization
+      22L -> "totally new text",
+      23L -> "delta epsilon zeta") // exact dup of corpus doc 11
+    val got = Dedup
+      .incrementalByHash(incoming, corpus, "h",
+        Dedup.normalizedTextHash(col("text")), expectedCorpusItems = 100L)
+      .select($"doc_id", $"is_dup").orderBy($"doc_id")
+      .as[(Long, Boolean)].collect()
+    assert(got === Seq((20L, true), (21L, true), (22L, false), (23L, true)))
+  }
+
+  test("incrementalByHash: tiny bloom (high collision pressure) stays exact") {
+    // expectedItems far below reality forces bloom false positives; the
+    // verify join must keep the output exact anyway
+    val corpus = docs((1L to 200L).map(i => i -> s"corpus doc number $i"): _*)
+      .select(Dedup.normalizedTextHash($"text").as("h"))
+    val incoming = docs((150L to 250L).map(i => i -> s"corpus doc number $i"): _*)
+    val got = Dedup
+      .incrementalByHash(incoming, corpus, "h",
+        Dedup.normalizedTextHash(col("text")), expectedCorpusItems = 5L, fpp = 0.5)
+      .filter($"is_dup").select($"doc_id").as[Long].collect().sorted
+    assert(got === (150L to 200L).toArray)
+  }
+
+  test("incrementalByHash: refuses to clobber an existing is_dup column") {
+    val corpus = docs(1L -> "x").select(Dedup.normalizedTextHash($"text").as("h"))
+    val d = docs(2L -> "y").withColumn("is_dup", lit(false))
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalByHash(d, corpus, "h",
+        Dedup.normalizedTextHash(col("text")), 10L)
     }
   }
 }
