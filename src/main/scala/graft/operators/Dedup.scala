@@ -271,7 +271,15 @@ object Dedup {
     * `corpusHashes` must be the single-column hash index (`hashCol`);
     * `contentHash` computes the same hash on `incoming` (use
     * [[normalizedTextHash]] on both sides). Returns all incoming rows with
-    * an `is_dup` flag. */
+    * an `is_dup` flag.
+    *
+    * `incoming` may be a STREAMING frame: every piece is streaming-native
+    * (narrow filters, a stream-static left join, a union), so the same
+    * operator is the ingest-queue dedup gate with no separate
+    * implementation — the bloom and the index snapshot are fixed at query
+    * start (restart the stream to pick up a grown corpus), and the bloom
+    * prefilter is what keeps each micro-batch from paying a corpus-scale
+    * join probe per trigger (pinned by StreamingIncrementalDedupSpec). */
   def incrementalByHash(
       incoming: DataFrame,
       corpusHashes: DataFrame,

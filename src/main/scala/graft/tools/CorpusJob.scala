@@ -35,8 +35,14 @@ import graft.operators.{Dedup, MinHashLSH, Pii, Sampling, SetSimilarity, TextAna
   *   - op: decontaminate                  # drop docs overlapping a benchmark
   *     benchmark: /path/bench.parquet     # same id/text column names
   *     min-overlap: 5
+  *   - op: mixture                        # per-group keep rates
+  *     group-column: source               # rates out of `denominator`
+  *     denominator: 1000
+  *     rates: {src0: 500, src1: 1000}     # unlisted groups drop to 0
   *   - op: split                          # deterministic hash split
   *     weights: {train: 90, val: 5, test: 5}
+  *   - op: shuffle                        # deterministic global permutation
+  *     seed: 42                           # adds shuffle_key/shuffle_rank
   * output:
   *   local: /path/out                     # required
   * }}}
@@ -118,7 +124,7 @@ object CorpusJob {
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
     val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
-      "neardup", "decontaminate", "split")
+      "neardup", "decontaminate", "mixture", "split", "shuffle")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -181,11 +187,20 @@ object CorpusJob {
               minOverlap = lng("min-overlap", 5L).toInt)
             .select(col("left_id").as(idCol)).distinct()
           df.join(contaminated, Seq(idCol), "left_anti")
+        case "mixture" =>
+          val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
+          val denom    = lng("denominator", 1000L).toInt
+          val r        = req(s, "rates")
+          import scala.jdk.CollectionConverters._
+          val rates = r.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
+          Sampling.mixtureResample(df, idCol, groupCol, rates, denom)
         case "split" =>
           val w = req(s, "weights")
           import scala.jdk.CollectionConverters._
           val weights = w.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
           Sampling.hashSplit(df, idCol, weights)
+        case "shuffle" =>
+          Sampling.shuffleRank(df, idCol, lng("seed", 0L))
       }
     }
 

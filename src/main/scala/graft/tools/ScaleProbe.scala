@@ -136,6 +136,13 @@ object ScaleProbe {
       // the gram/tf family runs persist-once here (the cluster
       // configuration); their internal cache entries are flushed by the
       // cleanup hook below, OUTSIDE the timed window
+      "gopher_rules"   -> (() => noopWrite(TextAnalysis.gopherRules(docs, "doc_id", "text", stopwords))),
+      "incremental_dedup" -> (() => noopWrite(Dedup.incrementalByHash(
+        incoming     = docs.filter(pmod(col("doc_id"), lit(4)) === 0),
+        corpusHashes = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+          .select(Dedup.normalizedTextHash(col("text")).as("h")),
+        hashCol = "h", contentHash = Dedup.normalizedTextHash(col("text")),
+        expectedCorpusItems = 10000000L))),
       "dup_span_stats" -> (() => noopWrite(TextAnalysis.dupSpanStats(docs, "doc_id", "text",
         persist = Some(StorageLevel.MEMORY_AND_DISK)))),
       "dedup_spans"    -> (() => noopWrite(TextAnalysis.dedupSpans(docs, "doc_id", "text",

@@ -100,6 +100,34 @@ class CorpusJobSpec extends SparkSpec {
     assert(e.getMessage.contains("make-it-better"))
   }
 
+  test("CorpusJob: mixture and shuffle steps") {
+    val dir = Files.createTempDirectory("corpusjob-mix")
+    (0L until 40L).map(i => (i, s"doc number $i body", if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: mixture
+         |    group-column: source
+         |    denominator: 100
+         |    rates: {keep: 100, drop: 0}
+         |  - op: shuffle
+         |    seed: 7
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps.map(s => (s.op, s.rowsOut)) === Seq(("mixture", 20L), ("shuffle", 20L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+    assert(out.filter($"source" === "drop").count() === 0L)
+    // shuffle_rank is a dense 0-based permutation
+    val ranks = out.select("shuffle_rank").as[Long].collect().sorted
+    assert(ranks === (0L until 20L).toArray)
+  }
+
   test("CorpusJob: neardup step keeps cluster canonicals") {
     val dir = Files.createTempDirectory("corpusjob-neardup")
     // 0 and 1 near-identical (one word differs), 2 unrelated
