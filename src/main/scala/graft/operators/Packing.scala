@@ -26,9 +26,19 @@ object Packing {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
     require(!df.columns.contains("_pid"), "input already has a '_pid' column")
+    // the range partitioning MUST be materialized exactly once:
+    // RangePartitioner's boundary sampling is seeded by the RDD id, so the
+    // local-sums job and the totals job would otherwise re-evaluate
+    // repartitionByRange with DIFFERENT boundaries — _pid then names
+    // different row sets in the two jobs, the _pid join drops rows and
+    // ranks collide (caught by the 200k corpusjob probe: 119900 → 26437
+    // rows out of shuffleRank; invisible at oracle scale, where boundary
+    // samples cover the whole input). localCheckpoint pins the computed
+    // partitions so both consumers read one materialization.
     val parts = df
       .repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
     // per-partition running (exclusive) sums: the window key is the
     // partition id, so parallelism stays width-of-cluster
     val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))

@@ -304,6 +304,59 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "corpusjob") {
+      // end-to-end ingest-tier probe: the full CorpusJob chain (exact-dedup
+      // → pii-scrub → quality-filter → neardup clustering → decontaminate
+      // → mixture → split → shuffle) over the synthetic corpus, through the
+      // same YAML front door a user drives. quality thresholds are set
+      // permissive (the synthetic corpus has no stopwords/PII) so every
+      // stage computes its full signal without degenerating to zero rows;
+      // the benchmark side is a 1/1000 slice of the corpus re-keyed, so
+      // decontamination finds real overlap.
+      val dir  = java.nio.file.Files.createTempDirectory("corpusjobprobe")
+      val docs = corpus(spark, n.toLong)
+        .withColumn("source", concat(lit("s"), pmod(col("doc_id"), lit(16))))
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs
+        .filter(pmod(col("doc_id"), lit(1000)) === 7)
+        .select((col("doc_id") + lit(100000000L)).as("doc_id"), col("text"))
+        .write.mode("overwrite").parquet(s"$dir/bench.parquet")
+      val rates = ((0 until 8).map(i => s"s$i: 2") ++ (8 until 12).map(i => s"s$i: 1"))
+        .mkString("{", ", ", "}")
+      val cfg =
+        s"""input:
+           |  documents: $dir/documents.parquet
+           |steps:
+           |  - op: exact-dedup
+           |  - op: pii-scrub
+           |  - op: quality-filter
+           |    min-words: 10
+           |    min-stop-hits: 0
+           |  - op: neardup
+           |    min-jaccard: 0.5
+           |  - op: decontaminate
+           |    benchmark: $dir/bench.parquet
+           |    min-overlap: 5
+           |  - op: mixture
+           |    group-column: source
+           |    denominator: 2
+           |    rates: $rates
+           |  - op: split
+           |    weights: {train: 8, val: 1, test: 1}
+           |  - op: shuffle
+           |    seed: 7
+           |output:
+           |  local: $dir/out
+           |""".stripMargin
+      java.nio.file.Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+      val t0    = System.nanoTime()
+      val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+      val sec   = BigDecimal((System.nanoTime() - t0) / 1e9)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(s"""{"probe":"corpus_job","docs":$n,"wall_sec":$sec,"datasheet":${sheet.json}}""")
+      spark.stop()
+      return
+    }
     if (variant == "h5granule") {
       // front-door probe: encode an n-sounding netCDF-4/HDF5 granule
       // (chunked+deflate, the real L2 Lite storage profile), ingest it
