@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.operators.{Dedup, MinHashLSH, Pii, Sampling, SetSimilarity, TextAnalysis}
+import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity, TextAnalysis}
 
 /** Config-driven corpus-preparation run — the training-data twin of
   * [[RunJob]] (which drives the reference's domain pipelines,
@@ -39,10 +39,15 @@ import graft.operators.{Dedup, MinHashLSH, Pii, Sampling, SetSimilarity, TextAna
   *     group-column: source               # rates out of `denominator`
   *     denominator: 1000
   *     rates: {src0: 500, src1: 1000}     # unlisted groups drop to 0
+  *   - op: stratified                     # deterministic k-per-group sample
+  *     group-column: source
+  *     k: 1000
   *   - op: split                          # deterministic hash split
   *     weights: {train: 90, val: 5, test: 5}
   *   - op: shuffle                        # deterministic global permutation
   *     seed: 42                           # adds shuffle_key/shuffle_rank
+  *   - op: pack                           # sequence-packing offsets
+  *     seq-len: 2048                      # adds n_tokens/offset/first_seq/...
   * output:
   *   local: /path/out                     # required
   * }}}
@@ -124,7 +129,7 @@ object CorpusJob {
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
     val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
-      "neardup", "decontaminate", "mixture", "split", "shuffle")
+      "neardup", "decontaminate", "mixture", "stratified", "split", "shuffle", "pack")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -199,8 +204,18 @@ object CorpusJob {
           import scala.jdk.CollectionConverters._
           val weights = w.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
           Sampling.hashSplit(df, idCol, weights)
+        case "stratified" =>
+          val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
+          Sampling.stratifiedSample(df, idCol, Seq(groupCol), lng("k", 1000L).toInt)
         case "shuffle" =>
           Sampling.shuffleRank(df, idCol, lng("seed", 0L))
+        case "pack" =>
+          // packOffsets projects to the offset table; re-attach doc columns
+          val packCols = Seq("n_tokens", "offset", "first_seq", "last_seq", "offset_in_seq")
+          require(!df.columns.exists(packCols.contains),
+            s"pack step would clobber existing ${packCols.mkString("/")} columns")
+          df.join(Packing.packOffsets(df, idCol, textCol, lng("seq-len", 2048L).toInt),
+            Seq(idCol))
       }
     }
 

@@ -304,6 +304,55 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "skewtext") {
+      // hot-gram regime: a boilerplate sentence prefixes HALF the corpus,
+      // so its word 3-grams have df = n/2. This is the case the gram/tf
+      // family's aggregate+join df form exists for — the count-over-
+      // gram-partition window form lands every occurrence of a hot gram
+      // on ONE task. Both forms are timed on the same corpus; the window
+      // form is inlined here (it is no longer in the library) purely as
+      // the straggler baseline.
+      import graft.operators.TextAnalysis
+      import org.apache.spark.sql.expressions.Window
+      val docs = corpus(spark, n.toLong)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(2)) === 0,
+            concat(lit("the quick brown fox jumps over the lazy dog "), col("text")))
+            .otherwise(col("text")))
+        .persist()
+      docs.count()
+      def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def windowForm(): org.apache.spark.sql.DataFrame = {
+        val grams = docs.select(
+          col("doc_id"),
+          explode(graft.functions.WordGrams(col("text"), 3, distinct = false)).as("gram"))
+        val perDoc = grams.groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("occ"))
+        perDoc
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("gram"))))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(col("occ")).as("n_grams"),
+            sum(when(col("df") >= 2, col("occ")).otherwise(0L)).as("n_dup_grams"))
+      }
+      def time(f: () => Unit): Double = {
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+      // warm-up then timed, same protocol as textProbe
+      Seq(1, 2).map { _ =>
+        val joinSec = time(() => noopWrite(
+          TextAnalysis.dupSpanStats(docs, "doc_id", "text")))
+        val winSec = time(() => noopWrite(windowForm()))
+        (joinSec, winSec)
+      }.lastOption.foreach { case (joinSec, winSec) =>
+        def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+        println(s"""{"probe":"skew_gram","docs":$n,"hot_df":${n / 2},""" +
+          s""""agg_join_sec":${r(joinSec)},"window_sec":${r(winSec)}}""")
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
     if (variant == "corpusjob") {
       // end-to-end ingest-tier probe: the full CorpusJob chain (exact-dedup
       // → pii-scrub → quality-filter → neardup clustering → decontaminate

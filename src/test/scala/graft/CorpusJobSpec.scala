@@ -113,19 +113,29 @@ class CorpusJobSpec extends SparkSpec {
          |    group-column: source
          |    denominator: 100
          |    rates: {keep: 100, drop: 0}
+         |  - op: stratified
+         |    group-column: source
+         |    k: 5
          |  - op: shuffle
          |    seed: 7
+         |  - op: pack
+         |    seq-len: 4
          |output:
          |  local: $dir/out
          |""".stripMargin
     Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
     val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
-    assert(sheet.steps.map(s => (s.op, s.rowsOut)) === Seq(("mixture", 20L), ("shuffle", 20L)))
+    assert(sheet.steps.map(s => (s.op, s.rowsOut)) ===
+      Seq(("mixture", 20L), ("stratified", 5L), ("shuffle", 5L), ("pack", 5L)))
     val out = spark.read.parquet(s"$dir/out/documents")
     assert(out.filter($"source" === "drop").count() === 0L)
     // shuffle_rank is a dense 0-based permutation
     val ranks = out.select("shuffle_rank").as[Long].collect().sorted
-    assert(ranks === (0L until 20L).toArray)
+    assert(ranks === (0L until 5L).toArray)
+    // pack offsets tile the 4-word docs exactly one sequence apart
+    val offs = out.select("offset").as[Long].collect().sorted
+    assert(offs === Array(0L, 4L, 8L, 12L, 16L))
+    assert(out.filter($"first_seq" =!= $"last_seq").count() === 0L)
   }
 
   test("CorpusJob: neardup step keeps cluster canonicals") {
