@@ -123,6 +123,96 @@ object TextAnalysis {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** [[gopherRules]] as a PURE PER-ROW PROJECTION — zero shuffle, zero
+    * aggregation, so it runs unchanged inside a streaming ingest gate
+    * (per-doc explode+groupBy is a streaming aggregation and would demand
+    * watermarks for a value that never needed state). Identical output to
+    * [[gopherRules]] row for row (pinned in TextPipelineSpec):
+    *
+    *  - `n_words` = size of the split array;
+    *  - `sum_len` uses the separator identity `length(text) =
+    *    Σ len(word) + (n_words − 1)` — exact for any single-char
+    *    separator, including empty tokens from doubled spaces;
+    *  - alpha / stopword counts are `regexp_count` over word boundaries
+    *    (codegen'd; lookahead keeps adjacent stopwords from consuming
+    *    each other's separator) — NOT higher-order array lambdas, which
+    *    evaluate interpreted per element (the q61 lesson).
+    *
+    * Use this in streams and per-row gates; the aggregate form remains
+    * the oracle-gated batch surface. */
+  private final case class GopherSignals(
+      nWords: Column, sumLen: Column, nAlpha: Column, nStop: Column, nSym: Column)
+
+  private def gopherSignals(t: Column, stopwords: Seq[String]): GopherSignals = {
+    require(stopwords.nonEmpty && stopwords.forall(_.matches("[A-Za-z0-9]+")),
+      "stopwords must be plain alphanumeric words (they are spliced into a regex)")
+    val nWords = size(split(t, " ")).cast("long")
+    val nHash  = length(t) - length(translate(t, "#", ""))
+    val nDots  = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    val nElli  = length(t) - length(translate(t, "…", ""))
+    GopherSignals(
+      nWords = nWords,
+      sumLen = (length(t) - (nWords - lit(1L))).cast("long"),
+      nAlpha = regexp_count(t, lit("(?:^| )[^ ]*[A-Za-z]")).cast("long"),
+      nStop  = regexp_count(
+        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |$$)")).cast("long"),
+      nSym   = (nHash + nDots + nElli).cast("long"))
+  }
+
+  /** The [[gopherRules]] conjunction as a pure per-row predicate `Column` —
+    * usable directly in a `filter`, including on streaming frames (where a
+    * computed-flags semi-join back to the stream would be an illegal
+    * stream-stream join). Same rules, same cross-multiplied comparisons. */
+  def gopherPass(
+      text: Column,
+      stopwords: Seq[String],
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L): Column = {
+    val s = gopherSignals(text, stopwords)
+    (s.nWords >= minWords && s.nWords <= maxWords) &&
+      (s.sumLen.cast("double") >= lit(minMeanLen) * s.nWords &&
+        s.sumLen.cast("double") <= lit(maxMeanLen) * s.nWords) &&
+      (s.nSym.cast("double") <= lit(maxSymbolRatio) * s.nWords) &&
+      (s.nAlpha.cast("double") >= lit(minAlphaFrac) * s.nWords) &&
+      (s.nStop >= minStopHits)
+  }
+
+  def gopherRulesProjection(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[String],
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L): DataFrame = {
+    val s = gopherSignals(col(textCol), stopwords)
+    df.select(
+        col(idCol),
+        s.nWords.as("n_words"),
+        (s.sumLen.cast("double") / s.nWords).as("mean_word_len"),
+        (s.nAlpha.cast("double") / s.nWords).as("alpha_frac"),
+        s.nSym.as("n_symbols"),
+        s.nStop.as("n_stop_hits"),
+        (s.nWords >= minWords && s.nWords <= maxWords).as("pass_words"),
+        (s.sumLen.cast("double") >= lit(minMeanLen) * s.nWords &&
+          s.sumLen.cast("double") <= lit(maxMeanLen) * s.nWords).as("pass_mean_len"),
+        (s.nSym.cast("double") <= lit(maxSymbolRatio) * s.nWords).as("pass_symbols"),
+        (s.nAlpha.cast("double") >= lit(minAlphaFrac) * s.nWords).as("pass_alpha"),
+        (s.nStop >= minStopHits).as("pass_stop"))
+      .withColumn("pass",
+        col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
+          col("pass_alpha") && col("pass_stop"))
+  }
+
   /** Heuristic language ID: per-language stopword hit count, argmax with
     * deterministic (score desc, lang asc) tie-break; no hits → 'und'. */
   def languageId(

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
+
+/** Streaming corpus-ingest gate — the CorpusJob front stages composed for
+  * the queue path (the reference's streaming mode, `main.py` queue loop,
+  * applied to the training-data tier). Every stage is a per-row
+  * projection/filter or a stream-static join, so the gate is
+  * streaming-safe BY CONSTRUCTION: no state store, no watermark, and
+  * results identical to running the batch operators on the same rows
+  * (pinned in CorpusIngestSpec).
+  *
+  * Stage order mirrors CorpusJob: PII scrub (text redacted in place,
+  * counts kept) → Gopher quality gate (per-row predicate form; failing
+  * rows drop) → domain-mixture resample (deterministic hash rates) →
+  * incremental dedup against a standing corpus hash index (bloom
+  * prefilter + stream-static join). Dups are FLAGGED (`is_dup`), not
+  * dropped — disposition belongs to the sink, mirroring the file-queue
+  * reject/ack taxonomy. The bloom and the index snapshot fix at stream
+  * start; restart the query to pick up a grown corpus.
+  */
+object CorpusIngest {
+
+  /** Quality-gate thresholds ([[TextAnalysis.gopherPass]] defaults). */
+  final case class Quality(
+      stopwords: Seq[String],
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0,
+      maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      minAlphaFrac: Double = 0.8,
+      minStopHits: Long = 2L) {
+    def predicate(text: Column): Column =
+      TextAnalysis.gopherPass(text, stopwords, minWords, maxWords, minMeanLen,
+        maxMeanLen, maxSymbolRatio, minAlphaFrac, minStopHits)
+  }
+
+  /** Standing-corpus index for the dedup flag: the single-column hash
+    * frame (`hashCol`) plus the bloom sizing contract. */
+  final case class CorpusIndex(
+      hashes: DataFrame,
+      hashCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01)
+
+  def gate(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      quality: Option[Quality] = None,
+      mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
+      corpus: Option[CorpusIndex] = None): DataFrame = {
+    val scrubbed = Pii.scrub(stream, textCol).withColumnRenamed("redacted", textCol)
+    val gated = quality match {
+      case Some(q) => scrubbed.filter(q.predicate(col(textCol)))
+      case None    => scrubbed
+    }
+    val mixed = mixture match {
+      case Some((groupCol, rates, denom)) =>
+        Sampling.mixtureResample(gated, idCol, groupCol, rates, denom)
+      case None => gated
+    }
+    corpus match {
+      case Some(ci) =>
+        Dedup.incrementalByHash(mixed, ci.hashes, ci.hashCol,
+          Dedup.normalizedTextHash(col(textCol)), ci.expectedItems, ci.fpp)
+      case None => mixed
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+import graft.streaming.CorpusIngest
+
+/** The streaming corpus-ingest gate and the per-row projection form of
+  * the Gopher rules that makes it stateless. */
+class CorpusIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val tricky = Seq(
+    1L -> "the big cat sat on a mat beside the dog today",
+    2L -> "a a the the and and of of to to",        // adjacent stopwords
+    3L -> "x9 9x abc 123 #tag wait... more… done",  // mixed alpha/symbols
+    4L -> "double  space and   runs the a end",     // empty tokens
+    5L -> "",                                       // empty text
+    6L -> "them theory andante tothe a")            // stopword prefixes, not words
+
+  test("gopherRulesProjection matches the aggregate form row for row") {
+    val d     = docs(tricky: _*)
+    val stops = Seq("the", "a", "and", "of", "to")
+    val agg = TextAnalysis.gopherRules(d, "doc_id", "text", stops, minWords = 3L)
+      .orderBy($"doc_id").collect()
+    val proj = TextAnalysis.gopherRulesProjection(d, "doc_id", "text", stops, minWords = 3L)
+      .orderBy($"doc_id").collect()
+    assert(proj.map(_.toSeq) === agg.map(_.toSeq))
+  }
+
+  test("gopherPass equals the projection's pass column") {
+    val d     = docs(tricky: _*)
+    val stops = Seq("the", "a")
+    val viaPredicate = d
+      .filter(TextAnalysis.gopherPass($"text", stops, minWords = 3L))
+      .select($"doc_id").as[Long].collect().sorted
+    val viaProjection = TextAnalysis
+      .gopherRulesProjection(d, "doc_id", "text", stops, minWords = 3L)
+      .filter($"pass").select($"doc_id").as[Long].collect().sorted
+    assert(viaPredicate === viaProjection)
+  }
+
+  test("streaming gate matches the same gate run in batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val corpusDocs = docs(100L -> "the quick brown fox jumps over a lazy dog here")
+    val index = CorpusIngest.CorpusIndex(
+      corpusDocs.select(graft.operators.Dedup.normalizedTextHash($"text").as("h")),
+      "h", expectedItems = 100L)
+    val quality = Some(CorpusIngest.Quality(Seq("the", "a", "and"), minWords = 5L))
+    val mixture = Some(("src", Seq("keep" -> 100, "half" -> 50), 100))
+
+    val rows = Seq(
+      // passes quality, new content, src keep
+      (1L, "the quick red fox walks under a tall tree today", "keep"),
+      // dup of the corpus doc (normalized), src keep
+      (2L, "the  quick brown FOX jumps over a lazy dog here", "keep"),
+      // fails quality (short)
+      (3L, "tiny a the", "keep"),
+      // PII scrubbed then passes; src half decides deterministically
+      (4L, "mail a.b@x.co about the backup and a restore plan now", "half"),
+      (5L, "call the office and a friend about options today maybe", "half"))
+
+    def runBatch = CorpusIngest.gate(
+      rows.toDF("doc_id", "text", "src"), "doc_id", "text",
+      quality, mixture, Some(index))
+      .select($"doc_id", $"is_dup", $"text")
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+
+    val ms = MemoryStream[(Long, String, String)]
+    val out = CorpusIngest.gate(
+      ms.toDF().toDF("doc_id", "text", "src"), "doc_id", "text",
+      quality, mixture, Some(index))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_gate").start()
+    try {
+      ms.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      ms.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_gate")
+        .select($"doc_id", $"is_dup", $"text")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
+      val batch = runBatch
+      assert(streamed === batch)
+      // the gate did real work: doc 2 flagged dup, doc 3 dropped, doc 4 scrubbed
+      val byId = streamed.map(t => t._1 -> t).toMap
+      assert(byId(2L)._2 === true)
+      assert(!byId.contains(3L))
+      byId.get(4L).foreach(t => assert(t._3.contains("<EMAIL>")))
+      assert(byId(1L)._2 === false)
+    } finally q.stop()
+  }
+}
