@@ -21,7 +21,16 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Exclusive prefix sum of `valueCol` over the TOTAL order `orderCol`
-    * (must be unique — document ids). Adds `outCol`. */
+    * (must be unique — document ids). Adds `outCol`.
+    *
+    * Storage lifecycle: the range-partitioned input is localCheckpoint-ed
+    * (both phases MUST read one materialization — see the inline comment)
+    * and those blocks stay in executor storage until the returned frame is
+    * garbage-collected (ContextCleaner reclaims them); same contract as
+    * [[Dedup.connectedComponents]]'s returned labels. One checkpoint per
+    * call, sized by the frame handed in — [[packOffsets]] passes only
+    * (id, n_tokens); [[Sampling.shuffleRank]] passes the full rows, which
+    * is the price of ranking them. */
   def prefixSum(df: DataFrame, orderCol: String, valueCol: String, outCol: String = "offset"): DataFrame = {
     val spark = df.sparkSession
     import org.apache.spark.sql.expressions.Window
