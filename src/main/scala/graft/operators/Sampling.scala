@@ -102,6 +102,45 @@ object Sampling {
     df.filter(hashBucket(col(idCol), denom) < rate)
   }
 
+  /** Derive [[mixtureResample]] rates from per-group TOKEN budgets — the
+    * form training-mix recipes are actually written in ("30B web tokens,
+    * 5B code tokens"), whereas keep rates are per-document. Computes each
+    * group's token total (one map-side-combined aggregate; result bounded
+    * by the number of groups, which is what makes the driver collect
+    * legal), then rate = budget/total quantized UP to `denom`ths and
+    * clamped — a group whose budget exceeds its supply keeps everything;
+    * rounding up errs toward over-delivering tokens, never starving a
+    * budget by quantization. Deterministic given the corpus; the returned
+    * rates feed mixtureResample and inherit its nested-sample property.
+    * The realized token count per group is rate-proportional in
+    * expectation with md5-uniform deviation (documents are kept whole —
+    * exact-to-the-token budgets require packing, [[graft.operators
+    * .Packing]], downstream). */
+  def ratesForTokenBudget(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      budgets: Seq[(String, Long)],
+      denom: Int = 10000): Seq[(String, Int)] = {
+    require(denom >= 1 && budgets.forall(_._2 >= 0L), "budgets must be non-negative")
+    val totals = df
+      .filter(col(groupCol).isin(budgets.map(_._1): _*))
+      .groupBy(col(groupCol))
+      .agg(sum(size(split(col(textCol), " ")).cast("long")).as("_toks"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.map { case (g, budget) =>
+      val total = totals.getOrElse(g, 0L)
+      val rate =
+        if (total == 0L || budget >= total) denom
+        else {
+          // ceil(budget * denom / total) without overflow for 100T-token groups
+          val r = (BigInt(budget) * denom + total - 1) / total
+          r.toInt.max(if (budget > 0) 1 else 0)
+        }
+      g -> rate.min(denom)
+    }
+  }
+
   /** Deterministic stratified sample: the `k` rows per group whose id
     * md5 sorts lowest (ties impossible — md5 of distinct ids), i.e. "k
     * documents per language/source", reproducibly. One shuffle on the

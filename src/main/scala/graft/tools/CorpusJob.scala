@@ -39,6 +39,8 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *     group-column: source               # rates out of `denominator`
   *     denominator: 1000
   *     rates: {src0: 500, src1: 1000}     # unlisted groups drop to 0
+  *     # OR, instead of rates — the recipe form training mixes use:
+  *     # token-budgets: {src0: 30000000}  # rates derived from group totals
   *   - op: stratified                     # deterministic k-per-group sample
   *     group-column: source
   *     k: 1000
@@ -195,9 +197,16 @@ object CorpusJob {
         case "mixture" =>
           val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
           val denom    = lng("denominator", 1000L).toInt
-          val r        = req(s, "rates")
           import scala.jdk.CollectionConverters._
-          val rates = r.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
+          val rates = Option(s.get("rates")) match {
+            case Some(r) =>
+              r.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asInt))
+            case None => // recipe written in token budgets, rates derived
+              val b = req(s, "token-budgets")
+              Sampling.ratesForTokenBudget(df, groupCol, textCol,
+                b.properties().asScala.toSeq.map(e => (e.getKey, e.getValue.asLong)),
+                denom)
+          }
           Sampling.mixtureResample(df, idCol, groupCol, rates, denom)
         case "split" =>
           val w = req(s, "weights")

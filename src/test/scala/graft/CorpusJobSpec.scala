@@ -138,6 +138,32 @@ class CorpusJobSpec extends SparkSpec {
     assert(out.filter($"first_seq" =!= $"last_seq").count() === 0L)
   }
 
+  test("CorpusJob: mixture step accepts token budgets in place of rates") {
+    val dir = Files.createTempDirectory("corpusjob-budget")
+    // 20 docs x 5 tokens per group: group a supplies 100 tokens, b 100
+    (0L until 40L).map(i => (i, "w1 w2 w3 w4 w5", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: mixture
+         |    group-column: source
+         |    denominator: 100
+         |    token-budgets: {a: 1000, b: 0}
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    // a over-budgeted -> keeps all 20; b zero-budget -> drops all
+    assert(sheet.steps === Seq(CorpusJob.StepCount("mixture", 40L, 20L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+    assert(out.filter($"source" === "b").count() === 0L)
+    assert(out.filter($"source" === "a").count() === 20L)
+  }
+
   test("CorpusJob: neardup step keeps cluster canonicals") {
     val dir = Files.createTempDirectory("corpusjob-neardup")
     // 0 and 1 near-identical (one word differs), 2 unrelated

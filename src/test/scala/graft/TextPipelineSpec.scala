@@ -269,6 +269,32 @@ class TextPipelineSpec extends SparkSpec {
     assert(got === (150L to 200L).toArray)
   }
 
+  test("ratesForTokenBudget: budgets quantize up, clamp, and feed the resampler") {
+    // 3 groups × 100 docs × 10 tokens = 1000 tokens per group
+    val d = (0L until 300L).map { i =>
+      (i, (1 to 10).map(k => s"t$k").mkString(" "), s"g${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val rates = Sampling.ratesForTokenBudget(
+      d, "source", "text",
+      budgets = Seq("g0" -> 250L, "g1" -> 5000L, "g2" -> 1L), denom = 100)
+    //  g0: 250/1000 → 25/100; g1 over-supply → full; g2 → ceil(0.1)=1 (never 0)
+    assert(rates === Seq("g0" -> 25, "g1" -> 100, "g2" -> 1))
+    val kept = Sampling.mixtureResample(d, "doc_id", "source", rates, 100)
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(kept("g1") === 100L)               // full group survives
+    assert(kept.getOrElse("g2", 0L) <= 5L)    // ~1% of 100 docs
+    // md5-uniform: g0 lands near 25 docs (250 tokens) — wide tolerance,
+    // deterministic (same hash every run)
+    assert(kept("g0") >= 10L && kept("g0") <= 40L)
+  }
+
+  test("ratesForTokenBudget: zero budget keeps nothing, absent group gets full rate") {
+    val d = Seq((1L, "a b c", "x"), (2L, "d e f", "x")).toDF("doc_id", "text", "source")
+    val rates = Sampling.ratesForTokenBudget(
+      d, "source", "text", budgets = Seq("x" -> 0L, "ghost" -> 10L), denom = 100)
+    assert(rates === Seq("x" -> 0, "ghost" -> 100))
+  }
+
   test("incrementalByHash: refuses to clobber an existing is_dup column") {
     val corpus = docs(1L -> "x").select(Dedup.normalizedTextHash($"text").as("h"))
     val d = docs(2L -> "y").withColumn("is_dup", lit(false))
