@@ -41,6 +41,29 @@ class CorpusIngestSpec extends SparkSpec {
     assert(viaPredicate === viaProjection)
   }
 
+  test("projection/aggregate parity holds over random symbol-heavy corpora") {
+    // seeded random trials over an alphabet chosen to stress every regex
+    // edge: stopwords, stopword prefixes/suffixes, digits, symbols,
+    // ellipses (both kinds), empty tokens (doubled separators), multibyte
+    val alphabet = Vector(
+      "the", "a", "and", "them", "athe", "a9", "9a", "x#y", "#", "##",
+      "...", "....", "…", "wait...", "more…", "", "λx", "Ab9", "b")
+    val stops = Seq("the", "a", "and")
+    for (trial <- 0 until 8) {
+      val rng = new scala.util.Random(7000 + trial)
+      val rows = (0L until 40L).map { i =>
+        val n = rng.nextInt(12) // 0 => empty text
+        (i, Seq.fill(n)(alphabet(rng.nextInt(alphabet.size))).mkString(" "))
+      }
+      val d = rows.toDF("doc_id", "text")
+      val agg = TextAnalysis.gopherRules(d, "doc_id", "text", stops, minWords = 2L)
+        .orderBy($"doc_id").collect().map(_.toSeq)
+      val proj = TextAnalysis.gopherRulesProjection(d, "doc_id", "text", stops, minWords = 2L)
+        .orderBy($"doc_id").collect().map(_.toSeq)
+      assert(proj === agg, s"trial $trial diverged")
+    }
+  }
+
   test("streaming gate matches the same gate run in batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
