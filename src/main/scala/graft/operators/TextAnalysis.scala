@@ -237,6 +237,65 @@ object TextAnalysis {
         coalesce(col("score"), lit(0L)).as("score"))
   }
 
+  /** [[languageId]] as a PURE PER-ROW PROJECTION for streaming gates —
+    * zero shuffle, zero state (the aggregate form's explode+groupBy is a
+    * streaming aggregation). Per-language stopword hits via one codegen'd
+    * `regexp_count` per language (lookahead word boundaries, the
+    * [[gopherRulesProjection]] pattern); argmax with the same
+    * deterministic (score desc, lang asc) tie-break, no hits → 'und'.
+    * Languages are a compile-time list here (a handful), where the
+    * aggregate form joins an arbitrary-size stopword TABLE — use that for
+    * hundreds of languages, this for the ingest gate. Row-for-row parity
+    * pinned in CorpusIngestSpec. */
+  private def languageBest(
+      t: Column,
+      stopwords: Seq[(String, Seq[String])]): (Column, Column) = {
+    require(stopwords.nonEmpty && stopwords.map(_._1).distinct.size == stopwords.size,
+      "need a non-empty (lang, words) list with distinct langs")
+    require(stopwords.forall { case (_, ws) =>
+        ws.nonEmpty && ws.distinct.size == ws.size &&
+          ws.forall(_.matches("[A-Za-z0-9]+"))
+      },
+      "each language needs distinct plain alphanumeric stopwords " +
+        "(they are spliced into a regex; duplicates would diverge from the " +
+        "aggregate form, which counts table rows)")
+    val scoreCols = stopwords.map { case (lang, words) =>
+      lang -> regexp_count(
+        t, lit(s"(?:^| )(?:${words.mkString("|")})(?= |$$)")).cast("long")
+    }
+    // argmax by (score desc, lang asc): fold langs in ascending order and
+    // replace only on STRICT improvement, so ties keep the earlier lang
+    val sorted = scoreCols.sortBy(_._1)
+    sorted.tail.foldLeft((lit(sorted.head._1), sorted.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+  }
+
+  def languageIdProjection(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      stopwords: Seq[(String, Seq[String])] // (lang, words), langs distinct
+  ): DataFrame = {
+    val (bestLang, bestScore) = languageBest(col(textCol), stopwords)
+    df.select(
+      col(idCol),
+      when(bestScore > 0L, bestLang).otherwise(lit("und")).as("pred_lang"),
+      when(bestScore > 0L, bestScore).otherwise(lit(0L)).as("score"))
+  }
+
+  /** Per-row language-keep predicate for streaming gates: true when the
+    * argmax language is in `keep` with at least one stopword hit. */
+  def languagePass(
+      text: Column,
+      stopwords: Seq[(String, Seq[String])],
+      keep: Seq[String]): Column = {
+    require(keep.nonEmpty, "keep needs at least one language")
+    val (bestLang, bestScore) = languageBest(text, stopwords)
+    bestScore > 0L && bestLang.isin(keep: _*)
+  }
+
   /** BPE-ish sub-word tokenization: the GPT-2-family pre-tokenizer regex
     * shape (optionally space-prefixed letter runs / digit runs / punct
     * runs, whitespace runs) WITHOUT lookahead, so the same pattern runs

@@ -15,9 +15,9 @@ import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
   *
   * Stage order mirrors CorpusJob: PII scrub (text redacted in place,
   * counts kept) → Gopher quality gate (per-row predicate form; failing
-  * rows drop) → domain-mixture resample (deterministic hash rates) →
-  * incremental dedup against a standing corpus hash index (bloom
-  * prefilter + stream-static join). Dups are FLAGGED (`is_dup`), not
+  * rows drop) → language gate (per-row stopword-argmax) → domain-mixture
+  * resample (deterministic hash rates) → incremental dedup against a
+  * standing corpus hash index (bloom prefilter + stream-static join). Dups are FLAGGED (`is_dup`), not
   * dropped — disposition belongs to the sink, mirroring the file-queue
   * reject/ack taxonomy. The bloom and the index snapshot fix at stream
   * start; restart the query to pick up a grown corpus.
@@ -47,17 +47,29 @@ object CorpusIngest {
       expectedItems: Long,
       fpp: Double = 0.01)
 
+  /** Language gate: keep rows whose stopword-argmax language is in
+    * `keep` ([[TextAnalysis.languagePass]], per-row regexp form). */
+  final case class Language(stopwords: Seq[(String, Seq[String])], keep: Seq[String]) {
+    def predicate(text: Column): Column =
+      TextAnalysis.languagePass(text, stopwords, keep)
+  }
+
   def gate(
       stream: DataFrame,
       idCol: String,
       textCol: String,
       quality: Option[Quality] = None,
+      language: Option[Language] = None,
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
       corpus: Option[CorpusIndex] = None): DataFrame = {
     val scrubbed = Pii.scrub(stream, textCol).withColumnRenamed("redacted", textCol)
-    val gated = quality match {
+    val qualGated = quality match {
       case Some(q) => scrubbed.filter(q.predicate(col(textCol)))
       case None    => scrubbed
+    }
+    val gated = language match {
+      case Some(l) => qualGated.filter(l.predicate(col(textCol)))
+      case None    => qualGated
     }
     val mixed = mixture match {
       case Some((groupCol, rates, denom)) =>

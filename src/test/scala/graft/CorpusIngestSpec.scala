@@ -64,6 +64,29 @@ class CorpusIngestSpec extends SparkSpec {
     }
   }
 
+  test("languageIdProjection matches the aggregate form, shared words and ties included") {
+    // the shared-word case matters: 'de' scores for BOTH fr and es in the
+    // table form, and must do the same in the regexp form
+    val table = Seq(
+      ("en", Seq("the", "and", "a")),
+      ("fr", Seq("le", "la", "de")),
+      ("es", Seq("el", "de", "un")))
+    val tableDf = table.flatMap { case (l, ws) => ws.map(l -> _) }.toDF("lang", "word")
+    val d = docs(
+      1L -> "the cat and a dog",
+      2L -> "le chat de la maison",
+      3L -> "el perro de un amigo",
+      4L -> "de de de",            // fr/es tie on shared word → lang asc → es
+      5L -> "nothing matches here",
+      6L -> "")
+    val agg = TextAnalysis.languageId(d, "doc_id", "text", tableDf)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    val proj = TextAnalysis.languageIdProjection(d, "doc_id", "text", table)
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    assert(proj === agg)
+    assert(proj.map(_.apply(1)) === Seq("en", "fr", "es", "es", "und", "und"))
+  }
+
   test("streaming gate matches the same gate run in batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -71,7 +94,10 @@ class CorpusIngestSpec extends SparkSpec {
     val index = CorpusIngest.CorpusIndex(
       corpusDocs.select(graft.operators.Dedup.normalizedTextHash($"text").as("h")),
       "h", expectedItems = 100L)
-    val quality = Some(CorpusIngest.Quality(Seq("the", "a", "and"), minWords = 5L))
+    val quality  = Some(CorpusIngest.Quality(Seq("the", "a", "and"), minWords = 5L))
+    val language = Some(CorpusIngest.Language(
+      Seq("en" -> Seq("the", "a", "and"), "fr" -> Seq("le", "la", "de", "et")),
+      keep = Seq("en")))
     val mixture = Some(("src", Seq("keep" -> 100, "half" -> 50), 100))
 
     val rows = Seq(
@@ -83,18 +109,22 @@ class CorpusIngestSpec extends SparkSpec {
       (3L, "tiny a the", "keep"),
       // PII scrubbed then passes; src half decides deterministically
       (4L, "mail a.b@x.co about the backup and a restore plan now", "half"),
-      (5L, "call the office and a friend about options today maybe", "half"))
+      (5L, "call the office and a friend about options today maybe", "half"),
+      // French: survives quality (stopword floor counts fr words? no — it
+      // fails the EN stopword floor... keep it stopword-rich in fr AND
+      // carrying two en stopwords so ONLY the language gate drops it
+      (6L, "le chat et la souris the a de la maison et le jardin", "keep"))
 
     def runBatch = CorpusIngest.gate(
       rows.toDF("doc_id", "text", "src"), "doc_id", "text",
-      quality, mixture, Some(index))
+      quality, language, mixture, Some(index))
       .select($"doc_id", $"is_dup", $"text")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
 
     val ms = MemoryStream[(Long, String, String)]
     val out = CorpusIngest.gate(
       ms.toDF().toDF("doc_id", "text", "src"), "doc_id", "text",
-      quality, mixture, Some(index))
+      quality, language, mixture, Some(index))
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("corpus_gate").start()
     try {
@@ -113,6 +143,7 @@ class CorpusIngestSpec extends SparkSpec {
       assert(!byId.contains(3L))
       byId.get(4L).foreach(t => assert(t._3.contains("<EMAIL>")))
       assert(byId(1L)._2 === false)
+      assert(!byId.contains(6L)) // French doc dropped by the language gate
     } finally q.stop()
   }
 }
