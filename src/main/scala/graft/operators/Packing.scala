@@ -65,6 +65,48 @@ object Packing {
       .drop("_pid", "_local", "_base")
   }
 
+  /** MATERIALIZE the packed training sequences: concatenate all documents'
+    * tokens in `idCol` order and emit one row per `seqLen`-token window
+    * (the last window may be short) — [[packOffsets]] computes where each
+    * document lands; this produces the sequences themselves, the final
+    * artifact a training loader reads. Output per sequence: `seq_idx`,
+    * `n_tokens`, `n_docs` (documents contributing), `seq_text`.
+    *
+    * Scale shape: one prefix sum over the doc table (see [[prefixSum]]),
+    * then tokens shuffle ONCE on their destination sequence index and each
+    * sequence assembles in a single aggregate — per-group work bounded by
+    * `seqLen`, so no hot key regardless of corpus size (every group is the
+    * same size by construction; this is the rare groupBy where skew is
+    * impossible). The in-group (pos, token) sort + join runs on a
+    * seqLen-bounded array — the same per-group reassembly contract as
+    * dedupSpans' per-doc rebuild. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
+    val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
+    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    toks
+      .join(off, idCol)
+      .select(
+        col(idCol),
+        ((col("_off") + col("_pos")) / seqLen).cast("long").as("seq_idx"),
+        (col("_off") + col("_pos")).as("_gpos"),
+        col("_tok"))
+      .groupBy(col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_gpos"), col("_tok")))),
+            s => s.getField("_tok")),
+          " ").as("seq_text"))
+  }
+
   /** Pack documents into `seqLen`-token training sequences in `orderCol`
     * order. Output per document: its token count, global token offset,
     * the first/last sequence index it lands in, and its offset within the

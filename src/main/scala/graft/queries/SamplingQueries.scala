@@ -214,6 +214,26 @@ object SamplingQueries {
       |  "offset" % 256 AS offset_in_seq
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Materialized sequence packing: q64's offsets turned into the actual
+    * `seqLen`-token training sequences (concatenated corpus cut into
+    * fixed windows, each assembled in one bounded-size aggregate). */
+  private val q75: Q = (s, dir) =>
+    graft.operators.Packing
+      .packSequences(Tables.documents(s, dir), "doc_id", "text", seqLen = 64)
+      .orderBy(col("seq_idx"))
+
+  private val q75Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, w[i] AS token
+      |        FROM w, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |g AS (SELECT doc_id, token,
+      |        ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+      |      FROM tok)
+      |SELECT gpos // 64 AS seq_idx, COUNT(*) AS n_tokens,
+      |  COUNT(DISTINCT doc_id) AS n_docs,
+      |  string_agg(token, ' ' ORDER BY gpos) AS seq_text
+      |FROM g GROUP BY gpos // 64 ORDER BY seq_idx""".stripMargin
+
   /** Deterministic seed-keyed corpus shuffle (the reproducible read order
     * of a training run): md5(seed|id) key + the distributed prefix-sum
     * rank; the oracle states the same rank with ROW_NUMBER. */
@@ -299,7 +319,8 @@ object SamplingQueries {
     "q56_decontaminate"     -> q56,
     "q60_contamination_flag" -> q60,
     "q64_sequence_pack"     -> q64,
-    "q65_shuffle_rank"      -> q65
+    "q65_shuffle_rank"      -> q65,
+    "q75_pack_sequences"    -> q75
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,6 +332,7 @@ object SamplingQueries {
     "q56_decontaminate"     -> q56Sql,
     "q60_contamination_flag" -> q60Sql,
     "q64_sequence_pack"     -> q64Sql,
-    "q65_shuffle_rank"      -> q65Sql
+    "q65_shuffle_rank"      -> q65Sql,
+    "q75_pack_sequences"    -> q75Sql
   )
 }

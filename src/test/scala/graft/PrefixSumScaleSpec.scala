@@ -39,4 +39,28 @@ class PrefixSumScaleSpec extends SparkSpec {
       assert(maxEnd === total) // the last doc ends exactly at the stream total
     } finally { out.unpersist(); () }
   }
+
+  test("packSequences: windows tile the corpus, docs span boundaries, short tail kept") {
+    val d = Seq(
+      (1L, "a b c"),       // 3 tokens
+      (2L, "d e f g h"),   // spans seq 0 -> 1
+      (3L, "i j"),         // ends seq 2 exactly... (3+5+2=10, seqLen 4 -> tail)
+      (4L, "k"))           // 11 tokens total -> seqs of 4,4,3
+      .toDF("doc_id", "text")
+    val got = graft.operators.Packing.packSequences(d, "doc_id", "text", seqLen = 4)
+      .orderBy($"seq_idx")
+      .as[(Long, Long, Long, String)].collect()
+    assert(got === Seq(
+      (0L, 4L, 2L, "a b c d"),
+      (1L, 4L, 1L, "e f g h"),
+      (2L, 3L, 2L, "i j k")))
+  }
+
+  test("packSequences: empty-text docs contribute their single empty token in order") {
+    // split('') = [''] — one zero-length token, same contract as the oracle
+    val d = Seq((1L, "x y"), (2L, ""), (3L, "z")).toDF("doc_id", "text")
+    val got = graft.operators.Packing.packSequences(d, "doc_id", "text", seqLen = 10)
+      .as[(Long, Long, Long, String)].collect()
+    assert(got === Seq((0L, 4L, 3L, "x y  z")))
+  }
 }
