@@ -50,6 +50,9 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *     seed: 42                           # adds shuffle_key/shuffle_rank
   *   - op: pack                           # sequence-packing offsets
   *     seq-len: 2048                      # adds n_tokens/offset/first_seq/...
+  *   - op: pack-sequences                 # MATERIALIZE the packed windows —
+  *     seq-len: 2048                      # output rows become sequences
+  *                                        # (terminal: replaces the doc schema)
   * output:
   *   local: /path/out                     # required
   * }}}
@@ -131,7 +134,8 @@ object CorpusJob {
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
     val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
-      "neardup", "decontaminate", "mixture", "stratified", "split", "shuffle", "pack")
+      "neardup", "decontaminate", "mixture", "stratified", "split", "shuffle", "pack",
+      "pack-sequences")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -225,6 +229,8 @@ object CorpusJob {
             s"pack step would clobber existing ${packCols.mkString("/")} columns")
           df.join(Packing.packOffsets(df, idCol, textCol, lng("seq-len", 2048L).toInt),
             Seq(idCol))
+        case "pack-sequences" => // terminal: rows become fixed-length windows
+          Packing.packSequences(df, idCol, textCol, lng("seq-len", 2048L).toInt)
       }
     }
 

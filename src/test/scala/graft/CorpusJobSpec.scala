@@ -164,6 +164,29 @@ class CorpusJobSpec extends SparkSpec {
     assert(out.filter($"source" === "a").count() === 20L)
   }
 
+  test("CorpusJob: pack-sequences terminal step writes windows, not docs") {
+    val dir = Files.createTempDirectory("corpusjob-packseq")
+    Seq((1L, "a b c"), (2L, "d e f g h"), (3L, "i j"), (4L, "k"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: pack-sequences
+         |    seq-len: 4
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps === Seq(CorpusJob.StepCount("pack-sequences", 4L, 3L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+      .orderBy($"seq_idx")
+      .select($"seq_idx", $"seq_text").as[(Long, String)].collect()
+    assert(out === Seq((0L, "a b c d"), (1L, "e f g h"), (2L, "i j k")))
+  }
+
   test("CorpusJob: neardup step keeps cluster canonicals") {
     val dir = Files.createTempDirectory("corpusjob-neardup")
     // 0 and 1 near-identical (one word differs), 2 unrelated
