@@ -242,7 +242,7 @@ object CorpusJob {
     var cur      = docs.persist(StorageLevel.MEMORY_AND_DISK)
     var curRows  = cur.count()
     val counts   = Seq.newBuilder[StepCount]
-    var didSplit = false
+
     stepsNode.foreach { s =>
       val op   = req(s, "op").asText
       val next = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
@@ -251,11 +251,12 @@ object CorpusJob {
       cur.unpersist()
       cur = next
       curRows = n
-      if (op == "split") didSplit = true
     }
 
     val writer = cur.write.mode("overwrite")
-    (if (didSplit) writer.partitionBy("split") else writer)
+    // partition by split only if it SURVIVED to the output — a terminal
+    // pack-sequences step replaces the doc schema entirely
+    (if (cur.columns.contains("split")) writer.partitionBy("split") else writer)
       .parquet(s"$outDir/documents")
     val sheet = Datasheet(counts.result(), curRows)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/datasheet.json"), true)

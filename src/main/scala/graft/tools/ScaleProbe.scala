@@ -451,6 +451,8 @@ object ScaleProbe {
            |    weights: {train: 8, val: 1, test: 1}
            |  - op: shuffle
            |    seed: 7
+           |  - op: pack-sequences
+           |    seq-len: 2048
            |output:
            |  local: $dir/out
            |""".stripMargin
