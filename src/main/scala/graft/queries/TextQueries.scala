@@ -426,12 +426,54 @@ object TextQueries {
 
   /** Learned BPE merge table (Sennrich 2016): corpus word counts (one
     * hash aggregate) + driver merge loop over the bounded dictionary.
-    * Iterative training is not SQL-expressible — no oracle; the merge
-    * semantics are pinned by the hand-computed Sennrich-example spec
-    * (OperatorsSpec), and the row surface here is fully deterministic
-    * ((weight desc, pair lex asc) total order). */
+    * The merge semantics are pinned twice: by the hand-computed
+    * Sennrich-example spec (OperatorsSpec) and by a hard DuckDB oracle —
+    * the 50 training iterations unrolled as generated CTE stages
+    * (`bpeMergeSql`), an independent second implementation of the same
+    * (weight desc, pair lex asc) total order. */
   private val q63: Q = (s, dir) =>
     graft.operators.BpeTrain.trainMergesDF(Tables.documents(s, dir), "text", numMerges = 50)
+
+  /** Unrolled-iteration BPE training oracle. Each vocabulary entry is
+    * rendered with every symbol wrapped in single spaces (`' a  bc '`),
+    * so SQL `replace(repr, ' a  b ', ' ab ')` — left-to-right,
+    * non-overlapping, resuming AFTER the replacement — is exactly
+    * Sennrich's greedy merge application (the wrapper spaces make each
+    * symbol's representation self-delimiting, so consecutive matches
+    * don't steal each other's boundary). One (pairs → argmax → replace)
+    * CTE triple per merge rank; `MATERIALIZED` stops DuckDB inlining the
+    * chain exponentially. Early termination agrees too: an empty pair
+    * table yields an empty `b{i}`, which empties every later stage and
+    * drops exactly the ranks the Scala loop never emits. */
+  private def bpeMergeSql(numMerges: Int): String = {
+    val stages = new StringBuilder
+    stages ++=
+      """w0 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS repr, COUNT(*)::BIGINT AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1)""".stripMargin
+    for (i <- 0 until numMerges) {
+      stages ++= s""",
+        |p$i AS (
+        |  SELECT t.a AS a, t.b AS b, SUM(n) AS wt FROM (
+        |    SELECT n, unnest(list_transform(range(1, len(toks)),
+        |                                    j -> {'a': toks[j], 'b': toks[j+1]})) AS t
+        |    FROM (SELECT string_split(trim(repr), '  ') AS toks, n FROM w$i)
+        |    WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |b$i AS MATERIALIZED (SELECT a, b, wt FROM p$i ORDER BY wt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
+      if (i + 1 < numMerges) stages ++= s""",
+        |w${i + 1} AS MATERIALIZED (
+        |  SELECT replace(w.repr, ' ' || b.a || '  ' || b.b || ' ',
+        |                 ' ' || b.a || b.b || ' ') AS repr, w.n
+        |  FROM w$i w, b$i b)""".stripMargin
+    }
+    val union = (0 until numMerges)
+      .map(i => s"""SELECT $i::INTEGER AS rank, a AS "left", b AS "right", wt::BIGINT AS weight FROM b$i""")
+      .mkString("\nUNION ALL ")
+    s"WITH ${stages.result()}\nSELECT * FROM (\n$union) ORDER BY rank"
+  }
+
+  private val q63Sql = bpeMergeSql(50)
 
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
@@ -742,6 +784,7 @@ object TextQueries {
     "q58_vocabulary"      -> q58Sql,
     "q59_token_rarity"    -> q59Sql,
     "q61_repetition"      -> q61Sql,
+    "q63_bpe_merges"      -> q63Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,
