@@ -111,6 +111,19 @@ object MinHashLSH {
     * trip a loud [[LshDiagnostics]] warning (an observe node on the bucket
     * aggregate — no extra pass) instead of silently going quadratic.
     *
+    * `maxBucket` is the HARD form of that guard, mirroring the postings
+    * family's df-cap contract: buckets above the cap are dropped from
+    * candidate generation entirely (the observe warning still fires, so
+    * the drop is loud), bounding worst-case work at maxBucket² per bucket
+    * even on a corpus that skipped exact dedup. Drop contract: since a
+    * minhash band key is a ≥128-bit digest, an oversized bucket is never
+    * an accidental collision — it is a genuine duplicate cluster whose
+    * members collide in EVERY band, so the dropped pairs are precisely
+    * the exact-or-near-exact cluster pairs exact-dedup should have
+    * removed; pairs between documents that only share SOME bands (true
+    * near-dups under-cap) are unaffected. Default None preserves the
+    * warn-only behavior.
+    *
     * Band-sizing law (contrast with simhash): minhash band keys are
     * concatenated md5 digests, a ≥128-bit space, so ACCIDENTAL bucket
     * collisions are negligible at any corpus size — rowsPerBand tunes
@@ -122,12 +135,16 @@ object MinHashLSH {
   def candidatePairs(
       bands: DataFrame,
       idCol: String,
-      bucketWarnThreshold: Long = 10000L): DataFrame = {
+      bucketWarnThreshold: Long = 10000L,
+      maxBucket: Option[Long] = None): DataFrame = {
     val ids = array_sort(collect_list(col(idCol)))
     val buckets = bands.groupBy(col("band"), col("band_key")).agg(ids.as("ids"))
-    LshDiagnostics
-      .observeBucketStats(buckets, size(col("ids")), bucketWarnThreshold, "minhash_candidate_pairs")
+    val warnAt  = maxBucket.fold(bucketWarnThreshold)(math.min(_, bucketWarnThreshold))
+    val observed = LshDiagnostics
+      .observeBucketStats(buckets, size(col("ids")), warnAt, "minhash_candidate_pairs")
       .filter(size(col("ids")) > 1)
+    val capped = maxBucket.fold(observed)(m => observed.filter(size(col("ids")) <= lit(m)))
+    capped
       .select(explode(inBucketPairs(col("ids"))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
@@ -182,10 +199,11 @@ object MinHashLSH {
       shingleLen: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5,
+      maxBucket: Option[Long] = None): DataFrame = {
     val sig   = signaturesWideKernel(df, idCol, textCol, shingleLen, numHashes)
     val bands = bandKeys(sig, idCol, rowsPerBand, numHashes)
-    val cand  = candidatePairs(bands, idCol)
+    val cand  = candidatePairs(bands, idCol, maxBucket = maxBucket)
     verifyJaccardKernel(df, idCol, textCol, cand, shingleLen, minJaccard)
   }
 

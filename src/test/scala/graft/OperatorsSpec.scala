@@ -251,6 +251,31 @@ class OperatorsSpec extends SparkSpec {
     assert(msg.contains("exact") && msg.contains("dedup") && msg.contains("300"))
   }
 
+  test("MinHashLSH.candidatePairs maxBucket drops oversized buckets loudly, keeps under-cap pairs") {
+    // 300 exact duplicates (one degenerate bucket per band) + one genuine
+    // near-dup pair with distinct texts (tiny buckets)
+    val dupes = (1L to 300L).map(i => (i, "the very same document text repeated everywhere"))
+    val near = Seq(
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1002L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val df    = (dupes ++ near).toDF("doc_id", "text")
+    val bands = MinHashLSH.bandKeys(
+      MinHashLSH.signaturesWideKernel(df, "doc_id", "text", 3, 8), "doc_id", 2, 8)
+    LshDiagnostics.lastWarning = None
+    val capped = MinHashLSH.candidatePairs(bands, "doc_id", maxBucket = Some(50L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the degenerate cluster's quadratic pairs are gone; under-cap pairs survive
+    assert(!capped.exists { case (a, b) => a <= 300L && b <= 300L })
+    assert(capped.contains((1001L, 1002L)))
+    // the drop is loud: the observe warning still fires for the capped bucket
+    val deadline = System.nanoTime() + 10_000_000_000L
+    while (LshDiagnostics.lastWarning.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    assert(LshDiagnostics.lastWarning.exists(_.contains("300")))
+    // and with no cap the quadratic pairs are present (control)
+    val uncapped = MinHashLSH.candidatePairs(bands, "doc_id").count()
+    assert(uncapped === 300L * 299L / 2 + 1)
+  }
+
   test("Similarity.cosine: identity and orthogonality") {
     val df = Seq(
       (Seq(1.0, 0.0), Seq(1.0, 0.0), 1.0),
