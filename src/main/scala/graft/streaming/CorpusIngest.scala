@@ -7,20 +7,24 @@ import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
 
 /** Streaming corpus-ingest gate — the CorpusJob front stages composed for
   * the queue path (the reference's streaming mode, `main.py` queue loop,
-  * applied to the training-data tier). Every stage is a per-row
-  * projection/filter or a stream-static join, so the gate is
+  * applied to the training-data tier). Every core stage is a per-row
+  * projection/filter or a stream-static join, so that part of the gate is
   * streaming-safe BY CONSTRUCTION: no state store, no watermark, and
   * results identical to running the batch operators on the same rows
-  * (pinned in CorpusIngestSpec).
+  * (pinned in CorpusIngestSpec). The one OPTIONAL stateful stage — the
+  * near-dup flag — is watermark-bounded LSH bucket state
+  * ([[StreamingNearDup.flagBands]]) appended last; it emits per-band rows
+  * the sink collapses with [[mergeBandFlags]].
   *
   * Stage order mirrors CorpusJob: PII scrub (text redacted in place,
   * counts kept) → Gopher quality gate (per-row predicate form; failing
   * rows drop) → language gate (per-row stopword-argmax) → domain-mixture
   * resample (deterministic hash rates) → incremental dedup against a
-  * standing corpus hash index (bloom prefilter + stream-static join). Dups are FLAGGED (`is_dup`), not
-  * dropped — disposition belongs to the sink, mirroring the file-queue
-  * reject/ack taxonomy. The bloom and the index snapshot fix at stream
-  * start; restart the query to pick up a grown corpus.
+  * standing corpus hash index (bloom prefilter + stream-static join) →
+  * optional near-dup flag. Dups are FLAGGED (`is_dup` / `near_dup_hit`),
+  * not dropped — disposition belongs to the sink, mirroring the
+  * file-queue reject/ack taxonomy. The bloom and the index snapshot fix
+  * at stream start; restart the query to pick up a grown corpus.
   */
 object CorpusIngest {
 
@@ -54,6 +58,16 @@ object CorpusIngest {
       TextAnalysis.languagePass(text, stopwords, keep)
   }
 
+  /** Near-dup flag stage config ([[StreamingNearDup.flagBands]] —
+    * watermark-bounded LSH bucket state; flags, never drops). */
+  final case class NearDup(
+      tsCol: String,
+      watermarkMs: Long = 10 * 60 * 1000L,
+      shingleLen: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5)
+
   def gate(
       stream: DataFrame,
       idCol: String,
@@ -61,7 +75,8 @@ object CorpusIngest {
       quality: Option[Quality] = None,
       language: Option[Language] = None,
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
-      corpus: Option[CorpusIndex] = None): DataFrame = {
+      corpus: Option[CorpusIndex] = None,
+      nearDup: Option[NearDup] = None): DataFrame = {
     val scrubbed = Pii.scrub(stream, textCol).withColumnRenamed("redacted", textCol)
     val qualGated = quality match {
       case Some(q) => scrubbed.filter(q.predicate(col(textCol)))
@@ -76,11 +91,31 @@ object CorpusIngest {
         Sampling.mixtureResample(gated, idCol, groupCol, rates, denom)
       case None => gated
     }
-    corpus match {
+    val deduped = corpus match {
       case Some(ci) =>
         Dedup.incrementalByHash(mixed, ci.hashes, ci.hashCol,
           Dedup.normalizedTextHash(col(textCol)), ci.expectedItems, ci.fpp)
       case None => mixed
     }
+    nearDup match {
+      case Some(nd) =>
+        StreamingNearDup.flagBands(deduped, idCol, textCol, nd.tsCol,
+          nd.watermarkMs, nd.shingleLen, nd.numHashes, nd.rowsPerBand, nd.minEstJaccard)
+      case None => deduped
+    }
+  }
+
+  /** Collapse [[StreamingNearDup.flagBands]]' per-band rows to one row per
+    * document (`near_dup_hit` = OR over bands). A document's band rows
+    * always share a micro-batch (see flagBands), so this is a plain BATCH
+    * aggregation for the caller's foreachBatch — Spark's correctness
+    * checker forbids a streaming aggregation after the stateful flag
+    * stage, and no state is needed for one. Groups on every other column,
+    * which is exact here because band rows are bit-identical copies. */
+  def mergeBandFlags(batch: DataFrame, flagCol: String = "near_dup_hit"): DataFrame = {
+    val others = batch.columns.filterNot(_ == flagCol)
+    batch
+      .groupBy(others.map(col): _*)
+      .agg(max(col(flagCol)).as(flagCol))
   }
 }

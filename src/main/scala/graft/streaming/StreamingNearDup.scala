@@ -40,6 +40,8 @@ object StreamingNearDup {
   final case class BucketEntry(doc_id: Long, ts: Long, sig: Seq[String])
   final case class BucketState(entries: List[BucketEntry])
   final case class CandidatePair(doc_a: Long, doc_b: Long, est_jaccard: Double, band_key: String)
+  final case class FlagEntry(id: String, ts: Long, sig: Seq[String])
+  final case class FlagBucketState(entries: List[FlagEntry])
 
   /** Banded signatures with event time — shared by the streaming operator
     * and its batch-equivalence oracle in specs. */
@@ -123,5 +125,103 @@ object StreamingNearDup {
             out.result().iterator
           }
       }
+  }
+
+  /** Per-document near-dup FLAG stream — the ingest-gate face of
+    * [[candidates]]: every input row is emitted (schema-preserving, plus a
+    * `near_dup_hit` boolean) instead of only colliding pairs, so the stage
+    * composes into [[CorpusIngest.gate]] as flag-don't-drop, mirroring the
+    * gate's dedup-flag contract.
+    *
+    * Spark's correctness checker (rightly) refuses a second stateful
+    * operator after `flatMapGroupsWithState`, so the per-document merge of
+    * the nBands per-band rows CANNOT be a streaming aggregation. It does
+    * not need to be: a document's exploded band rows enter — and therefore
+    * exit — the stateful stage in the SAME micro-batch, so the merge is a
+    * plain within-batch aggregation ([[CorpusIngest.mergeBandFlags]]) in
+    * the caller's foreachBatch, with cross-batch matching carried entirely
+    * by this operator's bucket state.
+    *
+    * Documents shorter than `shingleLen` words have no signature; they
+    * bypass the stateful stage via a self-union and emit one unflagged row
+    * (the gate keeps them — a FILTER there would silently drop short docs,
+    * which is the near-dup stage's call to make, not the signature's).
+    *
+    * State/watermark bounds are identical to [[candidates]]. */
+  def flagBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermarkMs: Long = 10 * 60 * 1000L,
+      shingleLen: Int = 3,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
+    val nBands = numHashes / rowsPerBand
+    val sig    = graft.functions.MinHashSigExpr(col(textCol), shingleLen, numHashes)
+    val bandKeyCols = (0 until nBands).map { b =>
+      concat_ws("|",
+        lit(b.toString) +: (0 until rowsPerBand).map(r => col("_sig").getItem(b * rowsPerBand + r)): _*)
+    }
+    val watermarked = df.withWatermark(tsCol, s"$watermarkMs milliseconds")
+    val isLong      = size(split(col(textCol), " ")) >= shingleLen
+
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("near_dup_hit", org.apache.spark.sql.types.BooleanType, nullable = false))
+    val origCols = df.columns
+
+    val exploded = watermarked
+      .filter(isLong)
+      .withColumn("_sig", sig)
+      .withColumn("_band_key", explode(array(bandKeyCols: _*)))
+    val schema  = exploded.schema
+    val keyIdx  = schema.fieldIndex("_band_key")
+    val sigIdx  = schema.fieldIndex("_sig")
+    val idIdx   = schema.fieldIndex(idCol)
+    val tsIdx   = schema.fieldIndex(tsCol)
+    val nOrig   = origCols.length
+
+    import org.apache.spark.sql.{Encoders, Row}
+    val flagged = exploded
+      .groupByKey(_.getString(keyIdx))(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, it: Iterator[Row], state: GroupState[FlagBucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val wm = state.getCurrentWatermarkMs()
+            var entries = state.getOption.map(_.entries).getOrElse(Nil).filter(_.ts >= wm)
+            val out = Seq.newBuilder[Row]
+            // deterministic within-batch order: event time, then id
+            it.toSeq
+              .sortBy(r => (r.getTimestamp(tsIdx).getTime, String.valueOf(r.get(idIdx))))
+              .foreach { r =>
+                val id  = String.valueOf(r.get(idIdx))
+                val t   = r.getTimestamp(tsIdx).getTime
+                val s   = r.getSeq[String](sigIdx)
+                val hit = entries.exists { e =>
+                  e.id != id &&
+                    e.sig.iterator.zip(s.iterator).count { case (a, b) => a == b }.toDouble / numHashes >= minEstJaccard
+                }
+                out += Row.fromSeq((0 until nOrig).map(r.get) :+ hit)
+                entries = FlagEntry(id, t, s) :: entries
+              }
+            if (entries.isEmpty) state.remove()
+            else {
+              state.update(FlagBucketState(entries))
+              state.setTimeoutTimestamp(math.max(entries.map(_.ts).max + watermarkMs, wm + 1))
+            }
+            out.result().iterator
+          }
+      }(Encoders.product[FlagBucketState], Encoders.row(outSchema))
+
+    val shortDocs = watermarked
+      .filter(!isLong)
+      .withColumn("near_dup_hit", lit(false))
+    flagged.unionByName(shortDocs)
   }
 }

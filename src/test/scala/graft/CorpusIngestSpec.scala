@@ -146,4 +146,37 @@ class CorpusIngestSpec extends SparkSpec {
       assert(!byId.contains(6L)) // French doc dropped by the language gate
     } finally q.stop()
   }
+
+  test("gate near-dup stage flags cross-batch near-duplicates, flag-not-drop, short docs kept") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val base    = (1 to 20).map(i => s"word$i").mkString(" ")
+    val nearDup = (1 to 20).map(i => if (i == 10) "patched" else s"word$i").mkString(" ")
+    val fresh   = (1 to 20).map(i => s"other$i").mkString(" ")
+
+    val ms = MemoryStream[(Long, Timestamp, String)]
+    val out = CorpusIngest.gate(
+      ms.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text",
+      nearDup = Some(CorpusIngest.NearDup("ts", minEstJaccard = 0.5)))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_gate_nd").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 00:00:00"), base))
+      q.processAllAvailable()
+      ms.addData(
+        (2L, ts("2024-01-01 00:01:00"), nearDup), // near-dup of batch-1 doc
+        (3L, ts("2024-01-01 00:01:00"), fresh),   // novel
+        (4L, ts("2024-01-01 00:01:00"), "tiny"))  // < shingleLen words
+      q.processAllAvailable()
+      val perBand = spark.table("corpus_gate_nd")
+      // a doc's band rows are identical copies — the within-batch merge
+      // collapses them to one row per doc with the OR'd flag
+      val merged = CorpusIngest.mergeBandFlags(perBand)
+        .select($"doc_id", $"near_dup_hit")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1)
+      assert(merged === Array((1L, false), (2L, true), (3L, false), (4L, false)))
+    } finally q.stop()
+  }
 }
