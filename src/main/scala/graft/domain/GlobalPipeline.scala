@@ -94,7 +94,7 @@ object GlobalPipeline {
     val sessions0 = quality(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
-        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheScope.persist(sessions0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sessions0
     val extents  = regionExtent(sessions)
     val pixels   = coveredPixels(extents, grid)

@@ -87,7 +87,7 @@ object Oco2Pipeline {
     val sessions0 = Pipeline.qualityFilter(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
-        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheScope.persist(sessions0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sessions0
     val regions  = associateByCentroid(regionGeo(sessions), catalog)
       .select("region_id", "target_id", "time", "min_lon", "min_lat", "max_lon", "max_lat")

@@ -41,9 +41,11 @@ object Pipeline {
         * triangulation — the reference's code default). */
       method: String = "nearest",
       /** Persist the sessionized table across its three consumers (region
-        * summary / interpolation / mask). The cached blocks live until the
-        * session ends — long-lived loops (streaming foreachBatch over many
-        * days) should either disable this or clear the cache per batch. */
+        * summary / interpolation / mask). Routed through
+        * [[graft.CacheScope.persist]]: batch callers get session-lifetime
+        * caches; long-lived loops bracket each batch in
+        * `CacheScope.withScope` (as `MicroBatchIngest.ingestQueue` does)
+        * so the cache footprint stays flat across micro-batches. */
       persistSessions: Boolean = true)
 
   /** R1/R2 + P4/P6: mode-filtered, margin-merged region detection over the
@@ -215,7 +217,7 @@ object Pipeline {
     val sessions0 = qualityFilter(sessionized, cfg)
     val sessions =
       if (cfg.persistSessions)
-        sessions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.CacheScope.persist(sessions0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sessions0
     val regions = TargetCatalog.associate(regionSummary(sessions), catalog)
     gridInterpMask(regions, sessions, cfg, valueCols)

@@ -63,16 +63,15 @@ object MicroBatchIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val paths = batch.select(col("granule_path")).distinct().collect().map(_.getString(0))
-        if (paths.nonEmpty) {
+        // CacheScope brackets the whole batch: the session table persists
+        // across its three consumers WITHIN the batch (same win as batch
+        // mode), then unpersists in the scope's finally — a multi-day
+        // streaming run holds a flat cache footprint instead of accreting
+        // one session table per micro-batch until LRU eviction.
+        if (paths.nonEmpty) graft.CacheScope.withScope {
           val granules = graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths.toSeq)
-          // persistSessions=false in the streaming loop: a per-batch persist
-          // with no unpersist accumulates cached RDDs for the life of the
-          // query, and each batch is one granule (prefetch-1 mirror) where
-          // the session subtree's recompute is cheaper than unbounded cache
-          // growth. Batch-mode callers keep the cache: they run one action
-          // and release the session with the job.
           val product = graft.domain.Pipeline.process(
-            granules.drop("sounding_id"), catalog, cfg.copy(persistSessions = false))
+            granules.drop("sounding_id"), catalog, cfg)
           graft.sinks.ProductStore.appendIdempotent(product, storePath)
         }
       }

@@ -89,7 +89,12 @@ class FileQueueSpec extends SparkSpec {
         spark, queue.toString, ckpt, store, catalog)
       q.awaitTermination()
     }
+    // persistSessions caches must be batch-scoped (CacheScope in the
+    // foreachBatch wrapper): the cache footprint after draining N batches
+    // equals the footprint before — no per-micro-batch accretion
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     drain(Files.createTempDirectory("loop-ckpt1").toString)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === cachedBefore)
     val stored = graft.sinks.ProductStore.read(spark, store)
     assert(stored.select("day").distinct().count() === 2)
     val n1 = stored.count()
@@ -98,6 +103,7 @@ class FileQueueSpec extends SparkSpec {
     writeMsg(queue, "msg-day1-redelivery", Seq(g1))
     drain(Files.createTempDirectory("loop-ckpt2").toString)
     assert(graft.sinks.ProductStore.read(spark, store).count() === n1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet === cachedBefore)
   }
 
   test("restart resumes from the checkpoint and late messages are picked up") {
