@@ -112,7 +112,11 @@ object Bench {
       val ds = results.flatMap { case (k, v, _) =>
         prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
-      s""","delta_vs":"${f.getName}","delta_sec":${ds.mkString("{", ",", "}")}"""
+      // stamp the baseline's mtime: a bare filename stops identifying the
+      // record once this run overwrites it (BENCH_SELF.json especially)
+      val stamp = java.time.Instant.ofEpochMilli(f.lastModified)
+        .toString.replaceAll("\\.\\d+Z$", "Z")
+      s""","delta_vs":"${f.getName}@$stamp","delta_sec":${ds.mkString("{", ",", "}")}"""
     }.getOrElse("")
     // failures are machine-visible in the metric line, not just stderr;
     // load stamps make drift-vs-regression adjudicable after the fact
