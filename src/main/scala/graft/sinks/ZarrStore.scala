@@ -16,9 +16,12 @@ import graft.sources.netcdf.SerializableHadoopConf
   * This is the actual public Zarr v2 layout (`.zgroup`/`.zarray`/`.zattrs`
   * JSON + `t.y.x` chunk files), with the xarray `_ARRAY_DIMENSIONS`
   * convention and 1-D time/lat/lon coordinate arrays, so any Zarr client
-  * (zarr-python, xarray, GDAL) opens the store directly. The compressor is
-  * numcodecs `zlib` (the JVM has no Blosc; zlib level 9 carries the
-  * reference's clevel-9 intent and every Zarr reader ships it). Chunks
+  * (zarr-python, xarray, GDAL) opens the store directly. The default
+  * compressor is numcodecs `blosc` with cname `blosclz`, clevel 9, byte
+  * shuffle — byte parity with the reference's
+  * `zarr.Blosc(cname='blosclz', clevel=9)` (`writers/ZarrWriter.py:205`) —
+  * via the pure-JVM [[Blosc]] codec; `zlib` remains supported, and appends
+  * always keep the codec the existing store was created with. Chunks
   * holding no data are simply absent — readers materialize `fill_value`
   * (NaN), the reference's `write_empty_chunks=False`.
   *
@@ -39,6 +42,53 @@ object ZarrStore {
   /** Chunk shape in (time, lat, lon) — reference default 5×250×250
     * (`ZarrWriter.py:236-263`). */
   final case class Chunking(t: Int = 5, y: Int = 250, x: Int = 250)
+
+  /** Chunk compressor — serializable (executors compress/decompress chunk
+    * payloads) and carrying its own numcodecs `.zarray` JSON so readers of
+    * the store pick the matching decoder. */
+  sealed trait ChunkCodec extends Serializable {
+    def compress(raw: Array[Byte]): Array[Byte]
+    def decompress(stored: Array[Byte], rawLen: Int): Array[Byte]
+    def json: String
+  }
+
+  /** numcodecs `zlib` — the store's pre-round-10 codec, kept for reading
+    * and appending stores created with it. */
+  final case class ZlibCodec(level: Int = 9) extends ChunkCodec {
+    def compress(raw: Array[Byte]): Array[Byte] = zlib(raw, level)
+    def decompress(stored: Array[Byte], rawLen: Int): Array[Byte] = unzlib(stored, rawLen)
+    def json: String = s"""{"id": "zlib", "level": $level}"""
+  }
+
+  /** numcodecs `blosc` (cname blosclz, byte shuffle) — reference parity.
+    * blosclz has no effort dial worth modeling (clevel only picks block
+    * sizes in c-blosc), so `clevel` is carried into the metadata verbatim. */
+  final case class BloscCodec(clevel: Int = 9, shuffle: Int = 1, typesize: Int = 8) extends ChunkCodec {
+    def compress(raw: Array[Byte]): Array[Byte] = Blosc.compress(raw, typesize, shuffle == 1)
+    def decompress(stored: Array[Byte], rawLen: Int): Array[Byte] = {
+      val out = Blosc.decompress(stored)
+      require(out.length == rawLen, s"blosc chunk decoded ${out.length} bytes, expected $rawLen")
+      out
+    }
+    def json: String =
+      s"""{"id": "blosc", "blocksize": 0, "clevel": $clevel, "cname": "blosclz", "shuffle": $shuffle}"""
+  }
+
+  object ChunkCodec {
+    val default: ChunkCodec = BloscCodec()
+
+    /** Codec recorded in a `.zarray` document. */
+    def fromZarray(json: String): ChunkCodec = {
+      def int(key: String, dflt: Int): Int =
+        s""""$key"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(dflt)
+      "\"id\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(json).map(_.group(1)) match {
+        case Some("zlib")  => ZlibCodec(int("level", 9))
+        case Some("blosc") => BloscCodec(int("clevel", 9), int("shuffle", 1))
+        case Some(other)   => throw new IllegalArgumentException(s"unsupported zarr compressor '$other'")
+        case None          => throw new IllegalArgumentException("zarr array has no compressor id")
+      }
+    }
+  }
 
   private def fsFor(path: String, spark: SparkSession) = {
     val p = new Path(path)
@@ -111,13 +161,13 @@ object ZarrStore {
     Array.fill(b.length / 8)(bb.getDouble())
   }
 
-  private def zarrayJson(shape: Seq[Long], chunks: Seq[Int], level: Int): String =
+  private def zarrayJson(shape: Seq[Long], chunks: Seq[Int], codec: ChunkCodec): String =
     s"""{
        |  "zarr_format": 2,
        |  "shape": [${shape.mkString(", ")}],
        |  "chunks": [${chunks.mkString(", ")}],
        |  "dtype": "<f8",
-       |  "compressor": {"id": "zlib", "level": $level},
+       |  "compressor": ${codec.json},
        |  "fill_value": "NaN",
        |  "order": "C",
        |  "filters": null
@@ -131,13 +181,13 @@ object ZarrStore {
   }
 
   /** Write a 1-D float64 coordinate array as a single chunk. */
-  private def writeCoord(fs: org.apache.hadoop.fs.FileSystem, root: Path, name: String, values: Array[Double], dim: String, level: Int, units: Option[String] = None): Unit = {
+  private def writeCoord(fs: org.apache.hadoop.fs.FileSystem, root: Path, name: String, values: Array[Double], dim: String, codec: ChunkCodec, units: Option[String] = None): Unit = {
     val dir = new Path(root, name)
     fs.mkdirs(dir)
-    writeFile(fs, new Path(dir, ".zarray"), zarrayJson(Seq(values.length.toLong), Seq(values.length.max(1)), level).getBytes("UTF-8"))
+    writeFile(fs, new Path(dir, ".zarray"), zarrayJson(Seq(values.length.toLong), Seq(values.length.max(1)), codec).getBytes("UTF-8"))
     writeFile(fs, new Path(dir, ".zattrs"),
       zattrsJson(Seq(dim), units.map("units" -> _).toSeq).getBytes("UTF-8"))
-    writeFile(fs, new Path(dir, "0"), zlib(doublesLE(values), level))
+    writeFile(fs, new Path(dir, "0"), codec.compress(doublesLE(values)))
   }
 
   /** Existing time axis (days since epoch), if the store exists. */
@@ -150,9 +200,17 @@ object ZarrStore {
         val n = "\"shape\"\\s*:\\s*\\[\\s*(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt).getOrElse(0)
         if (n == 0) Nil
         else readFileOpt(fs, new Path(new Path(root, "time"), "0"))
-          .map(b => lEDoubles(unzlib(b, n * 8)).map(_.toLong).toSeq)
+          .map(b => lEDoubles(ChunkCodec.fromZarray(json).decompress(b, n * 8)).map(_.toLong).toSeq)
           .getOrElse(Nil)
     }
+  }
+
+  /** Codec of an existing store (from its time array's metadata), if any —
+    * appends must compress new chunks the way the store's readers expect. */
+  def existingCodec(spark: SparkSession, path: String): Option[ChunkCodec] = {
+    val (root, fs) = fsFor(path, spark)
+    readFileOpt(fs, new Path(new Path(root, "time"), ".zarray"))
+      .map(b => ChunkCodec.fromZarray(new String(b, "UTF-8")))
   }
 
   /** Create or append. `long` columns: time (castable to date), variable,
@@ -167,7 +225,7 @@ object ZarrStore {
       path: String,
       grid: GridSpec,
       chunks: Chunking = Chunking(),
-      level: Int = 9,
+      codec: ChunkCodec = ChunkCodec.default,
       ensureVariables: Seq[String] = Nil,
       now: String = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
         .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Unit = {
@@ -187,7 +245,10 @@ object ZarrStore {
       col("value").cast("double").as("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      writePersisted(proj, path, grid, chunks, level, ensureVariables, now, root, fs, spark)
+      // an append must keep the codec the store was created with: mixing
+      // codecs within one array would corrupt it for every Zarr reader
+      val effective = existingCodec(spark, path).getOrElse(codec)
+      writePersisted(proj, path, grid, chunks, effective, ensureVariables, now, root, fs, spark)
     } finally {
       proj.unpersist()
       ()
@@ -199,7 +260,7 @@ object ZarrStore {
       path: String,
       grid: GridSpec,
       chunks: Chunking,
-      level: Int,
+      codec: ChunkCodec,
       ensureVariables: Seq[String],
       now: String,
       root: Path,
@@ -262,7 +323,7 @@ object ZarrStore {
         val rawLen    = ct * cy * cx * 8
         // boundary merge: overlay onto the existing chunk if present
         val base = readFileOpt(cfs, chunkPath) match {
-          case Some(stored) => lEDoubles(unzlib(stored, rawLen))
+          case Some(stored) => lEDoubles(codec.decompress(stored, rawLen))
           case None         => Array.fill(ct * cy * cx)(Double.NaN)
         }
         val idx = bcIdx.value
@@ -270,7 +331,7 @@ object ZarrStore {
           val t = idx(d)
           base(((t % ct) * cy + (y % cy)) * cx + (x % cx)) = value
         }
-        atomicWriteFile(conf.value, chunkPath, zlib(doublesLE(base), level))
+        atomicWriteFile(conf.value, chunkPath, codec.compress(doublesLE(base)))
         (v, tc, yc, xc)
       }
     cells.write.format("noop").mode("overwrite").save() // materialize the writes
@@ -291,13 +352,13 @@ object ZarrStore {
     variables.foreach { v =>
       val dir = new Path(root, v)
       fs.mkdirs(dir)
-      writeFile(fs, new Path(dir, ".zarray"), zarrayJson(shape, Seq(ct, cy, cx), level).getBytes("UTF-8"))
+      writeFile(fs, new Path(dir, ".zarray"), zarrayJson(shape, Seq(ct, cy, cx), codec).getBytes("UTF-8"))
       writeFile(fs, new Path(dir, ".zattrs"), zattrsJson(Seq("time", "lat", "lon")).getBytes("UTF-8"))
     }
-    writeCoord(fs, root, "time", allDays.map(_.toDouble).toArray, "time", level,
+    writeCoord(fs, root, "time", allDays.map(_.toDouble).toArray, "time", codec,
       units = Some("days since 1970-01-01"))
-    writeCoord(fs, root, "lat", Array.tabulate(gh)(i => grid.lat0 + i * grid.dlat), "lat", level)
-    writeCoord(fs, root, "lon", Array.tabulate(gw)(i => grid.lon0 + i * grid.dlon), "lon", level)
+    writeCoord(fs, root, "lat", Array.tabulate(gh)(i => grid.lat0 + i * grid.dlat), "lat", codec)
+    writeCoord(fs, root, "lon", Array.tabulate(gw)(i => grid.lon0 + i * grid.dlon), "lon", codec)
     // root attrs: reference coverage/date semantics (`ZarrWriter.py:140-167`)
     val attrsP = new Path(root, ".zattrs")
     val existing: Map[String, String] = readFileOpt(fs, attrsP).map { b =>
@@ -343,7 +404,7 @@ object ZarrStore {
           throw new IllegalArgumentException(s"store $path has no $name coordinate")), "UTF-8")
       val n = "\"shape\"\\s*:\\s*\\[\\s*(\\d+)".r.findFirstMatchIn(json).map(_.group(1).toInt)
         .getOrElse(throw new IllegalArgumentException(s"bad .zarray for $name"))
-      lEDoubles(unzlib(
+      lEDoubles(ChunkCodec.fromZarray(json).decompress(
         readFileOpt(fs, new Path(dir, "0")).getOrElse(
           throw new IllegalArgumentException(s"store $path: $name coordinate has no chunk")),
         n * 8))
@@ -372,6 +433,7 @@ object ZarrStore {
         .getOrElse(throw new IllegalArgumentException(s"bad .zarray: missing $key"))
     val Seq(nt, nh, nw) = ints("shape")
     val Seq(ct, cy, cx) = ints("chunks")
+    val codec = ChunkCodec.fromZarray(json)
     val files = fs.listStatus(dir).map(_.getPath.getName)
       .filter(_.matches("\\d+\\.\\d+\\.\\d+")).toSeq.sorted
     val conf    = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
@@ -383,7 +445,7 @@ object ZarrStore {
         val Array(tc, yc, xc) = name.split('.').map(_.toInt)
         val p   = new Path(dirStr, name)
         val cfs = p.getFileSystem(conf.value)
-        val raw = lEDoubles(unzlib(readFileOpt(cfs, p).get, ct * cy * cx * 8))
+        val raw = lEDoubles(codec.decompress(readFileOpt(cfs, p).get, ct * cy * cx * 8))
         for {
           t <- 0 until ct; y <- 0 until cy; x <- 0 until cx
           gt = tc * ct + t; gy = yc * cy + y; gx = xc * cx + x

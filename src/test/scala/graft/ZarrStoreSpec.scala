@@ -9,8 +9,9 @@ import graft.queries.DomainQueries
 import graft.sinks.ZarrStore
 
 /** Zarr v2 store sink (reference `writers/ZarrWriter.py`): public-format
-  * metadata, chunk-grid file layout, zlib chunk codec, absent empty
-  * chunks, forward-only time append with boundary-chunk merge. */
+  * metadata, chunk-grid file layout, blosc(blosclz)/zlib chunk codecs,
+  * absent empty chunks, forward-only time append with boundary-chunk
+  * merge. */
 class ZarrStoreSpec extends SparkSpec {
 
   // one target: the store models a single (time, lat, lon) grid, and the
@@ -32,11 +33,13 @@ class ZarrStoreSpec extends SparkSpec {
     val rootAttrs = slurp(s"$path/.zattrs")
     assert(rootAttrs.contains("\"coverage_start\": \"2023-06-15T00:00:00Z\""))
     // per-variable array metadata: shape (1 day, 16, 16), chunk (5,6,6),
-    // zlib codec, NaN fill, xarray dims convention
+    // blosc blosclz-9 codec (reference parity: ZarrWriter.py:205), NaN
+    // fill, xarray dims convention
     val za = slurp(s"$path/xco2/.zarray")
     assert(za.contains("\"shape\": [1, 16, 16]"))
     assert(za.contains("\"chunks\": [5, 6, 6]"))
-    assert(za.contains("\"id\": \"zlib\""))
+    assert(za.contains("\"id\": \"blosc\"") && za.contains("\"cname\": \"blosclz\"")
+      && za.contains("\"clevel\": 9") && za.contains("\"shuffle\": 1"))
     assert(za.contains("\"fill_value\": \"NaN\""))
     assert(slurp(s"$path/xco2/.zattrs").contains("\"_ARRAY_DIMENSIONS\": [\"time\", \"lat\", \"lon\"]"))
     // coordinate arrays exist with dims
@@ -175,11 +178,97 @@ class ZarrStoreSpec extends SparkSpec {
     assert(ZarrStore.read(spark, path, "xco2").count() === d0n + d1n)
   }
 
-  test("zlib chunks actually compress and store NaN fill for absent pixels") {
+  test("blosc chunks actually compress and store NaN fill for absent pixels") {
     val path = Files.createTempDirectory("zarr-z").toString
     ZarrStore.write(product, path, grid, chunks)
     val f = new java.io.File(s"$path/xco2/0.0.0")
     assert(f.exists())
     assert(f.length() < 5L * 6 * 6 * 8) // smaller than the raw chunk
+  }
+
+  test("an append keeps the codec the store was created with (zlib store stays zlib)") {
+    val path = Files.createTempDirectory("zarr-zlib").toString
+    ZarrStore.write(product, path, grid, chunks, codec = ZarrStore.ZlibCodec(9))
+    assert(slurp(s"$path/xco2/.zarray").contains("\"id\": \"zlib\""))
+    // the default-codec append must NOT switch codecs: old chunks are zlib
+    // bytes and one array can only declare one compressor
+    val day2 = product.withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+    ZarrStore.write(day2, path, grid, chunks)
+    assert(slurp(s"$path/xco2/.zarray").contains("\"id\": \"zlib\""))
+    assert(!slurp(s"$path/xco2/.zarray").contains("blosc"))
+    val back = ZarrStore.read(spark, path, "xco2")
+    assert(back.filter(col("time_idx") === 0).count() === back.filter(col("time_idx") === 1).count())
+  }
+
+  test("blosc frames round-trip across sizes, shapes, and entropy profiles") {
+    import graft.sinks.Blosc
+    val rnd = new scala.util.Random(42)
+    def doubles(n: Int)(f: Int => Double): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putDouble(f(i)))
+      b.array()
+    }
+    val cases: Seq[(String, Array[Byte])] = Seq(
+      "tiny coord"      -> doubles(3)(_.toDouble),
+      "sub-split block" -> doubles(100)(i => i * 0.125),
+      "one full block"  -> doubles(16384)(i => if (i % 7 == 0) Double.NaN else 400.0 + (i % 50) * 0.01),
+      "multi-block + leftover tail" -> doubles(5 * 250 * 250 / 8 + 13)(i => 400.0 + (i % 97) * 0.001),
+      "all-NaN (empty-chunk profile)" -> doubles(5 * 6 * 6)(_ => Double.NaN),
+      "incompressible random" -> {
+        val a = new Array[Byte](4096); rnd.nextBytes(a); a
+      },
+      "odd length (typesize falls back to 1)" -> {
+        val a = new Array[Byte](1001); rnd.nextBytes(a); a
+      })
+    for ((label, raw) <- cases) {
+      val frame = Blosc.compress(raw, 8, shuffle = true)
+      assert(Blosc.decompressedLength(frame) === raw.length, label)
+      assert(Blosc.decompress(frame).toSeq === raw.toSeq, label)
+      assert(frame.length <= raw.length + 16, s"$label: overhead bound")
+    }
+    // the smooth profiles must genuinely compress under shuffle+blosclz
+    val nanFrame = Blosc.compress(doubles(5 * 6 * 6)(_ => Double.NaN), 8, shuffle = true)
+    assert(nanFrame.length < 5 * 6 * 6 * 8 / 10, "all-NaN chunk should compress >10x")
+    // header structure: version-format 2, blosclz version 1, shuffle flag,
+    // typesize 8, nbytes recorded LE
+    val f = Blosc.compress(doubles(16384)(i => (i % 251).toDouble), 8, shuffle = true)
+    assert(f(0) === 2.toByte && f(1) === 1.toByte, "version bytes")
+    assert((f(2) & 0x01) === 0x01, "shuffle flag")
+    assert((f(2) & 0xe0) === 0, "codec bits say blosclz")
+    assert(f(3) === 8.toByte, "typesize")
+  }
+
+  test("blosclz decoder accepts the full public token grammar (golden streams)") {
+    import graft.sinks.Blosc
+    def dec(stream: Array[Int], outLen: Int): Array[Byte] = {
+      val s   = stream.map(_.toByte)
+      val out = new Array[Byte](outLen)
+      Blosc.blosclzDecompress(s, 0, s.length, out, 0, outLen)
+      out
+    }
+    // literal run: token 2 -> 3 literals
+    assert(dec(Array(2, 'a', 'b', 'c'), 3).toSeq === "abc".getBytes.toSeq)
+    // near match, short form: lencode 1 -> copy 3, distance = ofs+code+1
+    // "abcabc": literals "abc", then match len 3 dist 3 (ctrl 1<<5|0, code 2)
+    assert(dec(Array(2, 'a', 'b', 'c', 1 << 5, 2), 6).toSeq === "abcabc".getBytes.toSeq)
+    // RLE: distance 1 (ofs 0, code 0) copies the previous byte repeatedly
+    assert(dec(Array(0, 'x', (2 << 5), 0), 5).toSeq === "xxxxx".getBytes.toSeq)
+    // long match with chained 255 extensions: copy 9+255+0 = 264+ bytes
+    val longOut = dec(Array(0, 'q', 7 << 5, 255, 0, 0), 1 + 9 + 255)
+    assert(longOut.forall(_ == 'q'.toByte))
+    // far match: low5=31, code=255, then big-endian u16; distance = u16+8192
+    val src = new Array[Int](1 + 8192 + 4)
+    src(0) = 0; src(1) = 'z'
+    // fill 8191 more literals via runs of 32: 256 runs of 32 - 1 = 8191
+    val lits = Array.fill(8191)('w'.toInt)
+    val runTokens = lits.grouped(32).flatMap(g => Array(g.length - 1) ++ g).toArray
+    val farStream = Array(0, 'z') ++ runTokens ++ Array((1 << 5) | 31, 255, 0, 0)
+    // distance 8192 reaches back exactly to 'z' from op=8192
+    val farOut = dec(farStream, 8192 + 3)
+    assert(farOut(0) === 'z'.toByte && farOut(8192) === 'z'.toByte
+      && farOut(8193) === 'w'.toByte && farOut(8194) === 'w'.toByte)
+    // corrupt streams fail loudly, never return garbage
+    intercept[IllegalArgumentException](dec(Array(5, 'a'), 6)) // truncated literals
+    intercept[IllegalArgumentException](dec(Array(0, 'a', 1 << 5, 9), 4)) // match before start
   }
 }
