@@ -55,6 +55,7 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *                                        # (terminal: replaces the doc schema)
   * output:
   *   local: /path/out                     # required
+  * checkpoint: /path/ckpt                 # optional: cluster-form restart
   * }}}
   *
   * Writes `out/documents` (parquet, partitioned by `split` when a split
@@ -64,9 +65,17 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   * Scale shape: each step's output is persisted (MEMORY_AND_DISK) before
   * its count and the predecessor unpersisted, so the lineage never
   * re-executes an upstream step — the job materializes each stage exactly
-  * once, the same stage-checkpoint discipline a 100 TB run needs anyway
-  * (on a cluster, swap the persist for a parquet checkpoint between
-  * stages by splitting the config; the step list composes identically).
+  * once.
+  *
+  * With `checkpoint:` set, the persist-once discipline swaps for parquet
+  * materialization — the cluster form a multi-day 100 TB run needs: each
+  * stage writes `ckpt/stage-NN-<op>` plus a `.meta.json` sidecar (written
+  * only after the parquet commit, so a kill mid-stage leaves an invalid
+  * stage), and the next stage reads the materialized parquet, cutting the
+  * lineage. A re-run of the same config resumes after the longest valid
+  * prefix of (index, op)-matching completed stages: finished stages are
+  * never recomputed, their datasheet rows replay from the sidecars, and
+  * the first missing/mismatched stage invalidates everything after it.
   */
 object CorpusJob {
 
@@ -238,19 +247,68 @@ object CorpusJob {
     require(docs.columns.contains(idCol) && docs.columns.contains(textCol),
       s"input needs '$idCol' and '$textCol' columns (has: ${docs.columns.mkString(", ")})")
 
-    // fold through the steps, materializing each stage once
-    var cur      = docs.persist(StorageLevel.MEMORY_AND_DISK)
-    var curRows  = cur.count()
-    val counts   = Seq.newBuilder[StepCount]
+    val ckptDir = Option(root.get("checkpoint")).map(_.asText)
+    def stagePath(i: Int, op: String) = s"${ckptDir.get}/stage-${f"$i%02d"}-$op"
+    def metaPath(i: Int, op: String)  = new org.apache.hadoop.fs.Path(stagePath(i, op) + ".meta.json")
+    def stageValid(i: Int, op: String): Option[StepCount] = {
+      val success = new org.apache.hadoop.fs.Path(stagePath(i, op), "_SUCCESS")
+      if (!fs.exists(success) || !fs.exists(metaPath(i, op))) None
+      else {
+        val in  = fs.open(metaPath(i, op))
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        for {
+          ri <- "\"rows_in\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+          ro <- "\"rows_out\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
+        } yield StepCount(op, ri, ro)
+      }
+    }
 
-    stepsNode.foreach { s =>
-      val op   = req(s, "op").asText
-      val next = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
-      val n    = next.count()
-      counts += StepCount(op, curRows, n)
-      cur.unpersist()
-      cur = next
-      curRows = n
+    // resume: the longest prefix of completed (index, op)-matching stages
+    // stands; everything after the first gap recomputes
+    val resumed: Seq[StepCount] = ckptDir match {
+      case None => Seq.empty
+      case Some(_) =>
+        stepsNode.zipWithIndex
+          .map { case (s, i) => stageValid(i, req(s, "op").asText) }
+          .takeWhile(_.isDefined).flatten
+    }
+    val startIdx = resumed.length
+
+    val counts = Seq.newBuilder[StepCount]
+    counts ++= resumed
+    // in checkpoint mode nothing is persisted: stage inputs are parquet
+    // scans (the raw input or the previous stage's materialization)
+    var cur =
+      if (startIdx > 0) spark.read.parquet(stagePath(startIdx - 1, resumed.last.op))
+      else if (ckptDir.isDefined) docs
+      else docs.persist(StorageLevel.MEMORY_AND_DISK)
+    var curRows = if (startIdx > 0) resumed.last.rowsOut else cur.count()
+
+    stepsNode.zipWithIndex.drop(startIdx).foreach { case (s, i) =>
+      val op = req(s, "op").asText
+      ckptDir match {
+        case Some(_) =>
+          val path = stagePath(i, op)
+          applyStep(cur, s).write.mode("overwrite").parquet(path)
+          val mat = spark.read.parquet(path)
+          val n   = mat.count()
+          // the meta sidecar commits the stage: written only after the
+          // parquet _SUCCESS exists, so a kill mid-write is never resumable
+          val out = fs.create(metaPath(i, op), true)
+          try out.write(
+            s"""{"op":"$op","rows_in":$curRows,"rows_out":$n}\n""".getBytes("UTF-8"))
+          finally out.close()
+          counts += StepCount(op, curRows, n)
+          cur = mat
+          curRows = n
+        case None =>
+          val next = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
+          val n    = next.count()
+          counts += StepCount(op, curRows, n)
+          cur.unpersist()
+          cur = next
+          curRows = n
+      }
     }
 
     val writer = cur.write.mode("overwrite")

@@ -212,4 +212,59 @@ class CorpusJobSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(ids === Array(0L, 2L))
   }
+
+  test("CorpusJob: checkpointed stages materialize to parquet and a killed run resumes without recompute") {
+    val dir = Files.createTempDirectory("corpusjob-ckpt")
+    writeDocs(dir)
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: exact-dedup
+         |  - op: pii-scrub
+         |  - op: quality-filter
+         |    min-words: 5
+         |  - op: decontaminate
+         |    benchmark: $dir/bench.parquet
+         |    min-overlap: 5
+         |  - op: split
+         |    weights: {train: 8, val: 1, test: 1}
+         |output:
+         |  local: $dir/out
+         |checkpoint: $dir/ckpt
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+
+    val sheet1 = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet1.outputRows === 4L)
+    // every stage materialized with a committed sidecar
+    val stages = Seq("stage-00-exact-dedup", "stage-01-pii-scrub",
+      "stage-02-quality-filter", "stage-03-decontaminate", "stage-04-split")
+    stages.foreach { s =>
+      assert(new java.io.File(s"$dir/ckpt/$s/_SUCCESS").exists(), s)
+      assert(new java.io.File(s"$dir/ckpt/$s.meta.json").exists(), s)
+    }
+
+    // kill simulation: the final stage vanished mid-write; the input is
+    // REPLACED by an empty table — a true resume must not recompute from
+    // it, only re-run the missing stage off stage-03's materialization
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(); ()
+    }
+    rmrf(new java.io.File(s"$dir/ckpt/stage-04-split"))
+    new java.io.File(s"$dir/ckpt/stage-04-split.meta.json").delete()
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val sheet2 = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet2 === sheet1, "resumed datasheet must replay finished stages identically")
+    assert(spark.read.parquet(s"$dir/out/documents")
+      .select("doc_id").as[Long].collect().sorted === Array(0L, 3L, 4L, 6L))
+
+    // fully-complete checkpoints: nothing recomputes, the sheet replays
+    // entirely from sidecars (input still empty)
+    val sheet3 = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet3 === sheet1)
+  }
 }
