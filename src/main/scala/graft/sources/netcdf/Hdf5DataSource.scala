@@ -27,7 +27,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Projection pushdown is REAL chunk pruning: only required datasets are
   * opened, and chunked datasets read only the chunks overlapping the
-  * partition's row range (`Hdf5.readRows`).
+  * partition's row range (`Hdf5.readRows`). Filter pushdown on `row_index`
+  * ([[RowRangePushdown]]) intersects that range at partition-planning time,
+  * so a record-dim slice (P10) never plans — or reads — the other chunks.
   */
 class Hdf5DataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "hdf5"
@@ -60,16 +62,29 @@ class Hdf5Table(tableSchema: StructType, options: CaseInsensitiveStringMap) exte
 }
 
 class Hdf5ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new Hdf5Scan(required, options)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    accepted = filters.filter(RowRangePushdown.bound(_).isDefined)
+    // exact prune, but all filters stay residual — see NetCDF3ScanBuilder
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+  override def build(): Scan = new Hdf5Scan(required, options, RowRangePushdown.range(accepted))
 }
 
-class Hdf5Scan(required: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
+class Hdf5Scan(
+    required: StructType,
+    options: CaseInsensitiveStringMap,
+    rowRange: (Long, Long) = (0L, Long.MaxValue)) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String = s"hdf5 cols=[${required.fieldNames.mkString(",")}]"
+  override def description(): String =
+    s"hdf5 cols=[${required.fieldNames.mkString(",")}]${RowRangePushdown.describe(rowRange)}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf    = SparkSession.active.sessionState.newHadoopConf()
@@ -92,7 +107,9 @@ class Hdf5Scan(required: StructType, options: CaseInsensitiveStringMap) extends 
           .map(d => math.max(d.shape.drop(1).product, 1L) * d.dtype.size)
           .maxOption.getOrElse(1L)
         val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
-        (0L until n by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, n)): InputPartition)
+        val lo = math.max(0L, rowRange._1)
+        val hi = math.min(n, rowRange._2)
+        (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)): InputPartition)
       }
     }.flatten.toArray
   }

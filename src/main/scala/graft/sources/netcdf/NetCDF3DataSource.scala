@@ -69,19 +69,71 @@ class NetCDF3Table(tableSchema: StructType, options: CaseInsensitiveStringMap) e
 }
 
 class NetCDF3ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
   private var required: StructType = fullSchema
+  private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new NetCDF3Scan(required, options)
+  override def pushFilters(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
+    accepted = filters.filter(RowRangePushdown.bound(_).isDefined)
+    // the range prune is exact for the accepted shapes, but every filter is
+    // returned as residual: Spark's post-scan evaluation stays as a safety
+    // net for negligible cost (the pruned scan emits few rows)
+    filters
+  }
+  override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
+  override def build(): Scan = new NetCDF3Scan(required, options, RowRangePushdown.range(accepted))
 }
 
 final case class NetCDF3Partition(path: String, start: Long, end: Long) extends InputPartition
 
-class NetCDF3Scan(required: StructType, options: CaseInsensitiveStringMap) extends Scan with Batch {
+/** P10 record-dim pushdown, shared by both granule sources: filters on the
+  * synthesized `row_index` coordinate (the record-dimension subscript, i.e.
+  * the reference's time-slice subset shape, `tools/climatology/main.py:220`)
+  * translate to a per-file row range that partition planning intersects
+  * away — unneeded chunks are never planned, so they are never read. */
+object RowRangePushdown {
+  import org.apache.spark.sql.sources._
+
+  private def num(v: Any): Option[Long] = v match {
+    case n: java.lang.Number => Some(n.longValue)
+    case _                   => None
+  }
+
+  /** The `[lo, hi)` row range a filter implies, when it is a shape the
+    * sources apply exactly; None marks unsupported filters. */
+  def bound(f: Filter): Option[(Long, Long)] = f match {
+    case GreaterThan("row_index", v)        => num(v).map(a => (a + 1, Long.MaxValue))
+    case GreaterThanOrEqual("row_index", v) => num(v).map(a => (a, Long.MaxValue))
+    case LessThan("row_index", v)           => num(v).map(a => (0L, a))
+    case LessThanOrEqual("row_index", v)    => num(v).map(a => (0L, a + 1))
+    case EqualTo("row_index", v)            => num(v).map(a => (a, a + 1))
+    case And(l, r) =>
+      for { (ll, lh) <- bound(l); (rl, rh) <- bound(r) }
+        yield (math.max(ll, rl), math.min(lh, rh))
+    case _ => None
+  }
+
+  /** Conjunction of all accepted bounds. */
+  def range(accepted: Array[Filter]): (Long, Long) =
+    accepted.flatMap(bound).foldLeft((0L, Long.MaxValue)) {
+      case ((lo, hi), (l, h)) => (math.max(lo, l), math.min(hi, h))
+    }
+
+  def describe(range: (Long, Long)): String =
+    if (range == (0L, Long.MaxValue)) ""
+    else s" rows=[${range._1},${if (range._2 == Long.MaxValue) "*" else range._2})"
+}
+
+class NetCDF3Scan(
+    required: StructType,
+    options: CaseInsensitiveStringMap,
+    rowRange: (Long, Long) = (0L, Long.MaxValue)) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"netcdf3 cols=[${required.fieldNames.mkString(",")}]"
+    s"netcdf3 cols=[${required.fieldNames.mkString(",")}]${RowRangePushdown.describe(rowRange)}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf     = SparkSession.active.sessionState.newHadoopConf()
@@ -101,7 +153,9 @@ class NetCDF3Scan(required: StructType, options: CaseInsensitiveStringMap) exten
         .map(v => math.max(header.shape(v).drop(1).product, 1L) * NetCDF3.typeSize(v.ncType))
         .maxOption.getOrElse(1L)
       val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
-      (0L until n by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, n)): InputPartition)
+      val lo = math.max(0L, rowRange._1)
+      val hi = math.min(n, rowRange._2)
+      (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)): InputPartition)
     }.flatten.toArray
   }
 

@@ -152,6 +152,26 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("row_index range filters prune partition planning to overlapping chunks (P10 pushdown)") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // 1-row splits make planned partitions observable: 10 rows -> 10 splits
+    val df = spark.read.format("hdf5").option("maxrowspersplit", 1).load(granulePath)
+    assert(df.rdd.getNumPartitions === soundings.length)
+    // a record-dim slice plans ONLY the overlapping splits — with chunked
+    // datasets (chunkRows=4) the unplanned splits' chunks are never read
+    val sliced = df.filter(col("row_index") >= 2 && col("row_index") < 5)
+    assert(sliced.rdd.getNumPartitions === 3)
+    assert(sliced.select("row_index").collect().map(_.getLong(0)).sorted === Array(2L, 3L, 4L))
+    // the scan advertises the pushed range and the pushed filters
+    val scans = sliced.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("rows=[2,5)"))
+    // values survive a slice that crosses a chunk boundary (chunkRows=4)
+    val cross = df.filter(col("row_index") === 3 || col("row_index") === 4)
+    assert(cross.select("row_index").collect().map(_.getLong(0)).sorted === Array(3L, 4L))
+    // OR is not a range shape: nothing pushed, planning stays full
+    assert(cross.rdd.getNumPartitions === soundings.length)
+  }
+
   test("CF time units drive the epoch decode (SIF's 1990 epoch, no caller knowledge)") {
     val dir = Files.createTempDirectory("h5-epoch")
     val p = dir.resolve("sif.nc4")

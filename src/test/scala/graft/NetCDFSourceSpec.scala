@@ -86,6 +86,16 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("row_index range filters prune partition planning (P10 pushdown)") {
+    val df = spark.read.format("netcdf3").option("maxrowspersplit", 1).load(granulePath)
+    assert(df.rdd.getNumPartitions === soundings.length)
+    val sliced = df.filter(col("row_index") >= 2 && col("row_index") < 5)
+    assert(sliced.rdd.getNumPartitions === 3)
+    assert(sliced.select("row_index").collect().map(_.getLong(0)).sorted === Array(2L, 3L, 4L))
+    val scans = sliced.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("rows=[2,5)"))
+  }
+
   test("the DSv2 scan reads CDF-2 (and CDF-1) files, not just the CDF-5 the fixture writer emits") {
     import graft.sources.netcdf.NetCDF3
     import graft.sources.netcdf.NetCDF3._
