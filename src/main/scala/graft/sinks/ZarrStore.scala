@@ -420,8 +420,20 @@ object ZarrStore {
   /** Read one variable back as (time_idx, lat_idx, lon_idx, value) — the
     * round-trip verification surface. Chunk files fan out one per task;
     * `maxPartitions` defaults to the cluster's parallelism (was a
-    * hardcoded 32 before round 5). */
-  def read(spark: SparkSession, path: String, variable: String, maxPartitions: Int = 0): DataFrame = {
+    * hardcoded 32 before round 5).
+    *
+    * `timeIdxRange` is the store-level form of the reference's time-slice
+    * subset (`tools/climatology/main.py:220`, `ds.sel(time=slice(...))`):
+    * a `[lo, hi)` bound on time_idx prunes CHUNK FILES before any task is
+    * planned — a one-month slice of a 10-year store opens ~1/120th of the
+    * files — and rows of partially-overlapping boundary chunks filter
+    * exactly. */
+  def read(
+      spark: SparkSession,
+      path: String,
+      variable: String,
+      maxPartitions: Int = 0,
+      timeIdxRange: Option[(Int, Int)] = None): DataFrame = {
     import spark.implicits._
     val (root, fs) = fsFor(path, spark)
     val dir  = new Path(root, variable)
@@ -434,8 +446,14 @@ object ZarrStore {
     val Seq(nt, nh, nw) = ints("shape")
     val Seq(ct, cy, cx) = ints("chunks")
     val codec = ChunkCodec.fromZarray(json)
+    val (tLo, tHi) = timeIdxRange.getOrElse((0, nt))
     val files = fs.listStatus(dir).map(_.getPath.getName)
-      .filter(_.matches("\\d+\\.\\d+\\.\\d+")).toSeq.sorted
+      .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
+      .filter { name => // chunk-file time pruning: never list, plan, or read
+        val tc = name.takeWhile(_ != '.').toInt //  chunks outside the slice
+        tc * ct < tHi && (tc + 1) * ct > tLo
+      }
+      .toSeq.sorted
     val conf    = new SerializableHadoopConf(spark.sessionState.newHadoopConf())
     val dirStr  = dir.toString
     val cap = if (maxPartitions > 0) maxPartitions else spark.sparkContext.defaultParallelism
@@ -449,7 +467,7 @@ object ZarrStore {
         for {
           t <- 0 until ct; y <- 0 until cy; x <- 0 until cx
           gt = tc * ct + t; gy = yc * cy + y; gx = xc * cx + x
-          if gt < nt && gy < nh && gx < nw
+          if gt >= tLo && gt < tHi && gt < nt && gy < nh && gx < nw
           v = raw((t * cy + y) * cx + x)
           if !v.isNaN
         } yield (gt, gy, gx, v)

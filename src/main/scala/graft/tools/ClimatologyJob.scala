@@ -29,41 +29,59 @@ import graft.sinks.{ProductStore, ZarrStore}
   * spills) reduces to these aggregates.
   *
   * Usage: ClimatologyJob <store> <out> [span] [--consolidated]
-  *        [--variable <v>]
+  *        [--variable <v>] [--from YYYY-MM-DD] [--to YYYY-MM-DD]
   * span ∈ month | season | seasonal-ref | quarter | year (default month);
   * `seasonal-ref` reproduces the reference tool's exact season boundaries
   * (spans end on the 20th of Mar/Jun/Sep/Dec, first span clipped to the
   * store's coverage start — `tools/climatology/main.py:194-210`), while
-  * `season` keeps clean month-aligned DJF/MAM/JJA/SON.
+  * `season` keeps clean month-aligned DJF/MAM/JJA/SON. `--from`/`--to`
+  * (inclusive/exclusive) are the reference's time-slice subset
+  * (`main.py:220`): the day bounds resolve to a time-index range on the
+  * driver and prune the store's chunk FILES, not just rows.
   */
 object ClimatologyJob {
 
   /** Store rows with real timestamps: time_idx resolves through the
     * store's 1-D time coordinate (driver-read, broadcast — the time axis
-    * is bounded by the store's day count). */
-  def readWithTime(spark: SparkSession, store: String, variable: String): DataFrame = {
+    * is bounded by the store's day count). Date bounds become a time-index
+    * range that [[ZarrStore.read]] turns into chunk-file pruning. */
+  def readWithTime(
+      spark: SparkSession, store: String, variable: String,
+      from: Option[java.time.LocalDate] = None,
+      to: Option[java.time.LocalDate] = None): DataFrame = {
     import spark.implicits._
     val days = ZarrStore.existingDays(spark, store)
     require(days.nonEmpty, s"store $store has no time axis")
+    val range = if (from.isEmpty && to.isEmpty) None else {
+      val lo = from.map(d => days.count(_ < d.toEpochDay)).getOrElse(0)
+      val hi = to.map(d => days.count(_ < d.toEpochDay)).getOrElse(days.length)
+      Some((lo, hi))
+    }
     val lookup = days.zipWithIndex
       .map { case (d, i) => (i, java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d))) }
       .toDF("time_idx", "date")
-    ZarrStore.read(spark, store, variable)
+    ZarrStore.read(spark, store, variable, timeIdxRange = range)
       .join(broadcast(lookup), "time_idx")
       .select(col("lat_idx"), col("lon_idx"), col("date").cast("timestamp").as("time"), col("value"))
   }
 
   /** Per-pixel per-span means over a Zarr store variable (A7). */
-  def spanMeans(spark: SparkSession, store: String, variable: String, span: String): DataFrame =
+  def spanMeans(
+      spark: SparkSession, store: String, variable: String, span: String,
+      from: Option[java.time.LocalDate] = None,
+      to: Option[java.time.LocalDate] = None): DataFrame =
     Climatology.temporalMean(
-      readWithTime(spark, store, variable), "time", "value", span,
+      readWithTime(spark, store, variable, from, to), "time", "value", span,
       keyCols = Seq("lat_idx", "lon_idx"))
 
   /** Per-pixel monthly-consolidated means over a Zarr store variable (A8):
     * mean-of-monthly-means per month-of-year, NOT mean-of-days. */
-  def consolidated(spark: SparkSession, store: String, variable: String): DataFrame =
+  def consolidated(
+      spark: SparkSession, store: String, variable: String,
+      from: Option[java.time.LocalDate] = None,
+      to: Option[java.time.LocalDate] = None): DataFrame =
     Climatology.consolidateMonthly(
-      spanMeans(spark, store, variable, "month"),
+      spanMeans(spark, store, variable, "month", from, to),
       keyCols = Seq("lat_idx", "lon_idx"))
 
   /** Data variables of a Zarr store (array dirs minus the coordinates). */
@@ -88,12 +106,13 @@ object ClimatologyJob {
 
   private def runZarr(
       spark: SparkSession, store: String, out: String, span: String,
-      doConsolidated: Boolean, variable: Option[String]): String = {
+      doConsolidated: Boolean, variable: Option[String],
+      from: Option[java.time.LocalDate], to: Option[java.time.LocalDate]): String = {
     val vars = variable.map(Seq(_)).getOrElse(storeVariables(spark, store))
     require(vars.nonEmpty, s"store $store has no data variables")
     val meta = ZarrStore.gridOf(spark, store)
     val means = vars.map { v =>
-      spanMeans(spark, store, v, span).select(
+      spanMeans(spark, store, v, span, from, to).select(
         to_date(col("span_start")).cast("timestamp").as("time"),
         col("lat_idx"), col("lon_idx"),
         col("mean_value").as("value"))
@@ -102,7 +121,7 @@ object ClimatologyJob {
     ZarrStore.write(means, out, meta)
     if (doConsolidated) {
       val cons = vars.map { v =>
-        monthAxis(consolidated(spark, store, v))
+        monthAxis(consolidated(spark, store, v, from, to))
           .withColumn("variable", lit(s"${v}_monthly_climatology"))
       }.reduce(_.unionByName(_))
       ZarrStore.write(cons, s"$out-consolidated", meta)
@@ -129,6 +148,8 @@ object ClimatologyJob {
     val span  = flags.find(!_.startsWith("--")).getOrElse("month")
     val doConsolidated = flags.contains("--consolidated")
     val variable = flags.sliding(2).collectFirst { case Array("--variable", v) => v }
+    val from = flags.sliding(2).collectFirst { case Array("--from", d) => java.time.LocalDate.parse(d) }
+    val to   = flags.sliding(2).collectFirst { case Array("--to", d) => java.time.LocalDate.parse(d) }
     val preExisting = SparkSession.getActiveSession.isDefined
     val spark = Jobs.session("graft-climatology")
     spark.sparkContext.setLogLevel("WARN")
@@ -138,7 +159,7 @@ object ClimatologyJob {
       root.getFileSystem(spark.sessionState.newHadoopConf()).exists(new Path(root, ".zgroup"))
     }
     val detail =
-      if (isZarr) runZarr(spark, store, out, span, doConsolidated, variable)
+      if (isZarr) runZarr(spark, store, out, span, doConsolidated, variable, from, to)
       else runParquet(spark, store, out, span, doConsolidated)
     println(s"""{"job":"climatology","store":"$store","span":"$span",$detail}""")
     if (!preExisting) spark.stop()

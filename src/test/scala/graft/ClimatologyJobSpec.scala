@@ -70,6 +70,22 @@ class ClimatologyJobSpec extends SparkSpec {
     val cons = ZarrStore.read(spark, s"$out-consolidated", "OCO3_global_xco2_monthly_climatology")
       .select("value").distinct().collect().map(_.getDouble(0))
     assert(cons === Array(410.0))
+
+    // --from/--to: the reference's time-slice subset (main.py:220). Date
+    // bounds resolve to a time-index range on the driver, so the 2024-only
+    // climatology reads only 2024 chunks and averages only 410/430
+    val sliced = graft.tools.ClimatologyJob.readWithTime(
+      spark, store, "OCO3_global_xco2", from = Some(java.time.LocalDate.parse("2024-01-01")))
+    assert(sliced.select(date_format(col("time"), "yyyy-MM-dd")).distinct()
+      .collect().map(_.getString(0)).sorted === Array("2024-01-10", "2024-01-20"))
+    val out24 = dir.resolve("climo-2024").toString
+    graft.tools.ClimatologyJob.main(
+      Array(store, out24, "month", "--variable", "OCO3_global_xco2", "--from", "2024-01-01"))
+    assert(ZarrStore.existingDays(spark, out24)
+      .map(java.time.LocalDate.ofEpochDay(_).toString) === Seq("2024-01-01"))
+    val m24 = ZarrStore.read(spark, out24, "OCO3_global_xco2_month_mean")
+      .select("value").distinct().collect().map(_.getDouble(0))
+    assert(m24 === Array(420.0))
   }
 
   test("seasonal-ref spans match the reference tool's 20th-of-month boundaries, incl. the partial first span") {

@@ -200,6 +200,32 @@ class ZarrStoreSpec extends SparkSpec {
     assert(back.filter(col("time_idx") === 0).count() === back.filter(col("time_idx") === 1).count())
   }
 
+  test("time-sliced read prunes chunk FILES, not just rows (reference time-slice subset)") {
+    val path = Files.createTempDirectory("zarr-slice").toString
+    val d1 = product.withColumn("time", to_timestamp(lit("2023-06-16 00:00:00")))
+      .withColumn("value", col("value") + 100.0)
+    val d2 = product.withColumn("time", to_timestamp(lit("2023-06-17 00:00:00")))
+      .withColumn("value", col("value") + 200.0)
+    // t=1 chunking: one chunk file per day
+    ZarrStore.write(product.unionByName(d1).unionByName(d2), path, grid,
+      ZarrStore.Chunking(t = 1, y = 6, x = 6))
+    // corrupt every chunk file of days 0 and 2: a sliced read of day 1
+    // must never open them — file pruning, not row filtering
+    new java.io.File(s"$path/xco2").listFiles()
+      .filter(_.getName.matches("[02]\\.\\d+\\.\\d+"))
+      .foreach(f => Files.write(f.toPath, Array[Byte](1, 2, 3)))
+    val sliced = ZarrStore.read(spark, path, "xco2", timeIdxRange = Some((1, 2)))
+    val got = sliced.select("time_idx", "lat_idx", "lon_idx", "value")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+    val want = d1.filter(col("variable") === "xco2")
+      .select(lit(1), col("lat_idx"), col("lon_idx"), col("value"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+    assert(got.nonEmpty && got === want)
+    // control: an unsliced read opens the corrupted files and fails — the
+    // corruption above is real, so the sliced success proves the prune
+    intercept[Exception](ZarrStore.read(spark, path, "xco2").collect())
+  }
+
   test("blosc frames round-trip across sizes, shapes, and entropy profiles") {
     import graft.sinks.Blosc
     val rnd = new scala.util.Random(42)
