@@ -72,10 +72,12 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   * stage writes `ckpt/stage-NN-<op>` plus a `.meta.json` sidecar (written
   * only after the parquet commit, so a kill mid-stage leaves an invalid
   * stage), and the next stage reads the materialized parquet, cutting the
-  * lineage. A re-run of the same config resumes after the longest valid
-  * prefix of (index, op)-matching completed stages: finished stages are
-  * never recomputed, their datasheet rows replay from the sidecars, and
-  * the first missing/mismatched stage invalidates everything after it.
+  * lineage. A re-run resumes after the longest valid prefix of completed
+  * stages whose FULL step config (fingerprinted in the sidecar) is
+  * unchanged: finished stages are never recomputed, their datasheet rows
+  * replay from the sidecars, and the first missing or edited stage —
+  * including a same-op parameter change — invalidates everything after
+  * it.
   */
 object CorpusJob {
 
@@ -250,26 +252,34 @@ object CorpusJob {
     val ckptDir = Option(root.get("checkpoint")).map(_.asText)
     def stagePath(i: Int, op: String) = s"${ckptDir.get}/stage-${f"$i%02d"}-$op"
     def metaPath(i: Int, op: String)  = new org.apache.hadoop.fs.Path(stagePath(i, op) + ".meta.json")
-    def stageValid(i: Int, op: String): Option[StepCount] = {
+    // a stage is only as reusable as its FULL step config: same op with
+    // changed params (min-words, rates, ...) must recompute, so the
+    // sidecar carries a fingerprint of the step node, not just the op
+    def stepMd5(s: com.fasterxml.jackson.databind.JsonNode): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def stageValid(i: Int, s: com.fasterxml.jackson.databind.JsonNode, op: String): Option[StepCount] = {
       val success = new org.apache.hadoop.fs.Path(stagePath(i, op), "_SUCCESS")
       if (!fs.exists(success) || !fs.exists(metaPath(i, op))) None
       else {
         val in  = fs.open(metaPath(i, op))
         val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
         for {
+          md5 <- "\"step_md5\"\\s*:\\s*\"([0-9a-f]+)\"".r.findFirstMatchIn(txt).map(_.group(1))
+          if md5 == stepMd5(s)
           ri <- "\"rows_in\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
           ro <- "\"rows_out\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toLong)
         } yield StepCount(op, ri, ro)
       }
     }
 
-    // resume: the longest prefix of completed (index, op)-matching stages
+    // resume: the longest prefix of completed, config-matching stages
     // stands; everything after the first gap recomputes
     val resumed: Seq[StepCount] = ckptDir match {
       case None => Seq.empty
       case Some(_) =>
         stepsNode.zipWithIndex
-          .map { case (s, i) => stageValid(i, req(s, "op").asText) }
+          .map { case (s, i) => stageValid(i, s, req(s, "op").asText) }
           .takeWhile(_.isDefined).flatten
     }
     val startIdx = resumed.length
@@ -296,7 +306,8 @@ object CorpusJob {
           // parquet _SUCCESS exists, so a kill mid-write is never resumable
           val out = fs.create(metaPath(i, op), true)
           try out.write(
-            s"""{"op":"$op","rows_in":$curRows,"rows_out":$n}\n""".getBytes("UTF-8"))
+            s"""{"op":"$op","step_md5":"${stepMd5(s)}","rows_in":$curRows,"rows_out":$n}\n"""
+              .getBytes("UTF-8"))
           finally out.close()
           counts += StepCount(op, curRows, n)
           cur = mat

@@ -266,5 +266,22 @@ class CorpusJobSpec extends SparkSpec {
     // entirely from sidecars (input still empty)
     val sheet3 = CorpusJob.run(spark, s"$dir/job.yaml")
     assert(sheet3 === sheet1)
+
+    // a same-op PARAMETER change invalidates that stage and everything
+    // after it: quality-filter relaxes so doc 2 now passes — stages 0-1
+    // replay from sidecars (input is still empty, so a recompute of them
+    // would change the sheet), stages 2+ recompute off stage-01 parquet
+    val cfg2 = cfg.replace("    min-words: 5", "    min-words: 2\n    min-stop-hits: 0")
+    assert(cfg2 != cfg)
+    Files.write(dir.resolve("job.yaml"), cfg2.getBytes("UTF-8"))
+    val sheet4 = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet4.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) === Seq(
+      ("exact-dedup", 7L, 6L),      // replayed
+      ("pii-scrub", 6L, 6L),        // replayed
+      ("quality-filter", 6L, 6L),   // recomputed: doc 2 passes now
+      ("decontaminate", 6L, 5L),
+      ("split", 5L, 5L)))
+    assert(spark.read.parquet(s"$dir/out/documents")
+      .select("doc_id").as[Long].collect().sorted === Array(0L, 2L, 3L, 4L, 6L))
   }
 }
