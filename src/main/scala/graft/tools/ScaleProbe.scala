@@ -93,6 +93,10 @@ object ScaleProbe {
       "lang_id"        -> (() => noopWrite(TextAnalysis.languageId(docs, "doc_id", "text", langs))),
       "fingerprint"    -> (() => noopWrite(TextAnalysis.fingerprint(docs, "doc_id", "text"))),
       "minhash_neardup" -> (() => noopWrite(MinHashLSH.nearDuplicates(docs, "doc_id", "text"))),
+      // the hard bucket cap: identical output on this corpus (no bucket
+      // near the cap), bounding worst-case work on degenerate ones
+      "minhash_capped" -> (() => noopWrite(
+        MinHashLSH.nearDuplicates(docs, "doc_id", "text", maxBucket = Some(10000L)))),
       "simhash"        -> (() => noopWrite(TextAnalysis.simHash(docs, "doc_id", "text", bits = 32))),
       "simhash_neardup" -> (() => noopWrite(TextAnalysis.simHashNearDup(docs, "doc_id", "text", bits = 32, nBands = 4, maxHamming = 3))),
       // same operator, corpus-sized band width (15-bit bands = 32k buckets):
