@@ -319,7 +319,10 @@ object Blosc {
         val worth = if (dist - 1 < MaxDistance) mlen >= 4 else mlen >= 6
         if (worth) {
           if (!flushLiterals(ip) || !emitMatch(mlen, dist)) return -1
-          val stop = math.min(ip + mlen, ipEnd - 3)
+          // bounded table refresh inside the match (FastLZ updates 2):
+          // full-coverage updates cost O(mlen) on RLE-like runs for no
+          // measurable ratio gain on the store's chunk profiles
+          val stop = math.min(ip + math.min(mlen, 8), ipEnd - 3)
           var p = ip + 1
           while (p < stop) { table(hash(p)) = p; p += 1 }
           ip += mlen

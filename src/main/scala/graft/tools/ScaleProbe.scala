@@ -308,6 +308,42 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "codec") {
+      // chunk-codec head-to-head on the production chunk profile: a
+      // 5x250x250 float64 chunk (2.5 MB) with sparse coverage (NaN fill
+      // everywhere a sounding did not land) — the exact payload every
+      // store write compresses once per chunk cell. Driver-side on
+      // purpose: the codec runs inside executor tasks, so single-thread
+      // throughput IS the per-task cost.
+      val rnd = new scala.util.Random(7)
+      val chunk = Array.tabulate(5 * 250 * 250) { i =>
+        if (rnd.nextDouble() < 0.7) Double.NaN else 400.0 + (i % 977) * 0.003
+      }
+      val raw = java.nio.ByteBuffer.allocate(chunk.length * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      chunk.foreach(raw.putDouble)
+      val bytes = raw.array()
+      def time[T](reps: Int)(f: => T): (Double, T) = {
+        var out: T = f // warm-up
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < reps) { out = f; i += 1 }
+        ((System.nanoTime() - t0) / 1e9 / reps, out)
+      }
+      val reps = 20
+      val blosc = graft.sinks.ZarrStore.BloscCodec()
+      val zlib  = graft.sinks.ZarrStore.ZlibCodec(9)
+      val (bcSec, bFrame) = time(reps)(blosc.compress(bytes))
+      val (bdSec, _)      = time(reps)(blosc.decompress(bFrame, bytes.length))
+      val (zcSec, zFrame) = time(reps)(zlib.compress(bytes))
+      val (zdSec, _)      = time(reps)(zlib.decompress(zFrame, bytes.length))
+      def mbps(s: Double) = math.round(bytes.length / s / 1e6)
+      println(
+        s"""{"probe":"chunk_codec","raw_bytes":${bytes.length},""" +
+          s""""blosc":{"bytes":${bFrame.length},"c_mbps":${mbps(bcSec)},"d_mbps":${mbps(bdSec)}},""" +
+          s""""zlib9":{"bytes":${zFrame.length},"c_mbps":${mbps(zcSec)},"d_mbps":${mbps(zdSec)}}}""")
+      spark.stop()
+      return
+    }
     if (variant == "ingestgate") {
       // streaming-gate throughput: the corpus lands as many parquet files,
       // a file stream replays them in bounded micro-batches through the
