@@ -63,9 +63,11 @@ class Hdf5Table(tableSchema: StructType, options: CaseInsensitiveStringMap) exte
 
 class Hdf5ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
@@ -74,25 +76,35 @@ class Hdf5ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
-  override def build(): Scan = new Hdf5Scan(required, options, RowRangePushdown.range(accepted))
+  // partial limit pushdown — see NetCDF3ScanBuilder
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan =
+    new Hdf5Scan(required, options, RowRangePushdown.ranges(accepted), limit)
 }
 
 class Hdf5Scan(
     required: StructType,
     options: CaseInsensitiveStringMap,
-    rowRange: (Long, Long) = (0L, Long.MaxValue)) extends Scan with Batch {
+    rowRanges: RowRangePushdown.Ranges = RowRangePushdown.All,
+    limit: Option[Int] = None)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"hdf5 cols=[${required.fieldNames.mkString(",")}]${RowRangePushdown.describe(rowRange)}"
+    s"hdf5 cols=[${required.fieldNames.mkString(",")}]" +
+      RowRangePushdown.describe(rowRanges) + limit.map(l => s" limit=$l").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Per-file planning facts (path, rowCount, rowsPerSplit, bytesPerRow
+    * under this projection), computed once per scan — parallel driver
+    * metadata reads, as in the netcdf3 source. */
+  private lazy val fileFacts: Seq[(String, Long, Long, Long)] = {
     val conf    = SparkSession.active.sessionState.newHadoopConf()
     val paths   = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
     val maxBytes = Option(options.get("maxbytespersplit")).map(_.toLong).getOrElse(256L << 20)
     val reqCols = required.fieldNames.toSet
-    // parallel driver metadata reads, as in the netcdf3 source
     NetCDF3Util.parMap(paths) { p =>
       Hdf5Util.withFile(p, conf) { f =>
         val n = Hdf5Util.rowCount(f, Option(options.get("rowdim")))
@@ -103,15 +115,33 @@ class Hdf5Scan(
         // 288 GB split whose read buffer overflows the JVM array limit
         val cand = Hdf5Util.variableDatasets(f).filter(_.shape.headOption.contains(n))
         val sel  = cand.filter(d => reqCols.contains(Hdf5Util.columnName(d.path)))
-        val widest = (if (sel.nonEmpty) sel else cand)
-          .map(d => math.max(d.shape.drop(1).product, 1L) * d.dtype.size)
-          .maxOption.getOrElse(1L)
-        val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
-        val lo = math.max(0L, rowRange._1)
-        val hi = math.min(n, rowRange._2)
-        (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)): InputPartition)
+        def width(d: Hdf5.Dataset) = math.max(d.shape.drop(1).product, 1L) * d.dtype.size
+        val widest  = (if (sel.nonEmpty) sel else cand).map(width).maxOption.getOrElse(1L)
+        val rowByte = sel.map(width).sum + 8L // + synthesized row_index
+        (p, n, math.max(1L, math.min(maxRows, maxBytes / widest)), rowByte)
       }
-    }.flatten.toArray
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    NetCDF3Scan.truncateToLimit(
+      fileFacts.flatMap { case (p, n, rows, _) =>
+        RowRangePushdown.clip(rowRanges, n).flatMap { case (lo, hi) =>
+          (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)))
+        }
+      }, limit).toArray
+
+  /** Header-derived size/row estimates — see NetCDF3Scan. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = fileFacts.map { case (_, n, _, _) =>
+      RowRangePushdown.clip(rowRanges, n).map(r => r._2 - r._1).sum
+    }.sum
+    val nRows = limit.map(l => math.min(l.toLong, rows)).getOrElse(rows)
+    val bytes = fileFacts.headOption.map(_._4).getOrElse(16L) * nRows
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.of(nRows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

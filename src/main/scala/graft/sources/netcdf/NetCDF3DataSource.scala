@@ -70,9 +70,11 @@ class NetCDF3Table(tableSchema: StructType, options: CaseInsensitiveStringMap) e
 
 class NetCDF3ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
+  private var limit: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
@@ -83,7 +85,13 @@ class NetCDF3ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringM
     filters
   }
   override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] = accepted
-  override def build(): Scan = new NetCDF3Scan(required, options, RowRangePushdown.range(accepted))
+  // partial limit pushdown: planning stops once `limit` rows are covered
+  // (a LIMIT head-peek at a 10k-granule manifest plans one split, not 10k
+  // header-bounded scans); Spark's own Limit stays on top for exactness
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed(): Boolean = true
+  override def build(): Scan =
+    new NetCDF3Scan(required, options, RowRangePushdown.ranges(accepted), limit)
 }
 
 final case class NetCDF3Partition(path: String, start: Long, end: Long) extends InputPartition
@@ -91,72 +99,131 @@ final case class NetCDF3Partition(path: String, start: Long, end: Long) extends 
 /** P10 record-dim pushdown, shared by both granule sources: filters on the
   * synthesized `row_index` coordinate (the record-dimension subscript, i.e.
   * the reference's time-slice subset shape, `tools/climatology/main.py:220`)
-  * translate to a per-file row range that partition planning intersects
-  * away — unneeded chunks are never planned, so they are never read. */
+  * translate to a per-file row-range SET that partition planning intersects
+  * away — unneeded chunks are never planned, so they are never read. The
+  * algebra is closed under And (intersection), Or (union) and In (point
+  * union), so a multi-slice predicate like `row_index IN (3, 9)` or
+  * `(row_index < 2) OR (row_index >= 8)` prunes exactly. */
 object RowRangePushdown {
   import org.apache.spark.sql.sources._
+
+  /** Disjoint, sorted, non-empty `[lo, hi)` intervals. */
+  type Ranges = Seq[(Long, Long)]
+
+  val All: Ranges = Seq((0L, Long.MaxValue))
 
   private def num(v: Any): Option[Long] = v match {
     case n: java.lang.Number => Some(n.longValue)
     case _                   => None
   }
 
-  /** The `[lo, hi)` row range a filter implies, when it is a shape the
-    * sources apply exactly; None marks unsupported filters. */
-  def bound(f: Filter): Option[(Long, Long)] = f match {
-    case GreaterThan("row_index", v)        => num(v).map(a => (a + 1, Long.MaxValue))
-    case GreaterThanOrEqual("row_index", v) => num(v).map(a => (a, Long.MaxValue))
-    case LessThan("row_index", v)           => num(v).map(a => (0L, a))
-    case LessThanOrEqual("row_index", v)    => num(v).map(a => (0L, a + 1))
-    case EqualTo("row_index", v)            => num(v).map(a => (a, a + 1))
-    case And(l, r) =>
-      for { (ll, lh) <- bound(l); (rl, rh) <- bound(r) }
-        yield (math.max(ll, rl), math.min(lh, rh))
+  /** Sort + merge overlapping/adjacent intervals, dropping empty ones. */
+  private def normalize(rs: Ranges): Ranges =
+    rs.filter(r => r._2 > r._1).sorted.foldLeft(List.empty[(Long, Long)]) {
+      case ((lo, hi) :: tail, (l, h)) if l <= hi => (lo, math.max(hi, h)) :: tail
+      case (acc, r)                              => r :: acc
+    }.reverse
+
+  private def intersect(a: Ranges, b: Ranges): Ranges =
+    normalize(for {
+      (al, ah) <- a; (bl, bh) <- b
+      lo = math.max(al, bl); hi = math.min(ah, bh) if hi > lo
+    } yield (lo, hi))
+
+  /** The row-range set a filter implies, when it is a shape the sources
+    * apply exactly; None marks unsupported filters. */
+  def bound(f: Filter): Option[Ranges] = f match {
+    case GreaterThan("row_index", v)        => num(v).map(a => Seq((a + 1, Long.MaxValue)))
+    case GreaterThanOrEqual("row_index", v) => num(v).map(a => Seq((a, Long.MaxValue)))
+    case LessThan("row_index", v)           => num(v).map(a => Seq((0L, a)))
+    case LessThanOrEqual("row_index", v)    => num(v).map(a => Seq((0L, a + 1)))
+    case EqualTo("row_index", v)            => num(v).map(a => Seq((a, a + 1)))
+    case In("row_index", vs) =>
+      val pts = vs.toSeq.map(num)
+      if (pts.exists(_.isEmpty)) None
+      else Some(normalize(pts.flatten.map(a => (a, a + 1))))
+    case And(l, r) => for { a <- bound(l); b <- bound(r) } yield intersect(a, b)
+    case Or(l, r)  => for { a <- bound(l); b <- bound(r) } yield normalize(a ++ b)
     case _ => None
   }
 
-  /** Conjunction of all accepted bounds. */
-  def range(accepted: Array[Filter]): (Long, Long) =
-    accepted.flatMap(bound).foldLeft((0L, Long.MaxValue)) {
-      case ((lo, hi), (l, h)) => (math.max(lo, l), math.min(hi, h))
-    }
+  /** Conjunction (intersection) of all accepted bounds. */
+  def ranges(accepted: Array[Filter]): Ranges =
+    accepted.flatMap(bound).foldLeft(All)(intersect)
 
-  def describe(range: (Long, Long)): String =
-    if (range == (0L, Long.MaxValue)) ""
-    else s" rows=[${range._1},${if (range._2 == Long.MaxValue) "*" else range._2})"
+  /** `rs` clipped to a file's `[0, n)` row universe. */
+  def clip(rs: Ranges, n: Long): Ranges =
+    rs.map { case (lo, hi) => (math.max(0L, lo), math.min(n, hi)) }.filter(r => r._2 > r._1)
+
+  def describe(rs: Ranges): String =
+    if (rs == All) ""
+    else " rows=" + rs.map { case (lo, hi) =>
+      s"[$lo,${if (hi == Long.MaxValue) "*" else hi})"
+    }.mkString("+")
 }
 
 class NetCDF3Scan(
     required: StructType,
     options: CaseInsensitiveStringMap,
-    rowRange: (Long, Long) = (0L, Long.MaxValue)) extends Scan with Batch {
+    rowRanges: RowRangePushdown.Ranges = RowRangePushdown.All,
+    limit: Option[Int] = None)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"netcdf3 cols=[${required.fieldNames.mkString(",")}]${RowRangePushdown.describe(rowRange)}"
+    s"netcdf3 cols=[${required.fieldNames.mkString(",")}]" +
+      RowRangePushdown.describe(rowRanges) + limit.map(l => s" limit=$l").getOrElse("")
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** Per-file planning facts, computed once per scan (driver-side header
+    * reads, parallel across a bounded pool — a 10k-granule manifest must not
+    * serialize 10k round-trips): row count, split size, and the byte width
+    * of one row under THIS projection (for [[estimateStatistics]]). */
+  private lazy val fileFacts: Seq[(String, Long, Long, Long)] = {
     val conf     = SparkSession.active.sessionState.newHadoopConf()
     val paths    = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
     val maxRows  = Option(options.get("maxrowspersplit")).map(_.toLong).getOrElse(1L << 20)
     val maxBytes = Option(options.get("maxbytespersplit")).map(_.toLong).getOrElse(256L << 20)
-    // header reads parallelize across a bounded pool: a 10k-granule
-    // manifest must not serialize 10k driver round-trips
+    val reqCols  = required.fieldNames.toSet
     NetCDF3Util.parMap(paths) { p =>
       val header = NetCDF3Util.readHeader(p, conf)
       val rowDim = NetCDF3Util.rowDimId(header, NetCDF3Util.rowDim(header, options))
       val n      = header.dims(rowDim).length
+      val onDim  = header.vars.filter(_.dimIds.headOption.contains(rowDim))
+      def width(v: NetCDF3.Var) =
+        math.max(header.shape(v).drop(1).product, 1L) * NetCDF3.typeSize(v.ncType)
       // byte-bound the split via the widest row-dimensioned variable, so
       // wide 2-D rows (a global-mesh plane) can't overflow a read buffer
-      val widest = header.vars
-        .filter(_.dimIds.headOption.contains(rowDim))
-        .map(v => math.max(header.shape(v).drop(1).product, 1L) * NetCDF3.typeSize(v.ncType))
-        .maxOption.getOrElse(1L)
-      val rows = math.max(1L, math.min(maxRows, maxBytes / widest))
-      val lo = math.max(0L, rowRange._1)
-      val hi = math.min(n, rowRange._2)
-      (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)): InputPartition)
-    }.flatten.toArray
+      val widest  = onDim.map(width).maxOption.getOrElse(1L)
+      val rowByte = onDim.filter(v => reqCols.contains(NetCDF3Util.columnName(v.name)))
+        .map(width).sum + 8L // + synthesized row_index
+      (p, n, math.max(1L, math.min(maxRows, maxBytes / widest)), rowByte)
+    }
+  }
+
+  private def planned: Seq[NetCDF3Partition] =
+    fileFacts.flatMap { case (p, n, rows, _) =>
+      RowRangePushdown.clip(rowRanges, n).flatMap { case (lo, hi) =>
+        (lo until hi by rows).map(s => NetCDF3Partition(p, s, math.min(s + rows, hi)))
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    NetCDF3Scan.truncateToLimit(planned, limit).toArray
+
+  /** Size/row estimates from file headers — lets Catalyst see that a pruned
+    * granule scan is small (e.g. auto-broadcast it in a join) instead of
+    * assuming the DSv2 default of "unknown = huge". */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val rows = fileFacts.map { case (_, n, _, _) =>
+      RowRangePushdown.clip(rowRanges, n).map(r => r._2 - r._1).sum
+    }.sum
+    val nRows = limit.map(l => math.min(l.toLong, rows)).getOrElse(rows)
+    val bytes = fileFacts.headOption.map(_._4).getOrElse(16L) * nRows
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong     = java.util.OptionalLong.of(nRows)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -165,6 +232,27 @@ class NetCDF3Scan(
     val fillAsNull  = Option(options.get("fillasnull")).forall(_.toBoolean)
     new NetCDF3ReaderFactory(required, rowDimOpt, fillAsNull, conf)
   }
+}
+
+object NetCDF3Scan {
+  /** Stop planning once a pushed limit's rows are covered, clamping the last
+    * split — LIMIT without ordering may return any rows, so the prefix is a
+    * valid (and maximally cheap) answer set. Shared by both granule sources. */
+  def truncateToLimit(parts: Seq[NetCDF3Partition], limit: Option[Int]): Seq[NetCDF3Partition] =
+    limit match {
+      case None => parts
+      case Some(l) =>
+        val out  = Seq.newBuilder[NetCDF3Partition]
+        var left = l.toLong
+        val it   = parts.iterator
+        while (left > 0 && it.hasNext) {
+          val p    = it.next()
+          val take = math.min(p.end - p.start, left)
+          out += p.copy(end = p.start + take)
+          left -= take
+        }
+        out.result()
+    }
 }
 
 class NetCDF3ReaderFactory(

@@ -168,8 +168,34 @@ class Hdf5SourceSpec extends SparkSpec {
     // values survive a slice that crosses a chunk boundary (chunkRows=4)
     val cross = df.filter(col("row_index") === 3 || col("row_index") === 4)
     assert(cross.select("row_index").collect().map(_.getLong(0)).sorted === Array(3L, 4L))
-    // OR is not a range shape: nothing pushed, planning stays full
-    assert(cross.rdd.getNumPartitions === soundings.length)
+    // OR of ranges unions: adjacent points merge into one planned range
+    assert(cross.rdd.getNumPartitions === 2)
+    // a disjoint OR plans both arms and nothing between them
+    val twoArm = df.filter(col("row_index") < 2 || col("row_index") >= 8)
+    assert(twoArm.rdd.getNumPartitions === 4)
+    assert(twoArm.select("row_index").collect().map(_.getLong(0)).sorted === Array(0L, 1L, 8L, 9L))
+    val armScan = twoArm.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(armScan.head.scan.description().contains("rows=[0,2)+[8,*)"))
+    // IN is a union of points
+    val inSet = df.filter(col("row_index").isin(1L, 6L))
+    assert(inSet.rdd.getNumPartitions === 2)
+    assert(inSet.select("row_index").collect().map(_.getLong(0)).sorted === Array(1L, 6L))
+  }
+
+  test("pushed LIMIT truncates partition planning; scan stats come from headers") {
+    val df = spark.read.format("hdf5").option("maxrowspersplit", 1).load(granulePath)
+    // limit(3) plans 3 single-row splits, not all 10
+    val limited = df.limit(3)
+    assert(limited.collect().length === 3)
+    val scans = limited.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("limit=3"))
+    assert(scans.head.inputPartitions.length === 3)
+    // header-derived statistics: the scan reports real row counts, so
+    // Catalyst can see a small granule scan is broadcast-able
+    val stats = spark.read.format("hdf5").load(granulePath)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(soundings.length)))
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1000000)
   }
 
   test("CF time units drive the epoch decode (SIF's 1990 epoch, no caller knowledge)") {

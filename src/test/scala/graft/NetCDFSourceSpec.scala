@@ -94,6 +94,24 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(sliced.select("row_index").collect().map(_.getLong(0)).sorted === Array(2L, 3L, 4L))
     val scans = sliced.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.head.scan.description().contains("rows=[2,5)"))
+    // disjoint OR unions ranges; IN unions points
+    val twoArm = df.filter(col("row_index") < 1 || col("row_index") > 7)
+    assert(twoArm.rdd.getNumPartitions === 3)
+    assert(twoArm.select("row_index").collect().map(_.getLong(0)).sorted === Array(0L, 8L, 9L))
+    assert(df.filter(col("row_index").isin(2L, 5L)).rdd.getNumPartitions === 2)
+  }
+
+  test("pushed LIMIT truncates partition planning; scan stats come from the header") {
+    val df = spark.read.format("netcdf3").option("maxrowspersplit", 1).load(granulePath)
+    val limited = df.limit(4)
+    assert(limited.collect().length === 4)
+    val scans = limited.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.description().contains("limit=4"))
+    assert(scans.head.inputPartitions.length === 4)
+    val stats = spark.read.format("netcdf3").load(granulePath)
+      .queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(soundings.length)))
+    assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1000000)
   }
 
   test("the DSv2 scan reads CDF-2 (and CDF-1) files, not just the CDF-5 the fixture writer emits") {
