@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.SetOpQueries.queries ++
       graft.queries.AsOfQueries.queries ++
       graft.queries.SamplingQueries.queries ++
+      graft.queries.QualityQueries.queries ++
       graft.queries.DomainQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.SetOpQueries.oracles ++
       graft.queries.AsOfQueries.oracles ++
       graft.queries.SamplingQueries.oracles ++
+      graft.queries.QualityQueries.oracles ++
       graft.queries.DomainQueries.oracles
 }

@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.WordGrams
+
+/** Reference-language-model quality scoring for training-data pipelines —
+  * the CCNet/KenLM recipe (Wenzek et al. 2020 "CCNet: Extracting High
+  * Quality Monolingual Datasets from Web Crawl Data") and DSIR importance
+  * weighting (Xie et al. 2023 "Data Selection for Language Models via
+  * Importance Resampling"), re-expressed over hashed/word n-gram count
+  * models that train and score entirely in-plan.
+  *
+  * CCNet scores crawl documents by the perplexity of a reference LM
+  * (KenLM over Wikipedia); DSIR selects raw documents whose hashed-n-gram
+  * distribution looks like a target corpus, by the log importance weight
+  * Σ_f n_f·(ln p_target(f) − ln p_raw(f)) under add-one-smoothed
+  * multinomials. Both reduce to count models — a groupBy over n-grams —
+  * which is what makes them Spark-native at corpus scale: no external LM
+  * toolkit, no driver-side state.
+  *
+  * Oracle-portability contract (the repo-wide law — see
+  * [[TextAnalysis.tfIdfTopK]]): the hash-compared surface of both
+  * operators is INTEGER-EXACT. Cross-engine `ln` differs by ulps, and a
+  * rounded double column fails the gate with probability ∝ docs ×
+  * ulp/rounding-boundary, so the gated columns quantize log₂ via bit
+  * length — `length(bin(x))` = ⌊log₂ x⌋ + 1, exact in both engines for
+  * positive integers. The TRUE double-precision scores (avg log-prob,
+  * DSIR log weight) are still computed and returned for real use; they
+  * are spec-gated (LmScoreSpec checks them against the quantized columns
+  * and hand-computed values) and dropped from the gate queries.
+  */
+object LmScore {
+
+  /** Per-document word-bigram rows: (id, g = "w1 w2", w1). Tokenization is
+    * the corpus-wide single-space rule ([[TextAnalysis.tokens]]); grams
+    * come from the codegen [[WordGrams]] kernel (empty for <2-word docs,
+    * so short documents simply contribute no rows). */
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(WordGrams(col(textCol), 2, distinct = false)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+
+  /** ⌊log₂ x⌋ + 1 for a positive integral column — the engine-portable
+    * log₂ quantizer (Spark `bin` and DuckDB `bin` both render the minimal
+    * binary string of a BIGINT). */
+  private def bitLen(x: Column): Column = length(bin(x)).cast("long")
+
+  /** Reference-LM familiarity statistics — the CCNet shape with the
+    * reference corpus drawn from the pipeline itself by a deterministic
+    * predicate (e.g. a [[Sampling.hashBucket]] split, or "docs from
+    * curated sources"): train an add-one-smoothed word-bigram model
+    * p(w₂|w₁) = (c+1)/(C(w₁)+V) on `trainPred` documents, score every
+    * other document against it.
+    *
+    * Output, one row per scored document (all columns but the last
+    * integer-exact):
+    *  - `n_bigrams`    total bigram occurrences (0 for <2-word docs)
+    *  - `n_oov`        occurrences of bigrams unseen in the reference
+    *  - `sum_c`        Σ reference count of the doc's bigrams
+    *  - `sum_ctx`      Σ reference context count C(w₁)
+    *  - `surprisal_q`  Σ (bitlen(C(w₁)+V) − bitlen(c+1)) — the quantized
+    *                   total surprisal, ≈ Σ log₂ 1/p(w₂|w₁) within ±1
+    *                   bit per bigram
+    *  - `avg_logprob`  (double) Σ ln p(w₂|w₁) / n_bigrams — the true
+    *                   CCNet score; null for <2-word docs
+    *
+    * Scale shape: the model is two hash-aggregates over the train
+    * corpus's bigrams (map-side combined; the gram key is the shuffle
+    * key) plus a 1-row vocabulary count. Scoring joins the scored
+    * bigrams to the gram-count table on the gram string and to the
+    * context table on w₁ — the latter is the skewed one (stopword-grade
+    * w₁), left to AQE's skew-split exactly like the df join-back in
+    * [[TextAnalysis.dupSpanStats]]. The vocabulary scalar rides a
+    * broadcast cross join. Nothing collects to the driver; the per-doc
+    * reduce is one more map-side-combined aggregate. */
+  def referenceLmStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      trainPred: Column): DataFrame = {
+    val train  = df.filter(trainPred)
+    val scored = df.filter(!trainPred)
+
+    val trainBg = bigramRows(train, idCol, textCol)
+    val gramCounts = trainBg.groupBy(col("g")).agg(count(lit(1)).as("_c"))
+    // C(w1) = Σ over grams starting with w1 — aggregate the (already
+    // reduced) gram-count table, not the raw bigram stream: |grams| rows
+    // in, |vocab| rows out.
+    val ctxCounts = gramCounts
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("_c")).as("_ctx"))
+    val vocab = train
+      .select(explode(WordGrams(col(textCol), 1, distinct = false)).as("token"))
+      .agg(countDistinct(col("token")).as("_v"))
+
+    val scoredBg = bigramRows(scored, idCol, textCol)
+    val joined = scoredBg
+      .join(gramCounts, Seq("g"), "left")
+      .join(ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("_c0", coalesce(col("_c"), lit(0L)))
+      .withColumn("_ctx0", coalesce(col("_ctx"), lit(0L)))
+
+    val perDoc = joined
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c0") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        sum(col("_c0")).as("sum_c"),
+        sum(col("_ctx0")).as("sum_ctx"),
+        sum(bitLen(col("_ctx0") + col("_v")) - bitLen(col("_c0") + lit(1L)))
+          .as("surprisal_q"),
+        (sum(log((col("_c0") + lit(1L)).cast("double") /
+          (col("_ctx0") + col("_v")).cast("double"))) / count(lit(1)))
+          .as("avg_logprob"))
+
+    // every scored doc reports, including <2-word ones (zero stats, null
+    // avg_logprob) — the dupSpanStats short-doc contract
+    scored.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("sum_c"), lit(0L)).as("sum_c"),
+        coalesce(col("sum_ctx"), lit(0L)).as("sum_ctx"),
+        coalesce(col("surprisal_q"), lit(0L)).as("surprisal_q"),
+        col("avg_logprob"))
+  }
+
+  /** Per-document DSIR feature rows (id, feat): hashed unigrams ∪ bigrams,
+    * the paper's feature space. Exposed for specs. */
+  private[operators] def featureRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      explode(concat(
+        WordGrams(col(textCol), 1, distinct = false),
+        WordGrams(col(textCol), 2, distinct = false))).as("feat"))
+
+  /** DSIR importance weights: score every NON-target document by how much
+    * its hashed-n-gram profile resembles the target slice of the corpus.
+    * Features are word unigrams + bigrams hashed into `nBuckets` buckets
+    * by the repo's portable md5 bucket ([[Sampling.hashBucket]] on the
+    * feature string); target and raw bucket-count models are add-one
+    * smoothed multinomials over those buckets.
+    *
+    * Output, one row per raw (non-target) document:
+    *  - `n_feats`   feature occurrences (unigrams + bigrams)
+    *  - `weight_q`  Σ n_f·(bitlen(ct_f+1) − bitlen(cr_f+1))
+    *                + n_tot·(bitlen(R+B) − bitlen(T+B)) — the quantized
+    *                log₂ importance weight (integer-exact, the gated
+    *                column)
+    *  - `keep`      weight_q ≥ `keepAbove` — the resampling gate (a pure
+    *                filter; top-k selection composes downstream via
+    *                [[Sampling.shuffleRank]]'s prefix-sum on the weight)
+    *  - `log_weight` (double) the true Σ n_f·(ln p_t(f) − ln p_r(f)) —
+    *                real-use column, spec-gated, dropped from the oracle
+    *                query
+    *
+    * Scale shape: this is the best-scaling operator in the text tier —
+    * both count models are bounded by `nBuckets` ROWS regardless of
+    * corpus size, so they BROADCAST to the scoring join (zero shuffle of
+    * the corpus side beyond the per-(doc,bucket) partial aggregate, which
+    * is map-side combined and capped at docs × nBuckets). The totals T
+    * and R ride the same broadcast tables as 1-row aggregates. */
+  def dsirWeights(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      nBuckets: Int = 4096,
+      keepAbove: Long = 0L): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    // evaluate the target predicate BEFORE exploding features — it may
+    // reference any input column (source, lang, …), which the feature
+    // projection drops
+    val feats = df
+      .withColumn("_t", targetPred)
+      .select(
+        col(idCol),
+        col("_t"),
+        explode(concat(
+          WordGrams(col(textCol), 1, distinct = false),
+          WordGrams(col(textCol), 2, distinct = false))).as("feat"))
+      .withColumn("bkt", Sampling.hashBucket(col("feat"), nBuckets))
+
+    // bounded model tables: ≤ nBuckets rows each
+    val tCounts = feats.filter(col("_t")).groupBy(col("bkt")).agg(count(lit(1)).as("_ct"))
+    val rCounts = feats.filter(!col("_t")).groupBy(col("bkt")).agg(count(lit(1)).as("_cr"))
+    val tTotal  = tCounts.agg(sum(col("_ct")).as("_T"))
+    val rTotal  = rCounts.agg(sum(col("_cr")).as("_R"))
+
+    val docBuckets = feats.filter(!col("_t"))
+      .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("_n"))
+
+    val b = lit(nBuckets.toLong)
+    val scored = docBuckets
+      .join(broadcast(tCounts), Seq("bkt"), "left")
+      .join(broadcast(rCounts), Seq("bkt"), "left")
+      .crossJoin(broadcast(tTotal))
+      .crossJoin(broadcast(rTotal))
+      .withColumn("_ct0", coalesce(col("_ct"), lit(0L)))
+      // a raw doc's own features are in the raw model, so _cr ≥ _n ≥ 1;
+      // the coalesce is belt-and-braces for callers scoring foreign docs
+      .withColumn("_cr0", coalesce(col("_cr"), lit(0L)))
+
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_n")).as("n_feats"),
+        (sum(col("_n") * (bitLen(col("_ct0") + lit(1L)) - bitLen(col("_cr0") + lit(1L)))) +
+          sum(col("_n")) * (bitLen(first(col("_R")) + b) - bitLen(first(col("_T")) + b)))
+          .as("weight_q"),
+        sum(col("_n").cast("double") *
+          (log((col("_ct0") + lit(1L)).cast("double") / (col("_T") + b).cast("double")) -
+            log((col("_cr0") + lit(1L)).cast("double") / (col("_R") + b).cast("double"))))
+          .as("log_weight"))
+      .withColumn("keep", col("weight_q") >= lit(keepAbove))
+      .select(col(idCol), col("n_feats"), col("weight_q"), col("keep"), col("log_weight"))
+  }
+}
