@@ -100,6 +100,35 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** Corpus-wide approximate k-NN graph: every vector's top-k cosine
+    * neighbors among its sign-LSH bucket peers. Unlike [[lshTopK]] (small
+    * query batch, broadcast side), BOTH sides here are the full corpus:
+    * candidates come from a plain shuffled equi-join on the bucket key —
+    * nothing broadcasts, nothing goes cartesian, and the per-bucket
+    * quadratic is bounded by bucket size (add planes as the corpus grows;
+    * the [[nearDupPairsBucketed]] contract). The top-k reduce is the
+    * partial [[graft.functions.TopK]] aggregate, so each task ships at
+    * most k candidates per vector to the shuffle. This is the kNN-graph
+    * build that feeds graph-based dedup / diversity analyses at corpus
+    * scale; vectors alone in their bucket emit no rows (run with fewer
+    * planes or multi-probe upstream if isolated vectors need neighbors). */
+  def knnGraphLsh(
+      df: DataFrame, // (id, vec: array<double>)
+      idCol: String,
+      vecCol: String,
+      planes: Array[Array[Double]],
+      k: Int): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("_b", lshBucket(col("vec"), planes))
+      .withColumn("_n", norm(col("vec")))
+    val l = b.select(col("_b"), col("id").as("qid"), col("vec").as("qvec"), col("_n").as("_qn"))
+    val r = b.select(col("_b"), col("id").as("cid"), col("vec").as("cvec"), col("_n").as("_cn"))
+    val joined = l.join(r, Seq("_b"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
+    rankTopK(joined, k)
+  }
+
   /** Trained-IVF near-duplicate pairs: fit a k-means coarse quantizer
     * (KMeans.fit — deterministic init, map-side assignment), bucket the
     * corpus by centroid, then run the per-bucket self-join. The full IVF

@@ -199,12 +199,42 @@ object EmbeddingQueries {
       |FROM e LEFT JOIN drops d ON e.vec_id = d.id
       |ORDER BY id""".stripMargin
 
+  /** Corpus-wide kNN graph (k=3) over the shared sign-LSH buckets — both
+    * join sides are the full corpus (the scale path where q38's broadcast
+    * query batch doesn't apply). */
+  private val q78: Q = (s, dir) =>
+    Similarity
+      .knnGraphLsh(emb(s, dir), "vec_id", "vec", planes, k = 3)
+      .orderBy(col("qid"), col("rank"))
+
+  private val q78Sql =
+    s"""WITH planes AS (SELECT * FROM (VALUES
+      |    $planesSqlValues) p(pid, pvec)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm,
+      |    string_agg(CASE WHEN ${dotSql("vec", "pvec")} >= 0 THEN '1' ELSE '0' END,
+      |               '' ORDER BY pid) AS bucket
+      |  FROM e CROSS JOIN planes
+      |  GROUP BY vec_id, vec, sqrt(${dotSql("vec", "vec")})),
+      |j AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ${dotSql("q.vec", "c.vec")} / (q.nrm * c.nrm) AS cos
+      |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM j)
+      |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
     "q38_lsh_topk"       -> q38,
     "q43_kmeans_quantize" -> q43,
-    "q62_semdedup"        -> q62
+    "q62_semdedup"        -> q62,
+    "q78_knn_graph"       -> q78
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +242,7 @@ object EmbeddingQueries {
     "q30_embed_neardup"  -> q30Sql,
     "q38_lsh_topk"       -> q38Sql,
     "q43_kmeans_quantize" -> q43Sql,
-    "q62_semdedup"        -> q62Sql
+    "q62_semdedup"        -> q62Sql,
+    "q78_knn_graph"       -> q78Sql
   )
 }

@@ -417,4 +417,34 @@ class OperatorsSpec extends SparkSpec {
     assert(got.first_byte === 'h'.toInt)
     assert(got.content_md5 === "5d41402abc4b2a76b9719d911017c592")
   }
+
+  test("Similarity.knnGraphLsh matches the brute-force graph when one bucket holds everything") {
+    // one hyperplane, all vectors on its positive side → a single bucket,
+    // so the bucketed graph must equal brute force with queries = corpus
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.5, 0.5)), (4L, Array(0.1, 0.9))
+    ).toDF("id", "vec")
+    val planes = Array(Array(1.0, 1.0))
+    val graph = Similarity.knnGraphLsh(vecs, "id", "vec", planes, k = 2)
+      .orderBy($"qid", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(
+        vecs.select($"id".as("qid"), $"vec".as("qvec")),
+        vecs.select($"id".as("cid"), $"vec".as("cvec")), k = 2)
+      .orderBy($"qid", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(graph.nonEmpty && graph === brute)
+  }
+
+  test("Similarity.knnGraphLsh never pairs across buckets; isolated vectors emit no rows") {
+    // plane x: ids 1,2 in bucket "1"; id 3 alone in bucket "0"
+    val vecs = Seq(
+      (1L, Array(1.0, 0.2)), (2L, Array(0.8, 0.4)), (3L, Array(-1.0, 0.1))
+    ).toDF("id", "vec")
+    val planes = Array(Array(1.0, 0.0))
+    val got = Similarity.knnGraphLsh(vecs, "id", "vec", planes, k = 5)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (2L, 1L)))
+  }
 }
