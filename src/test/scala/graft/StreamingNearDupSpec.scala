@@ -85,4 +85,55 @@ class StreamingNearDupSpec extends SparkSpec {
     val static = Seq((1L, ts("2024-01-01 00:00:00"), "only two")).toDF("doc_id", "ts", "text")
     assert(StreamingNearDup.banded(static, "doc_id", "text", "ts", 3, 8, 2).count() === 0)
   }
+
+  test("LSH bucket state survives a query restart: a near-dup of a pre-restart doc still flags") {
+    // the production failure mode this pins: a multi-day ingest query dies
+    // and restarts from its checkpoint — the flatMapGroupsWithState bucket
+    // state MUST recover from the state store, or every near-dup whose
+    // original arrived before the crash silently passes the gate.
+    // MemoryStream cannot recover, so this uses the parquet file source +
+    // a durable checkpoint, with foreachBatch as the restart-safe sink.
+    val in   = java.nio.file.Files.createTempDirectory("snd-restart-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("snd-restart-ckpt").toString
+    val base    = (1 to 20).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 20).map(i => if (i == 10) "patched" else s"w$i").mkString(" ")
+    val fresh   = (1 to 20).map(i => s"other$i").mkString(" ")
+
+    def writeBatch(name: String, rows: Seq[(Long, Timestamp, String)]): Unit =
+      rows.toDF("doc_id", "ts", "text").coalesce(1)
+        .write.parquet(in.resolve(name).toString)
+    // the file source watches one dir; nested dirs via glob keep each
+    // batch's files atomic-ish for the test
+    val schema = Seq.empty[(Long, Timestamp, String)].toDF("doc_id", "ts", "text").schema
+
+    val flags = new scala.collection.mutable.ArrayBuffer[(Long, Boolean)]
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(in.toString + "/*")
+      val out = StreamingNearDup.flagBands(
+        stream, "doc_id", "text", "ts",
+        watermarkMs = 10 * 60 * 1000L, minEstJaccard = 0.5)
+      val q = out.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = df.select("doc_id", "near_dup_hit").collect()
+          flags.synchronized { flags ++= rows.map(r => (r.getLong(0), r.getBoolean(1))) }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+
+    writeBatch("b1", Seq((1L, ts("2024-01-01 00:00:00"), base)))
+    runOnce() // doc 1 enters the bucket state, then the query dies
+    writeBatch("b2", Seq(
+      (2L, ts("2024-01-01 00:01:00"), nearDup),
+      (3L, ts("2024-01-01 00:01:00"), fresh)))
+    runOnce() // restart from the checkpoint — state must be back
+
+    val merged = flags.groupBy(_._1).view.mapValues(_.exists(_._2)).toMap
+    assert(merged === Map(1L -> false, 2L -> true, 3L -> false),
+      s"state did not survive the restart: $merged")
+  }
 }
