@@ -112,17 +112,42 @@ object Similarity {
     * build that feeds graph-based dedup / diversity analyses at corpus
     * scale; vectors alone in their bucket emit no rows (run with fewer
     * planes or multi-probe upstream if isolated vectors need neighbors). */
+  /** Corpus-wide approximate k-NN graph — see class doc. Adding planes
+    * bounds UNIFORM bucket depth, but no hyperplane splits a genuinely
+    * tight cluster: a corpus whose vectors bunch into dense clusters keeps
+    * per-bucket quadratic cost ∝ cluster size at any plane count (measured
+    * 4× per 2× data on a 100-cluster synthetic corpus — dev/PLANS_r10.md).
+    * `maxCandidatesPerBucket` is the scale contract for that shape: the
+    * CANDIDATE side of each bucket thins to an expected m members by a
+    * deterministic md5 coin against the bucket count (no per-bucket
+    * window/sort — an aggregate + join, hot buckets stay distributed),
+    * making total work ~n·m, linear. Every vector still receives
+    * neighbors (the query side is never thinned), and inside an
+    * over-deep bucket the members are near-identical by construction, so
+    * top-k against a deterministic sample is the published IVF/LSH probe
+    * trade, not a correctness loss. */
   def knnGraphLsh(
       df: DataFrame, // (id, vec: array<double>)
       idCol: String,
       vecCol: String,
       planes: Array[Array[Double]],
-      k: Int): DataFrame = {
+      k: Int,
+      maxCandidatesPerBucket: Option[Int] = None): DataFrame = {
     val b = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("_b", lshBucket(col("vec"), planes))
       .withColumn("_n", norm(col("vec")))
-    val l = b.select(col("_b"), col("id").as("qid"), col("vec").as("qvec"), col("_n").as("_qn"))
-    val r = b.select(col("_b"), col("id").as("cid"), col("vec").as("cvec"), col("_n").as("_cn"))
+    val l  = b.select(col("_b"), col("id").as("qid"), col("vec").as("qvec"), col("_n").as("_qn"))
+    val r0 = b.select(col("_b"), col("id").as("cid"), col("vec").as("cvec"), col("_n").as("_cn"))
+    val r = maxCandidatesPerBucket.fold(r0) { m =>
+      require(m >= 1, "maxCandidatesPerBucket must be >= 1")
+      val counts = b.groupBy(col("_b")).agg(count(lit(1)).as("_bn"))
+      // 60-bit md5 coin mod the bucket count: expected m survivors per
+      // bucket, everything survives when the bucket is already ≤ m;
+      // bit-for-bit mirrored by the oracle's md5 arithmetic
+      val coin = conv(substring(md5(col("cid").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % col("_bn")
+      r0.join(counts, Seq("_b")).filter(coin < lit(m.toLong)).drop("_bn")
+    }
     val joined = l.join(r, Seq("_b"))
       .filter(col("qid") =!= col("cid"))
       .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))

@@ -228,13 +228,48 @@ object EmbeddingQueries {
       |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** The capped kNN graph (q78's scale contract for cluster-dense corpora):
+    * candidate side of each bucket thins to an expected 4 members by the
+    * md5 coin — the deterministic sampling both engines mirror exactly. */
+  private val q79: Q = (s, dir) =>
+    Similarity
+      .knnGraphLsh(emb(s, dir), "vec_id", "vec", planes, k = 3,
+        maxCandidatesPerBucket = Some(4))
+      .orderBy(col("qid"), col("rank"))
+
+  private val q79Sql =
+    s"""WITH planes AS (SELECT * FROM (VALUES
+      |    $planesSqlValues) p(pid, pvec)),
+      |e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |b AS (
+      |  SELECT vec_id, vec, sqrt(${dotSql("vec", "vec")}) AS nrm,
+      |    string_agg(CASE WHEN ${dotSql("vec", "pvec")} >= 0 THEN '1' ELSE '0' END,
+      |               '' ORDER BY pid) AS bucket
+      |  FROM e CROSS JOIN planes
+      |  GROUP BY vec_id, vec, sqrt(${dotSql("vec", "vec")})),
+      |bn AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1),
+      |cand AS (
+      |  SELECT b.* FROM b JOIN bn USING (bucket)
+      |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % bn.n < 4),
+      |j AS (
+      |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+      |    ${dotSql("q.vec", "c.vec")} / (q.nrm * c.nrm) AS cos
+      |  FROM b q JOIN cand c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+      |r AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM j)
+      |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
     "q38_lsh_topk"       -> q38,
     "q43_kmeans_quantize" -> q43,
     "q62_semdedup"        -> q62,
-    "q78_knn_graph"       -> q78
+    "q78_knn_graph"       -> q78,
+    "q79_knn_graph_capped" -> q79
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,6 +278,7 @@ object EmbeddingQueries {
     "q38_lsh_topk"       -> q38Sql,
     "q43_kmeans_quantize" -> q43Sql,
     "q62_semdedup"        -> q62Sql,
-    "q78_knn_graph"       -> q78Sql
+    "q78_knn_graph"       -> q78Sql,
+    "q79_knn_graph_capped" -> q79Sql
   )
 }

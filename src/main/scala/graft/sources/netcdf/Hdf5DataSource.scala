@@ -64,7 +64,8 @@ class Hdf5Table(tableSchema: StructType, options: CaseInsensitiveStringMap) exte
 class Hdf5ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
@@ -79,8 +80,23 @@ class Hdf5ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
   // partial limit pushdown — see NetCDF3ScanBuilder
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
+  private var countStar = false
+  // header-only COUNT(*) — see NetCDF3ScanBuilder / CountStarScan
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStar = accepted.isEmpty && limit.isEmpty && CountStarScan.acceptable(agg)
+    countStar
+  }
   override def build(): Scan =
-    new Hdf5Scan(required, options, RowRangePushdown.ranges(accepted), limit)
+    if (countStar)
+      new CountStarScan("hdf5", () => {
+        val conf  = SparkSession.active.sessionState.newHadoopConf()
+        val paths = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
+        NetCDF3Util.parMap(paths) { p =>
+          Hdf5Util.withFile(p, conf)(f => Hdf5Util.rowCount(f, Option(options.get("rowdim"))))
+        }.sum
+      })
+    else new Hdf5Scan(required, options, RowRangePushdown.ranges(accepted), limit)
 }
 
 class Hdf5Scan(

@@ -71,10 +71,21 @@ class NetCDF3Table(tableSchema: StructType, options: CaseInsensitiveStringMap) e
 class NetCDF3ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = fullSchema
   private var accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var countStar = false
+  // COUNT(*) answers from headers alone (CountStarScan). Only the pure,
+  // unfiltered, un-limited shape: residual filters already block Spark
+  // from offering aggregates here, and a pushed limit means planning was
+  // truncated below the true count.
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countStar = accepted.isEmpty && limit.isEmpty && CountStarScan.acceptable(agg)
+    countStar
+  }
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
   override def pushFilters(
       filters: Array[org.apache.spark.sql.sources.Filter]): Array[org.apache.spark.sql.sources.Filter] = {
@@ -91,7 +102,16 @@ class NetCDF3ScanBuilder(fullSchema: StructType, options: CaseInsensitiveStringM
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed(): Boolean = true
   override def build(): Scan =
-    new NetCDF3Scan(required, options, RowRangePushdown.ranges(accepted), limit)
+    if (countStar)
+      new CountStarScan("netcdf3", () => {
+        val conf  = SparkSession.active.sessionState.newHadoopConf()
+        val paths = NetCDF3Util.resolvePaths(NetCDF3Util.requestedPaths(options), conf)
+        NetCDF3Util.parMap(paths) { p =>
+          val header = NetCDF3Util.readHeader(p, conf)
+          header.dims(NetCDF3Util.rowDimId(header, NetCDF3Util.rowDim(header, options))).length
+        }.sum
+      })
+    else new NetCDF3Scan(required, options, RowRangePushdown.ranges(accepted), limit)
 }
 
 final case class NetCDF3Partition(path: String, start: Long, end: Long) extends InputPartition
@@ -232,6 +252,46 @@ class NetCDF3Scan(
     val fillAsNull  = Option(options.get("fillasnull")).forall(_.toBoolean)
     new NetCDF3ReaderFactory(required, rowDimOpt, fillAsNull, conf)
   }
+}
+
+/** Header-only COUNT(*) scan shared by both granule sources
+  * (`SupportsPushDownAggregates`): the count is the sum of record-dimension
+  * lengths read from file headers at planning time — no data chunk is ever
+  * touched, no executor opens a file. Partial-pushdown contract (Spark sums
+  * the emitted partial counts), one partition carrying the total. */
+class CountStarScan(source: String, total: () => Long) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count_star", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"$source count(*) header-only"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(CountStarPartition(total()))
+  override def createReaderFactory(): PartitionReaderFactory = new CountStarReaderFactory
+}
+
+final case class CountStarPartition(total: Long) extends InputPartition
+
+class CountStarReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val total = p.asInstanceOf[CountStarPartition].total
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
+  }
+}
+
+object CountStarScan {
+  /** The one aggregation shape the granule sources answer from metadata:
+    * a single global COUNT(*) — no grouping, no other aggregates. */
+  def acceptable(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
 }
 
 object NetCDF3Scan {

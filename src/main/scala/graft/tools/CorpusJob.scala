@@ -35,6 +35,16 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *   - op: decontaminate                  # drop docs overlapping a benchmark
   *     benchmark: /path/bench.parquet     # same id/text column names
   *     min-overlap: 5
+  *   - op: lm-filter                      # reference-LM familiarity gate
+  *     train-groups: [wiki, books]        # reference corpus by group (kept);
+  *     group-column: source               # absent -> md5 half-split trains
+  *     max-bits-per-bigram: 16.0          # quantized surprisal ceiling
+  *     max-oov-pct: 50                    # unseen-bigram share ceiling
+  *   - op: dsir-select                    # DSIR importance resampling
+  *     target-groups: [wiki]              # target slice (kept as anchors)
+  *     group-column: source
+  *     buckets: 4096                      # hashed-feature model size
+  *     keep-above: 0                      # quantized log2 weight floor
   *   - op: mixture                        # per-group keep rates
   *     group-column: source               # rates out of `denominator`
   *     denominator: 1000
@@ -145,8 +155,8 @@ object CorpusJob {
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
     val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
-      "neardup", "decontaminate", "mixture", "stratified", "split", "shuffle", "pack",
-      "pack-sequences")
+      "neardup", "decontaminate", "lm-filter", "dsir-select", "mixture", "stratified",
+      "split", "shuffle", "pack", "pack-sequences")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -209,6 +219,42 @@ object CorpusJob {
               minOverlap = lng("min-overlap", 5L).toInt)
             .select(col("left_id").as(idCol)).distinct()
           df.join(contaminated, Seq(idCol), "left_anti")
+        case "lm-filter" =>
+          // CCNet-shape familiarity gate: train the bigram model on the
+          // reference slice (named groups, else the even md5 half), keep
+          // reference docs outright and scored docs within the surprisal /
+          // OOV ceilings; short docs (no bigram evidence) pass
+          val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
+          val trainPred = Option(s.get("train-groups")) match {
+            case Some(a) => col(groupCol).isin((0 until a.size).map(a.get(_).asText): _*)
+            case None    => Sampling.hashBucket(col(idCol), 2) === 0
+          }
+          val maxBits   = dbl("max-bits-per-bigram", 16.0)
+          val maxOovPct = lng("max-oov-pct", 50L)
+          val pass = graft.operators.LmScore
+            .referenceLmStats(df, idCol, textCol, trainPred)
+            .filter(
+              col("n_bigrams") === 0L ||
+                (col("surprisal_q") <= col("n_bigrams").cast("double") * maxBits &&
+                  col("n_oov") * 100L <= col("n_bigrams") * maxOovPct))
+            .select(col(idCol))
+          df.filter(trainPred)
+            .unionByName(df.filter(!trainPred).join(pass, Seq(idCol), "left_semi"))
+        case "dsir-select" =>
+          // DSIR importance resampling: target groups anchor the recipe
+          // (kept), raw docs keep when their quantized log2 importance
+          // weight clears the floor
+          val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
+          val tgt = req(s, "target-groups")
+          val targetPred = col(groupCol).isin((0 until tgt.size).map(tgt.get(_).asText): _*)
+          val keep = graft.operators.LmScore
+            .dsirWeights(df, idCol, textCol, targetPred,
+              nBuckets = lng("buckets", 4096L).toInt,
+              keepAbove = lng("keep-above", 0L))
+            .filter(col("keep"))
+            .select(col(idCol))
+          df.filter(targetPred)
+            .unionByName(df.filter(!targetPred).join(keep, Seq(idCol), "left_semi"))
         case "mixture" =>
           val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
           val denom    = lng("denominator", 1000L).toInt

@@ -67,7 +67,10 @@ object ScaleProbe {
       .withColumn("xco2_uncertainty", lit(0.5))
       .drop("_block", "_tgt", "_isObs", "_lonBase", "_latBase")
 
-  private def textProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+  private def textProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      only: Option[Set[String]] = None): Unit = {
     import graft.operators.{Dedup, MinHashLSH, Sampling, SetSimilarity, TextAnalysis}
     import org.apache.spark.storage.StorageLevel
     val docs = corpus(spark, n).persist()
@@ -87,7 +90,7 @@ object ScaleProbe {
       try noopWrite(use(post))
       finally post.unpersist(blocking = true)
     }
-    val ops: Seq[(String, () => Unit)] = Seq(
+    val allOps: Seq[(String, () => Unit)] = Seq(
       "exact_dedup"    -> (() => noopWrite(Dedup.exactStats(docs, Dedup.normalizedTextHash(col("text")), "doc_id"))),
       "token_stats"    -> (() => noopWrite(TextAnalysis.tokenStats(docs, "doc_id", "text", stopwords))),
       "lang_id"        -> (() => noopWrite(TextAnalysis.languageId(docs, "doc_id", "text", langs))),
@@ -152,7 +155,19 @@ object ScaleProbe {
       "dedup_spans"    -> (() => noopWrite(TextAnalysis.dedupSpans(docs, "doc_id", "text",
         persist = Some(StorageLevel.MEMORY_AND_DISK)))),
       "tfidf_topk"     -> (() => noopWrite(TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5,
-        persist = Some(StorageLevel.MEMORY_AND_DISK)))))
+        persist = Some(StorageLevel.MEMORY_AND_DISK)))),
+      // round-10 additions: reference-LM familiarity (bigram model over the
+      // even-hash half scoring the odd half — two gram aggregates + two
+      // joins) and DSIR importance weights (bucket models bounded at 4096
+      // rows broadcast to the score join — should be the flattest curve in
+      // the family)
+      "reference_lm"   -> (() => noopWrite(graft.operators.LmScore.referenceLmStats(
+        docs, "doc_id", "text", Sampling.hashBucket(col("doc_id"), 2) === 0))),
+      "dsir"           -> (() => noopWrite(graft.operators.LmScore.dsirWeights(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(16)) < 4, nBuckets = 4096))))
+    // optional op filter (args(5), comma-separated): curve one family
+    // member without paying for the whole suite at every n
+    val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
     // ops that persist internal frames need a flush between passes so a
     // repeated run can never read its predecessor's cache; the flush also
     // evicts the corpus, so re-warm it — all OUTSIDE the timed window
@@ -176,6 +191,56 @@ object ScaleProbe {
     val qs = timed.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
       .mkString("{", ",", "}")
     println(s"""{"probe":"text_family","docs":$n,"ops":$qs}""")
+  }
+
+  /** Embedding-family scale probe: synthetic clustered vectors (100 latent
+    * clusters, deterministic hash jitter), timing the similarity tier —
+    * broadcast brute-force top-k for a fixed query batch (linear in n),
+    * the corpus×corpus LSH kNN graph with corpus-sized plane count
+    * (buckets stay ~256 deep as n grows — the knob that keeps the
+    * per-bucket quadratic flat), and the trained-quantizer paths (IVF
+    * near-dup, SemDeDup). Protocol identical to [[textProbe]]: warm-up
+    * pass, then timed pass. */
+  private def embedProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+    import graft.operators.Similarity
+    val dim = 64
+    val vecs = spark.range(n)
+      .withColumn("_c", pmod(col("id"), lit(100)))
+      .select(
+        col("id").as("vec_id"),
+        array((0 until dim).map(j =>
+          sin(col("_c") * (j + 1)) +
+            pmod(xxhash64(col("id"), lit(j)), lit(1000)).cast("double") / 5000.0): _*).as("vec"))
+      .persist()
+    vecs.count()
+    def noopWrite(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    // size the plane count to the corpus: 2^planes buckets ≈ n / 256
+    val nPlanes = math.max(8, math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt)
+    val planes  = Similarity.hyperplanes(nPlanes, dim, seed = 42L)
+    val queries = vecs.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    val corpus = vecs.select(col("vec_id").as("cid"), col("vec").as("cvec"))
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "brute_topk_10q" -> (() => noopWrite(Similarity.bruteForceTopK(queries, corpus, k = 5))),
+      "knn_graph_lsh"  -> (() => noopWrite(Similarity.knnGraphLsh(vecs, "vec_id", "vec", planes, k = 5))),
+      // the cluster-dense scale contract: candidate side thins to ~256 per
+      // bucket, total work ~n·m — must bend the uncapped 4×-per-2× curve
+      // back to linear at identical plane count
+      "knn_graph_capped" -> (() => noopWrite(Similarity.knnGraphLsh(
+        vecs, "vec_id", "vec", planes, k = 5, maxCandidatesPerBucket = Some(256)))),
+      "ivf_neardup"    -> (() => noopWrite(Similarity.ivfNearDupPairs(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))),
+      "semdedup"       -> (() => noopWrite(Similarity.semDedup(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))))
+    ops.foreach { case (_, f) => f() }
+    val timed = ops.map { case (name, f) =>
+      val t0 = System.nanoTime()
+      f()
+      name -> ((System.nanoTime() - t0) / 1e9)
+    }
+    vecs.unpersist()
+    val qs = timed.map { case (k, v) => "\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP) }
+      .mkString("{", ",", "}")
+    println(s"""{"probe":"embed_family","vectors":$n,"dim":$dim,"planes":$nPlanes,"ops":$qs}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -304,7 +369,13 @@ object ScaleProbe {
       return
     }
     if (variant == "text") {
-      textProbe(spark, n.toLong)
+      textProbe(spark, n.toLong,
+        if (args.length > 5) Some(args(5).split(",").toSet) else None)
+      spark.stop()
+      return
+    }
+    if (variant == "embed") {
+      embedProbe(spark, n.toLong)
       spark.stop()
       return
     }

@@ -284,4 +284,51 @@ class CorpusJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out/documents")
       .select("doc_id").as[Long].collect().sorted === Array(0L, 2L, 3L, 4L, 6L))
   }
+
+  test("CorpusJob: lm-filter and dsir-select steps gate raw docs against a reference slice") {
+    val dir = Files.createTempDirectory("corpusjob-lm")
+    // reference slice: six same-vocabulary docs; raw: one target-like doc
+    // (kept by both gates) and one alien-vocabulary doc (dropped by both)
+    val refs = (1L to 6L).map(i => (i, "alpha beta gamma delta alpha beta", "ref"))
+    val raw  = Seq(
+      (10L, "alpha beta gamma delta", "web"),
+      (11L, "omega psi chi phi", "web"))
+    (refs ++ raw).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    def run(step: String): (Seq[(String, Long, Long)], Array[Long]) = {
+      val out = s"$dir/out-${step.takeWhile(_ != ':')}".replaceAll("[^a-zA-Z0-9/_.-]", "")
+      val cfg =
+        s"""input:
+           |  documents: $dir/documents.parquet
+           |steps:
+           |$step
+           |output:
+           |  local: $out
+           |""".stripMargin
+      val yaml = dir.resolve(s"job-${math.abs(step.hashCode)}.yaml")
+      Files.write(yaml, cfg.getBytes("UTF-8"))
+      val sheet = CorpusJob.run(spark, yaml.toString)
+      (sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)),
+        spark.read.parquet(s"$out/documents").select("doc_id").as[Long].collect().sorted)
+    }
+
+    // lm-filter: doc 10's bigrams are all reference-known (0 oov, ~1 bit
+    // surprisal each); doc 11 is 100% OOV > the 50% ceiling
+    val (lmSteps, lmIds) = run(
+      """  - op: lm-filter
+        |    train-groups: [ref]""".stripMargin)
+    assert(lmSteps === Seq(("lm-filter", 8L, 7L)))
+    assert(lmIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L))
+
+    // dsir-select: doc 10's hashed features match the target profile
+    // (positive quantized weight); doc 11's do not
+    val (dsSteps, dsIds) = run(
+      """  - op: dsir-select
+        |    target-groups: [ref]
+        |    buckets: 64
+        |    keep-above: 0""".stripMargin)
+    assert(dsSteps === Seq(("dsir-select", 8L, 7L)))
+    assert(dsIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L))
+  }
 }

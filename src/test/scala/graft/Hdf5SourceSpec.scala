@@ -213,6 +213,31 @@ class Hdf5SourceSpec extends SparkSpec {
     assert(t === soundings.head.time)
   }
 
+  test("COUNT(*) pushes down to a header-only scan: one partition, no data read") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    // aggregates plan under AQE — descend through the adaptive root and
+    // materialized query-stage leaves to reach the scan
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+      }.flatten
+    def scansOf(d: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
+      allScans(d.queryExecution.executedPlan)
+    val df = spark.read.format("hdf5").option("maxrowspersplit", 1).load(granulePath)
+    val counted = df.groupBy().count()
+    assert(counted.collect().map(_.getLong(0)) === Array(soundings.length.toLong))
+    val scans = scansOf(counted)
+    assert(scans.head.scan.description().contains("count(*) header-only"))
+    assert(scans.head.inputPartitions.length === 1)
+    // filtered counts keep the data path (residual-filter contract)
+    val filtered = df.filter(col("row_index") < 3).groupBy().count()
+    assert(filtered.collect().map(_.getLong(0)) === Array(3L))
+    assert(!scansOf(filtered).head.scan.description().contains("header-only"))
+  }
+
   test("VL (NC_STRING-style) attributes decode through the global heap") {
     // codec round trip: scalar and array VL attrs, alongside fixed types
     val bytes = Hdf5.write(Seq(Hdf5.WGroup("", Seq(

@@ -114,6 +114,31 @@ class NetCDFSourceSpec extends SparkSpec {
     assert(stats.sizeInBytes > 0 && stats.sizeInBytes < 1000000)
   }
 
+  test("COUNT(*) pushes down to a header-only scan: one partition, no data read") {
+    // aggregates plan under AQE — descend through the adaptive root and
+    // materialized query-stage leaves to reach the scan
+    def allScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[BatchScanExec] =
+      p.collect {
+        case b: BatchScanExec => Seq(b)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => allScans(s.plan)
+      }.flatten
+    def scansOf(d: org.apache.spark.sql.DataFrame): Seq[BatchScanExec] =
+      allScans(d.queryExecution.executedPlan)
+    val df = spark.read.format("netcdf3").option("maxrowspersplit", 1).load(granulePath)
+    val counted = df.groupBy().count()
+    assert(counted.collect().map(_.getLong(0)) === Array(soundings.length.toLong))
+    val scans = scansOf(counted)
+    assert(scans.head.scan.description().contains("count(*) header-only"))
+    assert(scans.head.inputPartitions.length === 1) // not one split per row
+    // a FILTERED count must NOT take the metadata path (residual filters
+    // re-evaluate post-scan, which an aggregated scan cannot support)
+    val filtered = df.filter(col("row_index") < 3).groupBy().count()
+    assert(filtered.collect().map(_.getLong(0)) === Array(3L))
+    assert(!scansOf(filtered).head.scan.description().contains("header-only"))
+  }
+
   test("the DSv2 scan reads CDF-2 (and CDF-1) files, not just the CDF-5 the fixture writer emits") {
     import graft.sources.netcdf.NetCDF3
     import graft.sources.netcdf.NetCDF3._

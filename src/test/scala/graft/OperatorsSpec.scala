@@ -437,6 +437,28 @@ class OperatorsSpec extends SparkSpec {
     assert(graph.nonEmpty && graph === brute)
   }
 
+  test("Similarity.knnGraphLsh candidate cap: every vector keeps neighbors, dense buckets thin") {
+    // 60 near-identical vectors land in ONE bucket (uncapped: 60×59 pairs);
+    // the md5-coin cap thins candidates but never the query side
+    val dense = (1L to 60L).map(i => (i, Array(1.0, 1e-6 * i)))
+    val vecs  = dense.toDF("id", "vec")
+    val planes = Array(Array(1.0, 0.0))
+    val uncapped = Similarity.knnGraphLsh(vecs, "id", "vec", planes, k = 3)
+    val capped = Similarity.knnGraphLsh(vecs, "id", "vec", planes, k = 3,
+      maxCandidatesPerBucket = Some(4))
+    // cap ≥ bucket size → bit-identical to uncapped
+    val wide = Similarity.knnGraphLsh(vecs, "id", "vec", planes, k = 3,
+      maxCandidatesPerBucket = Some(1000))
+    assert(wide.exceptAll(uncapped).isEmpty && uncapped.exceptAll(wide).isEmpty)
+    // every vector still receives neighbors under the cap…
+    val qids = capped.select($"qid").distinct().collect().map(_.getLong(0)).toSet
+    assert(qids.size === 60)
+    // …drawn from a thinned candidate pool: across all queries at most
+    // (expected 4, hard-bounded by the coin) distinct candidates appear
+    val cands = capped.select($"cid").distinct().count()
+    assert(cands < 20, s"cap did not thin the candidate side: $cands candidates")
+  }
+
   test("Similarity.knnGraphLsh never pairs across buckets; isolated vectors emit no rows") {
     // plane x: ids 1,2 in bucket "1"; id 3 alone in bucket "0"
     val vecs = Seq(
