@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.CompactLmModel
+
+/** Single-pass per-row reference-LM scoring against a bounded
+  * [[CompactLmModel]] — the streaming/per-row face of
+  * [[graft.operators.LmScore.scoreAgainst]]. One byte scan over the text
+  * builds consecutive word bigrams as string slices and accumulates the
+  * five integer stats (`n_bigrams`, `n_oov`, `sum_c`, `sum_ctx`,
+  * `surprisal_q`) with the exact relational semantics: pruned/unseen
+  * grams count c = 0, contexts outside the kept set count C = 0, and the
+  * quantizer is the same bit-length log₂ (`64 − nlz(x)` ≡
+  * `length(bin(x))`). With a lossless compact model the array is
+  * bit-identical to the relational columns (LmScoreSpec). The model rides
+  * into generated code as a reference object, so the expression stays
+  * inside whole-stage codegen. */
+object LmKernelFns {
+
+  private def bitLen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** → [n_bigrams, n_oov, sum_c, sum_ctx, surprisal_q]; zeros for null or
+    * <2-word text. */
+  def stats(text: UTF8String, model: CompactLmModel): ArrayData = {
+    val out = new Array[Long](5)
+    if (text == null) return toArray(out)
+    val s = text.toString
+    var n = 0L; var oov = 0L; var sumC = 0L; var sumCtx = 0L; var sq = 0L
+    var start = 0
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (prevStart >= 0) {
+          val g   = s.substring(prevStart, i) // "w1 w2" — the byte-slice gram
+          val w1  = s.substring(prevStart, prevEnd)
+          val c   = model.grams.getOrElse(g, 0L)
+          val cx  = model.ctx.getOrElse(w1, 0L)
+          n += 1
+          if (c == 0L) oov += 1
+          sumC += c
+          sumCtx += cx
+          sq += bitLen(cx + model.vocab) - bitLen(c + 1L)
+        }
+        prevStart = start
+        prevEnd = i
+        start = i + 1
+      }
+      i += 1
+    }
+    out(0) = n; out(1) = oov; out(2) = sumC; out(3) = sumCtx; out(4) = sq
+    toArray(out)
+  }
+
+  private def toArray(a: Array[Long]): ArrayData = new GenericArrayData(a)
+}
+
+/** `lmScoreStats(text, model)` → array<long>
+  * [n_bigrams, n_oov, sum_c, sum_ctx, surprisal_q]. */
+case class LmScoreStats(child: Expression, model: CompactLmModel) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    LmKernelFns.stats(child.eval(input).asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c        = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("lmModel", model, classOf[CompactLmModel].getName)
+    val kernel   = LmKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.stats(${c.isNull} ? null : ${c.value}, $modelRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object LmScoreStats {
+  def apply(text: Column, model: CompactLmModel): Column =
+    GraftSqlBridge.column(new LmScoreStats(
+      GraftSqlBridge.expression(text.cast("string")), model))
+}

@@ -46,6 +46,31 @@ object LmScore {
     * binary string of a BIGINT). */
   private def bitLen(x: Column): Column = length(bin(x)).cast("long")
 
+  /** The trained reference model as three frames: per-gram counts
+    * (`g`, `_c`), per-context counts (`w1`, `_ctx` = Σ counts of grams
+    * starting with w1), and the 1-row vocabulary size (`_v`). Train once,
+    * score many ([[scoreAgainst]]); bound and collect for per-row /
+    * streaming scoring ([[compactModel]]). */
+  final case class BigramModel(gramCounts: DataFrame, ctxCounts: DataFrame, vocab: DataFrame)
+
+  /** Train the add-one-smoothed word-bigram model over a reference
+    * corpus: two map-side-combined hash aggregates plus a scalar distinct
+    * count — the model never touches the driver. */
+  def bigramModel(train: DataFrame, textCol: String): BigramModel = {
+    val trainBg = train.select(explode(WordGrams(col(textCol), 2, distinct = false)).as("g"))
+    val gramCounts = trainBg.groupBy(col("g")).agg(count(lit(1)).as("_c"))
+    // C(w1) = Σ over grams starting with w1 — aggregate the (already
+    // reduced) gram-count table, not the raw bigram stream: |grams| rows
+    // in, |vocab| rows out.
+    val ctxCounts = gramCounts
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .groupBy(col("w1")).agg(sum(col("_c")).as("_ctx"))
+    val vocab = train
+      .select(explode(WordGrams(col(textCol), 1, distinct = false)).as("token"))
+      .agg(countDistinct(col("token")).as("_v"))
+    BigramModel(gramCounts, ctxCounts, vocab)
+  }
+
   /** Reference-LM familiarity statistics — the CCNet shape with the
     * reference corpus drawn from the pipeline itself by a deterministic
     * predicate (e.g. a [[Sampling.hashBucket]] split, or "docs from
@@ -78,27 +103,23 @@ object LmScore {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      trainPred: Column): DataFrame = {
-    val train  = df.filter(trainPred)
-    val scored = df.filter(!trainPred)
+      trainPred: Column): DataFrame =
+    scoreAgainst(bigramModel(df.filter(trainPred), textCol), df.filter(!trainPred), idCol, textCol)
 
-    val trainBg = bigramRows(train, idCol, textCol)
-    val gramCounts = trainBg.groupBy(col("g")).agg(count(lit(1)).as("_c"))
-    // C(w1) = Σ over grams starting with w1 — aggregate the (already
-    // reduced) gram-count table, not the raw bigram stream: |grams| rows
-    // in, |vocab| rows out.
-    val ctxCounts = gramCounts
-      .withColumn("w1", substring_index(col("g"), " ", 1))
-      .groupBy(col("w1")).agg(sum(col("_c")).as("_ctx"))
-    val vocab = train
-      .select(explode(WordGrams(col(textCol), 1, distinct = false)).as("token"))
-      .agg(countDistinct(col("token")).as("_v"))
-
+  /** Score documents against a trained [[BigramModel]] (train once, score
+    * any number of corpora — the production CCNet shape where the
+    * reference model is a standing artifact). Output contract identical
+    * to [[referenceLmStats]]. */
+  def scoreAgainst(
+      model: BigramModel,
+      scored: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
     val scoredBg = bigramRows(scored, idCol, textCol)
     val joined = scoredBg
-      .join(gramCounts, Seq("g"), "left")
-      .join(ctxCounts, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
+      .join(model.gramCounts, Seq("g"), "left")
+      .join(model.ctxCounts, Seq("w1"), "left")
+      .crossJoin(broadcast(model.vocab))
       .withColumn("_c0", coalesce(col("_c"), lit(0L)))
       .withColumn("_ctx0", coalesce(col("_ctx"), lit(0L)))
 
@@ -127,6 +148,32 @@ object LmScore {
         coalesce(col("sum_ctx"), lit(0L)).as("sum_ctx"),
         coalesce(col("surprisal_q"), lit(0L)).as("surprisal_q"),
         col("avg_logprob"))
+  }
+
+  /** Bounded, serializable form of a [[BigramModel]] for per-row /
+    * streaming scoring: the top `maxGrams` grams by (count desc, gram asc)
+    * — a deterministic cut, the standard LM-pruning artifact shape — plus
+    * the full context counts restricted to those grams' first words and
+    * the vocabulary scalar. Pruned grams score as unseen (their smoothing
+    * mass is the add-one floor), contexts absent from the kept set score
+    * as 0 — both documented, both exactly reproduced by
+    * [[graft.functions.LmScoreStats]]. With `maxGrams` ≥ the model's
+    * distinct-gram count the compact model is LOSSLESS: kernel stats are
+    * bit-identical to [[scoreAgainst]] (spec-pinned). The driver collect
+    * is bounded by `maxGrams` — the [[BpeTrain]] bounded-dictionary
+    * contract, not a data-sized collect. */
+  def compactModel(model: BigramModel, maxGrams: Int): CompactLmModel = {
+    require(maxGrams >= 1)
+    val kept = model.gramCounts
+      .orderBy(col("_c").desc, col("g").asc)
+      .limit(maxGrams)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val w1s = kept.map(_._1.takeWhile(_ != ' ')).distinct.toSeq
+    val ctx = model.ctxCounts
+      .filter(col("w1").isin(w1s: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val v = model.vocab.collect()(0).getLong(0)
+    CompactLmModel(kept.toMap, ctx.toMap, v)
   }
 
   /** Per-document DSIR feature rows (id, feat): hashed unigrams ∪ bigrams,
@@ -220,3 +267,12 @@ object LmScore {
       .select(col(idCol), col("n_feats"), col("weight_q"), col("keep"), col("log_weight"))
   }
 }
+
+/** The bounded reference-LM artifact ([[LmScore.compactModel]]): gram and
+  * context count maps plus the vocabulary size, shipped whole to executors
+  * (size bounded by `maxGrams`, independent of corpus size). Scoring
+  * semantics live in [[graft.functions.LmScoreStats]]. */
+final case class CompactLmModel(
+    grams: Map[String, Long],
+    ctx: Map[String, Long],
+    vocab: Long) extends Serializable

@@ -131,4 +131,128 @@ object Packing {
         .as("last_seq"),
       (col("offset") % seqLen).as("offset_in_seq"))
   }
+
+  /** Whole-document bin packing — the no-truncation alternative to
+    * [[packOffsets]]' concat-and-slice: every document lands INTACT in
+    * exactly one bin of capacity `seqLen` tokens (the
+    * "packing without cross-contamination" recipe family, Krell et al.
+    * 2021: real workloads pack near-optimally from the LENGTH HISTOGRAM
+    * alone, because at most `seqLen` distinct lengths exist).
+    *
+    * Scale shape, in three bounded moves:
+    *  1. The length histogram aggregates distributed (map-side combined)
+    *     and collects ≤ `seqLen` rows — the bounded-dictionary driver
+    *     contract ([[graft.operators.BpeTrain]]), NOT a data-sized
+    *     collect.
+    *  2. A greedy first-fit-decreasing RECIPE runs on the histogram:
+    *     repeatedly build one bin composition greedily (largest remaining
+    *     length that fits, batched copies), then stamp as many identical
+    *     bins as the remaining counts allow. The loop is over
+    *     compositions, never over bins or documents.
+    *  3. Assignment is relational: a distributed within-length rank
+    *     ([[prefixSum]] + a ≤-histogram-sized min-rank join-back) matched
+    *     against the broadcast strategy interval table — pure integer
+    *     arithmetic maps each rank to its bin id.
+    *
+    * Documents longer than `seqLen` each get a bin of their own, flagged
+    * `oversize` (callers split or drop them upstream; silently truncating
+    * is the failure mode this operator exists to avoid). Deterministic on
+    * any partitioning: ranks order by (length, id), the recipe is a pure
+    * function of the histogram. Output: (id, n_tokens, bin, oversize);
+    * bins are dense 0..nBins-1, regular bins first. */
+  def packBins(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val withLen = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    val regular  = withLen.filter(col("n_tokens") <= seqLen)
+    val oversize = withLen.filter(col("n_tokens") > seqLen)
+
+    // 1. bounded histogram
+    val hist: Map[Long, Long] = regular.groupBy(col("n_tokens")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // 2. greedy FFD recipe over the histogram: Seq of (composition, nBins)
+    val remaining = scala.collection.mutable.Map(hist.toSeq: _*)
+    val lengthsDesc = hist.keys.toArray.sorted(Ordering[Long].reverse)
+    val recipe = Seq.newBuilder[(Seq[(Long, Long)], Long)] // (len -> copies)*, bins
+    while (remaining.valuesIterator.exists(_ > 0)) {
+      var residual = seqLen.toLong
+      val comp     = Seq.newBuilder[(Long, Long)]
+      var i        = 0
+      while (i < lengthsDesc.length) {
+        val len = lengthsDesc(i)
+        val cnt = remaining(len)
+        if (len <= residual && cnt > 0) {
+          val copies = math.min(cnt, residual / len)
+          comp += (len -> copies)
+          residual -= copies * len
+          // stay on this index: residual may still fit more of SMALLER
+          // lengths only (copies was maximal for this one)
+        }
+        i += 1
+      }
+      val c = comp.result()
+      // stamp as many identical bins as every component's count allows
+      val stamp = c.map { case (len, k) => remaining(len) / k }.min
+      c.foreach { case (len, k) => remaining(len) -= stamp * k }
+      recipe += ((c, stamp))
+    }
+    val strategies = recipe.result()
+    val nRegularBins = strategies.map(_._2).sum
+
+    // 3. interval table: for each (strategy, length): within-length rank
+    //    range [start, end), copies per bin, bin base
+    val cursor = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var binBase = 0L
+    val rows = Seq.newBuilder[(Long, Long, Long, Long, Long)] // len, start, end, copies, base
+    strategies.foreach { case (comp, bins) =>
+      comp.foreach { case (len, k) =>
+        val start = cursor(len)
+        rows += ((len, start, start + k * bins, k, binBase))
+        cursor(len) = start + k * bins
+      }
+      binBase += bins
+    }
+    val intervals = rows.result().toDF("_len", "_start", "_end", "_k", "_base")
+
+    // distributed prefix-sum rank over (length, id) order — no per-length
+    // window, no hot-length task
+    def globalRank(part: DataFrame): DataFrame = {
+      val ord = part.withColumn(
+        "_ord", format_string("%010d|%020d", col("n_tokens"), col(idCol)))
+        .withColumn("_one", lit(1L))
+      prefixSum(ord, "_ord", "_one", "_rank").drop("_one", "_ord")
+    }
+
+    // within-length rank = global rank minus the length's first rank
+    // (a ≤-histogram-sized broadcast join-back)
+    val r = globalRank(regular)
+    val mins = r.groupBy(col("n_tokens")).agg(min(col("_rank")).as("_min"))
+    val regularAssigned = r
+      .join(broadcast(mins), Seq("n_tokens"))
+      .withColumn("_wr", col("_rank") - col("_min"))
+      .join(broadcast(intervals),
+        col("n_tokens") === col("_len") && col("_wr") >= col("_start") && col("_wr") < col("_end"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (col("_base") + (col("_wr") - col("_start")) / col("_k")).cast("long").as("bin"),
+        lit(false).as("oversize"))
+
+    // every oversize doc is its own bin: global rank, lengths mixed
+    val oversizeAssigned = globalRank(oversize)
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        (lit(nRegularBins) + col("_rank")).cast("long").as("bin"),
+        lit(true).as("oversize"))
+
+    regularAssigned.unionByName(oversizeAssigned)
+  }
 }

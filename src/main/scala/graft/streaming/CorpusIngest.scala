@@ -18,8 +18,10 @@ import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
   *
   * Stage order mirrors CorpusJob: PII scrub (text redacted in place,
   * counts kept) → Gopher quality gate (per-row predicate form; failing
-  * rows drop) → language gate (per-row stopword-argmax) → domain-mixture
-  * resample (deterministic hash rates) → incremental dedup against a
+  * rows drop) → language gate (per-row stopword-argmax) → reference-LM
+  * gate (per-row kernel against a bounded [[LmQuality]] model artifact) →
+  * domain-mixture resample (deterministic hash rates) → incremental dedup
+  * against a
   * standing corpus hash index (bloom prefilter + stream-static join) →
   * optional near-dup flag. Dups are FLAGGED (`is_dup` / `near_dup_hit`),
   * not dropped — disposition belongs to the sink, mirroring the
@@ -58,6 +60,28 @@ object CorpusIngest {
       TextAnalysis.languagePass(text, stopwords, keep)
   }
 
+  /** Reference-LM quality gate: per-row scoring against a BOUNDED
+    * [[graft.operators.CompactLmModel]] artifact via the codegen
+    * [[graft.functions.LmScoreStats]] kernel — the streaming face of the
+    * CorpusJob `lm-filter` step, and streaming-safe by construction (pure
+    * per-row projection, no state, no aggregation). Same ceilings as the
+    * batch step: quantized surprisal per bigram and OOV share; short docs
+    * (no bigram evidence) pass. */
+  final case class LmQuality(
+      model: graft.operators.CompactLmModel,
+      maxBitsPerBigram: Double = 16.0,
+      maxOovPct: Long = 50L) {
+    def predicate(text: Column): Column = {
+      val s   = graft.functions.LmScoreStats(text, model)
+      val n   = s.getItem(0)
+      val oov = s.getItem(1)
+      val sq  = s.getItem(4)
+      n === 0L ||
+        (sq.cast("double") <= n.cast("double") * maxBitsPerBigram &&
+          oov * 100L <= n * maxOovPct)
+    }
+  }
+
   /** Near-dup flag stage config ([[StreamingNearDup.flagBands]] —
     * watermark-bounded LSH bucket state; flags, never drops). */
   final case class NearDup(
@@ -74,6 +98,7 @@ object CorpusIngest {
       textCol: String,
       quality: Option[Quality] = None,
       language: Option[Language] = None,
+      lm: Option[LmQuality] = None,
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
       corpus: Option[CorpusIndex] = None,
       nearDup: Option[NearDup] = None): DataFrame = {
@@ -82,9 +107,13 @@ object CorpusIngest {
       case Some(q) => scrubbed.filter(q.predicate(col(textCol)))
       case None    => scrubbed
     }
-    val gated = language match {
+    val langGated = language match {
       case Some(l) => qualGated.filter(l.predicate(col(textCol)))
       case None    => qualGated
+    }
+    val gated = lm match {
+      case Some(m) => langGated.filter(m.predicate(col(textCol)))
+      case None    => langGated
     }
     val mixed = mixture match {
       case Some((groupCol, rates, denom)) =>

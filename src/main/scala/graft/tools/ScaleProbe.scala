@@ -201,7 +201,10 @@ object ScaleProbe {
     * per-bucket quadratic flat), and the trained-quantizer paths (IVF
     * near-dup, SemDeDup). Protocol identical to [[textProbe]]: warm-up
     * pass, then timed pass. */
-  private def embedProbe(spark: org.apache.spark.sql.SparkSession, n: Long): Unit = {
+  private def embedProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      n: Long,
+      only: Option[Set[String]] = None): Unit = {
     import graft.operators.Similarity
     val dim = 64
     val vecs = spark.range(n)
@@ -221,7 +224,7 @@ object ScaleProbe {
     val queries = vecs.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("vec").as("qvec"))
     val corpus = vecs.select(col("vec_id").as("cid"), col("vec").as("cvec"))
-    val ops: Seq[(String, () => Unit)] = Seq(
+    val allOps: Seq[(String, () => Unit)] = Seq(
       "brute_topk_10q" -> (() => noopWrite(Similarity.bruteForceTopK(queries, corpus, k = 5))),
       "knn_graph_lsh"  -> (() => noopWrite(Similarity.knnGraphLsh(vecs, "vec_id", "vec", planes, k = 5))),
       // the cluster-dense scale contract: candidate side thins to ~256 per
@@ -231,6 +234,7 @@ object ScaleProbe {
         vecs, "vec_id", "vec", planes, k = 5, maxCandidatesPerBucket = Some(256)))),
       "ivf_neardup"    -> (() => noopWrite(Similarity.ivfNearDupPairs(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))),
       "semdedup"       -> (() => noopWrite(Similarity.semDedup(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))))
+    val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
     ops.foreach { case (_, f) => f() }
     val timed = ops.map { case (name, f) =>
       val t0 = System.nanoTime()
@@ -375,7 +379,8 @@ object ScaleProbe {
       return
     }
     if (variant == "embed") {
-      embedProbe(spark, n.toLong)
+      embedProbe(spark, n.toLong,
+        if (args.length > 5) Some(args(5).split(",").toSet) else None)
       spark.stop()
       return
     }

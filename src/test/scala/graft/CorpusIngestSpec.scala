@@ -117,14 +117,14 @@ class CorpusIngestSpec extends SparkSpec {
 
     def runBatch = CorpusIngest.gate(
       rows.toDF("doc_id", "text", "src"), "doc_id", "text",
-      quality, language, mixture, Some(index))
+      quality = quality, language = language, mixture = mixture, corpus = Some(index))
       .select($"doc_id", $"is_dup", $"text")
       .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).sortBy(_._1)
 
     val ms = MemoryStream[(Long, String, String)]
     val out = CorpusIngest.gate(
       ms.toDF().toDF("doc_id", "text", "src"), "doc_id", "text",
-      quality, language, mixture, Some(index))
+      quality = quality, language = language, mixture = mixture, corpus = Some(index))
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("corpus_gate").start()
     try {
@@ -144,6 +144,36 @@ class CorpusIngestSpec extends SparkSpec {
       byId.get(4L).foreach(t => assert(t._3.contains("<EMAIL>")))
       assert(byId(1L)._2 === false)
       assert(!byId.contains(6L)) // French doc dropped by the language gate
+    } finally q.stop()
+  }
+
+  test("gate reference-LM stage drops alien-vocabulary docs per-row against the bounded model") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LmScore
+    implicit val sq = spark.sqlContext
+    val refs = (1L to 6L).map(i => (i, "alpha beta gamma delta alpha beta")).toDF("doc_id", "text")
+    val model = LmScore.compactModel(LmScore.bigramModel(refs, "text"), maxGrams = 1000)
+    val lm = CorpusIngest.LmQuality(model, maxBitsPerBigram = 3.0, maxOovPct = 30L)
+
+    val ms = MemoryStream[(Long, String)]
+    val out = CorpusIngest.gate(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      lm = Some(lm))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_gate_lm").start()
+    try {
+      ms.addData(
+        (10L, "alpha beta gamma delta"), // reference vocabulary: passes
+        (11L, "omega psi chi phi"),      // 100% OOV: dropped
+        (12L, "tiny"))                   // no bigram evidence: passes
+      q.processAllAvailable()
+      val kept = spark.table("corpus_gate_lm")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept === Array(10L, 12L))
+      // batch parity: the same predicate filters the same rows in batch
+      val batch = Seq((10L, "alpha beta gamma delta"), (11L, "omega psi chi phi"), (12L, "tiny"))
+        .toDF("doc_id", "text").filter(lm.predicate($"text"))
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(batch === Array(10L, 12L))
     } finally q.stop()
   }
 

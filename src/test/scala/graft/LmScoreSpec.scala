@@ -95,6 +95,43 @@ class LmScoreSpec extends SparkSpec {
     }
   }
 
+  test("lossless compact model + kernel reproduce the relational scores bit for bit") {
+    val docs  = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = graft.operators.Sampling.hashBucket(col("doc_id"), 2) === 0
+    val model = LmScore.bigramModel(docs.filter(split), "text")
+    // maxGrams far above the corpus's distinct-gram count → lossless
+    val compact = LmScore.compactModel(model, maxGrams = 1000000)
+    val relational = LmScore.scoreAgainst(model, docs.filter(!split), "doc_id", "text")
+      .select($"doc_id", $"n_bigrams", $"n_oov", $"sum_c", $"sum_ctx", $"surprisal_q")
+    val kernel = docs.filter(!split)
+      .select($"doc_id", graft.functions.LmScoreStats($"text", compact).as("s"))
+      .select($"doc_id",
+        $"s".getItem(0).as("n_bigrams"), $"s".getItem(1).as("n_oov"),
+        $"s".getItem(2).as("sum_c"), $"s".getItem(3).as("sum_ctx"),
+        $"s".getItem(4).as("surprisal_q"))
+    assert(relational.count() > 0)
+    assert(relational.exceptAll(kernel).isEmpty && kernel.exceptAll(relational).isEmpty)
+  }
+
+  test("pruned compact model: dropped grams score as unseen, kept grams keep full counts") {
+    val train = Seq(
+      (1L, "a b a b a b"), // "a b" ×3, "b a" ×2
+      (2L, "c d")          // "c d" ×1
+    ).toDF("doc_id", "text")
+    val model   = LmScore.bigramModel(train, "text")
+    val compact = LmScore.compactModel(model, maxGrams = 1) // keeps only "a b" (count 3)
+    assert(compact.grams === Map("a b" -> 3L))
+    assert(compact.ctx === Map("a" -> 3L)) // full C(a), only kept w1s
+    assert(compact.vocab === 4L)
+    // "a b" known (c=3, C(a)=3, V=4): bits = bitlen(7) - bitlen(4) = 0
+    // "b a" pruned (c=0, C(b) absent -> 0): bits = bitlen(4) - bitlen(1) = 2
+    val got = Seq((9L, "a b a")).toDF("doc_id", "text")
+      .select(graft.functions.LmScoreStats($"text", compact).as("s"))
+      .select($"s".getItem(0), $"s".getItem(1), $"s".getItem(2), $"s".getItem(3), $"s".getItem(4))
+      .collect()(0)
+    assert((0 to 4).map(got.getLong) === Seq(2L, 1L, 3L, 3L, 2L))
+  }
+
   test("dsirWeights and referenceLmStats are invariant under repartitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pred = col("source").isin("src0", "src1", "src2", "src3")

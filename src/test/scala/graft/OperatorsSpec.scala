@@ -437,6 +437,49 @@ class OperatorsSpec extends SparkSpec {
     assert(graph.nonEmpty && graph === brute)
   }
 
+  test("Packing.packBins: whole-doc bins respect capacity, oversize isolated, deterministic") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
+    // lengths: 6,6,4,4,3,3,2,1 into capacity 8 + one oversize (10)
+    val docs = Seq(
+      doc(1, 6), doc(2, 6), doc(3, 4), doc(4, 4),
+      doc(5, 3), doc(6, 3), doc(7, 2), doc(8, 1), doc(9, 10)
+    ).toDF("doc_id", "text")
+    val got = Packing.packBins(docs, "doc_id", "text", seqLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+    // every doc assigned exactly once
+    assert(got.map(_._1).sorted === (1L to 9L).toArray)
+    // capacity law: no regular bin exceeds seqLen
+    val fills = got.filter(!_._4).groupBy(_._3).map { case (_, ds) => ds.map(_._2).sum }
+    assert(fills.forall(_ <= 8L), s"overfull bin: $fills")
+    // the oversize doc sits alone in its own flagged bin
+    val over = got.filter(_._4)
+    assert(over.map(_._1).toSeq === Seq(9L))
+    assert(got.filter(!_._4).map(_._3).toSet.intersect(over.map(_._3).toSet).isEmpty)
+    // FFD on this histogram is optimal: 6+2, 6+1, 4+4, 3+3 → 4 regular bins
+    assert(got.filter(!_._4).map(_._3).distinct.length === 4)
+    // dense bin ids 0..nBins-1
+    assert(got.map(_._3).sorted.distinct === (0L until 5L).toArray)
+
+    // deterministic under repartitioning
+    val again = Packing.packBins(docs.repartition(7), "doc_id", "text", seqLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("Packing.packBins at corpus shape: high fill rate, capacity never violated") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val got = Packing.packBins(docs, "doc_id", "text", seqLen = 128)
+    val bins = got.filter(!col("oversize"))
+      .groupBy(col("bin")).agg(sum(col("n_tokens")).as("fill"))
+      .select("fill").collect().map(_.getLong(0))
+    assert(bins.forall(_ <= 128L))
+    assert(got.count() === docs.count())
+    // FFD on natural length mixes packs tightly: mean fill ≥ 85% of capacity
+    val mean = bins.sum.toDouble / bins.length / 128.0
+    assert(mean >= 0.85, s"mean fill rate $mean")
+  }
+
   test("Similarity.knnGraphLsh candidate cap: every vector keeps neighbors, dense buckets thin") {
     // 60 near-identical vectors land in ONE bucket (uncapped: 60×59 pairs);
     // the md5-coin cap thins candidates but never the query side

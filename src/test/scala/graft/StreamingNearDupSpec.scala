@@ -86,6 +86,45 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(StreamingNearDup.banded(static, "doc_id", "text", "ts", 3, 8, 2).count() === 0)
   }
 
+  test("bucket state runs on the RocksDB state store (the disk-backed production backend)") {
+    // the default HDFS-backed provider keeps every bucket's state on the
+    // executor heap — at corpus-scale streaming the RocksDB provider is
+    // the configuration that survives, so the stateful operators must
+    // work (and flag across batches) under it
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val key  = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = (1 to 20).map(i => s"w$i").mkString(" ")
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val out = StreamingNearDup.flagBands(
+        ms.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        watermarkMs = 10 * 60 * 1000L, minEstJaccard = 0.5)
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName("snd_rocks").start()
+      try {
+        ms.addData((1L, ts("2024-01-01 00:00:00"), base))
+        q.processAllAvailable()
+        ms.addData((2L, ts("2024-01-01 00:01:00"), base)) // cross-batch dup
+        q.processAllAvailable()
+        val flags = spark.table("snd_rocks")
+          .select($"doc_id", $"near_dup_hit").distinct()
+          .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+        assert(flags === Set((1L, false), (2L, true)))
+        // the provider actually in force is RocksDB, not a silent fallback
+        val op = q.lastProgress.stateOperators
+        assert(op.nonEmpty && op(0).customMetrics.keySet.toString.contains("rocksdb"),
+          s"no rocksdb metrics in ${op.map(_.customMetrics).mkString}")
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("LSH bucket state survives a query restart: a near-dup of a pre-restart doc still flags") {
     // the production failure mode this pins: a multi-day ingest query dies
     // and restarts from its checkpoint — the flatMapGroupsWithState bucket
