@@ -255,4 +255,31 @@ object Packing {
 
     regularAssigned.unionByName(oversizeAssigned)
   }
+
+  /** Materialize [[packBins]] assignments into one row per bin — the
+    * loader-ready form ([[packSequences]]' sibling for whole-doc bins):
+    * documents concatenate in id order inside their bin, with the doc-id
+    * list kept for attention-mask / provenance use. One join on the id
+    * and one shuffle on the bin key; the in-bin sort is bounded by bin
+    * capacity, not corpus size. */
+  def packBinSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    val assigned = packBins(df, idCol, textCol, seqLen)
+    assigned
+      .join(df.select(col(idCol), col(textCol)), Seq(idCol))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        max(col("oversize")).as("oversize"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(idCol), col(textCol)))),
+            s => s.getField(textCol)),
+          " ").as("bin_text"),
+        array_sort(collect_list(col(idCol))).as("doc_ids"))
+  }
 }

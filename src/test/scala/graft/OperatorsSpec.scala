@@ -467,6 +467,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
   }
 
+  test("Packing.packBinSequences materializes intact docs per bin in id order") {
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"d${id}t$i").mkString(" "))
+    val docs = Seq(doc(1, 6), doc(2, 2), doc(3, 10)).toDF("doc_id", "text")
+    val bins = Packing.packBinSequences(docs, "doc_id", "text", seqLen = 8)
+      .orderBy($"bin").collect()
+    assert(bins.length === 2) // {6,2} packed, {10} oversize alone
+    val packed = bins(0)
+    assert(packed.getAs[Long]("n_docs") === 2L)
+    assert(packed.getAs[Long]("n_tokens") === 8L)
+    assert(!packed.getAs[Boolean]("oversize"))
+    // intact docs, id order, single-space joined
+    assert(packed.getAs[String]("bin_text") ===
+      (1 to 6).map(i => s"d1t$i").mkString(" ") + " " + (1 to 2).map(i => s"d2t$i").mkString(" "))
+    assert(packed.getAs[Seq[Long]]("doc_ids") === Seq(1L, 2L))
+    assert(bins(1).getAs[Boolean]("oversize") && bins(1).getAs[Long]("n_tokens") === 10L)
+  }
+
   test("Packing.packBins at corpus shape: high fill rate, capacity never violated") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val got = Packing.packBins(docs, "doc_id", "text", seqLen = 128)
