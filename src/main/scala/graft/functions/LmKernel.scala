@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.operators.CompactLmModel
+import graft.operators.{CompactDsirModel, CompactLmModel}
 
 /** Single-pass per-row reference-LM scoring against a bounded
   * [[CompactLmModel]] — the streaming/per-row face of
@@ -64,6 +64,52 @@ object LmKernelFns {
   }
 
   private def toArray(a: Array[Long]): ArrayData = new GenericArrayData(a)
+
+  /** Single-pass DSIR weight against a [[CompactDsirModel]] →
+    * [n_feats, weight_q]. Features are the token and consecutive-pair
+    * byte slices of the text (identical bytes to the relational
+    * `WordGrams` features), hashed with [[FastMD5]] to the same 60-bit
+    * md5-prefix bucket as `Sampling.hashBucket`; the quantized weight
+    * accumulates per occurrence, which equals the relational per-bucket
+    * grouping exactly (integer addition commutes). */
+  def dsirWeight(text: UTF8String, model: CompactDsirModel): ArrayData = {
+    val out = new Array[Long](2)
+    if (text == null) return toArray(out)
+    val bytes = text.getBytes
+    val md5   = new FastMD5
+    val dig   = new Array[Byte](16)
+    val globalTerm = bitLen(model.rawTotal + model.nBuckets) -
+      bitLen(model.targetTotal + model.nBuckets)
+    var n = 0L
+    var wq = 0L
+    def add(off: Int, len: Int): Unit = {
+      md5.digest(Array.emptyByteArray, bytes, off, len, dig)
+      // first 15 hex chars of the digest as a 60-bit value — bytes 0..6
+      // whole, high nibble of byte 7 (== parseLong(hex.take(15), 16))
+      var v = 0L
+      var i = 0
+      while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xfL)
+      val b = (v % model.nBuckets).toInt
+      n += 1
+      wq += bitLen(model.targetCounts(b) + 1L) - bitLen(model.rawCounts(b) + 1L) + globalTerm
+    }
+    // token bounds scan (split-on-0x20 semantics, empty tokens included)
+    var start = 0
+    var prevStart = -1
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        add(start, i - start)                          // unigram
+        if (prevStart >= 0) add(prevStart, i - prevStart) // bigram slice "w1 w2"
+        prevStart = start
+        start = i + 1
+      }
+      i += 1
+    }
+    out(0) = n; out(1) = wq
+    toArray(out)
+  }
 }
 
 /** `lmScoreStats(text, model)` → array<long>
@@ -95,5 +141,36 @@ case class LmScoreStats(child: Expression, model: CompactLmModel) extends Expres
 object LmScoreStats {
   def apply(text: Column, model: CompactLmModel): Column =
     GraftSqlBridge.column(new LmScoreStats(
+      GraftSqlBridge.expression(text.cast("string")), model))
+}
+
+/** `dsirWeight(text, model)` → array<long> [n_feats, weight_q]. */
+case class DsirWeight(child: Expression, model: CompactDsirModel) extends Expression {
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    LmKernelFns.dsirWeight(child.eval(input).asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c        = child.genCode(ctx)
+    val modelRef = ctx.addReferenceObj("dsirModel", model, classOf[CompactDsirModel].getName)
+    val kernel   = LmKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.dsirWeight(${c.isNull} ? null : ${c.value}, $modelRef);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object DsirWeight {
+  def apply(text: Column, model: CompactDsirModel): Column =
+    GraftSqlBridge.column(new DsirWeight(
       GraftSqlBridge.expression(text.cast("string")), model))
 }

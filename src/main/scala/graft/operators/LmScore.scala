@@ -176,6 +176,39 @@ object LmScore {
     CompactLmModel(kept.toMap, ctx.toMap, v)
   }
 
+  /** Collect the DSIR bucket models into a [[CompactDsirModel]] for
+    * per-row / streaming scoring ([[graft.functions.DsirWeight]]). Both
+    * count tables are ≤ `nBuckets` rows BY CONSTRUCTION, so unlike
+    * [[compactModel]] there is no cut and no information loss: the kernel
+    * weight is bit-identical to [[dsirWeights]]' quantized column
+    * (spec-pinned). Target docs define p_target; everything else defines
+    * p_raw — the same split the relational operator scores against. */
+  def compactDsirModel(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetPred: Column,
+      nBuckets: Int = 4096): CompactDsirModel = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val feats = df
+      .withColumn("_t", targetPred)
+      .select(
+        col("_t"),
+        explode(concat(
+          WordGrams(col(textCol), 1, distinct = false),
+          WordGrams(col(textCol), 2, distinct = false))).as("feat"))
+      .withColumn("bkt", Sampling.hashBucket(col("feat"), nBuckets))
+    def counts(pred: Column): Array[Long] = {
+      val a = new Array[Long](nBuckets)
+      feats.filter(pred).groupBy(col("bkt")).agg(count(lit(1)).as("_c"))
+        .collect().foreach(r => a(r.getLong(0).toInt) = r.getLong(1))
+      a
+    }
+    val ct = counts(col("_t"))
+    val cr = counts(!col("_t"))
+    CompactDsirModel(ct, cr, ct.sum, cr.sum, nBuckets)
+  }
+
   /** Per-document DSIR feature rows (id, feat): hashed unigrams ∪ bigrams,
     * the paper's feature space. Exposed for specs. */
   private[operators] def featureRows(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -276,3 +309,14 @@ final case class CompactLmModel(
     grams: Map[String, Long],
     ctx: Map[String, Long],
     vocab: Long) extends Serializable
+
+/** The bounded DSIR artifact ([[LmScore.compactDsirModel]]): target/raw
+  * bucket-count arrays plus totals — `nBuckets` longs each, lossless by
+  * construction. Scoring semantics live in
+  * [[graft.functions.DsirWeight]]. */
+final case class CompactDsirModel(
+    targetCounts: Array[Long],
+    rawCounts: Array[Long],
+    targetTotal: Long,
+    rawTotal: Long,
+    nBuckets: Int) extends Serializable

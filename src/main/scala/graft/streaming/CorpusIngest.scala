@@ -20,8 +20,9 @@ import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
   * counts kept) → Gopher quality gate (per-row predicate form; failing
   * rows drop) → language gate (per-row stopword-argmax) → reference-LM
   * gate (per-row kernel against a bounded [[LmQuality]] model artifact) →
-  * domain-mixture resample (deterministic hash rates) → incremental dedup
-  * against a
+  * DSIR selection ([[DsirSelect]], per-row kernel weight vs a standing
+  * bucket model) → domain-mixture resample (deterministic hash rates) →
+  * incremental dedup against a
   * standing corpus hash index (bloom prefilter + stream-static join) →
   * optional near-dup flag. Dups are FLAGGED (`is_dup` / `near_dup_hit`),
   * not dropped — disposition belongs to the sink, mirroring the
@@ -82,6 +83,18 @@ object CorpusIngest {
     }
   }
 
+  /** DSIR selection gate: per-row quantized importance weight against a
+    * standing [[graft.operators.CompactDsirModel]] (lossless by
+    * construction — nBuckets-bounded count arrays), keep at
+    * `weight_q ≥ keepAbove`. The streaming face of the CorpusJob
+    * `dsir-select` step; per-row, stateless, streaming-safe. */
+  final case class DsirSelect(
+      model: graft.operators.CompactDsirModel,
+      keepAbove: Long = 0L) {
+    def predicate(text: Column): Column =
+      graft.functions.DsirWeight(text, model).getItem(1) >= keepAbove
+  }
+
   /** Near-dup flag stage config ([[StreamingNearDup.flagBands]] —
     * watermark-bounded LSH bucket state; flags, never drops). */
   final case class NearDup(
@@ -99,6 +112,7 @@ object CorpusIngest {
       quality: Option[Quality] = None,
       language: Option[Language] = None,
       lm: Option[LmQuality] = None,
+      dsir: Option[DsirSelect] = None,
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
       corpus: Option[CorpusIndex] = None,
       nearDup: Option[NearDup] = None): DataFrame = {
@@ -111,9 +125,13 @@ object CorpusIngest {
       case Some(l) => qualGated.filter(l.predicate(col(textCol)))
       case None    => qualGated
     }
-    val gated = lm match {
+    val lmGated = lm match {
       case Some(m) => langGated.filter(m.predicate(col(textCol)))
       case None    => langGated
+    }
+    val gated = dsir match {
+      case Some(d) => lmGated.filter(d.predicate(col(textCol)))
+      case None    => lmGated
     }
     val mixed = mixture match {
       case Some((groupCol, rates, denom)) =>

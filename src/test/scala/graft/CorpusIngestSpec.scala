@@ -177,6 +177,31 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate DSIR stage keeps target-like docs and drops alien ones per-row") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.LmScore
+    implicit val sq = spark.sqlContext
+    val corpus = ((1L to 6L).map(i => (i, "alpha beta gamma delta alpha beta", "t")) ++
+      Seq((7L, "omega psi chi phi", "r"), (8L, "rho sigma tau upsilon", "r")))
+      .toDF("doc_id", "text", "grp")
+    val model = LmScore.compactDsirModel(corpus, "doc_id", "text", col("grp") === "t", nBuckets = 64)
+
+    val ms = MemoryStream[(Long, String)]
+    val out = CorpusIngest.gate(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      dsir = Some(CorpusIngest.DsirSelect(model, keepAbove = 0L)))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_gate_dsir").start()
+    try {
+      ms.addData(
+        (10L, "alpha beta gamma delta"), // target vocabulary: positive weight
+        (11L, "omega psi chi phi"))      // raw-only vocabulary: negative
+      q.processAllAvailable()
+      val kept = spark.table("corpus_gate_dsir")
+        .select($"doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept === Array(10L))
+    } finally q.stop()
+  }
+
   test("gate near-dup stage flags cross-batch near-duplicates, flag-not-drop, short docs kept") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

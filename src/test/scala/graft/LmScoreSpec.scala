@@ -132,6 +132,19 @@ class LmScoreSpec extends SparkSpec {
     assert((0 to 4).map(got.getLong) === Seq(2L, 1L, 3L, 3L, 2L))
   }
 
+  test("compact DSIR model + kernel reproduce the relational quantized weights bit for bit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pred = col("source").isin("src0", "src1", "src2", "src3")
+    val model = LmScore.compactDsirModel(docs, "doc_id", "text", pred, nBuckets = 512)
+    val relational = LmScore.dsirWeights(docs, "doc_id", "text", pred, nBuckets = 512)
+      .select($"doc_id", $"n_feats", $"weight_q")
+    val kernel = docs.filter(!pred)
+      .select($"doc_id", graft.functions.DsirWeight($"text", model).as("s"))
+      .select($"doc_id", $"s".getItem(0).as("n_feats"), $"s".getItem(1).as("weight_q"))
+    assert(relational.count() > 0)
+    assert(relational.exceptAll(kernel).isEmpty && kernel.exceptAll(relational).isEmpty)
+  }
+
   test("dsirWeights and referenceLmStats are invariant under repartitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pred = col("source").isin("src0", "src1", "src2", "src3")
