@@ -63,6 +63,10 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *   - op: pack-sequences                 # MATERIALIZE the packed windows —
   *     seq-len: 2048                      # output rows become sequences
   *                                        # (terminal: replaces the doc schema)
+  *   - op: pack-bins                      # whole-doc FFD bin assignment —
+  *     seq-len: 2048                      # adds bin/oversize (no truncation)
+  *   - op: pack-bin-sequences             # MATERIALIZE one row per bin
+  *     seq-len: 2048                      # (terminal: replaces the doc schema)
   * output:
   *   local: /path/out                     # required
   * checkpoint: /path/ckpt                 # optional: cluster-form restart
@@ -156,7 +160,7 @@ object CorpusJob {
       .getOrElse(Seq.empty)
     val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
       "neardup", "decontaminate", "lm-filter", "dsir-select", "mixture", "stratified",
-      "split", "shuffle", "pack", "pack-sequences")
+      "split", "shuffle", "pack", "pack-sequences", "pack-bins", "pack-bin-sequences")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -288,6 +292,15 @@ object CorpusJob {
             Seq(idCol))
         case "pack-sequences" => // terminal: rows become fixed-length windows
           Packing.packSequences(df, idCol, textCol, lng("seq-len", 2048L).toInt)
+        case "pack-bins" => // whole-doc bin assignment, no truncation
+          require(!df.columns.contains("bin") && !df.columns.contains("oversize"),
+            "pack-bins step would clobber existing bin/oversize columns")
+          df.join(
+            Packing.packBins(df, idCol, textCol, lng("seq-len", 2048L).toInt)
+              .drop("n_tokens"),
+            Seq(idCol))
+        case "pack-bin-sequences" => // terminal: rows become whole-doc bins
+          Packing.packBinSequences(df, idCol, textCol, lng("seq-len", 2048L).toInt)
       }
     }
 

@@ -285,6 +285,39 @@ class CorpusJobSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted === Array(0L, 2L, 3L, 4L, 6L))
   }
 
+  test("CorpusJob: pack-bins assigns whole-doc bins; pack-bin-sequences materializes them") {
+    val dir = Files.createTempDirectory("corpusjob-bins")
+    def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"d${id}t$i").mkString(" "))
+    Seq(doc(1, 6), doc(2, 2), doc(3, 5), doc(4, 3))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: pack-bins
+         |    seq-len: 8
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) === Seq(("pack-bins", 4L, 4L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+    assert(out.columns.toSet.contains("bin") && out.columns.contains("text"))
+    // capacity law holds through the job plumbing
+    val fills = out.withColumn("n", size(split($"text", " ")))
+      .groupBy($"bin").agg(sum($"n").as("fill"))
+      .select("fill").as[Long].collect()
+    assert(fills.forall(_ <= 8L))
+
+    val cfg2 = cfg.replace("pack-bins", "pack-bin-sequences").replace(s"$dir/out", s"$dir/out2")
+    Files.write(dir.resolve("job2.yaml"), cfg2.getBytes("UTF-8"))
+    CorpusJob.run(spark, s"$dir/job2.yaml")
+    val bins = spark.read.parquet(s"$dir/out2/documents")
+    assert(bins.columns.contains("bin_text") && bins.select(sum($"n_docs")).as[Long].head() === 4L)
+  }
+
   test("CorpusJob: lm-filter and dsir-select steps gate raw docs against a reference slice") {
     val dir = Files.createTempDirectory("corpusjob-lm")
     // reference slice: six same-vocabulary docs; raw: one target-like doc
