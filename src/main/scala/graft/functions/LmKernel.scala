@@ -113,24 +113,37 @@ object LmKernelFns {
 }
 
 /** `lmScoreStats(text, model)` → array<long>
-  * [n_bigrams, n_oov, sum_c, sum_ctx, surprisal_q]. */
-case class LmScoreStats(child: Expression, model: CompactLmModel) extends Expression {
+  * [n_bigrams, n_oov, sum_c, sum_ctx, surprisal_q].
+  *
+  * The model rides a Spark BROADCAST, not the expression tree: an
+  * embedded 10⁵-entry map would re-serialize with every stage's task
+  * binary (micro-batch streaming pays it per trigger — measured ~4×
+  * ingest-gate slowdown); the broadcast handle is bytes-small and the
+  * model ships once per executor. */
+case class LmScoreStats(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[CompactLmModel]) extends Expression {
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any =
-    LmKernelFns.stats(child.eval(input).asInstanceOf[UTF8String], model)
+    LmKernelFns.stats(child.eval(input).asInstanceOf[UTF8String], model.value)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c        = child.genCode(ctx)
-    val modelRef = ctx.addReferenceObj("lmModel", model, classOf[CompactLmModel].getName)
+    val bcClass  = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef    = ctx.addReferenceObj("lmModelBc", model, bcClass)
+    val mClass   = classOf[CompactLmModel].getName
+    // resolve the broadcast once per partition, not per row
+    val local    = ctx.addMutableState(mClass, "lmModel",
+      v => s"$v = ($mClass) $bcRef.value();")
     val kernel   = LmKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
     ev.copy(
       code = code"""
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          $kernel.stats(${c.isNull} ? null : ${c.value}, $modelRef);""",
+          $kernel.stats(${c.isNull} ? null : ${c.value}, $local);""",
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
@@ -139,29 +152,38 @@ case class LmScoreStats(child: Expression, model: CompactLmModel) extends Expres
 }
 
 object LmScoreStats {
-  def apply(text: Column, model: CompactLmModel): Column =
+  def apply(text: Column, model: CompactLmModel): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
     GraftSqlBridge.column(new LmScoreStats(
-      GraftSqlBridge.expression(text.cast("string")), model))
+      GraftSqlBridge.expression(text.cast("string")), bc))
+  }
 }
 
-/** `dsirWeight(text, model)` → array<long> [n_feats, weight_q]. */
-case class DsirWeight(child: Expression, model: CompactDsirModel) extends Expression {
+/** `dsirWeight(text, model)` → array<long> [n_feats, weight_q]. Model via
+  * broadcast — see [[LmScoreStats]]. */
+case class DsirWeight(
+    child: Expression,
+    model: org.apache.spark.broadcast.Broadcast[CompactDsirModel]) extends Expression {
   override def children: Seq[Expression] = Seq(child)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = false
 
   override def eval(input: InternalRow): Any =
-    LmKernelFns.dsirWeight(child.eval(input).asInstanceOf[UTF8String], model)
+    LmKernelFns.dsirWeight(child.eval(input).asInstanceOf[UTF8String], model.value)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c        = child.genCode(ctx)
-    val modelRef = ctx.addReferenceObj("dsirModel", model, classOf[CompactDsirModel].getName)
+    val bcClass  = classOf[org.apache.spark.broadcast.Broadcast[_]].getName
+    val bcRef    = ctx.addReferenceObj("dsirModelBc", model, bcClass)
+    val mClass   = classOf[CompactDsirModel].getName
+    val local    = ctx.addMutableState(mClass, "dsirModel",
+      v => s"$v = ($mClass) $bcRef.value();")
     val kernel   = LmKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
     ev.copy(
       code = code"""
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
-          $kernel.dsirWeight(${c.isNull} ? null : ${c.value}, $modelRef);""",
+          $kernel.dsirWeight(${c.isNull} ? null : ${c.value}, $local);""",
       isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
@@ -170,7 +192,9 @@ case class DsirWeight(child: Expression, model: CompactDsirModel) extends Expres
 }
 
 object DsirWeight {
-  def apply(text: Column, model: CompactDsirModel): Column =
+  def apply(text: Column, model: CompactDsirModel): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(model)
     GraftSqlBridge.column(new DsirWeight(
-      GraftSqlBridge.expression(text.cast("string")), model))
+      GraftSqlBridge.expression(text.cast("string")), bc))
+  }
 }

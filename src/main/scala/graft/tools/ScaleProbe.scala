@@ -423,8 +423,9 @@ object ScaleProbe {
     if (variant == "ingestgate") {
       // streaming-gate throughput: the corpus lands as many parquet files,
       // a file stream replays them in bounded micro-batches through the
-      // FULL CorpusIngest gate (PII → quality → language → mixture →
-      // bloom incremental dedup vs a 1/4 standing index) into a noop sink.
+      // FULL CorpusIngest gate (PII → quality → language → reference-LM →
+      // DSIR → mixture → bloom incremental dedup vs a 1/4 standing index)
+      // into a noop sink.
       // The measurement is end-to-end micro-batch wall, i.e. what a queue
       // consumer would sustain on this box.
       import graft.streaming.CorpusIngest
@@ -440,6 +441,14 @@ object ScaleProbe {
         .persist()
       hashes.count()
       val index = CorpusIngest.CorpusIndex(hashes, "h", expectedItems = n.toLong, fpp = 0.01)
+      // bounded model artifacts for the two per-row scoring stages (built
+      // once from the corpus, permissive ceilings: the probe measures
+      // kernel cost, not selectivity)
+      val lmModel = graft.operators.LmScore.compactModel(
+        graft.operators.LmScore.bigramModel(
+          docs.filter(pmod(col("doc_id"), lit(4)) === 0), "text"), maxGrams = 200000)
+      val dsirModel = graft.operators.LmScore.compactDsirModel(
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(4)) === 0, nBuckets = 4096)
       val stream = spark.readStream
         .schema(docs.schema)
         .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "8").toInt)
@@ -453,6 +462,8 @@ object ScaleProbe {
         language = Some(CorpusIngest.Language(
           Seq("en" -> Seq("w1", "w2", "w3"), "de" -> Seq("w4", "w5")),
           keep = Seq("en", "de", "und"))),
+        lm       = Some(CorpusIngest.LmQuality(lmModel, maxBitsPerBigram = 64.0, maxOovPct = 100L)),
+        dsir     = Some(CorpusIngest.DsirSelect(dsirModel, keepAbove = Long.MinValue)),
         mixture  = Some(("source", Seq("s0" -> 2, "s1" -> 2, "s2" -> 1, "s3" -> 1), 2)),
         corpus   = Some(index))
       // batch reference: the same gate over the same files in one pass —
