@@ -154,6 +154,53 @@ object Similarity {
     rankTopK(joined, k)
   }
 
+  /** IVF multi-probe top-k search — the production ANN read path over a
+    * coarse quantizer: the corpus is bucketed once by nearest centroid
+    * (KMeans.assign, zero corpus shuffle beyond the bucket key), and each
+    * query probes its `nprobe` NEAREST cells instead of only its own —
+    * the recall knob every IVF index exposes (nprobe = |cells| degrades
+    * to exact search). Query-side cell ranking is a per-query window over
+    * |centroids| rows (bounded by the quantizer, not the corpus); the
+    * probe set broadcasts to the bucket join; candidates reduce through
+    * the partial TopK aggregate. Distances use the expanded-algebra fold
+    * dot(q,q) − 2·dot(q,c) + dot(c,c) — the same sequential-fold doubles
+    * the SQL oracle computes, so cell ranking is engine-identical (ties
+    * break on centroid index). */
+  def ivfTopK(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      corpus: DataFrame,  // (cid, cvec: array<double>)
+      centroids: Array[Array[Double]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, |centroids|]")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val bucketed = KMeans
+      .assign(corpus.select(col("cid"), col("cvec").as("vec")), "vec", centroids)
+      .select(col("bucket"), col("cid"), col("vec").as("cvec"))
+      .withColumn("_cn", norm(col("cvec")))
+
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cent", "centv")
+    val probes = queries
+      .withColumn("_qn", norm(col("qvec")))
+      .crossJoin(broadcast(cents))
+      .withColumn("_d",
+        dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("centv")) +
+          dot(col("centv"), col("centv")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_d").asc, col("cent").asc)))
+      .filter(col("_pr") <= nprobe)
+      .select(col("qid"), col("qvec"), col("_qn"), col("cent").as("bucket"))
+
+    val joined = bucketed
+      .join(broadcast(probes), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cos", dot(col("qvec"), col("cvec")) / (col("_qn") * col("_cn")))
+    rankTopK(joined, k)
+  }
+
   /** Trained-IVF near-duplicate pairs: fit a k-means coarse quantizer
     * (KMeans.fit — deterministic init, map-side assignment), bucket the
     * corpus by centroid, then run the per-bucket self-join. The full IVF

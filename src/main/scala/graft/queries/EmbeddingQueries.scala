@@ -262,6 +262,60 @@ object EmbeddingQueries {
       |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** IVF multi-probe top-3 (nprobe = 2 of 4 cells): the production ANN
+    * read path at its oracle-able configuration — `iters = 0` exemplar
+    * centroids (exact input vectors, every distance a bit-identical
+    * sequential fold), corpus assignment as in q62, query cells by the
+    * expanded-algebra distance both engines compute identically. */
+  private val q80: Q = (s, dir) => {
+    val e = emb(s, dir)
+    val cents = graft.operators.KMeans.fit(e, "vec", "vec_id", k = 4, iters = 0)
+    Similarity
+      .ivfTopK(
+        e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("vec").as("qvec")),
+        e.select(col("vec_id").as("cid"), col("vec").as("cvec")),
+        cents, nprobe = 2, k = 3)
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  private val q80Sql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |init AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |dist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN init i),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |corp AS (
+      |  SELECT a.cluster, v.vec_id AS cid, v.vec AS cvec,
+      |    sqrt(${dotSql("v.vec", "v.vec")}) AS cn
+      |  FROM v JOIN assign a USING (vec_id)),
+      |qp AS (
+      |  SELECT q.vec_id AS qid, q.vec AS qvec, i.c AS cent,
+      |    ${dotSql("q.vec", "q.vec")} - 2 * ${dotSql("q.vec", "i.cvec")}
+      |      + ${dotSql("i.cvec", "i.cvec")} AS d
+      |  FROM (SELECT * FROM v WHERE vec_id < 10) q CROSS JOIN init i),
+      |probes AS (
+      |  SELECT qid, qvec, cent, sqrt(${dotSql("qvec", "qvec")}) AS qn FROM (
+      |    SELECT qid, qvec, cent,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d, cent) AS rn
+      |    FROM qp)
+      |  WHERE rn <= 2),
+      |j AS (
+      |  SELECT p.qid, c.cid, ${dotSql("p.qvec", "c.cvec")} / (p.qn * c.cn) AS cos
+      |  FROM probes p JOIN corp c ON p.cent = c.cluster AND p.qid <> c.cid),
+      |r AS (
+      |  SELECT qid, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+      |  FROM j)
+      |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
+      |ORDER BY qid, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
@@ -269,7 +323,8 @@ object EmbeddingQueries {
     "q43_kmeans_quantize" -> q43,
     "q62_semdedup"        -> q62,
     "q78_knn_graph"       -> q78,
-    "q79_knn_graph_capped" -> q79
+    "q79_knn_graph_capped" -> q79,
+    "q80_ivf_topk"         -> q80
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,6 +334,7 @@ object EmbeddingQueries {
     "q43_kmeans_quantize" -> q43Sql,
     "q62_semdedup"        -> q62Sql,
     "q78_knn_graph"       -> q78Sql,
-    "q79_knn_graph_capped" -> q79Sql
+    "q79_knn_graph_capped" -> q79Sql,
+    "q80_ivf_topk"         -> q80Sql
   )
 }

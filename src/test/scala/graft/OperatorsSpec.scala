@@ -519,6 +519,31 @@ class OperatorsSpec extends SparkSpec {
     assert(cands < 20, s"cap did not thin the candidate side: $cands candidates")
   }
 
+  test("Similarity.ivfTopK: nprobe = all cells degrades to exact brute-force search") {
+    val vecs = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.2)), (3L, Array(-0.5, 0.8)),
+      (4L, Array(-0.6, 0.7)), (5L, Array(0.1, -0.9))
+    ).toDF("id", "vec")
+    val q = vecs.select($"id".as("qid"), $"vec".as("qvec"))
+    val c = vecs.select($"id".as("cid"), $"vec".as("cvec"))
+    val cents = Array(Array(1.0, 0.0), Array(-0.5, 0.75))
+    val full  = Similarity.ivfTopK(q, c, cents, nprobe = 2, k = 2)
+      .orderBy($"qid", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val brute = Similarity.bruteForceTopK(q, c, k = 2)
+      .orderBy($"qid", $"rank").collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(full.nonEmpty && full === brute)
+    // nprobe = 1 restricts candidates to the query's own cell
+    val one = Similarity.ivfTopK(q, c, cents, nprobe = 1, k = 5)
+      .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cells: {1,2,5} around (1,0) ... (5 is closer to (1,0)? (0.1,-0.9):
+    // d to c0 = 0.81+0.81=1.62, to c1 = 0.36+2.72=3.08 -> cell 0), {3,4}
+    val cell0 = Set(1L, 2L, 5L); val cell1 = Set(3L, 4L)
+    one.foreach { case (qid, cid) =>
+      val cell = if (cell0(qid)) cell0 else cell1
+      assert(cell(cid), s"$qid probed outside its cell: $cid")
+    }
+  }
+
   test("Similarity.knnGraphLsh never pairs across buckets; isolated vectors emit no rows") {
     // plane x: ids 1,2 in bucket "1"; id 3 alone in bucket "0"
     val vecs = Seq(
