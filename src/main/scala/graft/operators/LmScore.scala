@@ -150,6 +150,47 @@ object LmScore {
         col("avg_logprob"))
   }
 
+  /** CCNet's head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    * §4.3: score documents with the reference LM, split the corpus into
+    * equal thirds by score, train preferentially from the head): tertile
+    * buckets over the integer score `score_milli` =
+    * (1000·surprisal_q) div n_bigrams — quantized milli-bits per bigram,
+    * so head = most reference-like. Documents without bigram evidence are
+    * excluded (no score exists).
+    *
+    * Scale shape: the tertile cuts come from the SCORE HISTOGRAM, which
+    * is bounded by construction (surprisal quantizes to ≤ 64 bits per
+    * bigram → ≤ 64 001 distinct milli-scores), so the cumulative window
+    * runs over a bounded table — never over documents — and the two cut
+    * values broadcast back. Discrete quantile law: cut_i = smallest score
+    * with 3·cum ≥ i·n; every comparison integer-exact, so the gated
+    * output (id, score_milli, bucket) hashes identically cross-engine. */
+  def ccnetBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      trainPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = referenceLmStats(df, idCol, textCol, trainPred)
+      .filter(col("n_bigrams") > 0L)
+      .withColumn("score_milli", expr("(1000 * surprisal_q) div n_bigrams"))
+    val hist = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("_c"))
+    // bounded-table window (≤ 64 001 rows): cumulative counts in score order
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("score_milli"))))
+    val cuts = cum
+      .crossJoin(broadcast(hist.agg(sum(col("_c")).as("_n"))))
+      .agg(
+        min(when(col("_cum") * 3 >= col("_n"), col("score_milli"))).as("_cut1"),
+        min(when(col("_cum") * 3 >= col("_n") * 2, col("score_milli"))).as("_cut2"))
+    scored
+      .crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("score_milli") <= col("_cut1"), lit("head"))
+          .when(col("score_milli") <= col("_cut2"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(idCol), col("score_milli"), col("bucket"))
+  }
+
   /** Bounded, serializable form of a [[BigramModel]] for per-row /
     * streaming scoring: the top `maxGrams` grams by (count desc, gram asc)
     * — a deterministic cut, the standard LM-pruning artifact shape — plus

@@ -112,13 +112,73 @@ object QualityQueries {
       |SELECT doc_id, n_feats, weight_q, weight_q >= 12 AS keep
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** CCNet head/middle/tail tertiles over the q76 model's quantized
+    * milli-bits-per-bigram score (discrete cut law: smallest score with
+    * 3·cum ≥ i·n). */
+  private val q81: Q = (s, dir) =>
+    graft.operators.LmScore
+      .ccnetBuckets(
+        Tables.documents(s, dir),
+        "doc_id",
+        "text",
+        trainPred = Sampling.hashBucket(col("doc_id"), 2) === 0)
+      .orderBy(col("doc_id"))
+
+  private val q81Sql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS i,
+      |         ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 2 AS b
+      |  FROM documents),
+      |tr AS (SELECT * FROM toks WHERE b = 0),
+      |sc AS (SELECT * FROM toks WHERE b = 1),
+      |tbg AS (
+      |  SELECT a.w AS w1, a.w || ' ' || b.w AS g
+      |  FROM tr a JOIN tr b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |bc AS (SELECT g, count(*) AS c FROM tbg GROUP BY 1),
+      |cx AS (SELECT w1, count(*) AS cx FROM tbg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM tr),
+      |sbg AS (
+      |  SELECT a.doc_id, a.w AS w1, a.w || ' ' || b.w AS g
+      |  FROM sc a JOIN sc b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |j AS (
+      |  SELECT s.doc_id, coalesce(bc.c, 0) AS c0, coalesce(cx.cx, 0) AS cx0, v.v
+      |  FROM sbg s LEFT JOIN bc USING (g) LEFT JOIN cx ON s.w1 = cx.w1 CROSS JOIN v),
+      |a AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    sum(length(bin(cx0 + v)) - length(bin(c0 + 1))) AS surprisal_q
+      |  FROM j GROUP BY doc_id),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST((1000 * surprisal_q) // n_bigrams AS BIGINT) AS score_milli
+      |  FROM a WHERE n_bigrams > 0),
+      |hist AS (SELECT score_milli, count(*) AS c FROM scored GROUP BY 1),
+      |cum AS (
+      |  SELECT score_milli, SUM(c) OVER (ORDER BY score_milli) AS cum,
+      |    (SELECT SUM(c) FROM hist) AS n
+      |  FROM hist),
+      |cuts AS (
+      |  SELECT
+      |    MIN(CASE WHEN cum * 3 >= n THEN score_milli END) AS cut1,
+      |    MIN(CASE WHEN cum * 3 >= 2 * n THEN score_milli END) AS cut2
+      |  FROM cum)
+      |SELECT s.doc_id, s.score_milli,
+      |  CASE WHEN s.score_milli <= cuts.cut1 THEN 'head'
+      |       WHEN s.score_milli <= cuts.cut2 THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM scored s CROSS JOIN cuts
+      |ORDER BY s.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q76_reference_lm" -> q76,
-    "q77_dsir_weight"  -> q77
+    "q77_dsir_weight"  -> q77,
+    "q81_ccnet_buckets" -> q81
   )
 
   val oracles: Map[String, String] = Map(
     "q76_reference_lm" -> q76Sql,
-    "q77_dsir_weight"  -> q77Sql
+    "q77_dsir_weight"  -> q77Sql,
+    "q81_ccnet_buckets" -> q81Sql
   )
 }

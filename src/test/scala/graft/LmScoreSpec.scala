@@ -145,6 +145,25 @@ class LmScoreSpec extends SparkSpec {
     assert(relational.exceptAll(kernel).isEmpty && kernel.exceptAll(relational).isEmpty)
   }
 
+  test("ccnetBuckets: ordered tertiles, minimal-prefix cut law, full coverage") {
+    val docs  = Tables.documents(spark, "/root/testdata/sf0.001")
+    val split = graft.operators.Sampling.hashBucket(col("doc_id"), 2) === 0
+    val got = graft.operators.LmScore.ccnetBuckets(docs, "doc_id", "text", split)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val n = got.length
+    assert(n > 100)
+    val byBucket = got.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // buckets are score-ordered: head ≤ middle ≤ tail
+    assert(byBucket("head").max <= byBucket("middle").min)
+    assert(byBucket("middle").max <= byBucket("tail").min)
+    // minimal-prefix law: head holds ≥ n/3 docs, but removing its top
+    // score group drops it below n/3 (ties never split a score group)
+    val headN = byBucket("head").length
+    val topGroup = byBucket("head").count(_ == byBucket("head").max)
+    assert(3 * headN >= n && 3 * (headN - topGroup) < n)
+  }
+
   test("dsirWeights and referenceLmStats are invariant under repartitioning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val pred = col("source").isin("src0", "src1", "src2", "src3")
