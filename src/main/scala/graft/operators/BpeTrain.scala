@@ -126,19 +126,38 @@ object BpeTrain {
   /** Per-document piece counts under a learned merge table: the trained
     * counterpart of `TextAnalysis.bpeTokenStats`'s regex approximation.
     * The merge table broadcasts (vocabulary-sized); segmentation is a pure
-    * per-row pass, zero shuffle. */
+    * per-row pass, zero shuffle. A per-task memo caches each distinct
+    * word's piece count, so segmentation cost is vocabulary-sized per
+    * task (the word-level memoization production encoders use) while the
+    * corpus itself never shuffles for a join-back. */
   def segmentStats(df: DataFrame, idCol: String, textCol: String, merges: Seq[Merge]): DataFrame = {
     val spark = df.sparkSession
     val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(rankOf)
-    val nPieces = udf { text: String =>
-      if (text == null) 0L
-      else {
-        var total = 0L
-        text.split(" ", -1).foreach { w => if (w.nonEmpty) total += segmentWord(w, bc.value).length }
-        total
-      }
-    }
+    val nPieces = udf(new (String => Long) with Serializable {
+      @transient private lazy val memo = new java.util.HashMap[String, Long]()
+      def apply(text: String): Long =
+        if (text == null) 0L
+        else {
+          var total = 0L
+          text.split(" ", -1).foreach { w =>
+            if (w.nonEmpty) {
+              var n = memo.getOrDefault(w, -1L)
+              if (n < 0L) { n = segmentWord(w, bc.value).length.toLong; memo.put(w, n) }
+              total += n
+            }
+          }
+          total
+        }
+    })
     df.select(col(idCol), nPieces(col(textCol)).as("n_pieces"))
   }
+
+  /** Train-then-encode in one call: learn `numMerges` merges from the
+    * corpus' own word-frequency table, then segment every document with
+    * them — the end-to-end "how many tokens does MY tokenizer see in MY
+    * corpus" budget counter (one corpus aggregate + one stateless pass).
+    */
+  def trainAndSegmentStats(df: DataFrame, idCol: String, textCol: String, numMerges: Int): DataFrame =
+    segmentStats(df, idCol, textCol, trainMerges(df, textCol, numMerges))
 }

@@ -257,6 +257,102 @@ object Similarity {
       .select(col("id"), col("cluster"), (!col("_d")).as("keep"))
   }
 
+  // ---------------------------------------------------------------- PQ
+
+  /** Train a product-quantization codebook (Jégou, Douze & Schmid 2011,
+    * "Product Quantization for Nearest Neighbor Search"): the vector is
+    * split into `m` contiguous subspaces of dim/m and each subspace gets
+    * its own k-means codebook. Returns m × k × (dim/m) centroids.
+    *
+    * Scale shape: each subspace fit is the [[KMeans.fit]] contract (corpus
+    * never shuffles in assignment; k×dsub aggregate rows reach the
+    * driver), run m times. PQ codebooks are conventionally trained on a
+    * SAMPLE — pass a `Sampling.hashSplit` slice as `df` to bound the m
+    * passes; encoding (the corpus-sized pass) is always a single map. */
+  def pqFit(
+      df: DataFrame, // (orderCol, vecCol: array<double>)
+      vecCol: String,
+      orderCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      val sliced = df.select(
+        col(orderCol).as("_ord"),
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("_sv"))
+      KMeans.fit(sliced, "_sv", "_ord", k, iters)
+    }.toArray
+  }
+
+  /** Encode every vector as m small codes — one [[graft.functions.NearestCentroid]]
+    * scan per subspace fused into a single generated map (zero shuffle,
+    * zero joins). At 100 TB this is the storage story: a 64-dim double
+    * vector (512 B) compresses to m codes (m bytes at k ≤ 256) plus one
+    * shared codebook, and ADC search reads only the codes. Appends
+    * `codesCol: array<int>` of length m. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]],
+      codesCol: String = "codes"): DataFrame = {
+    val m    = codebooks.length
+    val dsub = codebooks.head.head.length
+    val codes = (0 until m).map { s =>
+      graft.functions.NearestCentroid(
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub), codebooks(s))
+    }
+    df.withColumn(codesCol, array(codes: _*))
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: each query precomputes its
+    * m × k table of exact squared-L2 distances to every subspace centroid
+    * (a bounded per-query projection — the codebook is a literal in the
+    * plan), broadcasts, and every corpus vector's approximate distance is
+    * m table lookups summed (`zip_with` + `aggregate`, all codegen — the
+    * corpus side touches only its codes, never the original vectors, and
+    * never shuffles). Exactness contract (spec-gated): when each distinct
+    * subvector is its own centroid, ADC distance IS the exact squared L2,
+    * so pqTopK degrades to brute force. Ties break on corpus id. */
+  def pqTopK(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      encoded: DataFrame, // (cid, codes: array<int>)
+      codebooks: Array[Array[Array[Double]]],
+      k: Int): DataFrame = {
+    val m    = codebooks.length
+    val dsub = codebooks.head.head.length
+    // per-query LUT: luts[s][j] = ||q_s - c_{s,j}||² via the expanded fold
+    // dot(q,q) − 2·dot(q,c) + dot(c,c); centroid self-terms fold constant
+    val luts = array((0 until m).map { s =>
+      val qs = slice(col("qvec").cast("array<double>"), s * dsub + 1, dsub)
+      array(codebooks(s).toIndexedSeq.map { c =>
+        val cl = array(c.toIndexedSeq.map(lit): _*)
+        dot(qs, qs) - lit(2.0) * dot(qs, cl) + lit(c.map(x => x * x).sum)
+      }: _*)
+    }: _*)
+    val q = queries.withColumn("_lut", luts).select(col("qid"), col("_lut"))
+    val scored = encoded
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn(
+        "adist",
+        aggregate(
+          zip_with(col("codes"), col("_lut"), (c, l) => element_at(l, c + 1)),
+          lit(0.0),
+          (acc, x) => acc + x))
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(k, col("cid"), -col("adist")).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+      .select(
+        col("qid"),
+        col("_nb.cid").as("cid"),
+        (col("_pos") + 1).cast("int").as("rank"),
+        (-col("_nb.cos")).as("adist"))
+  }
+
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
     * precomputed per vector. */

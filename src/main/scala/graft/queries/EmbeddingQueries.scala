@@ -164,6 +164,70 @@ object EmbeddingQueries {
       |FROM dims d LEFT JOIN upd u ON u.c = d.c AND u.dim = d.dim
       |ORDER BY cluster, dim""".stripMargin
 
+  /** Product-quantization codes (Jégou et al. 2011) at m=4 subspaces ×
+    * k=4 centroids, one Lloyd iteration per subspace — the trained-PQ
+    * encode gated integer-exact: per-subspace training mirrors the q43
+    * chain on list slices, and the emitted code is a SECOND assignment
+    * against the updated centroids (decimal-exact means keep the centroid
+    * doubles bit-identical across engines, so the argmin is too). ADC
+    * search over these codes is spec-gated (exactness-degradation law in
+    * SimilaritySpec). */
+  private val q83: Q = (s, dir) => {
+    val v     = emb(s, dir)
+    val books = Similarity.pqFit(v, "vec", "vec_id", m = 4, k = 4, iters = 1)
+    Similarity
+      .pqEncode(v, "vec", books)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("subspace", "code")))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  /** One subspace's train-then-encode chain on the [lo:hi] slice. */
+  private def pqSubspaceSql(s: Int, dsub: Int, k: Int): String = {
+    val lo = s * dsub + 1
+    val hi = (s + 1) * dsub
+    s"""v$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS vec FROM embeddings),
+      |init$s AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v$s ORDER BY vec_id LIMIT $k)),
+      |a$s AS (
+      |  SELECT vec_id, c FROM (
+      |    SELECT v.vec_id, i.c,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |                         ORDER BY ${sqL2Sql("v.vec", "i.cvec")}, i.c) AS rn
+      |    FROM v$s v CROSS JOIN init$s i)
+      |  WHERE rn = 1),
+      |upd$s AS (
+      |  SELECT a.c, t.j AS j,
+      |    CAST(SUM(CAST(v.vec[t.j] AS DECIMAL(24,14))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM a$s a JOIN v$s v USING (vec_id)
+      |    CROSS JOIN UNNEST(generate_series(1, len(v.vec))) AS t(j)
+      |  GROUP BY a.c, t.j),
+      |cent$s AS (
+      |  SELECT i.c, list(COALESCE(u.m, i.cvec[t.j]) ORDER BY t.j) AS cvec
+      |  FROM init$s i
+      |    CROSS JOIN UNNEST(generate_series(1, $dsub)) AS t(j)
+      |    LEFT JOIN upd$s u ON u.c = i.c AND u.j = t.j
+      |  GROUP BY i.c),
+      |code$s AS (
+      |  SELECT vec_id, $s AS subspace, c AS code FROM (
+      |    SELECT v.vec_id, ce.c,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |                         ORDER BY ${sqL2Sql("v.vec", "ce.cvec")}, ce.c) AS rn
+      |    FROM v$s v CROSS JOIN cent$s ce)
+      |  WHERE rn = 1)""".stripMargin
+  }
+
+  private val q83Sql = {
+    val m    = 4
+    val dsub = 16
+    val chain = (0 until m).map(pqSubspaceSql(_, dsub, k = 4)).mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM code$s").mkString("\nUNION ALL ")
+    s"""WITH $chain
+      |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
+      |FROM ($union)
+      |ORDER BY vec_id, subspace""".stripMargin
+  }
+
   /** SemDeDup at the oracle-able configuration: assignment against the
     * deterministic init exemplars (`iters = 0` — exact input vectors, so
     * every distance/cosine is a bit-identical sequential fold in both
@@ -324,10 +388,12 @@ object EmbeddingQueries {
     "q62_semdedup"        -> q62,
     "q78_knn_graph"       -> q78,
     "q79_knn_graph_capped" -> q79,
-    "q80_ivf_topk"         -> q80
+    "q80_ivf_topk"         -> q80,
+    "q83_pq_encode"        -> q83
   )
 
   val oracles: Map[String, String] = Map(
+    "q83_pq_encode"        -> q83Sql,
     "q29_ann_topk"       -> q29Sql,
     "q30_embed_neardup"  -> q30Sql,
     "q38_lsh_topk"       -> q38Sql,

@@ -445,13 +445,22 @@ object TextQueries {
     * chain exponentially. Early termination agrees too: an empty pair
     * table yields an empty `b{i}`, which empties every later stage and
     * drops exactly the ranks the Scala loop never emits. */
-  private def bpeMergeSql(numMerges: Int): String = {
+  /** The shared (pairs → argmax → replace) CTE chain. Each vocabulary
+    * word is carried alongside its spaced representation so the final
+    * state table doubles as the word → segmentation map (w is injective
+    * into repr, so the grouping is unchanged). Replace stages LEFT JOIN
+    * the single-row argmax with a chr(1) sentinel fallback: an exhausted
+    * pair table leaves every later `w` stage intact (and every later
+    * argmax empty), matching the Scala trainer's early stop instead of
+    * emptying the chain. `withFinal` adds the w{n} stage that applies the
+    * last merge — the fully-trained vocabulary state the encoder reads. */
+  private def bpeStagesSql(numMerges: Int, withFinal: Boolean): String = {
     val stages = new StringBuilder
     stages ++=
       """w0 AS MATERIALIZED (
-        |  SELECT regexp_replace(w, '(.)', ' \1 ', 'g') AS repr, COUNT(*)::BIGINT AS n
+        |  SELECT w, regexp_replace(w, '(.)', ' \1 ', 'g') AS repr, COUNT(*)::BIGINT AS n
         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-        |  WHERE length(w) > 0 GROUP BY 1)""".stripMargin
+        |  WHERE length(w) > 0 GROUP BY 1, 2)""".stripMargin
     for (i <- 0 until numMerges) {
       stages ++= s""",
         |p$i AS (
@@ -461,19 +470,55 @@ object TextQueries {
         |    FROM (SELECT string_split(trim(repr), '  ') AS toks, n FROM w$i)
         |    WHERE len(toks) >= 2) GROUP BY 1, 2),
         |b$i AS MATERIALIZED (SELECT a, b, wt FROM p$i ORDER BY wt DESC, a ASC, b ASC LIMIT 1)""".stripMargin
-      if (i + 1 < numMerges) stages ++= s""",
+      if (i + 1 < numMerges || withFinal) stages ++= s""",
         |w${i + 1} AS MATERIALIZED (
-        |  SELECT replace(w.repr, ' ' || b.a || '  ' || b.b || ' ',
-        |                 ' ' || b.a || b.b || ' ') AS repr, w.n
-        |  FROM w$i w, b$i b)""".stripMargin
+        |  SELECT w.w,
+        |    replace(w.repr, ' ' || COALESCE(b.a, chr(1)) || '  ' || COALESCE(b.b, chr(1)) || ' ',
+        |            ' ' || COALESCE(b.a, chr(1)) || COALESCE(b.b, chr(1)) || ' ') AS repr, w.n
+        |  FROM w$i w LEFT JOIN b$i b ON TRUE)""".stripMargin
     }
+    stages.result()
+  }
+
+  private def bpeMergeSql(numMerges: Int): String = {
     val union = (0 until numMerges)
       .map(i => s"""SELECT $i::INTEGER AS rank, a AS "left", b AS "right", wt::BIGINT AS weight FROM b$i""")
       .mkString("\nUNION ALL ")
-    s"WITH ${stages.result()}\nSELECT * FROM (\n$union) ORDER BY rank"
+    s"WITH ${bpeStagesSql(numMerges, withFinal = false)}\nSELECT * FROM (\n$union) ORDER BY rank"
   }
 
   private val q63Sql = bpeMergeSql(50)
+
+  /** Train-then-encode: token budget per document under the corpus' OWN
+    * learned BPE (vs q48's fixed regex approximation). Training is the
+    * q63 driver loop; encoding is a stateless per-row pass with the
+    * merge table broadcast and a per-task word memo — rank-order merge
+    * application and rank-greedy encoding coincide (a later merge can
+    * never create an occurrence of an earlier pair: its joined symbol
+    * postdates that pair's selection), so the trained vocabulary state
+    * IS each vocabulary word's segmentation. */
+  private val q82: Q = (s, dir) =>
+    graft.operators.BpeTrain
+      .trainAndSegmentStats(Tables.documents(s, dir), "doc_id", "text", numMerges = 50)
+      .orderBy(col("doc_id"))
+
+  /** Encode oracle: the training chain's final state table maps every
+    * vocabulary word to its merged representation; per-doc token count is
+    * the sum of each word occurrence's piece count (LEFT JOIN keeps
+    * empty-text documents at 0, matching the encoder). */
+  private def bpeEncodeSql(numMerges: Int): String =
+    s"""WITH ${bpeStagesSql(numMerges, withFinal = true)},
+      |enc AS (SELECT w, len(string_split(trim(repr), '  '))::BIGINT AS n_tok FROM w$numMerges),
+      |dw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |cnt AS (
+      |  SELECT dw.doc_id, SUM(enc.n_tok) AS n_pieces
+      |  FROM dw JOIN enc USING (w) WHERE length(dw.w) > 0 GROUP BY dw.doc_id)
+      |SELECT d.doc_id, COALESCE(cnt.n_pieces, 0)::BIGINT AS n_pieces
+      |FROM documents d LEFT JOIN cnt USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  private val q82Sql = bpeEncodeSql(50)
 
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
@@ -760,6 +805,7 @@ object TextQueries {
     "q59_token_rarity"    -> q59,
     "q61_repetition"      -> q61,
     "q63_bpe_merges"      -> q63,
+    "q82_bpe_encode"      -> q82,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -785,6 +831,7 @@ object TextQueries {
     "q59_token_rarity"    -> q59Sql,
     "q61_repetition"      -> q61Sql,
     "q63_bpe_merges"      -> q63Sql,
+    "q82_bpe_encode"      -> q82Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

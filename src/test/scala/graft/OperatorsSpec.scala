@@ -137,6 +137,27 @@ class OperatorsSpec extends SparkSpec {
     assert(segged === Map(0L -> 1L, 7L -> 3L, 13L -> 4L))
   }
 
+  test("trainAndSegmentStats: memoized encode matches per-word segmentation; empty text is 0") {
+    // multi-word docs with repeated words exercise the per-task memo path
+    val docs = Seq(
+      (0L, "low lower low newest"),
+      (1L, "newest widest newest newest"),
+      (2L, ""),
+      (3L, "low low low low low newest newest newest widest widest lower")
+    ).toDF("doc_id", "text")
+    val merges = BpeTrain.trainMerges(docs, "text", numMerges = 5)
+    val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val expect = docs.collect().map { r =>
+      val pieces = r.getString(1).split(" ", -1).filter(_.nonEmpty)
+        .map(w => BpeTrain.segmentWord(w, rankOf).length.toLong).sum
+      r.getLong(0) -> pieces
+    }.toMap
+    val got = BpeTrain.trainAndSegmentStats(docs, "doc_id", "text", numMerges = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+    assert(got(2L) === 0L)
+  }
+
   test("semDedup keeps the lowest id of each within-cluster near-dup group") {
     val df = Seq(
       (1L, Array(1.0, 0.0)),  // exemplar
@@ -435,6 +456,65 @@ class OperatorsSpec extends SparkSpec {
       .orderBy($"qid", $"rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
     assert(graph.nonEmpty && graph === brute)
+  }
+
+  test("Similarity.pqEncode/pqTopK: perfect codebooks degrade ADC to exact L2 ranking") {
+    val corpusRows = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),
+      2L -> Array(0.0, 1.0, 0.0, 0.0),
+      3L -> Array(0.7, 0.7, 0.1, 0.0),
+      4L -> Array(0.0, 0.0, 1.0, 0.5))
+    val queryRows = Seq(
+      100L -> Array(1.0, 0.1, 0.0, 0.0),
+      101L -> Array(0.0, 0.0, 0.9, 0.4))
+    val corpus  = corpusRows.toDF("cid", "cvec")
+    val queries = queryRows.toDF("qid", "qvec")
+    // codebook = every distinct subvector → encoding is lossless, so the
+    // asymmetric distance IS the exact squared L2
+    val m = 2; val dsub = 2
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      corpusRows.map(_._2.slice(s * dsub, (s + 1) * dsub).toSeq).distinct
+        .map(_.toArray).toArray
+    }.toArray
+    val enc = Similarity.pqEncode(corpus, "cvec", books).select($"cid", $"codes")
+    // codes decode back to the original subvectors
+    enc.collect().foreach { r =>
+      val cid   = r.getLong(0)
+      val codes = r.getSeq[Int](1)
+      val orig  = corpusRows.toMap.apply(cid)
+      val dec   = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      assert(dec === orig.toSeq, s"lossy encode for cid=$cid")
+    }
+    val got = Similarity.pqTopK(queries, enc, books, k = 2)
+      .orderBy($"qid", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    def sqL2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val expect = queryRows.flatMap { case (qid, qv) =>
+      corpusRows.map { case (cid, cv) => (qid, cid, sqL2(qv, cv)) }
+        .sortBy { case (_, cid, d) => (d, cid) }
+        .take(2).zipWithIndex
+        .map { case ((q, c, d), i) => (q, c, i + 1, d) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expect.map(t => (t._1, t._2, t._3)))
+    got.zip(expect).foreach { case ((_, _, _, a), (_, _, _, e)) =>
+      assert(math.abs(a - e) < 1e-9, s"adist $a vs exact $e")
+    }
+  }
+
+  test("Similarity.pqFit trains per-subspace codebooks and pqEncode stays in range") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array(i % 5 * 1.0, i % 3 * 1.0, i % 7 * 1.0, i % 2 * 1.0))
+    }.toDF("id", "vec")
+    val books = Similarity.pqFit(vecs, "vec", "id", m = 2, k = 3, iters = 2)
+    assert(books.length === 2)
+    assert(books.forall(b => b.length === 3 && b.forall(_.length === 2)))
+    val enc = Similarity.pqEncode(vecs, "vec", books)
+    val codes = enc.select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(c => c.length === 2 && c.forall(x => x >= 0 && x < 3)))
+    intercept[IllegalArgumentException] {
+      Similarity.pqFit(vecs, "vec", "id", m = 3, k = 2, iters = 1)
+    }
   }
 
   test("Packing.packBins: whole-doc bins respect capacity, oversize isolated, deterministic") {
