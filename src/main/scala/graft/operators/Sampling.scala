@@ -141,6 +141,52 @@ object Sampling {
     }
   }
 
+  /** Temperature-flattened mixture rates — the multilingual/multi-source
+    * sampling law (expected kept counts ∝ c_s^α, the p ∝ p^α recipe of
+    * multilingual BERT/mT5-style corpus balancing): keep-rate
+    * r_s = (c_min / c_s)^(1−α), so the smallest group keeps everything
+    * and heads flatten toward the temperature (downsample-only — no
+    * upsampling/duplication). Group counts are one map-side-combined
+    * aggregate bounded by |groups| (the legal driver collect); rates
+    * quantize by floor to `denom`-ths and feed [[mixtureResample]],
+    * inheriting its nested-sample determinism.
+    *
+    * α = 1/2 is the oracle-gated configuration: sqrt and division are
+    * correctly-rounded IEEE-754 ops, so the rate doubles — and therefore
+    * the floored integer rates and every keep decision — are bit-identical
+    * on any engine. Other α use math.pow (not correctly rounded;
+    * spec-gated only). */
+  def temperatureRates(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double = 0.5,
+      denom: Int = 1000000): Seq[(String, Int)] = {
+    require(denom >= 1, "denom must be positive")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must lie in [0, 1]")
+    val counts = df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureRates: empty corpus")
+    val cMin = counts.map(_._2).min.toDouble
+    counts.toSeq.sortBy(_._1).map { case (g, n) =>
+      val ratio = cMin / n.toDouble
+      val r =
+        if (alpha == 0.5) math.sqrt(ratio)
+        else math.pow(ratio, 1.0 - alpha)
+      g -> math.min(denom.toLong, math.floor(r * denom).toLong).toInt
+    }
+  }
+
+  /** [[temperatureRates]] + [[mixtureResample]] in one call. */
+  def temperatureResample(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      alpha: Double = 0.5,
+      denom: Int = 1000000): DataFrame =
+    mixtureResample(df, idCol, groupCol, temperatureRates(df, groupCol, alpha, denom), denom)
+
   /** Deterministic stratified sample: the `k` rows per group whose id
     * md5 sorts lowest (ties impossible — md5 of distinct ids), i.e. "k
     * documents per language/source", reproducibly. One shuffle on the

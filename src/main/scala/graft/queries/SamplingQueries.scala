@@ -310,7 +310,29 @@ object SamplingQueries {
       |FROM (SELECT doc_id FROM sp WHERE b >= 90) h LEFT JOIN st USING(doc_id)
       |ORDER BY h.doc_id""".stripMargin
 
+  /** Temperature-flattened language mixture at α = 1/2 (kept counts ∝
+    * √c_s): rates derive from the corpus' own source counts via
+    * correctly-rounded sqrt/divide — bit-identical doubles in both
+    * engines, so the floored integer rates and each md5 keep decision
+    * hash-match exactly. */
+  private val q84: Q = (s, dir) =>
+    Sampling
+      .temperatureResample(
+        Tables.documents(s, dir), "doc_id", "lang", alpha = 0.5, denom = 1000000)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  private val q84Sql =
+    """WITH c AS (SELECT lang, COUNT(*)::BIGINT AS n FROM documents GROUP BY lang),
+      |r AS (SELECT lang,
+      |  LEAST(1000000, CAST(FLOOR(sqrt((SELECT MIN(n) FROM c) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)) AS rate
+      |  FROM c)
+      |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+      |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 < r.rate
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q84_temperature_mix"   -> q84,
     "q69_mixture_resample"  -> q69,
     "q71_gram_novelty"      -> q71,
     "q53_hash_split"        -> q53,
@@ -324,6 +346,7 @@ object SamplingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q84_temperature_mix"   -> q84Sql,
     "q69_mixture_resample"  -> q69Sql,
     "q71_gram_novelty"      -> q71Sql,
     "q53_hash_split"        -> q53Sql,

@@ -141,6 +141,26 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("Sampling.temperatureRates: flattening law, alpha extremes, downsample-only") {
+    // counts 4 / 16 / 256 make every ratio an exact power of two, so the
+    // rate doubles are exact and the floors are unambiguous
+    val df = ((0 until 4).map(i => (i.toLong, "a")) ++
+      (100 until 116).map(i => (i.toLong, "b")) ++
+      (1000 until 1256).map(i => (i.toLong, "c"))).toDF("id", "g")
+    // α = 1/2: r = sqrt(cmin/c) → 1, 0.5, 0.125
+    assert(Sampling.temperatureRates(df, "g", 0.5, denom = 1000).toMap ===
+      Map("a" -> 1000, "b" -> 500, "c" -> 125))
+    // α = 1 is the identity mixture; α = 0 equalizes expected counts at cmin
+    assert(Sampling.temperatureRates(df, "g", 1.0, 1000).forall(_._2 == 1000))
+    assert(Sampling.temperatureRates(df, "g", 0.0, 1000).toMap ===
+      Map("a" -> 1000, "b" -> 250, "c" -> 15)) // floor(15.625)
+    // resample keeps the smallest group whole and never upsamples
+    val kept = Sampling.temperatureResample(df, "id", "g", 0.5, 1000)
+      .groupBy($"g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("a") === 4L)
+    assert(kept.forall { case (g, n) => n <= Map("a" -> 4L, "b" -> 16L, "c" -> 256L)(g) })
+  }
+
   test("Pii.scrub + mixtureResample compose into a streaming ingest pipeline") {
     // both are pure projections/filters, so they are streaming-safe by
     // construction — this pins that the ingest-tier composition (scrub →
