@@ -1,0 +1,63 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Trainer-facing JSONL export: the corpus as newline-delimited JSON,
+  * sharded by TOKEN budget — the file layout data loaders consume
+  * (one-JSON-object-per-line, ~equal-token shards so data-parallel
+  * readers stream balanced work without an index).
+  *
+  * Scale shape: shard assignment is [[Packing.prefixSum]] of per-doc
+  * token counts in id order (the distributed two-phase prefix sum — no
+  * global window, no driver materialization), so the cut points are
+  * deterministic on any partitioning and any engine. The write is one
+  * shuffle on the shard key; `partitionBy` lays each shard out as its own
+  * directory of line files. Rows within a shard are sorted by id inside
+  * each task, so re-running the export produces byte-identical shard
+  * contents.
+  *
+  * Token counting is the whitespace form (`size(split)`), matching the
+  * packing family; swap in [[graft.operators.BpeTrain.segmentStats]]
+  * upstream when budgets must be in trained-tokenizer tokens.
+  */
+object TrainingExport {
+
+  /** Write `df` as JSONL under `outDir/shard=N/…`, each shard holding
+    * ~`tokensPerShard` whitespace tokens (documents are never split: a
+    * doc belongs to the shard its running token offset falls in).
+    * Every column of `df` lands in the JSON object. Returns the shard
+    * count. */
+  def jsonl(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      outDir: String,
+      tokensPerShard: Long): Long = {
+    require(tokensPerShard >= 1L, "tokensPerShard must be positive")
+    val cols = df.columns
+    require(cols.contains(idCol) && cols.contains(textCol),
+      s"jsonl export needs '$idCol' and '$textCol' (has: ${cols.mkString(", ")})")
+    require(!cols.contains("shard") && !cols.contains("_toks"),
+      "input already has a shard/_toks column; rename it before export")
+
+    val counted = df.withColumn("_toks", size(split(col(textCol), " ")).cast("long"))
+    val sharded = Packing
+      .prefixSum(counted, idCol, "_toks", outCol = "_off")
+      .withColumn("shard", (col("_off") / tokensPerShard).cast("long"))
+      .drop("_toks", "_off")
+
+    sharded
+      .withColumn("_json", to_json(struct(cols.map(col).toIndexedSeq: _*)))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .select(col("shard"), col("_json")) // projection keeps the sort order
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .text(outDir)
+
+    sharded.select(max(col("shard"))).first().getLong(0) + 1L
+  }
+}

@@ -386,6 +386,16 @@ object CorpusJob {
     // pack-sequences step replaces the doc schema entirely
     (if (cur.columns.contains("split")) writer.partitionBy("split") else writer)
       .parquet(s"$outDir/documents")
+    // optional trainer-facing JSONL export next to the parquet output:
+    //   output: { local: …, jsonl: { dir: …, tokens-per-shard: N } }
+    Option(req(root, "output").get("jsonl")).foreach { j =>
+      val dir = req(j, "dir").asText
+      val tps = Option(j.get("tokens-per-shard")).map(_.asLong).getOrElse(100000000L)
+      require(cur.columns.contains(idCol) && cur.columns.contains(textCol),
+        s"jsonl export needs '$idCol'/'$textCol' to survive to the output " +
+          "(a terminal pack step replaces the document schema)")
+      graft.sinks.TrainingExport.jsonl(cur, idCol, textCol, dir, tps)
+    }
     val sheet = Datasheet(counts.result(), curRows)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/datasheet.json"), true)
     try out.write((sheet.json + "\n").getBytes("UTF-8")) finally out.close()

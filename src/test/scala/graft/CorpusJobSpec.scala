@@ -82,6 +82,34 @@ class CorpusJobSpec extends SparkSpec {
     assert(js.contains("\"output_rows\":4"))
   }
 
+  test("CorpusJob: jsonl output option exports the final table as token-budget shards") {
+    val dir = Files.createTempDirectory("corpusjob-jsonl")
+    writeDocs(dir)
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: exact-dedup
+         |  - op: quality-filter
+         |    min-words: 5
+         |output:
+         |  local: $dir/out
+         |  jsonl:
+         |    dir: $dir/jsonl
+         |    tokens-per-shard: 30
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    val parquetOut = spark.read.parquet(s"$dir/out/documents")
+    val jsonlOut   = spark.read.json(s"$dir/jsonl")
+    assert(jsonlOut.count() === sheet.outputRows)
+    assert(jsonlOut.columns.contains("shard"))
+    // same rows in both output forms
+    val a = parquetOut.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = jsonlOut.select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a === b)
+  }
+
   test("CorpusJob: unknown step op rejected before any work") {
     val dir = Files.createTempDirectory("corpusjob-bad")
     writeDocs(dir)

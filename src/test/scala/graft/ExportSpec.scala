@@ -348,6 +348,46 @@ class ExportSpec extends SparkSpec {
     assert(ds.shape.toSeq === Seq(nLat.toLong, nLon.toLong))
   }
 
+  test("JSONL training export: token-budget shards, byte-deterministic, round-trips") {
+    import spark.implicits._
+    import graft.sinks.TrainingExport
+    val docs = (0L until 50L).map { i =>
+      (i, (0 to (i % 7).toInt).map(j => s"w${i}_$j").mkString(" "), s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val path = Files.createTempDirectory("jsonl").toString + "/out"
+    val nShards = TrainingExport.jsonl(docs, "doc_id", "text", path, tokensPerShard = 40)
+    assert(nShards >= 2, s"test should span shards, got $nShards")
+
+    // round-trip: every row and column survives (shard column from the dir name)
+    val back = spark.read.json(path)
+    assert(back.count() === 50)
+    val orig = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val got = back.select($"doc_id", $"text", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === orig)
+
+    // budget law: docs are whole, so a shard holds < budget + its last doc
+    val maxDoc = 7L
+    val perShard = back
+      .withColumn("_t", size(split($"text", " ")).cast("long"))
+      .groupBy($"shard").agg(sum($"_t").as("t"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getLong(1)).toMap
+    assert(perShard.keySet === (0L until nShards).toSet) // contiguous, none empty
+    assert(perShard.values.forall(_ <= 40L + maxDoc), s"overfull shard: $perShard")
+
+    // determinism: a differently-partitioned input yields byte-identical shards
+    val path2 = Files.createTempDirectory("jsonl2").toString + "/out"
+    TrainingExport.jsonl(docs.repartition(13), "doc_id", "text", path2, tokensPerShard = 40)
+    def shardBytes(base: String): Map[String, String] =
+      new java.io.File(base).listFiles().filter(_.getName.startsWith("shard=")).map { d =>
+        val lines = d.listFiles().filter(_.getName.endsWith(".txt"))
+          .sortBy(_.getName)
+          .flatMap(f => scala.io.Source.fromFile(f, "UTF-8").getLines().toSeq)
+        d.getName -> lines.mkString("\n")
+      }.toMap
+    assert(shardBytes(path) === shardBytes(path2))
+  }
+
   test("store attrs: coverage widens and date_created persists across appends") {
     val path = Files.createTempDirectory("attrs").toString
     val a = DenseExport.updateStoreAttrs(product, path, now = "2024-01-01T00:00:00Z")
