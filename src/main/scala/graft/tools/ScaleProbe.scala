@@ -164,7 +164,15 @@ object ScaleProbe {
       "reference_lm"   -> (() => noopWrite(graft.operators.LmScore.referenceLmStats(
         docs, "doc_id", "text", Sampling.hashBucket(col("doc_id"), 2) === 0))),
       "dsir"           -> (() => noopWrite(graft.operators.LmScore.dsirWeights(
-        docs, "doc_id", "text", pmod(col("doc_id"), lit(16)) < 4, nBuckets = 4096))))
+        docs, "doc_id", "text", pmod(col("doc_id"), lit(16)) < 4, nBuckets = 4096))),
+      // continuation additions: trained-BPE encode (one vocab aggregate +
+      // driver merge loop + stateless memoized per-row pass) and
+      // temperature mixture (one bounded group aggregate + pure filter)
+      "bpe_encode"     -> (() => noopWrite(graft.operators.BpeTrain.trainAndSegmentStats(
+        docs, "doc_id", "text", numMerges = 50))),
+      "temperature"    -> (() => noopWrite(Sampling.temperatureResample(
+        docs.withColumn("src", concat(lit("s"), pmod(col("doc_id") * col("doc_id"), lit(16)))),
+        "doc_id", "src"))))
     // optional op filter (args(5), comma-separated): curve one family
     // member without paying for the whole suite at every n
     val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
@@ -233,7 +241,23 @@ object ScaleProbe {
       "knn_graph_capped" -> (() => noopWrite(Similarity.knnGraphLsh(
         vecs, "vec_id", "vec", planes, k = 5, maxCandidatesPerBucket = Some(256)))),
       "ivf_neardup"    -> (() => noopWrite(Similarity.ivfNearDupPairs(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))),
-      "semdedup"       -> (() => noopWrite(Similarity.semDedup(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))))
+      "semdedup"       -> (() => noopWrite(Similarity.semDedup(vecs, "vec_id", "vec", k = 64, minCos = 0.999, iters = 2))),
+      // PQ: codebooks train on a 1/16 hash sample (the published recipe —
+      // training cost stays flat as the corpus grows); encode is the
+      // corpus-sized single map, ADC search reads only the codes
+      "pq_encode"      -> (() => {
+        val books = Similarity.pqFit(
+          graft.operators.Sampling.deterministicSample(vecs, "vec_id", 1, 16),
+          "vec", "vec_id", m = 8, k = 16, iters = 2)
+        noopWrite(Similarity.pqEncode(vecs, "vec", books))
+      }),
+      "pq_topk_10q"    -> (() => {
+        val books = Similarity.pqFit(
+          graft.operators.Sampling.deterministicSample(vecs, "vec_id", 1, 16),
+          "vec", "vec_id", m = 8, k = 16, iters = 2)
+        val enc = Similarity.pqEncode(corpus, "cvec", books).select(col("cid"), col("codes"))
+        noopWrite(Similarity.pqTopK(queries, enc, books, k = 5))
+      }))
     val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
     ops.foreach { case (_, f) => f() }
     val timed = ops.map { case (name, f) =>
