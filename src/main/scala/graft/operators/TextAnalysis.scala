@@ -473,6 +473,57 @@ object TextAnalysis {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).cast("long").as("n_removed"))
   }
 
+  /** Corpus-level LINE dedup (the RefinedWeb/CCNet boilerplate pass —
+    * Penedo et al. 2023 §"line-wise corrections", Wenzek et al. 2020
+    * paragraph dedup): a line occurring in ≥ `minDocs` DISTINCT documents
+    * is boilerplate (headers, cookie banners, navigation chrome) and is
+    * removed from every document; each document reassembles from its
+    * surviving lines in original order. Complements [[dedupSpans]]
+    * (n-gram granularity, ≥2 docs) with the line-granularity,
+    * threshold-semantics form the published web pipelines run.
+    *
+    * Scale shape: lines shuffle ONCE as (md5(line), doc) pairs for the
+    * distinct-doc count (map-side combined; the md5 key bounds shuffle
+    * width to 32 bytes/line no matter how long the line is), the
+    * boilerplate set joins back on the same key under AQE skew handling,
+    * and reassembly is a per-doc sort of its own lines — no global
+    * window, no driver materialization. Returns one row per input
+    * document: (id, clean_text, n_lines, n_removed). */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 (a 1 would drop every line)")
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("pos", "line")))
+      .withColumn("_lh", md5(col("line").cast("binary")))
+    val boiler = lines.select(col("_lh"), col(idCol)).distinct()
+      .groupBy(col("_lh")).agg(count(lit(1)).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_lh"))
+    val kept = lines
+      .join(boiler, Seq("_lh"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          delim).as("clean_text"),
+        count(lit(1)).as("_nk"))
+    df.select(col(idCol), size(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+        .cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("_nk"), lit(0L))).as("n_removed"))
+  }
+
   /** Top-k distinctive terms per document by tf-idf, in the log-free idf
     * form score = tf × (N / df): raw inverse document frequency instead of
     * its logarithm, because ln() is a libm call whose low bits differ

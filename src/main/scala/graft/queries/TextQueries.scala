@@ -520,6 +520,47 @@ object TextQueries {
 
   private val q82Sql = bpeEncodeSql(50)
 
+  /** Corpus-level line dedup (RefinedWeb boilerplate pass). The test
+    * corpus is single-line, so the gate derives a lined corpus
+    * deterministically — every ` batch ` occurrence becomes a newline,
+    * identical literal-replace semantics in both engines — and docs
+    * duplicated by the generator then share whole lines across ≥3 docs,
+    * exercising the threshold. Reassembled text gates as md5 (the
+    * driver's compare sorts string cells; a scalar digest keeps the
+    * column portable). */
+  private val q85: Q = (s, dir) => {
+    val lined = Tables.documents(s, dir)
+      .select(col("doc_id"), expr("replace(text, ' batch ', '\n')").as("text"))
+    TextAnalysis
+      .lineDedup(lined, "doc_id", "text", "\n", minDocs = 3)
+      .select(
+        col("doc_id"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"),
+        col("n_lines"),
+        col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    """WITH d AS (SELECT doc_id, replace(text, ' batch ', chr(10)) AS t FROM documents),
+      |ls AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM d),
+      |l AS (
+      |  SELECT doc_id, t.i AS pos, lines[t.i] AS line
+      |  FROM ls CROSS JOIN UNNEST(generate_series(1, len(lines))) AS t(i)),
+      |b AS (
+      |  SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l GROUP BY line)
+      |  WHERE nd >= 3),
+      |k AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM b)),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS nk,
+      |    md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+      |  FROM k GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(lines)::BIGINT AS n_lines FROM ls)
+      |SELECT d.doc_id, COALESCE(agg.clean_md5, md5('')) AS clean_md5, tot.n_lines,
+      |  (tot.n_lines - COALESCE(agg.nk, 0))::BIGINT AS n_removed
+      |FROM d JOIN tot USING (doc_id) LEFT JOIN agg USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** BPE-ish sub-word token budget (the training-data token counter). */
   private val q48: Q = (s, dir) =>
     TextAnalysis
@@ -806,6 +847,7 @@ object TextQueries {
     "q61_repetition"      -> q61,
     "q63_bpe_merges"      -> q63,
     "q82_bpe_encode"      -> q82,
+    "q85_line_dedup"      -> q85,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45
@@ -832,6 +874,7 @@ object TextQueries {
     "q61_repetition"      -> q61Sql,
     "q63_bpe_merges"      -> q63Sql,
     "q82_bpe_encode"      -> q82Sql,
+    "q85_line_dedup"      -> q85Sql,
     "q28_multimodal_meta" -> q28Sql,
     "q44_frame_sample"    -> q44Sql,
     "q45_resize_thumb"    -> q45Sql,

@@ -158,7 +158,7 @@ object CorpusJob {
     val stepsNode = Option(root.get("steps"))
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
-    val known = Set("exact-dedup", "pii-scrub", "quality-filter", "lang-filter",
+    val known = Set("exact-dedup", "pii-scrub", "line-dedup", "quality-filter", "lang-filter",
       "neardup", "decontaminate", "lm-filter", "dsir-select", "mixture", "stratified",
       "split", "shuffle", "pack", "pack-sequences", "pack-bins", "pack-bin-sequences")
     stepsNode.foreach { s =>
@@ -186,6 +186,17 @@ object CorpusJob {
         case "pii-scrub" =>
           // restore the text column name so downstream steps keep composing
           Pii.scrub(df, textCol).withColumnRenamed("redacted", textCol)
+        case "line-dedup" =>
+          // corpus-boilerplate line removal; text REWRITES in place (docs
+          // are kept, their repeated lines vanish) so downstream steps
+          // keep composing on the cleaned text
+          val delim = Option(s.get("delimiter")).map(_.asText).getOrElse("\n")
+          val cleaned = TextAnalysis
+            .lineDedup(df, idCol, textCol, delim, lng("min-docs", 2L).toInt)
+            .select(col(idCol), col("clean_text"))
+          df.drop(textCol)
+            .join(cleaned, Seq(idCol))
+            .withColumnRenamed("clean_text", textCol)
         case "quality-filter" =>
           val stop = Option(s.get("stopwords")) match {
             case Some(a) => (0 until a.size).map(a.get(_).asText)

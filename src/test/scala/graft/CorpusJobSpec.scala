@@ -110,6 +110,31 @@ class CorpusJobSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("CorpusJob: line-dedup step rewrites boilerplate out of text in place") {
+    val dir = Files.createTempDirectory("corpusjob-linededup")
+    Seq(
+      (1L, "SITE BANNER\nalpha content"),
+      (2L, "SITE BANNER\nbeta content"),
+      (3L, "SITE BANNER\ngamma content"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: line-dedup
+         |    min-docs: 3
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.outputRows === 3) // docs kept, lines removed
+    val out = spark.read.parquet(s"$dir/out/documents")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out === Map(1L -> "alpha content", 2L -> "beta content", 3L -> "gamma content"))
+  }
+
   test("CorpusJob: unknown step op rejected before any work") {
     val dir = Files.createTempDirectory("corpusjob-bad")
     writeDocs(dir)

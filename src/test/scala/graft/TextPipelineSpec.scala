@@ -141,6 +141,32 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("TextAnalysis.lineDedup drops corpus-boilerplate lines and reassembles order") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nalpha beta\nfooter"),
+      (2L, "COOKIE BANNER\ngamma delta\nfooter"),
+      (3L, "COOKIE BANNER\nunique line here"),
+      (4L, "totally unique document"),
+      (5L, "COOKIE BANNER") // all-boilerplate doc survives as empty text
+    ).toDF("doc_id", "text")
+    // minDocs=3: banner in 4 docs → dropped; footer in only 2 → kept
+    val got = TextAnalysis.lineDedup(docs, "doc_id", "text", "\n", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("alpha beta\nfooter", 3L, 1L)))
+    assert(got(2L) === (("gamma delta\nfooter", 3L, 1L)))
+    assert(got(3L) === (("unique line here", 2L, 1L)))
+    assert(got(4L) === (("totally unique document", 1L, 0L)))
+    assert(got(5L) === (("", 1L, 1L)))
+    // a line duplicated WITHIN one doc counts that doc once toward the
+    // threshold, and removal takes both copies when it trips
+    val twice = docs.union(Seq((6L, "dup me\ndup me\nkeep this")).toDF("doc_id", "text"))
+    val g2 = TextAnalysis.lineDedup(twice, "doc_id", "text", "\n", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(g2(6L) === (("dup me\ndup me\nkeep this", 3L, 0L))) // only 1 distinct doc
+    assert(g2(1L)._1 === "alpha beta") // footer now in 2 docs → dropped at minDocs=2
+  }
+
   test("Sampling.temperatureRates: flattening law, alpha extremes, downsample-only") {
     // counts 4 / 16 / 256 make every ratio an exact power of two, so the
     // rate doubles are exact and the floors are unambiguous
