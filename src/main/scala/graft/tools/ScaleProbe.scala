@@ -170,6 +170,11 @@ object ScaleProbe {
       // temperature mixture (one bounded group aggregate + pure filter)
       "bpe_encode"     -> (() => noopWrite(graft.operators.BpeTrain.trainAndSegmentStats(
         docs, "doc_id", "text", numMerges = 50))),
+      // line granularity: the synthetic corpus is single-line, so probe
+      // lines are word-delimited (every token a line) — the WORST case
+      // for the line-count aggregate (max keys per doc)
+      "line_dedup"     -> (() => noopWrite(TextAnalysis.lineDedup(
+        docs, "doc_id", "text", delim = " ", minDocs = 1000))),
       "temperature"    -> (() => noopWrite(Sampling.temperatureResample(
         docs.withColumn("src", concat(lit("s"), pmod(col("doc_id") * col("doc_id"), lit(16)))),
         "doc_id", "src"))))
