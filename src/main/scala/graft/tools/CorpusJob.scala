@@ -363,6 +363,15 @@ object CorpusJob {
       else if (ckptDir.isDefined) docs
       else docs.persist(StorageLevel.MEMORY_AND_DISK)
     var curRows = if (startIdx > 0) resumed.last.rowsOut else cur.count()
+    // the persisted frame behind `cur`, for explicit release once the next
+    // stage lands (`cur` itself becomes a plan BARRIER over that cache —
+    // steps that reference their input twice, e.g. lm-filter's and
+    // dsir-select's union of an anchor branch and a scored branch, double
+    // the logical plan per stage; without a barrier a 12-stage chain's
+    // plan exceeds the JVM's 1 GB string limit before a single optimizer
+    // pass finishes — measured, corpusjob probe)
+    var curPersisted: Option[DataFrame] =
+      if (startIdx == 0 && ckptDir.isEmpty) Some(cur) else None
 
     stepsNode.zipWithIndex.drop(startIdx).foreach { case (s, i) =>
       val op = req(s, "op").asText
@@ -383,11 +392,12 @@ object CorpusJob {
           cur = mat
           curRows = n
         case None =>
-          val next = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
-          val n    = next.count()
+          val mat = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
+          val n   = mat.count()
           counts += StepCount(op, curRows, n)
-          cur.unpersist()
-          cur = next
+          curPersisted.foreach(_.unpersist())
+          curPersisted = Some(mat)
+          cur = org.apache.spark.sql.GraftSqlBridge.planBarrier(mat)
           curRows = n
       }
     }
@@ -410,7 +420,7 @@ object CorpusJob {
     val sheet = Datasheet(counts.result(), curRows)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/datasheet.json"), true)
     try out.write((sheet.json + "\n").getBytes("UTF-8")) finally out.close()
-    cur.unpersist()
+    curPersisted.foreach(_.unpersist())
     sheet
   }
 }

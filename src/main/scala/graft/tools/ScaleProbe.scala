@@ -585,12 +585,21 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$dir/bench.parquet")
       val rates = ((0 until 8).map(i => s"s$i: 2") ++ (8 until 12).map(i => s"s$i: 1"))
         .mkString("{", ", ", "}")
+      // the FULL modern chain: every ingest-tier family participates.
+      // line-dedup runs at an unreachable threshold and lm/dsir at
+      // permissive ceilings/floors — each stage computes its complete
+      // signal (counts, models, scores) without zeroing the corpus the
+      // later stages need; the terminal shape is no-truncation pack-bins
+      // plus the trainer-facing sharded JSONL export.
       val cfg =
         s"""input:
            |  documents: $dir/documents.parquet
            |steps:
            |  - op: exact-dedup
            |  - op: pii-scrub
+           |  - op: line-dedup
+           |    delimiter: " "
+           |    min-docs: 1000000000
            |  - op: quality-filter
            |    min-words: 10
            |    min-stop-hits: 0
@@ -599,6 +608,12 @@ object ScaleProbe {
            |  - op: decontaminate
            |    benchmark: $dir/bench.parquet
            |    min-overlap: 5
+           |  - op: lm-filter
+           |    max-bits-per-bigram: 30
+           |    max-oov-pct: 100
+           |  - op: dsir-select
+           |    target-groups: [s0, s1, s2, s3]
+           |    keep-above: -1000000
            |  - op: mixture
            |    group-column: source
            |    denominator: 2
@@ -607,10 +622,13 @@ object ScaleProbe {
            |    weights: {train: 8, val: 1, test: 1}
            |  - op: shuffle
            |    seed: 7
-           |  - op: pack-sequences
+           |  - op: pack-bins
            |    seq-len: 2048
            |output:
            |  local: $dir/out
+           |  jsonl:
+           |    dir: $dir/jsonl
+           |    tokens-per-shard: 1000000
            |""".stripMargin
       java.nio.file.Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
       val t0    = System.nanoTime()
