@@ -135,6 +135,34 @@ class CorpusJobSpec extends SparkSpec {
     assert(out === Map(1L -> "alpha content", 2L -> "beta content", 3L -> "gamma content"))
   }
 
+  test("CorpusJob: plan barrier keeps deep double-reference step chains linear") {
+    // each lm-filter references its input twice (anchor branch ∪ scored
+    // branch) — without the per-stage lineage barrier 14 of them nest
+    // 2^14 copies of the input plan and analysis alone explodes (the
+    // corpusjob-probe OOM, dev/PLANS_r10.md §24). With the barrier the
+    // chain is linear; permissive ceilings keep every doc so the chain
+    // also proves N identity stages compose losslessly.
+    val dir = Files.createTempDirectory("corpusjob-deep")
+    writeDocs(dir)
+    val stage =
+      """  - op: lm-filter
+        |    max-bits-per-bigram: 10000
+        |    max-oov-pct: 100
+        |""".stripMargin
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |${stage * 14}output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps.length === 14)
+    assert(sheet.steps.forall(s => s.rowsIn === 7 && s.rowsOut === 7))
+    assert(sheet.outputRows === 7)
+  }
+
   test("CorpusJob: unknown step op rejected before any work") {
     val dir = Files.createTempDirectory("corpusjob-bad")
     writeDocs(dir)
