@@ -328,6 +328,58 @@ object TextKernelFns {
     }
     new GenericArrayData(res)
   }
+
+  private final val JsPattern = "javascript".getBytes("US-ASCII")
+
+  /** ASCII case-insensitive substring scan for "javascript" in [start,end). */
+  private def containsJavascript(b: Array[Byte], start: Int, end: Int): Boolean = {
+    val n = JsPattern.length
+    var i = start
+    while (i <= end - n) {
+      var j = 0
+      var ok = true
+      while (ok && j < n) {
+        val c = b(i + j)
+        val lc = if (c >= 'A' && c <= 'Z') (c + 32).toByte else c
+        if (lc != JsPattern(j)) ok = false
+        j += 1
+      }
+      if (ok) return true
+      i += 1
+    }
+    false
+  }
+
+  /** One line of the C4 line filter: ends in `.`/`!`/`?`/`"`, has at
+    * least `minWords` single-space words, and no "javascript". */
+  private def c4LinePasses(b: Array[Byte], start: Int, end: Int, minWords: Int): Boolean = {
+    if (end <= start) return false
+    val last = b(end - 1)
+    if (last != '.' && last != '!' && last != '?' && last != '"') return false
+    var words = 1
+    var i = start
+    while (i < end) { if (b(i) == ' ') words += 1; i += 1 }
+    if (words < minWords) return false
+    !containsJavascript(b, start, end)
+  }
+
+  /** The C4 line filter's kept lines — see [[C4KeptLines]]. */
+  def c4KeptLines(text: UTF8String, delim: Byte, minWords: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val b   = text.getBytes
+    val out = new java.util.ArrayList[Any]()
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == delim) {
+        if (c4LinePasses(b, start, i, minWords))
+          out.add(UTF8String.fromBytes(b, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** `wordGrams(text, n, distinct)` as a codegen scalar expression →
@@ -547,4 +599,52 @@ object RepetitionCounts {
   def apply(text: Column): Column =
     GraftSqlBridge.column(new RepetitionCounts(
       GraftSqlBridge.expression(text.cast("string"))))
+}
+
+/** `c4KeptLines(text, delim, minWords)` as a codegen scalar expression →
+  * array<string> of the lines the C4 line filter keeps (Raffel et al.
+  * 2020, §2.2): a line survives iff it ends in a terminal punctuation
+  * mark (`.`, `!`, `?`, or a closing `"`), carries at least `minWords`
+  * single-space-separated words, and does not contain `javascript`
+  * (ASCII case-insensitive). One pass over the UTF-8 bytes; kept lines
+  * are byte slices of the input (no character building). Line split
+  * semantics match `split(text, delim)` / DuckDB `string_split`: empty
+  * segments (including a trailing one) count as lines and never pass.
+  * The delimiter must be a single ASCII byte, which never occurs inside
+  * a UTF-8 multibyte sequence, so the byte scan is safe; the
+  * terminal-punct check reads the line's LAST BYTE, which equals the
+  * regex `[.!?"]$` because a multibyte final character can never end in
+  * an ASCII punctuation byte. */
+case class C4KeptLines(child: Expression, delim: String, minWords: Int) extends Expression {
+  require(delim.length == 1 && delim.charAt(0) < 0x80, "delim must be one ASCII char")
+  require(minWords >= 1)
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    TextKernelFns.c4KeptLines(
+      child.eval(input).asInstanceOf[UTF8String], delim.charAt(0).toByte, minWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.c4KeptLines(${c.isNull} ? null : ${c.value},
+            (byte) ${delim.charAt(0).toInt}, $minWords);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object C4KeptLines {
+  def apply(text: Column, delim: String, minWords: Int): Column =
+    GraftSqlBridge.column(new C4KeptLines(
+      GraftSqlBridge.expression(text.cast("string")), delim, minWords))
 }

@@ -213,6 +213,89 @@ object TextAnalysis {
           col("pass_alpha") && col("pass_stop"))
   }
 
+  /** C4 cleaning pass (Raffel et al. 2020, §2.2) — the line-and-page
+    * heuristic filter of the C4/"Colossal Clean Crawled Corpus" recipe:
+    *
+    *  - LINE rules (drop the line): keep only lines ending in a terminal
+    *    punctuation mark (`.` `!` `?` `"`), with ≥ `minWordsPerLine`
+    *    words, and not containing "javascript" (case-insensitive);
+    *  - PAGE rules (drop the whole page): fewer than `minSentences`
+    *    sentences in the retained text (sentence ≈ one `.`/`!`/`?`),
+    *    the phrase "lorem ipsum", a curly bracket, or any blocklisted
+    *    word (`badwords`, matched on lowercased space-tokens).
+    *
+    * Emits the retained text plus every signal and per-rule flag, with
+    * `keep` as the page-rule conjunction — callers hard-filter on
+    * `keep` (and non-empty `clean_text`) or carry the flags. All counts
+    * are integer-exact and the retained text is a deterministic function
+    * of the input, so the result hash-gates against the SQL mirror.
+    *
+    * Scale shape: a PURE per-row projection, zero shuffle — the line
+    * filter is one generated-code byte pass per document
+    * ([[graft.functions.C4KeptLines]], not an interpreted per-line HOF
+    * lambda), everything else built-in codegen string functions — so the
+    * pass pipelines with the scan at any corpus size and runs unchanged
+    * inside a streaming ingest gate. */
+  /** The C4 line filter's retained text as a pure per-row `Column` —
+    * the line-rule half of [[c4Clean]], usable standalone (e.g. to
+    * rewrite the text column in a streaming gate). */
+  def c4CleanText(text: Column, delim: String = "\n", minWordsPerLine: Int = 5): Column =
+    array_join(graft.functions.C4KeptLines(text, delim, minWordsPerLine), delim)
+
+  private def c4SentenceCount(keptText: Column): Column =
+    (length(keptText) - length(translate(keptText, ".!?", ""))).cast("long")
+
+  private def c4BadwordPass(text: Column, badwords: Seq[String]): Column =
+    if (badwords.isEmpty) lit(true)
+    else !arrays_overlap(split(lower(text), " "), typedLit(badwords))
+
+  /** The C4 PAGE keep rule as a pure per-row predicate `Column` — usable
+    * directly in a `filter`, including on streaming frames (the same
+    * contract as [[gopherPass]]). A kept page still needs its text
+    * rewritten with [[c4CleanText]]; with `minSentences ≥ 1` a kept page
+    * always has non-empty retained text. */
+  def c4Pass(
+      text: Column,
+      delim: String = "\n",
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3,
+      badwords: Seq[String] = Seq.empty): Column = {
+    val kt = c4CleanText(text, delim, minWordsPerLine)
+    c4SentenceCount(kt) >= minSentences &&
+      !lower(text).contains("lorem ipsum") &&
+      !(text.contains("{") || text.contains("}")) &&
+      c4BadwordPass(text, badwords)
+  }
+
+  def c4Clean(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      delim: String = "\n",
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3,
+      badwords: Seq[String] = Seq.empty): DataFrame = {
+    val kept     = graft.functions.C4KeptLines(col(textCol), delim, minWordsPerLine)
+    val keptText = array_join(kept, delim)
+    val nSent    = c4SentenceCount(keptText)
+    val passBad  = c4BadwordPass(col(textCol), badwords)
+    val lowered  = lower(col(textCol))
+    df.select(
+        col(idCol),
+        size(split(col(textCol), java.util.regex.Pattern.quote(delim)))
+          .cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        nSent.as("n_sentences"),
+        keptText.as("clean_text"),
+        (nSent >= minSentences).as("pass_sentences"),
+        (!lowered.contains("lorem ipsum")).as("pass_lorem"),
+        (!(col(textCol).contains("{") || col(textCol).contains("}"))).as("pass_curly"),
+        passBad.as("pass_badword"))
+      .withColumn("keep",
+        col("pass_sentences") && col("pass_lorem") && col("pass_curly") &&
+          col("pass_badword"))
+  }
+
   /** Heuristic language ID: per-language stopword hit count, argmax with
     * deterministic (score desc, lang asc) tie-break; no hits → 'und'. */
   def languageId(

@@ -823,7 +823,70 @@ object TextQueries {
       |FROM w JOIN s ON w.doc_id = s.doc_id
       |ORDER BY w.doc_id""".stripMargin
 
+  /** C4 cleaning rules over a deterministically derived "page" corpus:
+    * the word soup gains line structure (` batch ` → `.` + newline, so
+    * every interior line is period-terminated), mid-line sentences
+    * (` value` → ` value.`), a line-level javascript hit (` spark` →
+    * ` javascript`), and page-level injections (blocklist word every
+    * 23rd doc, "lorem ipsum" every 29th, a curly brace every 31st) —
+    * identical literal-replace/concat semantics in both engines. Rules
+    * run at minWordsPerLine=5, minSentences=3, badwords=[verboten];
+    * retained text gates as md5 (scalar digest, driver-portable). */
+  private val q86: Q = (s, dir) => {
+    val paged = Tables.documents(s, dir).select(
+      col("doc_id"),
+      concat(
+        expr("replace(replace(replace(text, ' batch ', '.\n'), ' value', ' value.'), ' spark', ' javascript')"),
+        when(col("doc_id") % 23 === 0, lit(" verboten")).otherwise(lit("")),
+        when(col("doc_id") % 29 === 0, lit(" lorem ipsum")).otherwise(lit("")),
+        when(col("doc_id") % 31 === 0, lit(" {cfg}")).otherwise(lit(""))).as("text"))
+    TextAnalysis
+      .c4Clean(paged, "doc_id", "text", "\n",
+        minWordsPerLine = 5, minSentences = 3, badwords = Seq("verboten"))
+      .select(
+        col("doc_id"), col("n_lines"), col("n_kept"), col("n_sentences"),
+        md5(col("clean_text").cast("binary")).as("clean_md5"),
+        col("pass_sentences"), col("pass_lorem"), col("pass_curly"),
+        col("pass_badword"), col("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q86Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    replace(replace(replace(text, ' batch ', '.' || chr(10)), ' value', ' value.'),
+      |            ' spark', ' javascript')
+      |    || CASE WHEN doc_id % 23 = 0 THEN ' verboten' ELSE '' END
+      |    || CASE WHEN doc_id % 29 = 0 THEN ' lorem ipsum' ELSE '' END
+      |    || CASE WHEN doc_id % 31 = 0 THEN ' {cfg}' ELSE '' END AS t
+      |  FROM documents),
+      |ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS lines FROM d),
+      |k AS (
+      |  SELECT doc_id, t, lines,
+      |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+      |      AND len(string_split(l, ' ')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS kept
+      |  FROM ls),
+      |a AS (
+      |  SELECT doc_id, t,
+      |    len(lines)::BIGINT AS n_lines, len(kept)::BIGINT AS n_kept,
+      |    coalesce(array_to_string(kept, chr(10)), '') AS kt
+      |  FROM k),
+      |f AS (
+      |  SELECT doc_id, n_lines, n_kept,
+      |    (length(kt) - length(translate(kt, '.!?', '')))::BIGINT AS n_sentences,
+      |    md5(kt) AS clean_md5,
+      |    NOT contains(lower(t), 'lorem ipsum') AS pass_lorem,
+      |    NOT (contains(t, '{') OR contains(t, '}')) AS pass_curly,
+      |    NOT list_has_any(string_split(lower(t), ' '), ['verboten']) AS pass_badword
+      |  FROM a)
+      |SELECT doc_id, n_lines, n_kept, n_sentences, clean_md5,
+      |  n_sentences >= 3 AS pass_sentences, pass_lorem, pass_curly, pass_badword,
+      |  (n_sentences >= 3 AND pass_lorem AND pass_curly AND pass_badword) AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q86_c4_rules"          -> q86,
     "q73_incremental_dedup" -> q73,
     "q74_gopher_rules"    -> q74,
     "q46_simhash_neardup" -> q46,
@@ -854,6 +917,7 @@ object TextQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q86_c4_rules"          -> q86Sql,
     "q73_incremental_dedup" -> q73Sql,
     "q74_gopher_rules"    -> q74Sql,
     "q66_pii_redact"      -> q66Sql,

@@ -17,8 +17,10 @@ import graft.operators.{Dedup, Pii, Sampling, TextAnalysis}
   * the sink collapses with [[mergeBandFlags]].
   *
   * Stage order mirrors CorpusJob: PII scrub (text redacted in place,
-  * counts kept) → Gopher quality gate (per-row predicate form; failing
-  * rows drop) → language gate (per-row stopword-argmax) → reference-LM
+  * counts kept) → optional C4 cleaning (per-row line filter + page
+  * rules; failing pages drop, kept text rewrites) → Gopher quality gate
+  * (per-row predicate form; failing rows drop) → language gate (per-row
+  * stopword-argmax) → reference-LM
   * gate (per-row kernel against a bounded [[LmQuality]] model artifact) →
   * DSIR selection ([[DsirSelect]], per-row kernel weight vs a standing
   * bucket model) → domain-mixture resample (deterministic hash rates) →
@@ -44,6 +46,21 @@ object CorpusIngest {
     def predicate(text: Column): Column =
       TextAnalysis.gopherPass(text, stopwords, minWords, maxWords, minMeanLen,
         maxMeanLen, maxSymbolRatio, minAlphaFrac, minStopHits)
+  }
+
+  /** C4 cleaning stage ([[TextAnalysis.c4Pass]]/[[TextAnalysis.c4CleanText]]
+    * — Raffel et al. 2020 §2.2): failing pages drop, kept pages' text
+    * rewrites to the retained lines. Pure per-row, streaming-safe by
+    * construction. */
+  final case class C4(
+      delim: String = "\n",
+      minWordsPerLine: Int = 5,
+      minSentences: Int = 3,
+      badwords: Seq[String] = Seq.empty) {
+    def predicate(text: Column): Column =
+      TextAnalysis.c4Pass(text, delim, minWordsPerLine, minSentences, badwords)
+    def cleanText(text: Column): Column =
+      TextAnalysis.c4CleanText(text, delim, minWordsPerLine)
   }
 
   /** Standing-corpus index for the dedup flag: the single-column hash
@@ -115,11 +132,19 @@ object CorpusIngest {
       dsir: Option[DsirSelect] = None,
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
       corpus: Option[CorpusIndex] = None,
-      nearDup: Option[NearDup] = None): DataFrame = {
+      nearDup: Option[NearDup] = None,
+      c4: Option[C4] = None): DataFrame = {
     val scrubbed = Pii.scrub(stream, textCol).withColumnRenamed("redacted", textCol)
+    val c4Gated = c4 match {
+      case Some(c) =>
+        scrubbed
+          .filter(c.predicate(col(textCol)))
+          .withColumn(textCol, c.cleanText(col(textCol)))
+      case None => scrubbed
+    }
     val qualGated = quality match {
-      case Some(q) => scrubbed.filter(q.predicate(col(textCol)))
-      case None    => scrubbed
+      case Some(q) => c4Gated.filter(q.predicate(col(textCol)))
+      case None    => c4Gated
     }
     val langGated = language match {
       case Some(l) => qualGated.filter(l.predicate(col(textCol)))

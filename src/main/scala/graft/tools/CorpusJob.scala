@@ -25,7 +25,11 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   * steps:
   *   - op: exact-dedup                    # normalized-hash keep-first
   *   - op: pii-scrub                      # redact in place, keep counts
-  *   - op: quality-filter                 # Gopher rules, keep `pass` rows
+  *   - op: c4-clean                       # C4 line+page rules: failing pages
+ *     min-words-per-line: 5              # drop, kept pages' text rewrites
+ *     min-sentences: 3                   # to the retained lines
+ *     badwords: [verboten]               # optional page blocklist
+ *   - op: quality-filter                 # Gopher rules, keep `pass` rows
   *     min-words: 30                      # optional rule overrides
   *     max-words: 100000
   *   - op: lang-filter                    # heuristic language ID
@@ -158,7 +162,7 @@ object CorpusJob {
     val stepsNode = Option(root.get("steps"))
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
-    val known = Set("exact-dedup", "pii-scrub", "line-dedup", "quality-filter", "lang-filter",
+    val known = Set("exact-dedup", "pii-scrub", "line-dedup", "c4-clean", "quality-filter", "lang-filter",
       "neardup", "decontaminate", "lm-filter", "dsir-select", "mixture", "stratified",
       "split", "shuffle", "pack", "pack-sequences", "pack-bins", "pack-bin-sequences")
     stepsNode.foreach { s =>
@@ -197,6 +201,20 @@ object CorpusJob {
           df.drop(textCol)
             .join(cleaned, Seq(idCol))
             .withColumnRenamed("clean_text", textCol)
+        case "c4-clean" =>
+          // C4 page+line rules, both per-row: failing pages drop, kept
+          // pages' text REWRITES to the retained lines so downstream
+          // steps keep composing on the cleaned text — no join, the
+          // whole step pipelines with the scan
+          val delim = Option(s.get("delimiter")).map(_.asText).getOrElse("\n")
+          val bad = Option(s.get("badwords")) match {
+            case Some(a) => (0 until a.size).map(a.get(_).asText)
+            case None    => Seq.empty[String]
+          }
+          val minWpl  = lng("min-words-per-line", 5L).toInt
+          val minSent = lng("min-sentences", 3L).toInt
+          df.filter(TextAnalysis.c4Pass(col(textCol), delim, minWpl, minSent, bad))
+            .withColumn(textCol, TextAnalysis.c4CleanText(col(textCol), delim, minWpl))
         case "quality-filter" =>
           val stop = Option(s.get("stopwords")) match {
             case Some(a) => (0 until a.size).map(a.get(_).asText)

@@ -147,6 +147,41 @@ class CorpusIngestSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("gate C4 stage drops failing pages and rewrites kept pages' text, batch parity") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val c4 = CorpusIngest.C4(minWordsPerLine = 5, minSentences = 2)
+    val rows = Seq(
+      // two qualifying lines + one unpunctuated line: kept, text rewrites
+      (1L, "one two three four five.\nno punct so this dies\nsay hello to the world!"),
+      // only short lines: zero retained sentences, page drops
+      (2L, "a b c.\nshort."),
+      // one qualifying line = 1 sentence < 2: page drops
+      (3L, "uses javascript on this line today.\nanother good line stays here."))
+
+    val ms = MemoryStream[(Long, String)]
+    val out = CorpusIngest.gate(ms.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      c4 = Some(c4))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("corpus_gate_c4").start()
+    try {
+      ms.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_gate_c4")
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(streamed === Array(
+        (1L, "one two three four five.\nsay hello to the world!")))
+      // batch parity: same predicate + rewrite on a static frame
+      val batch = rows.toDF("doc_id", "text")
+        .filter(c4.predicate($"text"))
+        .withColumn("text", c4.cleanText($"text"))
+        .select($"doc_id", $"text")
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(batch === streamed)
+    } finally q.stop()
+  }
+
   test("gate reference-LM stage drops alien-vocabulary docs per-row against the bounded model") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.operators.LmScore

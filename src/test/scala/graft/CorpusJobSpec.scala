@@ -135,6 +135,36 @@ class CorpusJobSpec extends SparkSpec {
     assert(out === Map(1L -> "alpha content", 2L -> "beta content", 3L -> "gamma content"))
   }
 
+  test("CorpusJob: c4-clean step drops failing pages and rewrites text in place") {
+    val dir = Files.createTempDirectory("corpusjob-c4")
+    Seq(
+      // doc 1: two qualifying lines survive, middle line dies (no punct)
+      (1L, "one two three four five.\nno punct so this dies\nsay hello to the world!"),
+      // doc 2: only short lines → 0 retained sentences → page drops
+      (2L, "a b c.\nshort."),
+      // doc 3: lorem ipsum page rule
+      (3L, "one two three four five.\nsix seven eight nine ten.\nwe saw lorem ipsum today."))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: c4-clean
+         |    min-words-per-line: 5
+         |    min-sentences: 2
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) === Seq(("c4-clean", 3L, 1L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+      .select($"doc_id", $"text").as[(Long, String)].collect().toList
+    assert(out === List(
+      (1L, "one two three four five.\nsay hello to the world!")))
+  }
+
   test("CorpusJob: plan barrier keeps deep double-reference step chains linear") {
     // each lm-filter references its input twice (anchor branch ∪ scored
     // branch) — without the per-stage lineage barrier 14 of them nest

@@ -349,4 +349,44 @@ class TextPipelineSpec extends SparkSpec {
         Dedup.normalizedTextHash(col("text")), 10L)
     }
   }
+
+  test("c4Clean: line rules — terminal punct, min words, javascript; page reassembly") {
+    val d = docs(
+      // line 2 lacks terminal punct, line 3 too short, line 4 has JavaScript
+      1L -> "one two three four five.\nsix seven eight nine ten\nshort line here.\nuses JavaScript so it dies.\nsay hello to the world!\nis this a question, yes?",
+      2L -> "",                                  // empty: 1 line, nothing kept
+      3L -> "a b c d e.\n",                      // trailing delim → empty 2nd line
+      4L -> "ends with quote one two.\" more w.") // closing-quote terminal
+    val got = TextAnalysis
+      .c4Clean(d, "doc_id", "text", minWordsPerLine = 5, minSentences = 2)
+      .orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"n_sentences", $"clean_text", $"keep")
+      .as[(Long, Long, Long, Long, String, Boolean)].collect().toList
+    assert(got === List(
+      (1L, 6L, 3L, 3L,
+        "one two three four five.\nsay hello to the world!\nis this a question, yes?", true),
+      (2L, 1L, 0L, 0L, "", false),
+      (3L, 2L, 1L, 1L, "a b c d e.", false),
+      (4L, 1L, 1L, 2L, "ends with quote one two.\" more w.", true)))
+  }
+
+  test("c4Clean: page rules — lorem ipsum, curly brace, badwords flags") {
+    val base = "one two three four five.\nsix seven eight nine ten."
+    val d = docs(
+      1L -> s"$base\nwe Lorem Ipsum here ok.",
+      2L -> s"$base\nconfig { x } block done.",
+      3L -> s"$base\nthis doc says verboten stuff.",
+      4L -> base)
+    val got = TextAnalysis
+      .c4Clean(d, "doc_id", "text", minWordsPerLine = 5, minSentences = 2,
+        badwords = Seq("verboten"))
+      .orderBy($"doc_id")
+      .select($"doc_id", $"pass_lorem", $"pass_curly", $"pass_badword", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)].collect().toList
+    assert(got === List(
+      (1L, false, true, true, false),
+      (2L, true, false, true, false),
+      (3L, true, true, false, false),
+      (4L, true, true, true, true)))
+  }
 }
