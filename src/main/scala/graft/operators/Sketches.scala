@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** HyperLogLog cardinality sketching (Flajolet et al. 2007) — the
+  * bounded-size answer to "how many distinct X per group" over a corpus
+  * where exact `countDistinct` would shuffle every distinct key.
+  *
+  * Scale shape: the ONLY thing that ever shuffles is (group, register)
+  * pairs — at most `2^p` rows per group regardless of data size — and
+  * the register max aggregates map-side, so a 100 TB scan reduces to a
+  * kilobyte-scale sketch per group in one pass. Sketches MERGE by
+  * register-wise max ([[hllMergeRegisters]]), which is exactly how
+  * partial aggregation already combines them; cross-day / cross-corpus
+  * unions are free.
+  *
+  * Portability contract (the oracle-gate law): the 60-bit hash is the
+  * repo's md5-prefix trick, register index = `h mod m`, and
+  * rho = leading-zero count of the remaining `60 − p` bits + 1 computed
+  * via `length(bin(…))` — all integer-exact in both engines. The
+  * estimate is the RAW HLL estimator `α_m · m² / Σ 2^(−M_j)`, evaluated
+  * with an exact-integer denominator (`Σ 2^(maxM − M_j)` as a long,
+  * empty registers included) and one correctly-rounded IEEE
+  * multiply/divide chain, so even the double hashes identically. Small/
+  * large-range bias corrections (linear counting needs a non-portable
+  * `ln`) are intentionally NOT applied; at sketch sizes ≪ cardinality
+  * the raw regime is the operating point, and a driver-side post-pass
+  * on the merged registers can always re-estimate with corrections.
+  */
+object Sketches {
+
+  /** Standard HLL bias constant for `m = 2^p` registers. */
+  def alphaFor(m: Long): Double =
+    if (m == 16L) 0.673
+    else if (m == 32L) 0.697
+    else if (m == 64L) 0.709
+    else 0.7213 / (1.0 + 1.079 / m)
+
+  /** Per-group HLL registers of `value`: one row per NON-EMPTY register,
+    * `(groupCols…, register, rho)` with `rho` = max over the group's
+    * values. `p` ∈ [4, 16] (m = 2^p registers; the 60-bit hash leaves
+    * `60 − p` rho bits). */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], value: Column, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m        = 1L << p
+    val restBits = 60 - p
+    val h    = conv(substring(md5(value.cast("string")), 1, 15), 16, 10).cast("long")
+    val rest = shiftright(h, p) // = h div 2^p; h is non-negative (60-bit)
+    val rho = when(rest === 0L, lit(restBits + 1).cast("long"))
+      .otherwise(lit(restBits + 1) - length(bin(rest)))
+    df.select(groupCols.map(col) ++ Seq(
+        (h % m).cast("int").as("register"), rho.cast("long").as("_rho")): _*)
+      .groupBy(groupCols.map(col) :+ col("register"): _*)
+      .agg(max(col("_rho")).as("rho"))
+  }
+
+  /** Merge sketches over the same group/register schema: register-wise
+    * max. Inputs may cover different groups; the result is the sketch of
+    * the UNION of the underlying row sets (HLL's lossless merge law,
+    * spec-pinned). */
+  def hllMergeRegisters(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty)
+    val groupCols = sketches.head.columns.filterNot(c => c == "register" || c == "rho")
+    val all       = sketches.reduce(_.unionByName(_))
+    all
+      .groupBy(groupCols.map(col) :+ col("register"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Per-group estimate from a [[hllRegisters]] table:
+    * `(groupCols…, n_registers, max_rho, estimate)` where `n_registers`
+    * counts non-empty registers and `estimate` is the raw HLL estimator
+    * rounded to 6 dp (see the portability contract above). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m     = 1L << p
+    val alpha = alphaFor(m)
+    val a = regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_registers"), max(col("rho")).as("max_rho"))
+    // exact-integer denominator: sum over non-empty registers of
+    // 2^(maxM - rho), plus the empty registers' 2^maxM each
+    val s = regs
+      .join(a.select(groupCols.map(col) :+ col("max_rho").as("_maxm"): _*), groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(expr("shiftleft(1L, int(_maxm - rho))")).as("_s_nonzero"))
+    a.join(s, groupCols)
+      .withColumn("estimate",
+        round(
+          lit(alpha) * lit((m * m).toDouble) * pow(lit(2.0), col("max_rho")) /
+            (col("_s_nonzero") +
+              (lit(m) - col("n_registers")) * expr("shiftleft(1L, int(max_rho))"))
+              .cast("double"),
+          6))
+      .drop("_s_nonzero")
+  }
+}

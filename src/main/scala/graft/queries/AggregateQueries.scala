@@ -172,7 +172,55 @@ object AggregateQueries {
       |SELECT event_type, p, vlo + (vhi - vlo) * (pos - FLOOR(pos)) AS q
       |FROM g ORDER BY event_type, p""".stripMargin
 
+  /** HyperLogLog distinct-part sketch per returnflag (p=6 → 64
+    * registers): the full register table joined with the raw-estimator
+    * summary — registers, non-empty count, and the estimate itself all
+    * hash-gate ([[graft.operators.Sketches]] portability contract). */
+  private val q87: Q = (s, dir) => {
+    val regs = graft.operators.Sketches.hllRegisters(
+      Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_partkey"), p = 6)
+    val est = graft.operators.Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 6)
+    regs
+      .join(est.select(col("l_returnflag"), col("n_registers"), col("estimate")),
+        Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("register"), col("rho"),
+        col("n_registers"), col("estimate"))
+      .orderBy(col("l_returnflag"), col("register"))
+  }
+
+  private val q87Sql =
+    """WITH h AS (
+      |  SELECT l_returnflag AS flag,
+      |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT flag, CAST(h % 64 AS INT) AS register,
+      |    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho0
+      |  FROM h),
+      |regs AS (
+      |  SELECT flag, register, CAST(MAX(rho0) AS BIGINT) AS rho
+      |  FROM r GROUP BY 1, 2),
+      |a AS (
+      |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS n_registers, MAX(rho) AS max_rho
+      |  FROM regs GROUP BY 1),
+      |sden AS (
+      |  SELECT regs.flag,
+      |    SUM(1::BIGINT << CAST(a.max_rho - regs.rho AS INT)) AS s_nonzero
+      |  FROM regs JOIN a USING (flag) GROUP BY 1),
+      |e AS (
+      |  SELECT a.flag, a.n_registers,
+      |    round(0.709 * 4096.0 * pow(2.0, a.max_rho) /
+      |      CAST(sden.s_nonzero
+      |           + (64 - a.n_registers) * (1::BIGINT << CAST(a.max_rho AS INT))
+      |           AS DOUBLE), 6) AS estimate
+      |  FROM a JOIN sden USING (flag))
+      |SELECT regs.flag AS l_returnflag, regs.register, regs.rho,
+      |  e.n_registers, e.estimate
+      |FROM regs JOIN e USING (flag)
+      |ORDER BY l_returnflag, register""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q87_hll_sketch"              -> q87,
     "q50_quantiles"               -> q50,
     "q41_pivot_wide"              -> q41,
     "q12_climatology_monthly"     -> q12,
@@ -184,6 +232,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q87_hll_sketch"              -> q87Sql,
     "q50_quantiles"               -> q50Sql,
     "q41_pivot_wide"              -> q41Sql,
     "q12_climatology_monthly"     -> q12Sql,

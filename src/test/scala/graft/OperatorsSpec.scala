@@ -634,4 +634,51 @@ class OperatorsSpec extends SparkSpec {
       .select($"qid", $"cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L), (2L, 1L)))
   }
+
+  test("Sketches.hll: merge law — sketch of a union equals register-wise max of parts") {
+    val a = (0L until 4000L).map(i => ("g", i)).toDF("grp", "v")
+    val b = (2000L until 7000L).map(i => ("g", i)).toDF("grp", "v") // overlaps a
+    val whole = Sketches.hllRegisters(a.union(b), Seq("grp"), $"v", p = 6)
+    val merged = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(a, Seq("grp"), $"v", p = 6),
+      Sketches.hllRegisters(b, Seq("grp"), $"v", p = 6))
+    val w = whole.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val m = merged.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(w === m)
+    // and the merged estimate equals the whole-input estimate exactly
+    val ew = Sketches.hllEstimate(whole, Seq("grp"), 6).select($"estimate").as[Double].head()
+    val em = Sketches.hllEstimate(merged, Seq("grp"), 6).select($"estimate").as[Double].head()
+    assert(ew === em)
+  }
+
+  test("Sketches.hll: estimate lands within the theoretical error band, dups don't move it") {
+    // m=256 → relative std error 1.04/sqrt(256) = 6.5%; assert 4 sigma
+    val n = 20000L
+    val df = (0L until n).map(i => ("g", i)).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, Seq("grp"), $"v", p = 8)
+    val est = Sketches.hllEstimate(regs, Seq("grp"), 8)
+      .select($"estimate").as[Double].head()
+    assert(math.abs(est - n) / n < 0.26, s"estimate $est too far from $n")
+    // exact-duplicate rows leave every register (hence the estimate) unchanged
+    val dupRegs = Sketches.hllRegisters(df.union(df), Seq("grp"), $"v", p = 8)
+    assert(
+      dupRegs.collect().map(r => (r.getInt(1), r.getLong(2))).toSet ===
+        regs.collect().map(r => (r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("Sketches.hll: groups sketch independently; merge unions disjoint groups") {
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("grp", "v")
+    val regs = Sketches.hllRegisters(df, Seq("grp"), $"v", p = 6)
+    // same value → same (register, rho) in both groups
+    val byGrp = regs.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) => g -> rows.map(t => (t._2, t._3)).toSet }
+    assert(byGrp("b").subsetOf(byGrp("a")))
+    assert(byGrp("a").size === 2 && byGrp("b").size === 1)
+    // merging sketches with disjoint group sets stacks them
+    val onlyA = Sketches.hllRegisters(df.filter($"grp" === "a"), Seq("grp"), $"v", p = 6)
+    val onlyB = Sketches.hllRegisters(df.filter($"grp" === "b"), Seq("grp"), $"v", p = 6)
+    val m = Sketches.hllMergeRegisters(onlyA, onlyB)
+    assert(m.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet ===
+      regs.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet)
+  }
 }
