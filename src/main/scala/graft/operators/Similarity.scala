@@ -353,6 +353,124 @@ object Similarity {
         (-col("_nb.cos")).as("adist"))
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Nested literal of the coarse centroids, indexable by cell id. */
+  private def centroidsLit(centroids: Array[Array[Double]]): Column =
+    array(centroids.toIndexedSeq.map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+
+  /** Residual of `vec` against its cell's centroid — an exact per-element
+    * IEEE subtraction (codegen `zip_with`), bit-identical in both
+    * engines when the centroids are. */
+  private def residual(vec: Column, cell: Column, centroids: Array[Array[Double]]): Column =
+    zip_with(vec.cast("array<double>"),
+      element_at(centroidsLit(centroids), cell + 1), (a, b) => a - b)
+
+  /** Train the RESIDUAL product-quantization codebooks of an IVF-PQ index
+    * (Jégou et al. 2011 §III: PQ runs on `v − centroid(cell)`, which
+    * concentrates the energy the sub-quantizers must explain): assign each
+    * vector to its coarse cell (one generated map), subtract the centroid
+    * element-exact, and run [[pqFit]] on the residuals. Train on a
+    * `Sampling.hashSplit` slice at scale, as with [[pqFit]]. */
+  def ivfPqFit(
+      df: DataFrame, // (orderCol, vecCol: array<double>)
+      vecCol: String,
+      orderCol: String,
+      centroids: Array[Array[Double]],
+      m: Int,
+      k: Int,
+      iters: Int = 5): Array[Array[Array[Double]]] = {
+    val assigned = KMeans.assign(df, vecCol, centroids)
+    val res = assigned.select(
+      col(orderCol),
+      residual(col(vecCol), col("bucket"), centroids).as("_res"))
+    pqFit(res, "_res", orderCol, m, k, iters)
+  }
+
+  /** Encode the corpus for IVF-PQ: `(…, cell, codes)` — the cell from the
+    * coarse quantizer and the residual's PQ codes, all in ONE generated
+    * map over the scan (zero shuffle, zero joins): the 100 TB index-build
+    * pass. Storage per vector: one small int + m bytes of codes. */
+  def ivfPqEncode(
+      df: DataFrame,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      cellCol: String = "cell",
+      codesCol: String = "codes"): DataFrame = {
+    val assigned = KMeans.assign(df, vecCol, centroids)
+      .withColumnRenamed("bucket", cellCol)
+    pqEncode(
+      assigned.withColumn("_res", residual(col(vecCol), col(cellCol), centroids)),
+      "_res", codebooks, codesCol)
+      .drop("_res")
+  }
+
+  /** IVF-PQ ADC top-k — the FAISS-style production read path composed
+    * from [[ivfTopK]]'s probe ranking and [[pqTopK]]'s asymmetric
+    * distance: each query ranks the coarse cells by exact expanded-fold
+    * distance and probes its `nprobe` nearest; PER PROBED CELL it builds
+    * the m × k LUT of exact squared-L2 distances from its RESIDUAL in
+    * that cell to every subspace centroid; the corpus side touches only
+    * `(cell, codes)` — never the original vectors — joins the broadcast
+    * probe set on the cell key, sums m LUT lookups, and reduces through
+    * the partial TopK aggregate. Zero corpus shuffle; candidates bounded
+    * by the probed cells. Exactness degradation law (spec-gated): with
+    * nprobe = |cells| and perfect residual codebooks the ranking is
+    * exact brute-force squared-L2. Ties break on corpus id. */
+  def ivfPqTopK(
+      queries: DataFrame, // (qid, qvec: array<double>)
+      encoded: DataFrame, // (cid, cell, codes: array<int>)
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]],
+      nprobe: Int,
+      k: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length, "nprobe must be in [1, |centroids|]")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+
+    val m    = codebooks.length
+    val dsub = codebooks.head.head.length
+    val cents = centroids.zipWithIndex.map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centv")
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("_d",
+        dot(col("qvec"), col("qvec")) - lit(2.0) * dot(col("qvec"), col("centv")) +
+          dot(col("centv"), col("centv")))
+      .withColumn("_pr", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("_d").asc, col("cell").asc)))
+      .filter(col("_pr") <= nprobe)
+      .withColumn("_qres", residual(col("qvec"), col("cell"), centroids))
+      .withColumn("_lut", array((0 until m).map { s =>
+        val qs = slice(col("_qres"), s * dsub + 1, dsub)
+        array(codebooks(s).toIndexedSeq.map { c =>
+          val cl = array(c.toIndexedSeq.map(lit): _*)
+          dot(qs, qs) - lit(2.0) * dot(qs, cl) + lit(c.map(x => x * x).sum)
+        }: _*)
+      }: _*))
+      .select(col("qid"), col("cell"), col("_lut"))
+
+    val scored = encoded
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn(
+        "adist",
+        aggregate(
+          zip_with(col("codes"), col("_lut"), (c, l) => element_at(l, c + 1)),
+          lit(0.0),
+          (acc, x) => acc + x))
+    scored
+      .groupBy(col("qid"))
+      .agg(graft.functions.TopK.topK(k, col("cid"), -col("adist")).as("_tk"))
+      .select(col("qid"), posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+      .select(
+        col("qid"),
+        col("_nb.cid").as("cid"),
+        (col("_pos") + 1).cast("int").as("rank"),
+        (-col("_nb.cos")).as("adist"))
+  }
+
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
     * precomputed per vector. */

@@ -181,11 +181,13 @@ object EmbeddingQueries {
       .orderBy(col("vec_id"), col("subspace"))
   }
 
-  /** One subspace's train-then-encode chain on the [lo:hi] slice. */
+  /** One subspace's train-then-encode chain on the [lo:hi] slice of the
+    * `pqsrc` CTE (vec_id, vec: DOUBLE[]) — callers define pqsrc as the
+    * raw embeddings (q83) or the IVF residuals (q88). */
   private def pqSubspaceSql(s: Int, dsub: Int, k: Int): String = {
     val lo = s * dsub + 1
     val hi = (s + 1) * dsub
-    s"""v$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] AS vec FROM embeddings),
+    s"""v$s AS (SELECT vec_id, vec[$lo:$hi] AS vec FROM pqsrc),
       |init$s AS (
       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
       |  FROM (SELECT * FROM v$s ORDER BY vec_id LIMIT $k)),
@@ -222,7 +224,8 @@ object EmbeddingQueries {
     val dsub = 16
     val chain = (0 until m).map(pqSubspaceSql(_, dsub, k = 4)).mkString(",\n")
     val union = (0 until m).map(s => s"SELECT * FROM code$s").mkString("\nUNION ALL ")
-    s"""WITH $chain
+    s"""WITH pqsrc AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |$chain
       |SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, CAST(code AS INTEGER) AS code
       |FROM ($union)
       |ORDER BY vec_id, subspace""".stripMargin
@@ -380,7 +383,55 @@ object EmbeddingQueries {
       |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** IVF-PQ index build (Jégou et al. 2011 §III) at the oracle-able
+    * configuration: coarse quantizer = `iters 0` exemplar centroids (the
+    * q62/q80 assignment chain, exact input vectors), residual = an exact
+    * per-element IEEE subtraction, then the q83 per-subspace PQ chain
+    * runs on the RESIDUALS (m=4 × k=4, one Lloyd iteration,
+    * decimal-exact means). Output is all-integer: cell + residual codes
+    * per subspace. The ADC read path over these codes ([[Similarity
+    * .ivfPqTopK]]) is spec-gated via its exactness-degradation law. */
+  private val q88: Q = (s, dir) => {
+    val e     = emb(s, dir)
+    val cents = graft.operators.KMeans.fit(e, "vec", "vec_id", k = 4, iters = 0)
+    val books = Similarity.ivfPqFit(e, "vec", "vec_id", cents, m = 4, k = 4, iters = 1)
+    Similarity
+      .ivfPqEncode(e.select(col("vec_id"), col("vec")), "vec", cents, books)
+      .select(col("vec_id"), col("cell"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .orderBy(col("vec_id"), col("subspace"))
+  }
+
+  private val q88Sql = {
+    val m    = 4
+    val dsub = 16
+    val chain = (0 until m).map(pqSubspaceSql(_, dsub, k = 4)).mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM code$s").mkString("\nUNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |cinit AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |cdist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN cinit i),
+      |cassign AS (
+      |  SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM cdist)
+      |  WHERE rn = 1),
+      |pqsrc AS (
+      |  SELECT v.vec_id,
+      |    list_transform(generate_series(1, len(v.vec)), j -> v.vec[j] - i.cvec[j]) AS vec
+      |  FROM v JOIN cassign a USING (vec_id) JOIN cinit i ON i.c = a.cell),
+      |$chain
+      |SELECT u.vec_id, CAST(a.cell AS INTEGER) AS cell,
+      |  CAST(u.subspace AS INTEGER) AS subspace, CAST(u.code AS INTEGER) AS code
+      |FROM ($union) u JOIN cassign a USING (vec_id)
+      |ORDER BY vec_id, subspace""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_ivfpq_encode"     -> q88,
     "q29_ann_topk"       -> q29,
     "q30_embed_neardup"  -> q30,
     "q38_lsh_topk"       -> q38,
@@ -393,6 +444,7 @@ object EmbeddingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q88_ivfpq_encode"     -> q88Sql,
     "q83_pq_encode"        -> q83Sql,
     "q29_ann_topk"       -> q29Sql,
     "q30_embed_neardup"  -> q30Sql,

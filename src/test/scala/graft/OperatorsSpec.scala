@@ -502,6 +502,76 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Similarity.ivfPq: perfect residual codebooks + nprobe=all degrade ADC to exact L2") {
+    val cents = Array(Array(0.0, 0.0, 0.0, 0.0), Array(1.0, 1.0, 1.0, 1.0))
+    val corpusRows = Seq(
+      1L -> Array(1.0, 0.0, 0.0, 0.0),  // cell 0
+      2L -> Array(0.0, 1.0, 0.0, 0.0),  // cell 0
+      3L -> Array(0.9, 0.9, 0.8, 1.0),  // cell 1
+      4L -> Array(1.2, 1.1, 0.9, 0.7))  // cell 1
+    val queryRows = Seq(
+      100L -> Array(0.9, 0.1, 0.0, 0.1),
+      101L -> Array(1.0, 1.0, 1.0, 0.8))
+    def sqL2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // residuals with the SAME IEEE subtraction the operator performs
+    def res(v: Array[Double]): Array[Double] = {
+      val c = cents.minBy(c => (sqL2(v, c), cents.indexOf(c)))
+      v.zip(c).map { case (x, y) => x - y }
+    }
+    val m = 2; val dsub = 2
+    // perfect books: every distinct residual subvector is its own centroid
+    val books: Array[Array[Array[Double]]] = (0 until m).map { s =>
+      corpusRows.map(r => res(r._2).slice(s * dsub, (s + 1) * dsub).toSeq).distinct
+        .map(_.toArray).toArray
+    }.toArray
+    val corpus  = corpusRows.toDF("cid", "cvec")
+    val queries = queryRows.toDF("qid", "qvec")
+    val enc = Similarity.ivfPqEncode(corpus, "cvec", cents, books)
+      .select($"cid", $"cell", $"codes")
+    // cells assigned to the nearer coarse centroid; codes decode losslessly
+    val encRows = enc.collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSeq
+    assert(encRows.map(t => t._1 -> t._2).toMap === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+    encRows.foreach { case (cid, _, codes) =>
+      val dec = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c) }
+      assert(dec === res(corpusRows.toMap.apply(cid)).toSeq, s"lossy residual encode cid=$cid")
+    }
+    // nprobe = all cells + perfect books → exact L2 ranking with exact distances
+    val got = Similarity.ivfPqTopK(queries, enc, cents, books, nprobe = 2, k = 3)
+      .orderBy($"qid", $"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val expect = queryRows.flatMap { case (qid, qv) =>
+      corpusRows.map { case (cid, cv) => (qid, cid, sqL2(qv, cv)) }
+        .sortBy { case (_, cid, d) => (d, cid) }
+        .take(3).zipWithIndex
+        .map { case ((q, c, d), i) => (q, c, i + 1, d) }
+    }
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expect.map(t => (t._1, t._2, t._3)))
+    got.zip(expect).foreach { case ((_, _, _, a), (_, _, _, e)) =>
+      assert(math.abs(a - e) < 1e-9, s"adist $a vs exact $e")
+    }
+    // nprobe = 1 never leaves the query's nearest cell
+    val probed = Similarity.ivfPqTopK(queries, enc, cents, books, nprobe = 1, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed === Set((100L, 1L), (100L, 2L), (101L, 3L), (101L, 4L)))
+  }
+
+  test("Similarity.ivfPqFit trains residual codebooks; encode stays in range") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array(i % 5 * 1.0, i % 3 * 1.0, i % 7 * 1.0, i % 2 * 1.0))
+    }.toDF("id", "vec")
+    val cents = KMeans.fit(vecs, "vec", "id", k = 2, iters = 1)
+    val books = Similarity.ivfPqFit(vecs, "vec", "id", cents, m = 2, k = 3, iters = 2)
+    assert(books.length === 2)
+    assert(books.forall(b => b.length === 3 && b.forall(_.length === 2)))
+    val enc = Similarity.ivfPqEncode(vecs, "vec", cents, books)
+    val rows = enc.select($"cell", $"codes").collect()
+      .map(r => (r.getInt(0), r.getSeq[Int](1)))
+    assert(rows.forall { case (cell, codes) =>
+      cell >= 0 && cell < 2 && codes.length === 2 && codes.forall(c => c >= 0 && c < 3)
+    })
+  }
+
   test("Similarity.pqFit trains per-subspace codebooks and pqEncode stays in range") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array(i % 5 * 1.0, i % 3 * 1.0, i % 7 * 1.0, i % 2 * 1.0))
