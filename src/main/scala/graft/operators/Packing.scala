@@ -107,6 +107,53 @@ object Packing {
           " ").as("seq_text"))
   }
 
+  /** STRIDED sequence materialization — [[packSequences]] with
+    * overlapping windows (the GPT-2-style sliding-context evaluation /
+    * training chunker): window `w` covers global token positions
+    * `[w·stride, w·stride + seqLen)`, so consecutive windows share
+    * `seqLen − stride` tokens of left context; `stride = seqLen`
+    * degrades to [[packSequences]] exactly (spec-pinned). Output schema
+    * matches packSequences: `seq_idx, n_tokens, n_docs, seq_text`
+    * (trailing windows may be short).
+    *
+    * Scale shape: identical to packSequences — one distributed prefix
+    * sum, then tokens shuffle on their destination window. Each token
+    * lands in at most `ceil(seqLen / stride)` windows, so shuffle volume
+    * is the overlap factor × corpus (the price of overlap, stated, not
+    * hidden), and every group is still ≤ `seqLen` tokens — skew remains
+    * impossible by construction. Window bounds use integer `div` with a
+    * clamp at 0, so truncation-vs-floor on the one possibly-negative
+    * numerator can't matter (both land at 0). */
+  def packSequencesStrided(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int,
+      stride: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    require(stride > 0 && stride <= seqLen, "stride must be in [1, seqLen]")
+    val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
+    val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
+    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    toks
+      .join(off, idCol)
+      .withColumn("_g", col("_off") + col("_pos"))
+      .withColumn("_wlo",
+        greatest(lit(0L), expr(s"(_g - ${seqLen - stride}) div $stride")))
+      .withColumn("_whi", expr(s"_g div $stride"))
+      .select(col(idCol), col("_g"), col("_tok"),
+        explode(sequence(col("_wlo"), col("_whi"))).as("seq_idx"))
+      .groupBy(col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_g"), col("_tok")))),
+            s => s.getField("_tok")),
+          " ").as("seq_text"))
+  }
+
   /** Pack documents into `seqLen`-token training sequences in `orderCol`
     * order. Output per document: its token count, global token offset,
     * the first/last sequence index it lands in, and its offset within the

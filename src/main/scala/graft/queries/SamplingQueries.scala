@@ -234,6 +234,32 @@ object SamplingQueries {
       |  string_agg(token, ' ' ORDER BY gpos) AS seq_text
       |FROM g GROUP BY gpos // 64 ORDER BY seq_idx""".stripMargin
 
+  /** Strided (overlapping) training windows — q75's materializer with a
+    * half-seqLen stride, the GPT-2-style sliding-context chunker:
+    * window w covers global positions [w·32, w·32 + 64), so consecutive
+    * windows share 32 tokens of left context. */
+  private val q89: Q = (s, dir) =>
+    graft.operators.Packing
+      .packSequencesStrided(Tables.documents(s, dir), "doc_id", "text",
+        seqLen = 64, stride = 32)
+      .orderBy(col("seq_idx"))
+
+  private val q89Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos, w[i] AS token
+      |        FROM w, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |g AS (SELECT doc_id, token,
+      |        ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+      |      FROM tok),
+      |x AS (SELECT doc_id, token, gpos,
+      |        GREATEST(0, (gpos - 32) // 32) AS wlo, gpos // 32 AS whi
+      |      FROM g),
+      |e AS (SELECT doc_id, token, gpos, t.w AS seq_idx
+      |      FROM x, UNNEST(generate_series(wlo, whi)) AS t(w))
+      |SELECT seq_idx, COUNT(*) AS n_tokens, COUNT(DISTINCT doc_id) AS n_docs,
+      |  string_agg(token, ' ' ORDER BY gpos) AS seq_text
+      |FROM e GROUP BY seq_idx ORDER BY seq_idx""".stripMargin
+
   /** Deterministic seed-keyed corpus shuffle (the reproducible read order
     * of a training run): md5(seed|id) key + the distributed prefix-sum
     * rank; the oracle states the same rank with ROW_NUMBER. */
@@ -342,7 +368,8 @@ object SamplingQueries {
     "q60_contamination_flag" -> q60,
     "q64_sequence_pack"     -> q64,
     "q65_shuffle_rank"      -> q65,
-    "q75_pack_sequences"    -> q75
+    "q75_pack_sequences"    -> q75,
+    "q89_strided_windows"   -> q89
   )
 
   val oracles: Map[String, String] = Map(
@@ -356,6 +383,7 @@ object SamplingQueries {
     "q60_contamination_flag" -> q60Sql,
     "q64_sequence_pack"     -> q64Sql,
     "q65_shuffle_rank"      -> q65Sql,
-    "q75_pack_sequences"    -> q75Sql
+    "q75_pack_sequences"    -> q75Sql,
+    "q89_strided_windows"   -> q89Sql
   )
 }

@@ -587,6 +587,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Packing.packSequencesStrided: overlapping windows, short tail, doc spans") {
+    val d = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    // global stream: a(0) b(1) c(2) d(3) e(4); windows of 4 at stride 2:
+    // w0=[0,4) a b c d, w1=[2,6) c d e, w2=[4,8) e
+    val got = Packing.packSequencesStrided(d, "doc_id", "text", seqLen = 4, stride = 2)
+      .orderBy($"seq_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (0L, 4L, 2L, "a b c d"),
+      (1L, 3L, 2L, "c d e"),
+      (2L, 1L, 1L, "e")))
+  }
+
+  test("Packing.packSequencesStrided: stride = seqLen degrades to packSequences") {
+    val d = (1L to 9L).map(i => (i, s"t${i}a t${i}b t${i}c")).toDF("doc_id", "text")
+    val plain = Packing.packSequences(d, "doc_id", "text", seqLen = 4)
+      .orderBy($"seq_idx").collect().map(_.toSeq)
+    val strided = Packing.packSequencesStrided(d, "doc_id", "text", seqLen = 4, stride = 4)
+      .orderBy($"seq_idx").collect().map(_.toSeq)
+    assert(strided === plain)
+    intercept[IllegalArgumentException] {
+      Packing.packSequencesStrided(d, "doc_id", "text", seqLen = 4, stride = 5)
+    }
+  }
+
   test("Packing.packBins: whole-doc bins respect capacity, oversize isolated, deterministic") {
     def doc(id: Long, n: Int) = (id, (1 to n).map(i => s"t$i").mkString(" "))
     // lengths: 6,6,4,4,3,3,2,1 into capacity 8 + one oversize (10)
