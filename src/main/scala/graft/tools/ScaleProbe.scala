@@ -177,7 +177,23 @@ object ScaleProbe {
         docs, "doc_id", "text", delim = " ", minDocs = 1000))),
       "temperature"    -> (() => noopWrite(Sampling.temperatureResample(
         docs.withColumn("src", concat(lit("s"), pmod(col("doc_id") * col("doc_id"), lit(16)))),
-        "doc_id", "src"))))
+        "doc_id", "src"))),
+      // continuation-3 additions: C4 rules (pure per-row byte pass —
+      // space-delimited "lines" are the worst case for the line scan),
+      // HLL cardinality sketch (p=12: at most 4096 register rows per
+      // group ever reach the reduce, whatever n is), and strided
+      // windows (packSequences with a 2× overlap factor on the token
+      // shuffle)
+      "c4_rules"       -> (() => noopWrite(TextAnalysis.c4Clean(
+        docs, "doc_id", "text", delim = " ", minWordsPerLine = 1, minSentences = 1))),
+      "hll_sketch"     -> (() => {
+        val g = docs.withColumn("src", pmod(col("doc_id"), lit(16)))
+        noopWrite(graft.operators.Sketches.hllEstimate(
+          graft.operators.Sketches.hllRegisters(g, Seq("src"), col("text"), p = 12),
+          Seq("src"), p = 12))
+      }),
+      "strided_windows" -> (() => noopWrite(graft.operators.Packing.packSequencesStrided(
+        docs, "doc_id", "text", seqLen = 256, stride = 128))))
     // optional op filter (args(5), comma-separated): curve one family
     // member without paying for the whole suite at every n
     val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
@@ -262,6 +278,24 @@ object ScaleProbe {
           "vec", "vec_id", m = 8, k = 16, iters = 2)
         val enc = Similarity.pqEncode(corpus, "cvec", books).select(col("cid"), col("codes"))
         noopWrite(Similarity.pqTopK(queries, enc, books, k = 5))
+      }),
+      // IVF-PQ: coarse quantizer + residual codebooks train on the same
+      // 1/16 sample; encode is one generated map over the corpus; ADC
+      // search reads only (cell, codes) from the nprobe=4 probed cells
+      "ivfpq_encode"   -> (() => {
+        val sample = graft.operators.Sampling.deterministicSample(vecs, "vec_id", 1, 16)
+        val cents  = graft.operators.KMeans.fit(sample, "vec", "vec_id", k = 16, iters = 2)
+        val books  = Similarity.ivfPqFit(sample, "vec", "vec_id", cents, m = 8, k = 16, iters = 2)
+        noopWrite(Similarity.ivfPqEncode(vecs, "vec", cents, books))
+      }),
+      "ivfpq_topk_10q" -> (() => {
+        val sample = graft.operators.Sampling.deterministicSample(vecs, "vec_id", 1, 16)
+        val cents  = graft.operators.KMeans.fit(sample, "vec", "vec_id", k = 16, iters = 2)
+        val books  = Similarity.ivfPqFit(sample, "vec", "vec_id", cents, m = 8, k = 16, iters = 2)
+        val enc = Similarity
+          .ivfPqEncode(corpus.withColumnRenamed("cvec", "vec"), "vec", cents, books)
+          .select(col("cid"), col("cell"), col("codes"))
+        noopWrite(Similarity.ivfPqTopK(queries, enc, cents, books, nprobe = 4, k = 5))
       }))
     val ops = only.fold(allOps) { names => allOps.filter(o => names(o._1)) }
     ops.foreach { case (_, f) => f() }
