@@ -71,20 +71,37 @@ object Sketches {
   /** Per-group estimate from a [[hllRegisters]] table:
     * `(groupCols…, n_registers, max_rho, estimate)` where `n_registers`
     * counts non-empty registers and `estimate` is the raw HLL estimator
-    * rounded to 6 dp (see the portability contract above). */
-  def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    * rounded to 6 dp (see the portability contract above). With
+    * `keepRegisters = true` the register rows ride along — one exploded
+    * `(register, rho)` pair per row next to the group's summary — so a
+    * caller wanting both never references (= recomputes) the register
+    * aggregation twice.
+    *
+    * ONE aggregation pass over `regs`: the register list is
+    * collect_list-bounded at 2^p entries per group (a sketch, not data),
+    * so the denominator Σ2^(maxM − rho) folds over the in-row array —
+    * exact longs, since every 2^k ≤ 2^62 is an exact double and the
+    * fold adds integers. An earlier join-back formulation re-computed
+    * the register aggregate (and re-scanned the source) once per
+    * reference — plan-reviewed away. */
+  def hllEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      p: Int,
+      keepRegisters: Boolean = false): DataFrame = {
     val m     = 1L << p
     val alpha = alphaFor(m)
-    val a = regs
+    val est = regs
       .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_registers"), max(col("rho")).as("max_rho"))
-    // exact-integer denominator: sum over non-empty registers of
-    // 2^(maxM - rho), plus the empty registers' 2^maxM each
-    val s = regs
-      .join(a.select(groupCols.map(col) :+ col("max_rho").as("_maxm"): _*), groupCols)
-      .groupBy(groupCols.map(col): _*)
-      .agg(sum(expr("shiftleft(1L, int(_maxm - rho))")).as("_s_nonzero"))
-    a.join(s, groupCols)
+      .agg(
+        count(lit(1)).as("n_registers"),
+        max(col("rho")).as("max_rho"),
+        collect_list(struct(col("register"), col("rho"))).as("_regs"))
+      // exact-integer denominator: non-empty registers contribute
+      // 2^(maxM - rho), the (m - n) empty ones 2^maxM each
+      .withColumn("_s_nonzero",
+        aggregate(col("_regs"), lit(0L),
+          (acc, r) => acc + pow(lit(2.0), col("max_rho") - r.getField("rho")).cast("long")))
       .withColumn("estimate",
         round(
           lit(alpha) * lit((m * m).toDouble) * pow(lit(2.0), col("max_rho")) /
@@ -93,5 +110,13 @@ object Sketches {
               .cast("double"),
           6))
       .drop("_s_nonzero")
+    if (!keepRegisters) est.drop("_regs")
+    else est
+      .select(groupCols.map(col) ++ Seq(
+        col("n_registers"), col("max_rho"), col("estimate"),
+        explode(col("_regs")).as("_r")): _*)
+      .withColumn("register", col("_r.register"))
+      .withColumn("rho", col("_r.rho"))
+      .drop("_r")
   }
 }

@@ -179,10 +179,8 @@ object AggregateQueries {
   private val q87: Q = (s, dir) => {
     val regs = graft.operators.Sketches.hllRegisters(
       Tables.lineitem(s, dir), Seq("l_returnflag"), col("l_partkey"), p = 6)
-    val est = graft.operators.Sketches.hllEstimate(regs, Seq("l_returnflag"), p = 6)
-    regs
-      .join(est.select(col("l_returnflag"), col("n_registers"), col("estimate")),
-        Seq("l_returnflag"))
+    graft.operators.Sketches
+      .hllEstimate(regs, Seq("l_returnflag"), p = 6, keepRegisters = true)
       .select(col("l_returnflag"), col("register"), col("rho"),
         col("n_registers"), col("estimate"))
       .orderBy(col("l_returnflag"), col("register"))
