@@ -380,6 +380,31 @@ object TextKernelFns {
     }
     new GenericArrayData(out.toArray)
   }
+
+  /** One java.util.zip.Deflater per (thread, level), reset between rows —
+    * Deflater construction allocates native state, far too heavy per row. */
+  private val deflaters =
+    new ThreadLocal[java.util.HashMap[Int, java.util.zip.Deflater]] {
+      override def initialValue() = new java.util.HashMap[Int, java.util.zip.Deflater]()
+    }
+
+  /** Raw-DEFLATE size of the document — see [[DeflateStats]]. */
+  def deflateStats(text: UTF8String, level: Int): ArrayData = {
+    val b = text.getBytes
+    val map = deflaters.get()
+    var d = map.get(level)
+    if (d == null) {
+      d = new java.util.zip.Deflater(level, true) // nowrap: raw RFC 1951
+      map.put(level, d)
+    }
+    d.reset()
+    d.setInput(b)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    new GenericArrayData(Array(b.length.toLong, total))
+  }
 }
 
 /** `wordGrams(text, n, distinct)` as a codegen scalar expression →
@@ -647,4 +672,48 @@ object C4KeptLines {
   def apply(text: Column, delim: String, minWords: Int): Column =
     GraftSqlBridge.column(new C4KeptLines(
       GraftSqlBridge.expression(text.cast("string")), delim, minWords))
+}
+
+/** `deflateStats(text, level)` as a codegen scalar expression →
+  * array<long> [n_bytes, n_deflated]: the document's UTF-8 byte count
+  * and its raw-DEFLATE (RFC 1951, no zlib/gzip header) size at the
+  * given level. The compressed/raw ratio is a classic
+  * repetitiveness/boilerplate quality signal (highly repetitive pages
+  * compress far below normal prose). Spec-gated only: the oracle engine
+  * has no deflate surface, and the byte count depends on the DEFLATE
+  * implementation — the RATIO is the signal, not the exact size, so
+  * thresholds should be calibrated per deployment. One Deflater per
+  * thread (reset between rows), no allocation in the row loop beyond
+  * the output. */
+case class DeflateStats(child: Expression, level: Int) extends Expression {
+  require(level >= 1 && level <= 9, "deflate level must be in [1,9]")
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    if (t == null) null else TextKernelFns.deflateStats(t.asInstanceOf[UTF8String], level)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(code = code"""
+      ${c.code}
+      boolean ${ev.isNull} = ${c.isNull};
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
+      if (!${ev.isNull}) {
+        ${ev.value} = $kernel.deflateStats(${c.value}, $level);
+      }""")
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object DeflateStats {
+  def apply(text: Column, level: Int = 6): Column =
+    GraftSqlBridge.column(new DeflateStats(
+      GraftSqlBridge.expression(text.cast("string")), level))
 }

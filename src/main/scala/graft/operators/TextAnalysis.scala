@@ -296,6 +296,39 @@ object TextAnalysis {
           col("pass_badword"))
   }
 
+  /** Per-document compression-ratio quality signal: the fraction a raw
+    * DEFLATE pass shrinks the UTF-8 bytes to ([[graft.functions
+    * .DeflateStats]] — repetitive/boilerplate pages compress far below
+    * normal prose, the classic cheap repetitiveness heuristic). Output:
+    * `(id, n_bytes, n_deflated, compression_ratio)`; empty docs report
+    * ratio 1.0. Pure per-row, zero shuffle, streaming-safe
+    * ([[compressionPass]] is the predicate form). Spec-gated only: the
+    * oracle engine has no deflate, and exact byte counts are
+    * implementation-defined — the RATIO is the signal; calibrate
+    * thresholds per deployment. */
+  def compressionStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      level: Int = 6): DataFrame = {
+    val s = graft.functions.DeflateStats(col(textCol), level)
+    df.select(
+      col(idCol),
+      s.getItem(0).as("n_bytes"),
+      s.getItem(1).as("n_deflated"),
+      when(s.getItem(0) === 0L, lit(1.0))
+        .otherwise(s.getItem(1).cast("double") / s.getItem(0))
+        .as("compression_ratio"))
+  }
+
+  /** Keep rows whose compression ratio is at or above `minRatio` (below
+    * it the page is compressible enough to flag as repetitive
+    * boilerplate). Per-row predicate — usable on streaming frames. */
+  def compressionPass(text: Column, minRatio: Double, level: Int = 6): Column = {
+    val s = graft.functions.DeflateStats(text, level)
+    s.getItem(0) === 0L || s.getItem(1).cast("double") >= lit(minRatio) * s.getItem(0)
+  }
+
   /** Heuristic language ID: per-language stopword hit count, argmax with
     * deterministic (score desc, lang asc) tie-break; no hits → 'und'. */
   def languageId(

@@ -217,7 +217,30 @@ object AggregateQueries {
       |FROM regs JOIN e USING (flag)
       |ORDER BY l_returnflag, register""".stripMargin
 
+  /** HLL lossless-merge law, oracle-gated: the corpus splits into
+    * orderkey-parity halves, each half sketches independently, the
+    * sketches merge by register-wise max — and the ORACLE computes the
+    * whole-corpus sketch directly (q87's SQL verbatim), so the hash
+    * match IS the merge law `sketch(A ∪ B) = merge(sketch(A),
+    * sketch(B))` proven cross-engine. This is the shape a 100 TB
+    * deployment runs: per-partition/per-day sketches folded into the
+    * corpus cardinality without ever re-scanning. */
+  private val q90: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    def half(r: Int) = graft.operators.Sketches.hllRegisters(
+      li.filter(pmod(col("l_orderkey"), lit(2)) === r),
+      Seq("l_returnflag"), col("l_partkey"), p = 6)
+    graft.operators.Sketches
+      .hllEstimate(
+        graft.operators.Sketches.hllMergeRegisters(half(0), half(1)),
+        Seq("l_returnflag"), p = 6, keepRegisters = true)
+      .select(col("l_returnflag"), col("register"), col("rho"),
+        col("n_registers"), col("estimate"))
+      .orderBy(col("l_returnflag"), col("register"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q90_hll_merge"               -> q90,
     "q87_hll_sketch"              -> q87,
     "q50_quantiles"               -> q50,
     "q41_pivot_wide"              -> q41,
@@ -230,6 +253,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q90_hll_merge"               -> q87Sql, // merge law: whole-corpus sketch
     "q87_hll_sketch"              -> q87Sql,
     "q50_quantiles"               -> q50Sql,
     "q41_pivot_wide"              -> q41Sql,

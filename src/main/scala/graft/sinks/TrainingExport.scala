@@ -29,13 +29,17 @@ object TrainingExport {
     * ~`tokensPerShard` whitespace tokens (documents are never split: a
     * doc belongs to the shard its running token offset falls in).
     * Every column of `df` lands in the JSON object. Returns the shard
-    * count. */
+    * count. `compression` (e.g. `Some("gzip")` → `.txt.gz` line files)
+    * uses the writer's codec option — loaders stream-decompress, and
+    * byte-determinism holds per shard because gzip of identical bytes
+    * is identical bytes. */
   def jsonl(
       df: DataFrame,
       idCol: String,
       textCol: String,
       outDir: String,
-      tokensPerShard: Long): Long = {
+      tokensPerShard: Long,
+      compression: Option[String] = None): Long = {
     require(tokensPerShard >= 1L, "tokensPerShard must be positive")
     val cols = df.columns
     require(cols.contains(idCol) && cols.contains(textCol),
@@ -55,6 +59,7 @@ object TrainingExport {
       .sortWithinPartitions(col("shard"), col(idCol))
       .select(col("shard"), col("_json")) // projection keeps the sort order
       .write.mode("overwrite")
+      .options(compression.map("compression" -> _).toMap)
       .partitionBy("shard")
       .text(outDir)
 

@@ -63,6 +63,14 @@ object CorpusIngest {
       TextAnalysis.c4CleanText(text, delim, minWordsPerLine)
   }
 
+  /** Compression-ratio gate ([[TextAnalysis.compressionPass]]): drop
+    * pages whose DEFLATE ratio falls below `minRatio` (repetitive
+    * boilerplate compresses hard). Pure per-row, streaming-safe. */
+  final case class Compression(minRatio: Double, level: Int = 6) {
+    def predicate(text: Column): Column =
+      TextAnalysis.compressionPass(text, minRatio, level)
+  }
+
   /** Standing-corpus index for the dedup flag: the single-column hash
     * frame (`hashCol`) plus the bloom sizing contract. */
   final case class CorpusIndex(
@@ -133,7 +141,8 @@ object CorpusIngest {
       mixture: Option[(String, Seq[(String, Int)], Int)] = None, // (groupCol, rates, denom)
       corpus: Option[CorpusIndex] = None,
       nearDup: Option[NearDup] = None,
-      c4: Option[C4] = None): DataFrame = {
+      c4: Option[C4] = None,
+      compression: Option[Compression] = None): DataFrame = {
     val scrubbed = Pii.scrub(stream, textCol).withColumnRenamed("redacted", textCol)
     val c4Gated = c4 match {
       case Some(c) =>
@@ -142,9 +151,13 @@ object CorpusIngest {
           .withColumn(textCol, c.cleanText(col(textCol)))
       case None => scrubbed
     }
-    val qualGated = quality match {
-      case Some(q) => c4Gated.filter(q.predicate(col(textCol)))
+    val compGated = compression match {
+      case Some(c) => c4Gated.filter(c.predicate(col(textCol)))
       case None    => c4Gated
+    }
+    val qualGated = quality match {
+      case Some(q) => compGated.filter(q.predicate(col(textCol)))
+      case None    => compGated
     }
     val langGated = language match {
       case Some(l) => qualGated.filter(l.predicate(col(textCol)))

@@ -29,6 +29,8 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
  *     min-words-per-line: 5              # drop, kept pages' text rewrites
  *     min-sentences: 3                   # to the retained lines
  *     badwords: [verboten]               # optional page blocklist
+ *   - op: compression-filter             # DEFLATE-ratio repetitiveness gate
+ *     min-ratio: 0.3                     # drop pages compressing below it
  *   - op: quality-filter                 # Gopher rules, keep `pass` rows
   *     min-words: 30                      # optional rule overrides
   *     max-words: 100000
@@ -67,6 +69,9 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *   - op: pack-sequences                 # MATERIALIZE the packed windows —
   *     seq-len: 2048                      # output rows become sequences
   *                                        # (terminal: replaces the doc schema)
+  *   - op: pack-sequences-strided         # overlapping (sliding-context)
+  *     seq-len: 2048                      # windows; stride defaults to
+  *     stride: 1024                       # seq-len/2 (terminal)
   *   - op: pack-bins                      # whole-doc FFD bin assignment —
   *     seq-len: 2048                      # adds bin/oversize (no truncation)
   *   - op: pack-bin-sequences             # MATERIALIZE one row per bin
@@ -162,9 +167,11 @@ object CorpusJob {
     val stepsNode = Option(root.get("steps"))
       .map(n => (0 until n.size).map(n.get))
       .getOrElse(Seq.empty)
-    val known = Set("exact-dedup", "pii-scrub", "line-dedup", "c4-clean", "quality-filter", "lang-filter",
+    val known = Set("exact-dedup", "pii-scrub", "line-dedup", "c4-clean", "compression-filter",
+      "quality-filter", "lang-filter",
       "neardup", "decontaminate", "lm-filter", "dsir-select", "mixture", "stratified",
-      "split", "shuffle", "pack", "pack-sequences", "pack-bins", "pack-bin-sequences")
+      "split", "shuffle", "pack", "pack-sequences", "pack-sequences-strided",
+      "pack-bins", "pack-bin-sequences")
     stepsNode.foreach { s =>
       val op = req(s, "op").asText
       require(known(op), s"unknown step op '$op' (known: ${known.toSeq.sorted.mkString(", ")})")
@@ -215,6 +222,10 @@ object CorpusJob {
           val minSent = lng("min-sentences", 3L).toInt
           df.filter(TextAnalysis.c4Pass(col(textCol), delim, minWpl, minSent, bad))
             .withColumn(textCol, TextAnalysis.c4CleanText(col(textCol), delim, minWpl))
+        case "compression-filter" =>
+          // DEFLATE-ratio repetitiveness gate: pure per-row filter
+          df.filter(TextAnalysis.compressionPass(col(textCol),
+            dbl("min-ratio", 0.3), lng("level", 6L).toInt))
         case "quality-filter" =>
           val stop = Option(s.get("stopwords")) match {
             case Some(a) => (0 until a.size).map(a.get(_).asText)
@@ -321,6 +332,10 @@ object CorpusJob {
             Seq(idCol))
         case "pack-sequences" => // terminal: rows become fixed-length windows
           Packing.packSequences(df, idCol, textCol, lng("seq-len", 2048L).toInt)
+        case "pack-sequences-strided" => // terminal: overlapping windows
+          val seqLen = lng("seq-len", 2048L).toInt
+          Packing.packSequencesStrided(df, idCol, textCol, seqLen,
+            lng("stride", (seqLen / 2).toLong).toInt)
         case "pack-bins" => // whole-doc bin assignment, no truncation
           require(!df.columns.contains("bin") && !df.columns.contains("oversize"),
             "pack-bins step would clobber existing bin/oversize columns")
@@ -430,10 +445,11 @@ object CorpusJob {
     Option(req(root, "output").get("jsonl")).foreach { j =>
       val dir = req(j, "dir").asText
       val tps = Option(j.get("tokens-per-shard")).map(_.asLong).getOrElse(100000000L)
+      val cmp = Option(j.get("compression")).map(_.asText)
       require(cur.columns.contains(idCol) && cur.columns.contains(textCol),
         s"jsonl export needs '$idCol'/'$textCol' to survive to the output " +
           "(a terminal pack step replaces the document schema)")
-      graft.sinks.TrainingExport.jsonl(cur, idCol, textCol, dir, tps)
+      graft.sinks.TrainingExport.jsonl(cur, idCol, textCol, dir, tps, cmp)
     }
     val sheet = Datasheet(counts.result(), curRows)
     val out = fs.create(new org.apache.hadoop.fs.Path(s"$outDir/datasheet.json"), true)

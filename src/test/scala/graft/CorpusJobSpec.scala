@@ -135,6 +135,55 @@ class CorpusJobSpec extends SparkSpec {
     assert(out === Map(1L -> "alpha content", 2L -> "beta content", 3L -> "gamma content"))
   }
 
+  test("CorpusJob: compression-filter step drops boilerplate pages") {
+    val dir = Files.createTempDirectory("corpusjob-comp")
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val boiler = Seq.fill(200)("same phrase again").mkString(" ")
+    Seq((1L, varied), (2L, boiler)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: compression-filter
+         |    min-ratio: 0.2
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    assert(sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) ===
+      Seq(("compression-filter", 2L, 1L)))
+    val ids = spark.read.parquet(s"$dir/out/documents")
+      .select($"doc_id").as[Long].collect().toList
+    assert(ids === List(1L))
+  }
+
+  test("CorpusJob: pack-sequences-strided terminal step materializes overlapping windows") {
+    val dir = Files.createTempDirectory("corpusjob-strided")
+    Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val cfg =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: pack-sequences-strided
+         |    seq-len: 4
+         |    stride: 2
+         |output:
+         |  local: $dir/out
+         |""".stripMargin
+    Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+    val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
+    // stream a(0) b(1) c(2) d(3) e(4) → windows [0,4) [2,6) [4,8)
+    assert(sheet.steps.map(s => (s.op, s.rowsIn, s.rowsOut)) ===
+      Seq(("pack-sequences-strided", 2L, 3L)))
+    val out = spark.read.parquet(s"$dir/out/documents")
+      .orderBy($"seq_idx")
+      .select($"seq_idx", $"seq_text").as[(Long, String)].collect().toList
+    assert(out === List((0L, "a b c d"), (1L, "c d e"), (2L, "e")))
+  }
+
   test("CorpusJob: c4-clean step drops failing pages and rewrites text in place") {
     val dir = Files.createTempDirectory("corpusjob-c4")
     Seq(

@@ -386,6 +386,17 @@ class ExportSpec extends SparkSpec {
         d.getName -> lines.mkString("\n")
       }.toMap
     assert(shardBytes(path) === shardBytes(path2))
+
+    // gzip option: .txt.gz line files, identical logical content back
+    val path3 = Files.createTempDirectory("jsonlgz").toString + "/out"
+    TrainingExport.jsonl(docs, "doc_id", "text", path3, tokensPerShard = 40,
+      compression = Some("gzip"))
+    val gzFiles = new java.io.File(path3).listFiles().filter(_.getName.startsWith("shard="))
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".txt.gz"))
+    assert(gzFiles.nonEmpty, "gzip export produced no .txt.gz files")
+    val backGz = spark.read.json(path3).select($"doc_id", $"text", $"source")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(backGz === orig)
   }
 
   test("store attrs: coverage widens and date_created persists across appends") {

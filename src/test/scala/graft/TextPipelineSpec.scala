@@ -350,6 +350,27 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("compressionStats: repetitive text compresses far below varied text; pass law") {
+    val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val boiler = Seq.fill(200)("same phrase again").mkString(" ")
+    val d = docs(1L -> varied, 2L -> boiler, 3L -> "")
+    val got = TextAnalysis.compressionStats(d, "doc_id", "text").orderBy($"doc_id")
+      .as[(Long, Long, Long, Double)].collect().toList
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === varied.getBytes("UTF-8").length.toLong)
+    assert(byId(2L)._4 < 0.1, s"boilerplate should crush: ${byId(2L)}")
+    assert(byId(1L)._4 > 3 * byId(2L)._4, s"varied should not: $got")
+    // empty doc: ratio 1 by contract (deflate still emits its 2-byte empty block)
+    assert(byId(3L) === ((3L, 0L, 2L, 1.0)))
+    // the per-row predicate agrees with the stats' ratio at any threshold
+    for (thr <- Seq(0.05, 0.3, 0.9)) {
+      val kept = d.filter(TextAnalysis.compressionPass($"text", thr))
+        .select($"doc_id").as[Long].collect().toSet
+      val expect = got.filter(t => t._4 >= thr || t._2 == 0L).map(_._1).toSet
+      assert(kept === expect, s"threshold $thr")
+    }
+  }
+
   test("bloom index artifact: round-trip flags match the inline build; staleness pinned") {
     val dir = java.nio.file.Files.createTempDirectory("bloomidx")
     val corpus = docs(1L -> "seen one", 2L -> "seen two")
