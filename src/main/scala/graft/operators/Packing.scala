@@ -107,6 +107,51 @@ object Packing {
           " ").as("seq_text"))
   }
 
+  /** Document-boundary map of the packed sequences — the attention-mask
+    * sidecar: for every `seqLen`-token window of [[packSequences]], the
+    * ordered `doc_id:start:len` spans of the documents contributing to
+    * it (trainers mask cross-document attention inside packed batches
+    * from exactly this map). `start` is the document's first token
+    * position WITHIN the window; spans tile the window end to end.
+    * Output: `seq_idx, n_docs, n_tokens, boundaries` (boundaries as one
+    * deterministic comma-joined string — engine-portable and
+    * driver-sortable, unlike an array column).
+    *
+    * Scale shape: identical to [[packSequences]] minus the text — one
+    * prefix sum, one shuffle of (seq, doc)-level rows (NOT tokens: the
+    * per-doc min/count pre-aggregates on the token stream map-side), and
+    * every group is ≤ seqLen spans by construction. */
+  def packBoundaries(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
+    val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
+    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
+    toks
+      .join(off, idCol)
+      .select(
+        col(idCol),
+        (col("_off") + col("_pos")).as("_g"),
+        ((col("_off") + col("_pos")) / seqLen).cast("long").as("seq_idx"))
+      .groupBy(col("seq_idx"), col(idCol))
+      .agg((min(col("_g")) - col("seq_idx") * seqLen).as("_start"), count(lit(1)).as("_len"))
+      .groupBy(col("seq_idx"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_len")).as("n_tokens"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("_start"), col(idCol), col("_len")))),
+            s => concat_ws(":",
+              s.getField(idCol).cast("string"),
+              s.getField("_start").cast("string"),
+              s.getField("_len").cast("string"))),
+          ",").as("boundaries"))
+  }
+
   /** STRIDED sequence materialization — [[packSequences]] with
     * overlapping windows (the GPT-2-style sliding-context evaluation /
     * training chunker): window `w` covers global token positions

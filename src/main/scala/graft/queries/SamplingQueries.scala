@@ -260,6 +260,28 @@ object SamplingQueries {
       |  string_agg(token, ' ' ORDER BY gpos) AS seq_text
       |FROM e GROUP BY seq_idx ORDER BY seq_idx""".stripMargin
 
+  /** Packed-sequence document-boundary map (q75's attention-mask
+    * sidecar): per 64-token window, the ordered doc_id:start:len spans —
+    * what a trainer masks cross-document attention from. */
+  private val q91: Q = (s, dir) =>
+    graft.operators.Packing
+      .packBoundaries(Tables.documents(s, dir), "doc_id", "text", seqLen = 64)
+      .orderBy(col("seq_idx"))
+
+  private val q91Sql =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, CAST(t.i - 1 AS BIGINT) AS pos
+      |        FROM w, UNNEST(generate_series(1, len(w))) AS t(i)),
+      |g AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id, pos) - 1 AS gpos
+      |      FROM tok),
+      |d AS (
+      |  SELECT gpos // 64 AS seq_idx, doc_id,
+      |    MIN(gpos) - (gpos // 64) * 64 AS strt, COUNT(*) AS len
+      |  FROM g GROUP BY gpos // 64, doc_id)
+      |SELECT seq_idx, COUNT(*) AS n_docs, SUM(len)::BIGINT AS n_tokens,
+      |  string_agg(doc_id || ':' || strt || ':' || len, ',' ORDER BY strt) AS boundaries
+      |FROM d GROUP BY seq_idx ORDER BY seq_idx""".stripMargin
+
   /** Deterministic seed-keyed corpus shuffle (the reproducible read order
     * of a training run): md5(seed|id) key + the distributed prefix-sum
     * rank; the oracle states the same rank with ROW_NUMBER. */
@@ -369,7 +391,8 @@ object SamplingQueries {
     "q64_sequence_pack"     -> q64,
     "q65_shuffle_rank"      -> q65,
     "q75_pack_sequences"    -> q75,
-    "q89_strided_windows"   -> q89
+    "q89_strided_windows"   -> q89,
+    "q91_pack_boundaries"   -> q91
   )
 
   val oracles: Map[String, String] = Map(
@@ -384,6 +407,7 @@ object SamplingQueries {
     "q64_sequence_pack"     -> q64Sql,
     "q65_shuffle_rank"      -> q65Sql,
     "q75_pack_sequences"    -> q75Sql,
-    "q89_strided_windows"   -> q89Sql
+    "q89_strided_windows"   -> q89Sql,
+    "q91_pack_boundaries"   -> q91Sql
   )
 }

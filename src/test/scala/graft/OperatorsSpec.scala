@@ -587,6 +587,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Packing.packBoundaries: spans tile each window, cross-window docs split") {
+    val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g")).toDF("doc_id", "text")
+    // stream: 1:[0..2] 2:[3..5] 3:[6]; windows of 4 → w0 = a b c d, w1 = e f g
+    val got = Packing.packBoundaries(d, "doc_id", "text", seqLen = 4)
+      .orderBy($"seq_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got === Array(
+      (0L, 2L, 4L, "1:0:3,2:3:1"),
+      (1L, 2L, 3L, "2:0:2,3:2:1")))
+    // consistency with the materializer: per-window token counts agree
+    val counts = Packing.packSequences(d, "doc_id", "text", seqLen = 4)
+      .select($"seq_idx", $"n_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.map(t => t._1 -> t._3).toMap === counts)
+  }
+
   test("Packing.packSequencesStrided: overlapping windows, short tail, doc spans") {
     val d = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
     // global stream: a(0) b(1) c(2) d(3) e(4); windows of 4 at stride 2:
@@ -759,6 +775,33 @@ class OperatorsSpec extends SparkSpec {
     assert(
       dupRegs.collect().map(r => (r.getInt(1), r.getLong(2))).toSet ===
         regs.collect().map(r => (r.getInt(1), r.getLong(2))).toSet)
+  }
+
+  test("Sketches.hllRegisters on a stream: bounded state, converges to the batch sketch") {
+    // the streaming cardinality story: the register aggregation is a
+    // plain stateful max whose state is register-bounded (≤ 2^p rows per
+    // group FOREVER, whatever the stream's volume), so distinct-count
+    // monitoring runs on an infinite stream with constant memory
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val regs = Sketches.hllRegisters(ms.toDF().toDF("grp", "v"), Seq("grp"), $"v", p = 6)
+    val q = regs.writeStream.outputMode("complete").format("memory")
+      .queryName("hll_stream").start()
+    try {
+      ms.addData((0L until 3000L).map(i => ("g", i)): _*)
+      q.processAllAvailable()
+      ms.addData((3000L until 6000L).map(i => ("g", i)): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hll_stream").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      val batch = Sketches
+        .hllRegisters((0L until 6000L).map(i => ("g", i)).toDF("grp", "v"),
+          Seq("grp"), $"v", p = 6)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.size <= 64)
+    } finally q.stop()
   }
 
   test("Sketches.hll: groups sketch independently; merge unions disjoint groups") {
