@@ -88,6 +88,39 @@ object Multimodal {
     }
   }
 
+  /** dHash perceptual fingerprint (the image near-dup signature): sample
+    * the payload to a (w+1)×h grid ([[resizeStub]] — a real decoder
+    * swaps in pixel luminance, the hash math is unchanged), then bit
+    * (r,c) = 1 iff grid[r][c+1] > grid[r][c], packed into one long
+    * (`w·h ≤ 60` bits). Gradient signs survive brightness/contrast
+    * shifts, which is why dHash is the standard cheap image fingerprint.
+    * Pure per-row after the sampling kernel — zero shuffle. */
+  def dHash(media: DataFrame, w: Int = 8, h: Int = 7, batchSize: Int = 64): DataFrame = {
+    require(w >= 1 && h >= 1 && w * h <= 60, s"w*h must be <= 60 bits, got ${w * h}")
+    val grid = resizeStub(media, w + 1, h, batchSize).toDF()
+    val hash = (0 until h).flatMap { r =>
+      (0 until w).map { c =>
+        val pos = r * (w + 1) + c // 0-based grid offset of (r, c)
+        when(element_at(col("thumb"), pos + 2) > element_at(col("thumb"), pos + 1),
+          lit(1L << (r * w + c))).otherwise(lit(0L))
+      }
+    }.reduce(_ + _)
+    grid.select(col("doc_id"), hash.as("dhash"))
+  }
+
+  /** Image near-duplicate pairs over [[dHash]] signatures via the shared
+    * banded-pigeonhole hamming join ([[TextAnalysis.bandedHammingNearDup]])
+    * — the multimodal face of the simhash dedup family. */
+  def dHashNearDup(
+      media: DataFrame,
+      w: Int = 8,
+      h: Int = 7,
+      nBands: Int = 4,
+      maxHamming: Int = 3,
+      batchSize: Int = 64): DataFrame =
+    TextAnalysis.bandedHammingNearDup(
+      dHash(media, w, h, batchSize), "doc_id", "dhash", w * h, nBands, maxHamming)
+
   final case class ThumbRow(doc_id: Long, thumb: Seq[Int])
 
   /** Resize kernel (the image shape): deterministic nearest-neighbor

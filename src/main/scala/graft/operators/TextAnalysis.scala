@@ -809,22 +809,37 @@ object TextAnalysis {
       textCol: String,
       bits: Int,
       nBands: Int,
+      maxHamming: Int): DataFrame =
+    bandedHammingNearDup(
+      simHash(df, idCol, textCol, bits), idCol, "simhash", bits, nBands, maxHamming)
+
+  /** Banded-pigeonhole hamming near-dup over ANY long-signature frame
+    * (simhash, image dHash, audio chromaprint, …): signatures whose
+    * hamming distance ≤ `maxHamming` agree exactly on ≥ 1 of `nBands`
+    * bands (pigeonhole), so candidates come from a band-value equi-join
+    * and only candidates pay the exact `bit_count(xor)` verify. The
+    * generic core the modality-specific fronts share. */
+  def bandedHammingNearDup(
+      sig: DataFrame, // (idCol, sigCol: long)
+      idCol: String,
+      sigCol: String,
+      bits: Int,
+      nBands: Int,
       maxHamming: Int): DataFrame = {
     require(bits % nBands == 0, "bits must divide into equal bands")
     require(maxHamming < nBands, "pigeonhole guarantee needs maxHamming < nBands")
     val bandBits = bits / nBands
-    val sig      = simHash(df, idCol, textCol, bits)
     val bands = sig.select(
       col(idCol),
-      col("simhash"),
+      col(sigCol),
       explode(array((0 until nBands).map { b =>
         struct(
           lit(b).as("band"),
-          (shiftright(col("simhash"), b * bandBits) % lit(1L << bandBits)).as("band_val"))
+          (shiftright(col(sigCol), b * bandBits) % lit(1L << bandBits)).as("band_val"))
       }: _*)).as("bv"))
-      .select(col(idCol), col("simhash"), col("bv.band"), col("bv.band_val"))
-    val l = bands.select(col("band"), col("band_val"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val r = bands.select(col("band"), col("band_val"), col(idCol).as("id_b"), col("simhash").as("sh_b"))
+      .select(col(idCol), col(sigCol), col("bv.band"), col("bv.band_val"))
+    val l = bands.select(col("band"), col("band_val"), col(idCol).as("id_a"), col(sigCol).as("sh_a"))
+    val r = bands.select(col("band"), col("band_val"), col(idCol).as("id_b"), col(sigCol).as("sh_b"))
     l.join(r, Seq("band", "band_val"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))

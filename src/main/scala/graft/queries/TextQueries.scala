@@ -325,6 +325,56 @@ object TextQueries {
       |        octet_length(encode(text)) AS len_ FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Image near-dup pairs over dHash perceptual fingerprints (8×7-bit
+    * gradient signs on the 9×7 byte-sample grid — a real decoder swaps
+    * pixel luminance into the same hash math) through the shared
+    * banded-hamming join. The multimodal face of the simhash family. */
+  private val q92: Q = (s, dir) => {
+    // the corpus has no byte-level payload dups, so the gate derives
+    // them: every 20th doc re-enters under id+10000 with the same
+    // payload (identical literal derivation in the oracle) — those
+    // pairs collide at hamming 0 and the join does real work
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val dups = base.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    Multimodal
+      .dHashNearDup(
+        Multimodal.withPayload(base.union(dups), "doc_id", "text"),
+        w = 8, h = 7, nBands = 4, maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q92Sql = {
+    val n = 63 // (w+1)*h grid samples
+    val bitTerms = (0 until 7).flatMap { r =>
+      (0 until 8).map { c =>
+        val pos = r * 9 + c
+        s"(CASE WHEN t[${pos + 2}] > t[${pos + 1}] THEN ${1L << (r * 8 + c)} ELSE 0 END)"
+      }
+    }.mkString("\n      |    + ")
+    s"""WITH u AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0),
+      |g AS (SELECT doc_id, hex(encode(text)) AS hx,
+      |             octet_length(encode(text)) AS len_ FROM u),
+      |s AS (SELECT doc_id, list_transform(generate_series(0, ${n - 1}),
+      |        j -> CAST(('0x' || substr(hx, CAST(j * len_ // $n AS INT) * 2 + 1, 2)) AS INT)) AS t
+      |      FROM g),
+      |sig AS (SELECT doc_id, $bitTerms AS dhash FROM s),
+      |bands AS (
+      |  SELECT doc_id, dhash, b.b AS band,
+      |    (dhash >> (CAST(b.b AS INT) * 14)) % 16384 AS band_val
+      |  FROM sig CROSS JOIN UNNEST(generate_series(0, 3)) AS b(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.dhash AS sh_a, r.dhash AS sh_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band = r.band AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+      |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+      |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** SimHash near-dup pairs: banded pigeonhole LSH candidates + exact
     * hamming verify — the dedup JOIN on top of q27's signatures. */
   private val q46: Q = (s, dir) =>
@@ -913,7 +963,8 @@ object TextQueries {
     "q85_line_dedup"      -> q85,
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
-    "q45_resize_thumb"    -> q45
+    "q45_resize_thumb"    -> q45,
+    "q92_dhash_neardup"   -> q92
   )
 
   val oracles: Map[String, String] = Map(
@@ -944,6 +995,7 @@ object TextQueries {
     "q45_resize_thumb"    -> q45Sql,
     "q46_simhash_neardup" -> q46Sql,
     "q48_bpe_tokens"      -> q48Sql,
-    "q49_winnow_fingerprint" -> q49Sql
+    "q49_winnow_fingerprint" -> q49Sql,
+    "q92_dhash_neardup"   -> q92Sql
   )
 }

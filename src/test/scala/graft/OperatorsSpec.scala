@@ -587,6 +587,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("Multimodal.dHash: gradient-sign invariance, bit packing, near-dup pairs") {
+    // 63-byte payloads = one grid sample per byte (9×7 grid, identity sampling)
+    val up1  = Array.tabulate(63)(i => i.toByte)             // strictly rising
+    val up2  = Array.tabulate(63)(i => (100 + 2 * i).toByte) // same signs, shifted+scaled
+    val down = Array.tabulate(63)(i => (126 - 2 * i).toByte) // strictly falling
+    val media = Seq((1L, up1), (2L, up2), (3L, down)).toDF("doc_id", "payload")
+    val sigs = Multimodal.dHash(media, w = 8, h = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every in-row neighbor rises → all 56 bits set; falls → none
+    assert(sigs(1L) === (1L << 56) - 1)
+    assert(sigs(2L) === (1L << 56) - 1) // dHash sees gradient SIGNS, not levels
+    assert(sigs(3L) === 0L)
+    val pairs = Multimodal.dHashNearDup(media, w = 8, h = 7, nBands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs === Array((1L, 2L, 0)))
+  }
+
   test("Packing.packBoundaries: spans tile each window, cross-window docs split") {
     val d = Seq((1L, "a b c"), (2L, "d e f"), (3L, "g")).toDF("doc_id", "text")
     // stream: 1:[0..2] 2:[3..5] 3:[6]; windows of 4 → w0 = a b c d, w1 = e f g
