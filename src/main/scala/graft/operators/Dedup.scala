@@ -227,6 +227,39 @@ object Dedup {
     out
   }
 
+  /** Quality-aware canonical selection over near-dup clusters — the
+    * RefinedWeb-style refinement of keep-first: cluster the pair graph
+    * ([[connectedComponents]]), then keep each cluster's HIGHEST-scoring
+    * member (ties → lowest id), instead of blindly keeping the lowest id.
+    * Returns one row per cluster: `(cluster, n_members, keep_id,
+    * best_score)`; callers semi-join `keep_id` to compact the corpus.
+    *
+    * Scale shape: clustering is the O(diameter) label propagation over
+    * pair participants only; the argmax is ONE map-side-combined
+    * aggregate over (comp, id, score) rows — the lexicographic
+    * struct-max trick, no per-cluster window/sort, so a million-member
+    * degenerate cluster still reduces distributed. */
+  def keepBestInCluster(
+      pairs: DataFrame, // (aCol, bCol) near-dup pair graph
+      aCol: String,
+      bCol: String,
+      scores: DataFrame, // (idCol, scoreCol) — must cover every pair member
+      idCol: String,
+      scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val best = max(struct(
+      col(scoreCol).as("s"),
+      (-col("id")).as("ni"), // ties: larger -id = smaller id wins
+      col("id").as("kid")))
+    comps
+      .join(scores.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
+      .groupBy(col("comp").as("cluster"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        best.getField("kid").as("keep_id"),
+        best.getField("s").as("best_score"))
+  }
+
   /** Streaming exact dedup: content-addressed first-occurrence-wins over a
     * watermarked stream. A later arrival whose hash matches anything seen
     * within the watermark horizon is dropped; the engine evicts hash state

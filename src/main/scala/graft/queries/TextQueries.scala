@@ -248,6 +248,60 @@ object TextQueries {
       |SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id
       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection (q57's clusters, RefinedWeb-style
+    * keep-best): each near-dup cluster keeps its longest member
+    * (`n_chars`, ties → lowest id) instead of the lowest id. */
+  private val q93: Q = (s, dir) => {
+    val pairs = computeNearDupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    Dedup
+      .keepBestInCluster(pairs, "doc_a", "doc_b",
+        Tables.documents(s, dir), "doc_id", "n_chars")
+      .orderBy(col("cluster"))
+  }
+
+  private val q93Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |post AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a
+      |    JOIN post p ON p.shingle = a.shingle AND p.df BETWEEN 2 AND 100
+      |    JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.doc_a
+      |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT doc_a, doc_b FROM common
+      |    JOIN sizes na ON na.doc_id = doc_a
+      |    JOIN sizes nb ON nb.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT reach.id, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |clusters AS (
+      |  SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster
+      |  FROM reach GROUP BY id),
+      |sel AS (
+      |  SELECT cluster, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |                       ORDER BY n_chars DESC, doc_id ASC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY cluster) AS n_members
+      |  FROM clusters JOIN documents USING (doc_id))
+      |SELECT cluster, n_members, doc_id AS keep_id, n_chars AS best_score
+      |FROM sel WHERE rn = 1 ORDER BY cluster""".stripMargin
+
   /** SimHash (16-bit, majority vote, no row explosion). */
   private val q27: Q = (s, dir) =>
     TextAnalysis
@@ -964,7 +1018,8 @@ object TextQueries {
     "q28_multimodal_meta" -> q28,
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45,
-    "q92_dhash_neardup"   -> q92
+    "q92_dhash_neardup"   -> q92,
+    "q93_keep_best"       -> q93
   )
 
   val oracles: Map[String, String] = Map(
@@ -996,6 +1051,7 @@ object TextQueries {
     "q46_simhash_neardup" -> q46Sql,
     "q48_bpe_tokens"      -> q48Sql,
     "q49_winnow_fingerprint" -> q49Sql,
-    "q92_dhash_neardup"   -> q92Sql
+    "q92_dhash_neardup"   -> q92Sql,
+    "q93_keep_best"       -> q93Sql
   )
 }

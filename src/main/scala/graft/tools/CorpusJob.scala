@@ -37,7 +37,9 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *   - op: lang-filter                    # heuristic language ID
   *     keep: [en]
   *   - op: neardup                        # MinHash-LSH pairs -> clusters ->
-  *     min-jaccard: 0.8                   # keep cluster canonicals
+  *     min-jaccard: 0.8                   # keep cluster canonicals; or
+  *     keep-by: n_chars                   # keep-best-by-score instead
+  *                                        # ('length' = computed text length)
   *   - op: decontaminate                  # drop docs overlapping a benchmark
   *     benchmark: /path/bench.parquet     # same id/text column names
   *     min-overlap: 5
@@ -251,10 +253,28 @@ object CorpusJob {
         case "neardup" =>
           val pairs = MinHashLSH.nearDuplicates(df, idCol, textCol,
             minJaccard = dbl("min-jaccard", 0.8))
-          val losers = Dedup
-            .connectedComponents(pairs, "doc_a", "doc_b")
-            .filter(col("comp") =!= col("id"))
-            .select(col("id").as(idCol))
+          val losers = Option(s.get("keep-by")).map(_.asText) match {
+            case None => // canonical keep-first: lowest id per cluster
+              Dedup
+                .connectedComponents(pairs, "doc_a", "doc_b")
+                .filter(col("comp") =!= col("id"))
+                .select(col("id").as(idCol))
+            case Some(kb) => // quality-aware: highest kb survives (ties → lowest id)
+              val scores =
+                if (df.columns.contains(kb)) df.select(col(idCol), col(kb))
+                else {
+                  require(kb == "length",
+                    s"keep-by column '$kb' not in input (or use the computed 'length')")
+                  df.select(col(idCol), length(col(textCol)).cast("long").as(kb))
+                }
+              val keep = Dedup
+                .keepBestInCluster(pairs, "doc_a", "doc_b", scores, idCol, kb)
+                .select(col("keep_id"))
+              val members = pairs.select(col("doc_a").as(idCol))
+                .unionByName(pairs.select(col("doc_b").as(idCol))).distinct()
+              members.join(keep, members(idCol) === keep("keep_id"), "left_anti")
+                .select(col(idCol))
+          }
           df.join(losers, Seq(idCol), "left_anti")
         case "decontaminate" =>
           val bench = spark.read.parquet(req(s, "benchmark").asText)

@@ -135,6 +135,35 @@ class CorpusJobSpec extends SparkSpec {
     assert(out === Map(1L -> "alpha content", 2L -> "beta content", 3L -> "gamma content"))
   }
 
+  test("CorpusJob: neardup keep-by selects the longest member, not the lowest id") {
+    val dir = Files.createTempDirectory("corpusjob-keepby")
+    // docs 1/2 are near-dups; 2 is LONGER, so keep-by: length must keep 2
+    // (the canonical default would keep 1); doc 5 is unrelated
+    Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the old river bank today"),
+      (2L, "the quick brown fox jumps over a lazy dog near the old river bank today my friend"),
+      (5L, "children played in the park as the evening light faded over a calm horizon"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def runWith(extra: String): Set[Long] = {
+      val cfg =
+        s"""input:
+           |  documents: $dir/documents.parquet
+           |steps:
+           |  - op: neardup
+           |    min-jaccard: 0.5
+           |$extra
+           |output:
+           |  local: $dir/out
+           |""".stripMargin
+      Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
+      CorpusJob.run(spark, s"$dir/job.yaml")
+      spark.read.parquet(s"$dir/out/documents").select($"doc_id").as[Long].collect().toSet
+    }
+    assert(runWith("    keep-by: length") === Set(2L, 5L))
+    assert(runWith("") === Set(1L, 5L)) // canonical default keeps the lowest id
+  }
+
   test("CorpusJob: compression-filter step drops boilerplate pages") {
     val dir = Files.createTempDirectory("corpusjob-comp")
     val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")

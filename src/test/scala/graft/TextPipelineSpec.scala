@@ -350,6 +350,16 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("keepBestInCluster: highest score survives, ties to lowest id") {
+    val pairs  = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 4L)).toDF("id", "score")
+    val got = Dedup.keepBestInCluster(pairs, "a", "b", scores, "id", "score")
+      .orderBy($"cluster")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // {1,2,3}: best score 9 shared by 2 and 3 → keep 2; {10,11}: tie → keep 10
+    assert(got === List((1L, 3L, 2L, 9L), (10L, 2L, 10L, 4L)))
+  }
+
   test("compressionStats: repetitive text compresses far below varied text; pass law") {
     val varied = (0 until 200).map(i => s"w${i * 7919 % 9973}").mkString(" ")
     val boiler = Seq.fill(200)("same phrase again").mkString(" ")
