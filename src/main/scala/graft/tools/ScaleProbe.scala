@@ -528,7 +528,14 @@ object ScaleProbe {
         lm       = Some(CorpusIngest.LmQuality(lmModel, maxBitsPerBigram = 64.0, maxOovPct = 100L)),
         dsir     = Some(CorpusIngest.DsirSelect(dsirModel, keepAbove = Long.MinValue)),
         mixture  = Some(("source", Seq("s0" -> 2, "s1" -> 2, "s2" -> 1, "s3" -> 1), 2)),
-        corpus   = Some(index))
+        corpus   = Some(index),
+        // continuation-3 stage: the DEFLATE-ratio gate at a keep-all
+        // threshold, so the probe pays the per-row Deflater cost without
+        // changing selectivity. (The C4 stage is NOT composable on this
+        // corpus — word-soup lines never end in punctuation, so its
+        // rewrite would empty every doc; its per-row cost is measured in
+        // textProbe's c4_rules entry instead.)
+        compression = Some(CorpusIngest.Compression(minRatio = 0.0)))
       // batch reference: the same gate over the same files in one pass —
       // the denominator for the micro-batch overhead factor
       val tb = System.nanoTime()
