@@ -89,7 +89,52 @@ object SetSimilarity {
   def ngramJaccardFromPostings(
       buckets: DataFrame,
       minJaccard: Double = 0.5,
-      maxDocFreq: Int = 100): DataFrame = {
+      maxDocFreq: Int = 100): DataFrame =
+    pairsWithSizes(buckets, maxDocFreq)
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .filter(col("jaccard") >= lit(minJaccard))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+
+  /** Asymmetric CONTAINMENT near-dup over the same postings machinery:
+    * containment = |A ∩ B| / min(|A|, |B|) — the smaller document's
+    * covered fraction. This is the doc-inside-doc detector Jaccard
+    * structurally misses: a short document fully embedded in a long one
+    * has Jaccard |A|/|B| (arbitrarily small) but containment 1. Same
+    * candidates, caps, and exact hot-shingle correction as
+    * [[ngramJaccardFromPostings]]. */
+  def containmentFromPostings(
+      buckets: DataFrame,
+      minContainment: Double = 0.8,
+      maxDocFreq: Int = 100): DataFrame =
+    pairsWithSizes(buckets, maxDocFreq)
+      .withColumn(
+        "containment",
+        col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+      .filter(col("containment") >= lit(minContainment))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment"))
+
+  /** [[containmentFromPostings]] from raw documents. */
+  def containmentNearDup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3,
+      minContainment: Double = 0.8,
+      maxDocFreq: Int = 100,
+      persist: Option[StorageLevel] = None): DataFrame = {
+    val post    = shinglePostings(df, idCol, textCol, shingleLen)
+    val buckets = persist.map(post.persist).getOrElse(post)
+    containmentFromPostings(buckets, minContainment, maxDocFreq)
+  }
+
+  /** Shared pair core: candidate (doc_a, doc_b) pairs from df-capped
+    * postings with exact n_common (sub-cap count + hot-shingle
+    * correction) and both set sizes attached. */
+  private def pairsWithSizes(
+      buckets: DataFrame,
+      maxDocFreq: Int): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 can never produce a candidate pair")
     // per-doc set sizes re-derived from the postings rather than a second
     // pass over the texts: every branch below then shares the ONE shingle
@@ -130,11 +175,7 @@ object SetSimilarity {
       .withColumn("n_common", col("n_sub") + coalesce(col("n_hot"), lit(0L)))
       .join(sizes.select(col("_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(sizes.select(col("_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn(
-        "jaccard",
-        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
-      .filter(col("jaccard") >= lit(minJaccard))
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"))
   }
 
   /** Cross-corpus n-gram overlap — the decontamination primitive: every

@@ -200,6 +200,43 @@ object TextQueries {
       |WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Asymmetric containment near-dup — |A∩B| / min(|A|,|B|): the
+    * doc-inside-doc detector Jaccard structurally misses (a short doc
+    * fully embedded in a long one has tiny Jaccard but containment 1).
+    * Same postings machinery, caps, and hot-shingle correction as q52. */
+  private val q94: Q = (s, dir) =>
+    SetSimilarity
+      .containmentNearDup(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, minContainment = 0.8, maxDocFreq = 100)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q94Sql =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |       UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      |  WHERE len(w) >= 3),
+      |post AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM sh a
+      |    JOIN post p ON p.shingle = a.shingle AND p.df BETWEEN 2 AND 100
+      |    JOIN sh b ON b.shingle = a.shingle AND a.doc_id < b.doc_id),
+      |common AS (
+      |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+      |  FROM cand c
+      |    JOIN sh sa ON sa.doc_id = c.doc_a
+      |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+      |  GROUP BY c.doc_a, c.doc_b),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+      |SELECT doc_a, doc_b, n_common,
+      |  CAST(n_common AS DOUBLE) / LEAST(na.n, nb.n) AS containment
+      |FROM common
+      |  JOIN sizes na ON na.doc_id = doc_a
+      |  JOIN sizes nb ON nb.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / LEAST(na.n, nb.n) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup clustering: connected components over the exact-Jaccard pair
     * graph (q52's edges), each doc labeled with its cluster's smallest doc
     * id — the canonical-selection step a real dedup pipeline runs after
@@ -1019,7 +1056,8 @@ object TextQueries {
     "q44_frame_sample"    -> q44,
     "q45_resize_thumb"    -> q45,
     "q92_dhash_neardup"   -> q92,
-    "q93_keep_best"       -> q93
+    "q93_keep_best"       -> q93,
+    "q94_containment"     -> q94
   )
 
   val oracles: Map[String, String] = Map(
@@ -1052,6 +1090,7 @@ object TextQueries {
     "q48_bpe_tokens"      -> q48Sql,
     "q49_winnow_fingerprint" -> q49Sql,
     "q92_dhash_neardup"   -> q92Sql,
-    "q93_keep_best"       -> q93Sql
+    "q93_keep_best"       -> q93Sql,
+    "q94_containment"     -> q94Sql
   )
 }

@@ -227,4 +227,19 @@ class SetSimilaritySpec extends SparkSpec {
     val all = Sampling.deterministicSample(d, "doc_id", 100, 100)
     assert(all.count() === d.count())
   }
+
+  test("containmentNearDup finds the doc-inside-doc pair Jaccard misses") {
+    import spark.implicits._
+    val short = "p q r s t" // 3 shingles
+    val long  = short + " u v w x y z aa bb cc dd" // 13 shingles, short's all inside
+    val d = Seq((1L, short), (2L, long), (3L, "k l m n o")).toDF("doc_id", "text")
+    val jac = graft.operators.SetSimilarity
+      .ngramJaccardNearDup(d, "doc_id", "text", minJaccard = 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard 3/13 must be under the 0.5 gate")
+    val got = graft.operators.SetSimilarity
+      .containmentNearDup(d, "doc_id", "text", minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array((1L, 2L, 3L, 1.0))) // the short doc is fully contained
+  }
 }
