@@ -116,6 +116,8 @@ object ScaleProbe {
       // shingle can only DROP work, never add it). The shared postings
       // aggregate materializes once for its three consumers.
       "ngram_jaccard"  -> (() => withPostings(SetSimilarity.ngramJaccardFromPostings(_))),
+      // same postings core, asymmetric final — must track ngram_jaccard
+      "containment"    -> (() => withPostings(SetSimilarity.containmentFromPostings(_))),
       "hash_split"     -> (() => noopWrite(Sampling.hashSplit(docs, "doc_id", Seq(("train", 90), ("val", 5), ("test", 5))))),
       "stratified"     -> (() => noopWrite(Sampling.stratifiedSample(
         docs.withColumn("stratum", pmod(col("doc_id"), lit(16))), "doc_id", Seq("stratum"), 100))),
@@ -627,7 +629,9 @@ object ScaleProbe {
       val rates = ((0 until 8).map(i => s"s$i: 2") ++ (8 until 12).map(i => s"s$i: 1"))
         .mkString("{", ", ", "}")
       // the FULL modern chain: every ingest-tier family participates.
-      // line-dedup runs at an unreachable threshold and lm/dsir at
+      // line-dedup runs at an unreachable threshold, compression-filter
+      // at a keep-all ratio (it pays the Deflater, drops nothing on word
+      // soup), neardup keeps best-by-length, and lm/dsir at
       // permissive ceilings/floors — each stage computes its complete
       // signal (counts, models, scores) without zeroing the corpus the
       // later stages need; the terminal shape is no-truncation pack-bins
@@ -641,11 +645,14 @@ object ScaleProbe {
            |  - op: line-dedup
            |    delimiter: " "
            |    min-docs: 1000000000
+           |  - op: compression-filter
+           |    min-ratio: 0.05
            |  - op: quality-filter
            |    min-words: 10
            |    min-stop-hits: 0
            |  - op: neardup
            |    min-jaccard: 0.5
+           |    keep-by: length
            |  - op: decontaminate
            |    benchmark: $dir/bench.parquet
            |    min-overlap: 5
