@@ -207,7 +207,10 @@ object TextQueries {
   private val q94: Q = (s, dir) =>
     SetSimilarity
       .containmentNearDup(Tables.documents(s, dir), "doc_id", "text",
-        shingleLen = 3, minContainment = 0.8, maxDocFreq = 100)
+        shingleLen = 3, minContainment = 0.8, maxDocFreq = 100,
+        // the postings feed three branches (sizes, sub-cap pairs, hot
+        // correction) — materialize once, same as the q52/q70 family
+        persist = Some(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val q94Sql =
