@@ -119,4 +119,77 @@ object Sketches {
       .withColumn("rho", col("_r.rho"))
       .drop("_r")
   }
+
+  // -------------------------------------------------------------- CMS
+
+  /** The CMS bucket of `value` in row `depth` — the md5-prefix hash over
+    * "depth|value", mod the width (engine-portable, like the HLL hash). */
+  private def cmsBucket(depth: Column, value: Column, width: Int): Column =
+    conv(substring(md5(concat(depth.cast("string"), lit("|"), value.cast("string"))), 1, 15),
+      16, 10).cast("long") % width
+
+  /** Count-Min Sketch registers (Cormode & Muthukrishnan 2005) of
+    * `value` per group: `depth × width` counters, counter (d, b) = how
+    * many rows hash to bucket b in hash row d. The heavy-hitter /
+    * frequency-estimate counterpart to [[hllRegisters]]: only
+    * `(group, depth, bucket)` rows ever shuffle — at most depth·width
+    * per group regardless of data volume — and the counts sum map-side.
+    * Rows for empty buckets are omitted (they are zero).
+    *
+    * Merge law: sketches of disjoint row sets merge by ELEMENTWISE SUM
+    * ([[cmsMergeRegisters]]) — lossless, the fold-per-day shape.
+    * Estimate law: [[cmsEstimate]] never underestimates a value's true
+    * count, and overestimates only by hash-collision mass (both
+    * spec-pinned; registers + estimates are integer-exact, so the whole
+    * surface hash-gates cross-engine). */
+  def cmsRegisters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      depth: Int,
+      width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    require(width >= 2, s"width must be >= 2, got $width")
+    df.select(groupCols.map(col) :+ value.cast("string").as("_v"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("_v"), explode(array((0 until depth).map(d => lit(d)): _*)).as("depth")): _*)
+      .withColumn("bucket", cmsBucket(col("depth"), col("_v"), width))
+      .groupBy(groupCols.map(col) ++ Seq(col("depth"), col("bucket")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge CMS register tables (same depth/width) by elementwise sum —
+    * the sketch of the UNION of the underlying row sets. */
+  def cmsMergeRegisters(sketches: DataFrame*): DataFrame = {
+    require(sketches.nonEmpty)
+    val groupCols = sketches.head.columns
+      .filterNot(c => c == "depth" || c == "bucket" || c == "cnt")
+    sketches.reduce(_.unionByName(_))
+      .groupBy(groupCols.map(col) ++ Seq(col("depth"), col("bucket")): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Point-query estimates from a [[cmsRegisters]] table: for each row of
+    * `queries` (same groupCols + `valueCol`), the CMS count estimate =
+    * min over hash rows of the value's counter (absent counter = 0).
+    * Output: `(groupCols…, valueCol, cms_count)`. The queries side is
+    * usually a bounded candidate set (e.g. a vocabulary slice); each
+    * query costs `depth` register lookups via one equi-join against the
+    * bounded register table — broadcast-able by construction. */
+  def cmsEstimate(
+      regs: DataFrame,
+      groupCols: Seq[String],
+      queries: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int): DataFrame = {
+    val q = queries
+      .select(groupCols.map(col) :+ col(valueCol): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col(valueCol), explode(array((0 until depth).map(d => lit(d)): _*)).as("depth")): _*)
+      .withColumn("bucket", cmsBucket(col("depth"), col(valueCol).cast("string"), width))
+    q.join(broadcast(regs), groupCols ++ Seq("depth", "bucket"), "left")
+      .groupBy(groupCols.map(col) :+ col(valueCol): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
 }

@@ -239,7 +239,70 @@ object AggregateQueries {
       .orderBy(col("l_returnflag"), col("register"))
   }
 
+  /** Count-Min Sketch point queries over the corpus token stream
+    * (depth 3 × width 256): every distinct token's CMS estimate next to
+    * its true count — integer-exact registers AND estimates, so the
+    * whole surface hash-gates; the never-underestimates law is visible
+    * in the output itself. */
+  private val q95: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val regs  = graft.operators.Sketches.cmsRegisters(toks, Nil, col("token"), depth = 3, width = 256)
+    val truth = toks.groupBy(col("token")).agg(count(lit(1)).as("true_count"))
+    graft.operators.Sketches
+      .cmsEstimate(regs, Nil, truth.select(col("token")), "token", depth = 3, width = 256)
+      .join(truth, Seq("token"))
+      .select(col("token"), col("true_count"), col("cms_count"))
+      .orderBy(col("token"))
+  }
+
+  private val q95Sql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |reg AS (
+      |  SELECT d.d AS depth,
+      |    ('0x' || substr(md5(d.d::VARCHAR || '|' || token), 1, 15))::BIGINT % 256 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM toks CROSS JOIN UNNEST(generate_series(0, 2)) AS d(d)
+      |  GROUP BY 1, 2),
+      |tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS true_count FROM toks GROUP BY 1),
+      |est AS (
+      |  SELECT t.token, MIN(COALESCE(r.cnt, 0)) AS cms_count
+      |  FROM tc t CROSS JOIN UNNEST(generate_series(0, 2)) AS d(d)
+      |  LEFT JOIN reg r ON r.depth = d.d
+      |    AND r.bucket = ('0x' || substr(md5(d.d::VARCHAR || '|' || t.token), 1, 15))::BIGINT % 256
+      |  GROUP BY t.token)
+      |SELECT t.token, t.true_count, CAST(e.cms_count AS BIGINT) AS cms_count
+      |FROM tc t JOIN est e USING (token)
+      |ORDER BY token""".stripMargin
+
+  /** CMS lossless-merge law, oracle-gated like q90: parity-half token
+    * streams sketch independently and merge by elementwise sum; the
+    * oracle computes the whole-corpus registers directly. */
+  private val q96: Q = (s, dir) => {
+    def half(r: Int) = graft.operators.Sketches.cmsRegisters(
+      Tables.documents(s, dir)
+        .filter(pmod(col("doc_id"), lit(2)) === r)
+        .select(explode(split(col("text"), " ")).as("token")),
+      Nil, col("token"), depth = 3, width = 256)
+    graft.operators.Sketches
+      .cmsMergeRegisters(half(0), half(1))
+      .orderBy(col("depth"), col("bucket"))
+  }
+
+  private val q96Sql =
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+      |reg AS (
+      |  SELECT d.d AS depth,
+      |    ('0x' || substr(md5(d.d::VARCHAR || '|' || token), 1, 15))::BIGINT % 256 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM toks CROSS JOIN UNNEST(generate_series(0, 2)) AS d(d)
+      |  GROUP BY 1, 2)
+      |SELECT CAST(depth AS INT) AS depth, bucket, CAST(cnt AS BIGINT) AS cnt
+      |FROM reg ORDER BY depth, bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q95_cms_counts"              -> q95,
+    "q96_cms_merge"               -> q96,
     "q90_hll_merge"               -> q90,
     "q87_hll_sketch"              -> q87,
     "q50_quantiles"               -> q50,
@@ -253,6 +316,8 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_cms_counts"              -> q95Sql,
+    "q96_cms_merge"               -> q96Sql, // merge law: whole-corpus registers
     "q90_hll_merge"               -> q87Sql, // merge law: whole-corpus sketch
     "q87_hll_sketch"              -> q87Sql,
     "q50_quantiles"               -> q50Sql,

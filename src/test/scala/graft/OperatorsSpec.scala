@@ -821,6 +821,36 @@ class OperatorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Sketches.cms: exact without collisions, merge law, never underestimates") {
+    val vals = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val d = vals.toDF("v")
+    val regs = Sketches.cmsRegisters(d, Nil, $"v", depth = 3, width = 1024)
+    // 3 values × 3 depths in 1024 buckets: no collisions → 9 counters,
+    // and every estimate is exact
+    assert(regs.count() === 9)
+    val est = Sketches
+      .cmsEstimate(regs, Nil, Seq("a", "b", "c").toDF("v"), "v", depth = 3, width = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(est === Map("a" -> 5L, "b" -> 3L, "c" -> 1L))
+    // merge of any split = the whole sketch, elementwise
+    val merged = Sketches.cmsMergeRegisters(
+      Sketches.cmsRegisters(vals.take(4).toDF("v"), Nil, $"v", 3, 1024),
+      Sketches.cmsRegisters(vals.drop(4).toDF("v"), Nil, $"v", 3, 1024))
+    assert(
+      merged.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet ===
+        regs.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet)
+    // forced-collision regime (width 2): estimates may inflate but NEVER
+    // fall below the true count — the CMS one-sided error law
+    val many = ((0 until 50).map(i => s"t$i") ++ Seq.fill(7)("t0")).toDF("v")
+    val tiny = Sketches.cmsRegisters(many, Nil, $"v", depth = 2, width = 2)
+    val truth = many.groupBy($"v").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val est2 = Sketches
+      .cmsEstimate(tiny, Nil, many.select($"v").distinct(), "v", depth = 2, width = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    est2.foreach { case (v, e) => assert(e >= truth(v), s"underestimate for $v: $e < ${truth(v)}") }
+  }
+
   test("Sketches.hll: groups sketch independently; merge unions disjoint groups") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("grp", "v")
     val regs = Sketches.hllRegisters(df, Seq("grp"), $"v", p = 6)
