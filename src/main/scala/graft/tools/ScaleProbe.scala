@@ -194,6 +194,11 @@ object ScaleProbe {
           graft.operators.Sketches.hllRegisters(g, Seq("src"), col("text"), p = 12),
           Seq("src"), p = 12))
       }),
+      // CMS over the TOKEN stream (explode ×60 per doc): counters bounded
+      // at depth·width however big the corpus — must stay flat like hll
+      "cms_sketch"     -> (() => noopWrite(graft.operators.Sketches.cmsRegisters(
+        docs.select(explode(split(col("text"), " ")).as("tok")),
+        Nil, col("tok"), depth = 4, width = 4096))),
       "strided_windows" -> (() => noopWrite(graft.operators.Packing.packSequencesStrided(
         docs, "doc_id", "text", seqLen = 256, stride = 128))))
     // optional op filter (args(5), comma-separated): curve one family

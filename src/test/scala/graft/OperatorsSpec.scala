@@ -851,6 +851,30 @@ class OperatorsSpec extends SparkSpec {
     est2.foreach { case (v, e) => assert(e >= truth(v), s"underestimate for $v: $e < ${truth(v)}") }
   }
 
+  test("Sketches.cmsRegisters on a stream: bounded state, converges to the batch sketch") {
+    // same contract as streaming HLL: the counter aggregation is a plain
+    // stateful sum with state bounded by depth × width forever
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[String]
+    val regs = Sketches.cmsRegisters(ms.toDF().toDF("v"), Nil, $"v", depth = 2, width = 64)
+    val q = regs.writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      ms.addData((0 until 500).map(i => s"t${i % 40}"): _*)
+      q.processAllAvailable()
+      ms.addData((500 until 900).map(i => s"t${i % 40}"): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms_stream").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = Sketches
+        .cmsRegisters((0 until 900).map(i => s"t${i % 40}").toDF("v"), Nil, $"v", 2, 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.size <= 128)
+    } finally q.stop()
+  }
+
   test("Sketches.hll: groups sketch independently; merge unions disjoint groups") {
     val df = Seq(("a", 1L), ("a", 2L), ("b", 1L)).toDF("grp", "v")
     val regs = Sketches.hllRegisters(df, Seq("grp"), $"v", p = 6)
