@@ -120,6 +120,33 @@ object Sketches {
       .drop("_r")
   }
 
+  /** Set-overlap estimation from two HLL register tables
+    * (inclusion–exclusion over the merge law): |A ∩ B| ≈ est(A) +
+    * est(B) − est(A ∪ B), with the union sketch FREE via
+    * [[hllMergeRegisters]]. This is how two 100 TB crawls' dedup
+    * potential is sized WITHOUT ever joining them — three
+    * kilobyte-scale sketches and one subtraction. Standard caveat
+    * (documented, not hidden): the intersection inherits the additive
+    * error of three estimates, so small overlaps of large sets drown in
+    * noise — it is a sizing instrument, not a membership test. Output
+    * per group: `est_a, est_b, est_union, est_intersection` (all at the
+    * estimator's 6 dp, intersection from the rounded public estimates —
+    * deterministic cross-engine). */
+  def hllIntersectionEstimate(
+      regsA: DataFrame,
+      regsB: DataFrame,
+      groupCols: Seq[String],
+      p: Int): DataFrame = {
+    def est(r: DataFrame, name: String) =
+      hllEstimate(r, groupCols, p)
+        .select(groupCols.map(col) :+ col("estimate").as(name): _*)
+    est(regsA, "est_a")
+      .join(est(regsB, "est_b"), groupCols)
+      .join(est(hllMergeRegisters(regsA, regsB), "est_union"), groupCols)
+      .withColumn("est_intersection",
+        round(col("est_a") + col("est_b") - col("est_union"), 6))
+  }
+
   // -------------------------------------------------------------- CMS
 
   /** The CMS bucket of `value` in row `depth` — the md5-prefix hash over

@@ -300,7 +300,65 @@ object AggregateQueries {
       |SELECT CAST(depth AS INT) AS depth, bucket, CAST(cnt AS BIGINT) AS cnt
       |FROM reg ORDER BY depth, bucket""".stripMargin
 
+  /** HLL set-overlap estimation (inclusion–exclusion over the merge
+    * law): two overlapping orderkey slices sketch their distinct parts
+    * independently; |A∩B| ≈ est(A)+est(B)−est(A∪B) with the union
+    * sketch free via register-wise max — how two corpora's dedup
+    * potential is sized WITHOUT a join. Estimates and the subtraction
+    * are the portable 6 dp doubles, so the row hash-gates. */
+  private val q97: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    def slice(ks: Seq[Int]) = graft.operators.Sketches.hllRegisters(
+      li.filter(pmod(col("l_orderkey"), lit(3)).isin(ks.map(Integer.valueOf): _*)),
+      Seq("l_returnflag"), col("l_partkey"), p = 6)
+    graft.operators.Sketches
+      .hllIntersectionEstimate(slice(Seq(0, 1)), slice(Seq(1, 2)), Seq("l_returnflag"), p = 6)
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val q97Sql = {
+    def chain(name: String, src: String): String =
+      s"""h_$name AS (
+        |  SELECT l_returnflag AS flag,
+        |    ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h
+        |  FROM $src),
+        |r_$name AS (
+        |  SELECT flag, CAST(h % 64 AS INT) AS register,
+        |    CASE WHEN h // 64 = 0 THEN 55 ELSE 55 - length(bin(h // 64)) END AS rho0
+        |  FROM h_$name),
+        |regs_$name AS (
+        |  SELECT flag, register, CAST(MAX(rho0) AS BIGINT) AS rho
+        |  FROM r_$name GROUP BY 1, 2)""".stripMargin
+    def estOf(name: String, regsSrc: String): String =
+      s"""a_$name AS (
+        |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS nnz, MAX(rho) AS maxm
+        |  FROM $regsSrc GROUP BY 1),
+        |s_$name AS (
+        |  SELECT q.flag, SUM(1::BIGINT << CAST(a.maxm - q.rho AS INT)) AS sn
+        |  FROM $regsSrc q JOIN a_$name a USING (flag) GROUP BY 1),
+        |e_$name AS (
+        |  SELECT a.flag,
+        |    round(0.709 * 4096.0 * pow(2.0, a.maxm) /
+        |      CAST(s.sn + (64 - a.nnz) * (1::BIGINT << CAST(a.maxm AS INT)) AS DOUBLE),
+        |      6) AS est
+        |  FROM a_$name a JOIN s_$name s USING (flag))""".stripMargin
+    s"""WITH ${chain("a", "lineitem WHERE l_orderkey % 3 IN (0, 1)")},
+      |${chain("b", "lineitem WHERE l_orderkey % 3 IN (1, 2)")},
+      |regs_u AS (
+      |  SELECT flag, register, MAX(rho) AS rho
+      |  FROM (SELECT * FROM regs_a UNION ALL SELECT * FROM regs_b)
+      |  GROUP BY 1, 2),
+      |${estOf("a", "regs_a")},
+      |${estOf("b", "regs_b")},
+      |${estOf("u", "regs_u")}
+      |SELECT e_a.flag AS l_returnflag, e_a.est AS est_a, e_b.est AS est_b,
+      |  e_u.est AS est_union, round(e_a.est + e_b.est - e_u.est, 6) AS est_intersection
+      |FROM e_a JOIN e_b USING (flag) JOIN e_u USING (flag)
+      |ORDER BY l_returnflag""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q97_hll_overlap"             -> q97,
     "q95_cms_counts"              -> q95,
     "q96_cms_merge"               -> q96,
     "q90_hll_merge"               -> q90,
@@ -316,6 +374,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q97_hll_overlap"             -> q97Sql,
     "q95_cms_counts"              -> q95Sql,
     "q96_cms_merge"               -> q96Sql, // merge law: whole-corpus registers
     "q90_hll_merge"               -> q87Sql, // merge law: whole-corpus sketch

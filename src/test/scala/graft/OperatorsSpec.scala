@@ -821,6 +821,24 @@ class OperatorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Sketches.hllIntersectionEstimate sizes a known overlap without a join") {
+    // A = [0, 12000), B = [8000, 20000): true |A∩B| = 4000, |A∪B| = 20000
+    val a = (0L until 12000L).map(("g", _)).toDF("grp", "v")
+    val b = (8000L until 20000L).map(("g", _)).toDF("grp", "v")
+    val ra = Sketches.hllRegisters(a, Seq("grp"), $"v", p = 8)
+    val rb = Sketches.hllRegisters(b, Seq("grp"), $"v", p = 8)
+    val r = Sketches.hllIntersectionEstimate(ra, rb, Seq("grp"), p = 8)
+      .select($"est_a", $"est_b", $"est_union", $"est_intersection")
+      .as[(Double, Double, Double, Double)].head()
+    // each estimate carries ~6.5% relative error at m=256 (assert 4σ);
+    // the intersection inherits all three additively (the documented
+    // sizing-instrument caveat) — assert it lands in the right decade
+    assert(math.abs(r._1 - 12000) / 12000 < 0.26, s"est_a ${r._1}")
+    assert(math.abs(r._2 - 12000) / 12000 < 0.26, s"est_b ${r._2}")
+    assert(math.abs(r._3 - 20000) / 20000 < 0.26, s"est_union ${r._3}")
+    assert(r._4 > 500 && r._4 < 9000, s"est_intersection ${r._4} vs true 4000")
+  }
+
   test("Sketches.cms: exact without collisions, merge law, never underestimates") {
     val vals = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
     val d = vals.toDF("v")
