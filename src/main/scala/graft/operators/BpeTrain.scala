@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrain {
 
+  /** Per-task cap on the segmentStats word→piece-count memo. 64k distinct
+    * words ≈ a few MB of strings — vocabulary-sized, not data-sized. */
+  val SegmentMemoCap = 1 << 16
+
   /** One learned merge: rank order, the two joined symbols, and the
     * weighted pair count that won the rank. */
   final case class Merge(rank: Int, left: String, right: String, weight: Long)
@@ -129,13 +133,27 @@ object BpeTrain {
     * per-row pass, zero shuffle. A per-task memo caches each distinct
     * word's piece count, so segmentation cost is vocabulary-sized per
     * task (the word-level memoization production encoders use) while the
-    * corpus itself never shuffles for a join-back. */
-  def segmentStats(df: DataFrame, idCol: String, textCol: String, merges: Seq[Merge]): DataFrame = {
+    * corpus itself never shuffles for a join-back. The memo is
+    * LRU-bounded ([[SegmentMemoCap]] entries): web text's word
+    * distribution is Zipfian, so the hot head stays cached while a
+    * pathological high-cardinality partition degrades to recomputation
+    * instead of growing the map without bound. */
+  def segmentStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[Merge],
+      memoCap: Int = SegmentMemoCap): DataFrame = {
+    require(memoCap >= 1, "memoCap must be positive")
     val spark = df.sparkSession
     val rankOf = merges.map(m => (m.left, m.right) -> m.rank).toMap
     val bc = spark.sparkContext.broadcast(rankOf)
     val nPieces = udf(new (String => Long) with Serializable {
-      @transient private lazy val memo = new java.util.HashMap[String, Long]()
+      @transient private lazy val memo =
+        new java.util.LinkedHashMap[String, Long](1024, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Long]): Boolean =
+            size() > memoCap
+        }
       def apply(text: String): Long =
         if (text == null) 0L
         else {

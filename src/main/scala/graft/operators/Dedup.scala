@@ -247,10 +247,13 @@ object Dedup {
       idCol: String,
       scoreCol: String): DataFrame = {
     val comps = connectedComponents(pairs, aCol, bCol)
-    val best = max(struct(
-      col(scoreCol).as("s"),
-      (-col("id")).as("ni"), // ties: larger -id = smaller id wins
-      col("id").as("kid")))
+    // struct-MIN over (-score, id): smallest negated score = highest score,
+    // ties fall to the smallest id under the struct's natural ascending
+    // order — no negation of the id, so string/any orderable ids work
+    val best = min(struct(
+      (-col(scoreCol).cast("double")).as("ns"),
+      col("id").as("kid"),
+      col(scoreCol).as("s")))
     comps
       .join(scores.select(col(idCol).as("id"), col(scoreCol)), Seq("id"))
       .groupBy(col("comp").as("cluster"))

@@ -248,7 +248,9 @@ object Packing {
     *
     * Documents longer than `seqLen` each get a bin of their own, flagged
     * `oversize` (callers split or drop them upstream; silently truncating
-    * is the failure mode this operator exists to avoid). Deterministic on
+    * is the failure mode this operator exists to avoid). Null text counts
+    * as one token — the same slot an empty string occupies — so every
+    * input row lands in exactly one bin. Deterministic on
     * any partitioning: ranks order by (length, id), the recipe is a pure
     * function of the histogram. Output: (id, n_tokens, bin, oversize);
     * bins are dense 0..nBins-1, regular bins first. */
@@ -261,7 +263,15 @@ object Packing {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val withLen = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("n_tokens"))
+    // null text must not vanish (size(split(null)) is null → matches neither
+    // branch) nor poison the FFD loop with a 0/-1 length: count it as one
+    // token, the same slot an empty string already occupies (split("") →
+    // [""] → 1), so every input doc lands in exactly one bin.
+    val withLen = df.select(
+      col(idCol),
+      greatest( // greatest also absorbs legacy-mode size(null) = -1
+        coalesce(size(split(col(textCol), " ")).cast("long"), lit(1L)),
+        lit(1L)).as("n_tokens"))
     val regular  = withLen.filter(col("n_tokens") <= seqLen)
     val oversize = withLen.filter(col("n_tokens") > seqLen)
 

@@ -18,9 +18,38 @@ import org.apache.spark.sql.functions._
   * day); with no partition columns Spark falls back to a single-partition
   * global window, which is only acceptable for small per-granule slices.
   * At 100 TB the stream is partitioned per granule-day, so every window here
-  * stays within one shuffle partition per day.
+  * stays within one shuffle partition per day. The fallback is LOUD when
+  * misused: every entry point logs a once-per-JVM warning when called with
+  * no partition columns on an input whose plan-time size estimate exceeds
+  * [[Sessionize.GlobalWindowWarnBytes]].
   */
 object Sessionize {
+
+  /** Estimated-input-size threshold above which calling a Sessionize entry
+    * point with NO partition columns logs a loud warning: the global-window
+    * fallback sorts every row in ONE task, which is the documented contract
+    * for small per-granule slices and a silent scale killer for anything
+    * else. 64 MB ≈ the largest single-granule slice in the reference's
+    * workload; Catalyst's plan-time size estimate costs no job. */
+  private[graft] val GlobalWindowWarnBytes: BigInt = BigInt(64L << 20)
+
+  private val warnedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
+  @transient private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** True when `partitionCols` is empty AND the plan-time size estimate of
+    * `df` exceeds [[GlobalWindowWarnBytes]] — the misuse the guard exists
+    * for. Exposed package-private so the spec pins the trigger condition. */
+  private[graft] def globalWindowFallback(df: DataFrame, partitionCols: Seq[String]): Boolean =
+    partitionCols.isEmpty &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes > GlobalWindowWarnBytes
+
+  private def guard(df: DataFrame, partitionCols: Seq[String], op: String): Unit =
+    if (globalWindowFallback(df, partitionCols) && warnedOnce.compareAndSet(false, true))
+      log.warn(
+        s"Sessionize.$op called with no partitionCols on an input whose plan-time size " +
+          s"estimate exceeds $GlobalWindowWarnBytes bytes: the global-window fallback " +
+          "sorts ALL rows in ONE task. Supply partitionCols (granule / mission / day) " +
+          "at scale. (warned once per JVM)")
 
   private def w(orderCol: String, partitionCols: Seq[String]) = {
     val base =
@@ -47,6 +76,7 @@ object Sessionize {
       keyCols: Seq[String],
       partitionCols: Seq[String] = Nil,
       regionCol: String = "region_id"): DataFrame = {
+    guard(df, partitionCols, "byKeyChange")
     val win = w(orderCol, partitionCols)
     df.withColumn("_brk", keyChanged(keyCols, win).cast("long"))
       .withColumn(regionCol, sum(col("_brk")).over(win) - lit(1))
@@ -67,6 +97,7 @@ object Sessionize {
       margin: Long,
       partitionCols: Seq[String] = Nil,
       regionCol: String = "region_id"): DataFrame = {
+    guard(df, partitionCols, "byKeyChangeWithMargin")
     val win = w(orderCol, partitionCols)
     val gap = col(orderCol) - lag(col(orderCol), 1).over(win)
     val brk = keyChanged(keyCols, win) || gap > lit(margin)
@@ -85,6 +116,7 @@ object Sessionize {
       gapSeconds: Long,
       partitionCols: Seq[String] = Nil,
       sessionCol: String = "session_id"): DataFrame = {
+    guard(df, partitionCols, "byTimeGap")
     val win = w(tsCol, partitionCols)
     val prev = lag(col(tsCol), 1).over(win)
     val brk = prev.isNull || (unix_timestamp(col(tsCol)) - unix_timestamp(prev)) > lit(gapSeconds)
@@ -145,6 +177,7 @@ object Sessionize {
       keyCol: String,
       wildcard: String,
       partitionCols: Seq[String] = Nil): DataFrame = {
+    guard(df, partitionCols, "coalesceWildcard")
     val base =
       if (partitionCols.isEmpty) Window.partitionBy()
       else Window.partitionBy(partitionCols.map(col): _*)

@@ -219,4 +219,79 @@ object Sketches {
       .groupBy(groupCols.map(col) :+ col(valueCol): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
+
+  /** CMS-backed heavy hitters — the top-of-distribution counterpart that
+    * completes the sketch tier (HLL = cardinality, [[cmsEstimate]] =
+    * point query, this = "which values are frequent"): every value whose
+    * TRUE count ≥ `minCount`, with its exact count, WITHOUT ever
+    * shuffling the full distinct-value set.
+    *
+    * Two passes, both bounded:
+    *  1. [[cmsRegisters]] — only (group, depth, bucket) rows shuffle.
+    *     The register table collects to the driver and broadcasts
+    *     (≤ depth·width counters per group — the [[cmsEstimate]] bounded-
+    *     model contract; caller guarantees bounded group cardinality,
+    *     like the LM/DSIR compact-model family).
+    *  2. A per-row kernel computes each row's CMS estimate (min over
+    *     `depth` lookups against the broadcast counters — the same
+    *     md5-prefix hash, JVM-side) and FILTERS to rows whose estimate
+    *     clears `minCount` BEFORE the exact count. CMS never
+    *     underestimates, so no true heavy hitter is lost; the exact
+    *     groupBy then touches only the surviving rows — at most
+    *     Σcount/minCount distinct values plus collision mass — and the
+    *     final `HAVING count ≥ minCount` removes collision survivors.
+    *
+    * The output is therefore EXACT (deterministic on any partitioning,
+    * DuckDB-expressible as GROUP BY … HAVING): the sketch buys the scale
+    * shape, not an approximation. Output: `(groupCols…, value, n)`,
+    * `value` = the string form of `valueCol` (the hash domain). */
+  def cmsHeavyHitters(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      depth: Int,
+      width: Int,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1L, "minCount must be positive")
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val spark = df.sparkSession
+    val regs  = cmsRegisters(df, groupCols, value, depth, width)
+
+    // bounded collect: ≤ depth·width rows per group (sketch, not data)
+    val table: Map[(String, Int, Long), Long] = regs.collect().map { r =>
+      val g = groupCols
+        .map(c => Option(r.getAs[Any](c)).map(String.valueOf(_)).getOrElse("\u0000N"))
+        .mkString("\u0000")
+      (g, r.getAs[Int]("depth"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")
+    }.toMap
+    val bc = spark.sparkContext.broadcast(table)
+
+    // JVM twin of cmsBucket: md5("d|v") first 15 hex chars as a 60-bit
+    // long, mod width — byte-identical to the SQL form by the md5 law
+    val est = udf { (g: String, v: String) =>
+      if (v == null) 0L
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var minCnt = Long.MaxValue
+        var d = 0
+        while (d < depth) {
+          val hex = md.digest(s"$d|$v".getBytes("UTF-8"))
+            .take(8).map(b => f"$b%02x").mkString // 16 hex chars; take 15
+          val bucket = java.lang.Long.parseLong(hex.substring(0, 15), 16) % width
+          minCnt = math.min(minCnt, bc.value.getOrElse((g, d, bucket), 0L))
+          md.reset()
+          d += 1
+        }
+        minCnt
+      }
+    }
+    val gKey = if (groupCols.isEmpty) lit("")
+      else concat_ws("\u0000",
+        groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
+    df.select(groupCols.map(col) :+ value.cast("string").as("value"): _*)
+      .filter(est(gKey, col("value")) >= lit(minCount))
+      .groupBy(groupCols.map(col) :+ col("value"): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= lit(minCount))
+  }
 }

@@ -357,7 +357,29 @@ object AggregateQueries {
       |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** CMS-backed heavy hitters per language: every token whose true count
+    * clears the floor, with its exact count — the sketch filters rows
+    * BEFORE the exact groupBy (CMS never underestimates, so no heavy
+    * hitter is lost), and the oracle is the plain GROUP BY … HAVING the
+    * operator provably equals. Completes the sketch tier:
+    * HLL = cardinality (q87), CMS = point query (q95), this = top of
+    * the distribution. */
+  private val q98: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    graft.operators.Sketches
+      .cmsHeavyHitters(toks, Seq("lang"), col("token"), depth = 3, width = 256, minCount = 200L)
+      .orderBy(col("lang"), col("value"))
+  }
+
+  private val q98Sql =
+    """SELECT lang, token AS value, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 200
+      |ORDER BY lang, value""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_heavy_hitters"           -> q98,
     "q97_hll_overlap"             -> q97,
     "q95_cms_counts"              -> q95,
     "q96_cms_merge"               -> q96,
@@ -374,6 +396,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q98_heavy_hitters"           -> q98Sql,
     "q97_hll_overlap"             -> q97Sql,
     "q95_cms_counts"              -> q95Sql,
     "q96_cms_merge"               -> q96Sql, // merge law: whole-corpus registers

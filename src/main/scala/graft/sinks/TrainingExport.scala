@@ -47,7 +47,11 @@ object TrainingExport {
     require(!cols.contains("shard") && !cols.contains("_toks"),
       "input already has a shard/_toks column; rename it before export")
 
-    val counted = df.withColumn("_toks", size(split(col(textCol), " ")).cast("long"))
+    // null text counts as one token (the slot an empty string occupies) —
+    // a null _toks would null the running offset and the doc's shard,
+    // sending the row to the default partition instead of a shard
+    val counted = df.withColumn("_toks",
+      greatest(coalesce(size(split(col(textCol), " ")).cast("long"), lit(1L)), lit(1L)))
     val sharded = Packing
       .prefixSum(counted, idCol, "_toks", outCol = "_off")
       .withColumn("shard", (col("_off") / tokensPerShard).cast("long"))
@@ -63,6 +67,16 @@ object TrainingExport {
       .partitionBy("shard")
       .text(outDir)
 
-    sharded.select(max(col("shard"))).first().getLong(0) + 1L
+    // count shards from what was actually written — no second pass over the
+    // prefix-sum lineage, and an empty input (no shard dirs) returns 0
+    // instead of an NPE on a null max
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val ids = fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .collect {
+        case st if st.isDirectory && st.getPath.getName.startsWith("shard=") =>
+          st.getPath.getName.stripPrefix("shard=").toLong
+      }
+    if (ids.isEmpty) 0L else ids.max + 1L // max+1: a doc > tokensPerShard skips ids
   }
 }

@@ -121,14 +121,18 @@ object CorpusIngest {
   }
 
   /** Near-dup flag stage config ([[StreamingNearDup.flagBands]] —
-    * watermark-bounded LSH bucket state; flags, never drops). */
+    * watermark-bounded LSH bucket state; flags, never drops). `maxBucket`
+    * is the per-bucket state cap, ON by default (r10 verdict: the measured
+    * uncapped curves belong in the operator API, the defaults belong
+    * here): a bucket at cap keeps flagging but stops retaining entries. */
   final case class NearDup(
       tsCol: String,
       watermarkMs: Long = 10 * 60 * 1000L,
       shingleLen: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.5)
+      minEstJaccard: Double = 0.5,
+      maxBucket: Int = StreamingNearDup.DefaultMaxBucket)
 
   def gate(
       stream: DataFrame,
@@ -185,7 +189,8 @@ object CorpusIngest {
     nearDup match {
       case Some(nd) =>
         StreamingNearDup.flagBands(deduped, idCol, textCol, nd.tsCol,
-          nd.watermarkMs, nd.shingleLen, nd.numHashes, nd.rowsPerBand, nd.minEstJaccard)
+          nd.watermarkMs, nd.shingleLen, nd.numHashes, nd.rowsPerBand, nd.minEstJaccard,
+          nd.maxBucket)
       case None => deduped
     }
   }

@@ -22,12 +22,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * estimate-online / verify-offline split as the reference's post-append
   * verification S8).
   *
-  * State is bounded three ways: entries older than the watermark are
+  * State is bounded FOUR ways: entries older than the watermark are
   * pruned on every group invocation, idle buckets are removed by
-  * event-time timeout, and per-bucket size is capped by the near-dup
+  * event-time timeout, per-bucket size is kept small by the near-dup
   * premise (run streaming EXACT dedup upstream, as in the batch pipeline
   * order, so buckets hold genuine near-dup clusters, not exact-copy
-  * floods).
+  * floods), and — since r11, mirroring the batch operator's `maxBucket`
+  * contract — a HARD per-bucket state cap (default
+  * [[DefaultMaxBucket]], on by default): a bucket at cap still compares
+  * every arrival against its held entries (flags/pairs keep flowing) but
+  * stops accumulating new entries, so a corpus that skipped exact dedup
+  * bounds both state size and per-arrival work at `maxBucket` instead of
+  * growing without limit. The first cap engagement logs a once-per-JVM
+  * warning naming the bucket. Pass `maxBucket = Int.MaxValue` to restore
+  * uncapped behavior.
   *
   * The same pair can surface through several bands (distinct band_key
   * rows); compose with `dropDuplicatesWithinWatermark` on (doc_a, doc_b)
@@ -35,6 +43,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stays observable.
   */
 object StreamingNearDup {
+
+  /** Default per-bucket state cap — the streaming twin of the batch
+    * operator's `bucketWarnThreshold`/`maxBucket` (MinHashLSH): 10k
+    * signature entries ≈ a few MB per pathological bucket, and per-arrival
+    * comparison work is bounded at the same figure. */
+  val DefaultMaxBucket: Int = 10000
+
+  private val capWarned = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def warnCap(op: String, key: String, cap: Int): Unit =
+    if (capWarned.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"StreamingNearDup.$op bucket '$key' reached the $cap-entry state cap: new arrivals " +
+          "still compare against held entries but are no longer retained. An over-cap minhash " +
+          "bucket means an exact-duplicate flood — run streaming exact dedup upstream. " +
+          "(warned once per JVM)")
 
   final case class BandedDoc(doc_id: Long, ts: Timestamp, band_key: String, sig: Seq[String])
   final case class BucketEntry(doc_id: Long, ts: Long, sig: Seq[String])
@@ -88,7 +111,9 @@ object StreamingNearDup {
       shingleLen: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.5): Dataset[CandidatePair] = {
+      minEstJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): Dataset[CandidatePair] = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     banded(df, idCol, textCol, tsCol, shingleLen, numHashes, rowsPerBand)
@@ -114,7 +139,9 @@ object StreamingNearDup {
                       math.min(d.doc_id, e.doc_id), math.max(d.doc_id, e.doc_id), est, key)
                 }
               }
-              entries = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: entries
+              if (entries.lengthCompare(maxBucket) < 0)
+                entries = BucketEntry(d.doc_id, d.ts.getTime, d.sig) :: entries
+              else warnCap("candidates", key, maxBucket)
             }
             if (entries.isEmpty) state.remove()
             else {
@@ -157,7 +184,9 @@ object StreamingNearDup {
       shingleLen: Int = 3,
       numHashes: Int = 8,
       rowsPerBand: Int = 2,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxBucket >= 1, "maxBucket must be positive")
     require(numHashes % rowsPerBand == 0, "numHashes must be a multiple of rowsPerBand")
     val nBands = numHashes / rowsPerBand
     val sig    = graft.functions.MinHashSigExpr(col(textCol), shingleLen, numHashes)
@@ -188,7 +217,7 @@ object StreamingNearDup {
     val flagged = exploded
       .groupByKey(_.getString(keyIdx))(Encoders.STRING)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (_: String, it: Iterator[Row], state: GroupState[FlagBucketState]) =>
+        (key: String, it: Iterator[Row], state: GroupState[FlagBucketState]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator.empty
@@ -208,7 +237,9 @@ object StreamingNearDup {
                     e.sig.iterator.zip(s.iterator).count { case (a, b) => a == b }.toDouble / numHashes >= minEstJaccard
                 }
                 out += Row.fromSeq((0 until nOrig).map(r.get) :+ hit)
-                entries = FlagEntry(id, t, s) :: entries
+                if (entries.lengthCompare(maxBucket) < 0)
+                  entries = FlagEntry(id, t, s) :: entries
+                else warnCap("flagBands", key, maxBucket)
               }
             if (entries.isEmpty) state.remove()
             else {

@@ -40,6 +40,8 @@ import graft.operators.{Dedup, MinHashLSH, Packing, Pii, Sampling, SetSimilarity
   *     min-jaccard: 0.8                   # keep cluster canonicals; or
   *     keep-by: n_chars                   # keep-best-by-score instead
   *                                        # ('length' = computed text length)
+  *     max-bucket: 10000                  # DEFAULT cap: drop (loudly) LSH
+  *                                        # buckets past it; 0 = uncapped
   *   - op: decontaminate                  # drop docs overlapping a benchmark
   *     benchmark: /path/bench.parquet     # same id/text column names
   *     min-overlap: 5
@@ -251,8 +253,14 @@ object CorpusJob {
             .select(col(idCol))
           df.join(pred, Seq(idCol), "left_semi")
         case "neardup" =>
+          // maxBucket is ON by default (r10 verdict: the measured uncapped
+          // 3.7×/2× curve is a config default's job to bend, not the
+          // operator's): buckets past the cap drop loudly via the observe
+          // guard, and `max-bucket: 0` restores uncapped behavior
+          val cap = lng("max-bucket", 10000L)
           val pairs = MinHashLSH.nearDuplicates(df, idCol, textCol,
-            minJaccard = dbl("min-jaccard", 0.8))
+            minJaccard = dbl("min-jaccard", 0.8),
+            maxBucket = if (cap > 0L) Some(cap) else None)
           val losers = Option(s.get("keep-by")).map(_.asText) match {
             case None => // canonical keep-first: lowest id per cluster
               Dedup
@@ -289,10 +297,13 @@ object CorpusJob {
           // reference docs outright and scored docs within the surprisal /
           // OOV ceilings; short docs (no bigram evidence) pass
           val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
-          val trainPred = Option(s.get("train-groups")) match {
+          // coalesce: a null group (or null id in the md5 fallback) makes
+          // the raw predicate NULL, which matches neither filter branch —
+          // null-group docs must fall into the SCORED branch, not vanish
+          val trainPred = coalesce(Option(s.get("train-groups")) match {
             case Some(a) => col(groupCol).isin((0 until a.size).map(a.get(_).asText): _*)
             case None    => Sampling.hashBucket(col(idCol), 2) === 0
-          }
+          }, lit(false))
           val maxBits   = dbl("max-bits-per-bigram", 16.0)
           val maxOovPct = lng("max-oov-pct", 50L)
           val pass = graft.operators.LmScore
@@ -310,7 +321,11 @@ object CorpusJob {
           // weight clears the floor
           val groupCol = Option(s.get("group-column")).map(_.asText).getOrElse("source")
           val tgt = req(s, "target-groups")
-          val targetPred = col(groupCol).isin((0 until tgt.size).map(tgt.get(_).asText): _*)
+          // null-group docs must land in the weighted branch, not vanish
+          // (NULL predicate matches neither side of the filter/!filter split)
+          val targetPred = coalesce(
+            col(groupCol).isin((0 until tgt.size).map(tgt.get(_).asText): _*),
+            lit(false))
           val keep = graft.operators.LmScore
             .dsirWeights(df, idCol, textCol, targetPred,
               nBuckets = lng("buckets", 4096L).toInt,

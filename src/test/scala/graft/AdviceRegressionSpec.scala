@@ -32,6 +32,13 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(Bench.parsePrevQueries(escaped) === Map("q01_a" -> 1.5, "q02_b" -> 2.0))
     // no queries block → empty, not a crash
     assert(Bench.parsePrevQueries("""{"metric":"total"}""") === Map.empty)
+    // a record holding BOTH the compact tail line (short qNN keys) and the
+    // detail line: deltas join on full names, so the full-name block wins
+    // regardless of order (r10: tail-truncated record parsed as null)
+    val twoBlocks =
+      """{"metric":"total","queries":{"q01":1.499,"q02":2.001},"sf":"sf0.1"}""" + "\n" +
+        committed
+    assert(Bench.parsePrevQueries(twoBlocks) === Map("q01_a" -> 1.5, "q02_b" -> 2.0))
   }
 
   test("as-of join never tears a row: null value columns stay with the newest right row") {
@@ -101,5 +108,77 @@ class AdviceRegressionSpec extends SparkSpec {
     // (the granule name, oco3_sif...) classifies — not the oco2 grandparent
     assert(got.getString(0) === "oco3_sif")
     assert(got.getDate(1).toString === "2023-06-15")
+  }
+
+  test("packBins never drops null-text docs: they pack as one-token rows (r10 advice)") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, null.asInstanceOf[String]), // would be null length → silently dropped
+      (3L, ""),                        // split("") → [""] → 1 token
+      (4L, "a b c d e f g h i j"))     // oversize at seqLen 4
+      .toDF("doc_id", "text")
+    val out = Packing.packBins(docs, "doc_id", "text", seqLen = 4)
+    assert(out.count() === 4L) // every input doc present
+    val byId = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"), r.getAs[Boolean]("oversize"))).toMap
+    assert(byId(2L) === ((1L, false)))
+    assert(byId(3L) === ((1L, false)))
+    assert(byId(4L)._2 === true)
+    // regular docs fill bins to capacity: 3 + 1 + 1 = 5 tokens → 2 bins + 1 oversize
+    val bins = out.filter(!col("oversize")).select("bin").distinct().count()
+    assert(bins === 2L)
+  }
+
+  test("jsonl export: empty input returns 0 shards, null text ships as one token (r10 advice)") {
+    import graft.sinks.TrainingExport
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_adv")
+    // empty input: no NPE, zero shards
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TrainingExport.jsonl(empty, "doc_id", "text", s"$dir/empty", 10L) === 0L)
+    // null text: the doc still lands in a shard (not the default partition)
+    val docs = Seq((1L, "a b c"), (2L, null.asInstanceOf[String]), (3L, "d e")).toDF("doc_id", "text")
+    val n = TrainingExport.jsonl(docs, "doc_id", "text", s"$dir/out", 100L)
+    assert(n === 1L)
+    val back = spark.read.text(s"$dir/out")
+    assert(back.count() === 3L)
+  }
+
+  test("keepBestInCluster works with string ids; ties break to lexicographically smallest (r10 advice)") {
+    import graft.operators.Dedup
+    val pairs  = Seq(("docB", "docA"), ("docA", "docC")).toDF("a", "b")
+    val scores = Seq(("docA", 1.0), ("docB", 5.0), ("docC", 5.0)).toDF("id", "score")
+    val out = Dedup.keepBestInCluster(pairs, "a", "b", scores, "id", "score").collect()
+    assert(out.length === 1)
+    // docB and docC tie at 5.0 — smallest id among the best wins
+    assert(out(0).getAs[String]("keep_id") === "docB")
+    assert(out(0).getAs[Double]("best_score") === 5.0)
+    assert(out(0).getAs[Long]("n_members") === 3L)
+  }
+
+  test("lm-filter / dsir-select null-group docs fall into the scored branch, not dropped (r10 advice)") {
+    // exercised end-to-end in CorpusJobSpec; here pin the predicate algebra:
+    // coalesce(pred, false) partitions ALL rows across the two branches
+    val df = Seq(("a", "ref"), ("b", "web"), ("c", null.asInstanceOf[String])).toDF("id", "source")
+    val rawPred  = col("source").isin("ref")
+    val safePred = coalesce(rawPred, lit(false))
+    assert(df.filter(rawPred).count() + df.filter(!rawPred).count() === 2L) // the bug: row c vanishes
+    assert(df.filter(safePred).count() + df.filter(!safePred).count() === 3L)
+    assert(df.filter(!safePred).select("id").as[String].collect().sorted === Array("b", "c"))
+  }
+
+  test("segmentStats piece counts are identical under a tiny LRU memo cap (r10 advice)") {
+    import graft.operators.BpeTrain
+    val docs = Seq(
+      (1L, "lower lower lowest newer newer newest wider widest lower newer"),
+      (2L, "newest widest lowest unique tokens appear once each here today"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrain.trainMerges(docs, "text", numMerges = 8)
+    val full = BpeTrain.segmentStats(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = BpeTrain.segmentStats(docs, "doc_id", "text", merges, memoCap = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === capped)
+    assert(full.values.forall(_ > 0L))
   }
 }

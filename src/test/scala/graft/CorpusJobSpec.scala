@@ -400,6 +400,23 @@ class CorpusJobSpec extends SparkSpec {
     val ids = spark.read.parquet(s"$dir/out/documents")
       .select("doc_id").as[Long].collect().sorted
     assert(ids === Array(0L, 2L))
+
+    // the cap wires through and is ON by default: max-bucket 1 drops every
+    // ≥2-doc LSH bucket, so the near-dup pair is never generated and all
+    // three docs survive (r10 verdict: caps are job-layer defaults now)
+    val cfgCap =
+      s"""input:
+         |  documents: $dir/documents.parquet
+         |steps:
+         |  - op: neardup
+         |    min-jaccard: 0.5
+         |    max-bucket: 1
+         |output:
+         |  local: $dir/out-cap
+         |""".stripMargin
+    Files.write(dir.resolve("job-cap.yaml"), cfgCap.getBytes("UTF-8"))
+    val sheetCap = CorpusJob.run(spark, s"$dir/job-cap.yaml")
+    assert(sheetCap.steps === Seq(CorpusJob.StepCount("neardup", 3L, 3L)))
   }
 
   test("CorpusJob: checkpointed stages materialize to parquet and a killed run resumes without recompute") {
@@ -512,9 +529,13 @@ class CorpusJobSpec extends SparkSpec {
     // reference slice: six same-vocabulary docs; raw: one target-like doc
     // (kept by both gates) and one alien-vocabulary doc (dropped by both)
     val refs = (1L to 6L).map(i => (i, "alpha beta gamma delta alpha beta", "ref"))
+    // doc 12 has a NULL source: the group predicate is NULL for it, and it
+    // must fall into the scored branch (kept — reference vocabulary), not
+    // silently vanish from both branches (r10 advice)
     val raw  = Seq(
       (10L, "alpha beta gamma delta", "web"),
-      (11L, "omega psi chi phi", "web"))
+      (11L, "omega psi chi phi", "web"),
+      (12L, "alpha beta gamma delta", null.asInstanceOf[String]))
     (refs ++ raw).toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -540,8 +561,8 @@ class CorpusJobSpec extends SparkSpec {
     val (lmSteps, lmIds) = run(
       """  - op: lm-filter
         |    train-groups: [ref]""".stripMargin)
-    assert(lmSteps === Seq(("lm-filter", 8L, 7L)))
-    assert(lmIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L))
+    assert(lmSteps === Seq(("lm-filter", 9L, 8L)))
+    assert(lmIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L, 12L))
 
     // dsir-select: doc 10's hashed features match the target profile
     // (positive quantized weight); doc 11's do not
@@ -550,7 +571,7 @@ class CorpusJobSpec extends SparkSpec {
         |    target-groups: [ref]
         |    buckets: 64
         |    keep-above: 0""".stripMargin)
-    assert(dsSteps === Seq(("dsir-select", 8L, 7L)))
-    assert(dsIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L))
+    assert(dsSteps === Seq(("dsir-select", 9L, 8L)))
+    assert(dsIds === Array(1L, 2L, 3L, 4L, 5L, 6L, 10L, 12L))
   }
 }

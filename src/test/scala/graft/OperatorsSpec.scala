@@ -869,6 +869,35 @@ class OperatorsSpec extends SparkSpec {
     est2.foreach { case (v, e) => assert(e >= truth(v), s"underestimate for $v: $e < ${truth(v)}") }
   }
 
+  test("Sketches.cmsHeavyHitters equals the exact GROUP BY ... HAVING answer (never-miss law)") {
+    // per-group token stream with a clear heavy head and a long tail
+    val rows =
+      (Seq.fill(9)(("en", "the")) ++ Seq.fill(5)(("en", "cat")) ++
+        Seq.fill(2)(("en", "dog")) ++ (0 until 30).map(i => ("en", s"rare$i")) ++
+        Seq.fill(7)(("de", "der")) ++ Seq.fill(4)(("de", "cat")) ++
+        (0 until 20).map(i => ("de", s"selten$i")))
+    val df = rows.toDF("lang", "token")
+    // forced-collision regime (width 4): CMS estimates inflate, but the
+    // exact post-count must still produce EXACTLY the true heavy set
+    for (width <- Seq(4, 1024)) {
+      val got = Sketches
+        .cmsHeavyHitters(df, Seq("lang"), $"token", depth = 3, width = width, minCount = 4L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(("en", "the", 9L), ("en", "cat", 5L), ("de", "der", 7L), ("de", "cat", 4L)),
+        s"width=$width")
+    }
+    // groupless form + a null group value must not crash or drop rows
+    val gotNoGroup = Sketches
+      .cmsHeavyHitters(df, Nil, $"token", 3, 256, minCount = 9L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gotNoGroup === Set(("the", 9L), ("cat", 9L))) // cat: 5 en + 4 de
+    val withNullGroup = df.withColumn("lang", when($"token" === "the", lit(null)).otherwise($"lang"))
+    val gotNull = Sketches
+      .cmsHeavyHitters(withNullGroup, Seq("lang"), $"token", 3, 256, minCount = 9L)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2))).toSet
+    assert(gotNull === Set((None, "the", 9L)))
+  }
+
   test("Sketches.cmsRegisters on a stream: bounded state, converges to the batch sketch") {
     // same contract as streaming HLL: the counter aggregation is a plain
     // stateful sum with state bounded by depth × width forever

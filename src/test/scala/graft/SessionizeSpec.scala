@@ -129,4 +129,18 @@ class SessionizeSpec extends SparkSpec {
     // forward-fills from 'b'
     assert(got === Array("a", "a", "a", "a", "b", "b"))
   }
+
+  test("global-window misuse guard triggers only on big inputs with no partitionCols (r10 verdict)") {
+    // spark.range carries an exact plan-time size estimate (8 bytes/row) —
+    // no job runs here; only the trigger condition is pinned
+    val small = spark.range(1000L).toDF("idx")
+    val big   = spark.range((Sessionize.GlobalWindowWarnBytes / 8L).toLong + 1000L).toDF("idx")
+    assert(!Sessionize.globalWindowFallback(small, Nil))         // small slice: documented contract
+    assert(!Sessionize.globalWindowFallback(big, Seq("idx")))    // partitioned: fine at any size
+    assert(Sessionize.globalWindowFallback(big, Nil))            // the one silent scale killer: loud
+    // the guarded entry point still computes correctly when it warns
+    val out = Sessionize.byKeyChange(
+      spark.range(10L).toDF("idx").withColumn("k", lit("a")), "idx", Seq("k"))
+    assert(out.agg(max(col("region_id"))).head().getLong(0) === 0L)
+  }
 }

@@ -81,6 +81,53 @@ class StreamingNearDupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-bucket state cap bounds retained entries; arrivals still compare against held state (r10 verdict)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, ts("2024-01-01 00:00:00"), base),
+      (2L, ts("2024-01-01 00:01:00"), base),
+      (3L, ts("2024-01-01 00:02:00"), base))
+
+    def run(cap: Int, name: String): Set[(Long, Long)] = {
+      val ms = MemoryStream[(Long, Timestamp, String)]
+      val out = StreamingNearDup.candidates(
+        ms.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+        minEstJaccard = 0.5, maxBucket = cap)
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        ms.addData(docs: _*)
+        q.processAllAvailable()
+        spark.table(name).select("doc_a", "doc_b").distinct()
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally q.stop()
+    }
+
+    // uncapped-equivalent: every pair among the three identical docs
+    assert(run(1000, "snd_cap_off") === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // cap 1: doc 1 is the only retained entry, so 2 and 3 each pair with 1
+    // (flags keep flowing at cap) but the (2,3) pair — which needs doc 2 in
+    // state past the cap — is gone, and state is bounded at one entry
+    assert(run(1, "snd_cap_on") === Set((1L, 2L), (1L, 3L)))
+
+    // the gate's flag stage at cap 1: later copies still flag as hits
+    val ms2 = MemoryStream[(Long, Timestamp, String)]
+    val flagged = StreamingNearDup.flagBands(
+      ms2.toDF().toDF("doc_id", "ts", "text"), "doc_id", "text", "ts", maxBucket = 1)
+    val q2 = flagged.writeStream.outputMode("append").format("memory").queryName("snd_cap_flag").start()
+    try {
+      ms2.addData(docs: _*)
+      q2.processAllAvailable()
+      val hits = graft.streaming.CorpusIngest.mergeBandFlags(spark.table("snd_cap_flag"))
+        .select("doc_id", "near_dup_hit")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+      assert(hits === Map(1L -> false, 2L -> true, 3L -> true))
+    } finally q2.stop()
+    // the streaming gate defaults the cap ON, mirroring the batch job layer
+    assert(graft.streaming.CorpusIngest.NearDup("ts").maxBucket === StreamingNearDup.DefaultMaxBucket)
+  }
+
   test("short documents (fewer words than a shingle) never enter buckets") {
     val static = Seq((1L, ts("2024-01-01 00:00:00"), "only two")).toDF("doc_id", "ts", "text")
     assert(StreamingNearDup.banded(static, "doc_id", "text", "ts", 3, 8, 2).count() === 0)
