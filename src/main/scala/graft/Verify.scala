@@ -45,5 +45,56 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+
+    // partition-independence gate folded into the wrap (r10 verdict #7):
+    // recompute EVERY query under a different thread/shuffle-partition
+    // count and compare against the dump above, so each round's driver run
+    // carries determinism evidence without a separate dev/determinism.py
+    // sweep. Opt-out: SPARK_GRAFT_NO_DETERMINISM=1.
+    if (!sys.env.contains("SPARK_GRAFT_NO_DETERMINISM")) {
+      val altCpus = sys.env.getOrElse("SPARK_GRAFT_DET_CPUS", "7")
+      val spark2 = SparkSession.builder()
+        .master(s"local[$altCpus]")
+        .config("spark.sql.shuffle.partitions", altCpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark2.sparkContext.setLogLevel("WARN")
+      // order-independent content hash: columns sorted by name, every row
+      // rendered null-safe, row strings sorted, then one md5 — the same
+      // normalization dev/determinism.py applies
+      def contentHash(df: org.apache.spark.sql.DataFrame): String = {
+        val cols = df.columns.sorted
+        val rows = df
+          .select(cols.map(c => org.apache.spark.sql.functions.col(c).cast("string")): _*)
+          .collect()
+          .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|"))
+          .sorted
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.foreach(s => md.update(s.getBytes("UTF-8")))
+        md.digest().map(b => f"$b%02x").mkString
+      }
+      val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+        .map { case (name, fn) =>
+          val verdict =
+            try {
+              val h32 = contentHash(spark2.read.parquet(s"$outDir/$name"))
+              val h7  = contentHash(fn(spark2, sfDir))
+              if (h32 == h7) "true" else "false"
+            } catch { case e: Throwable => q(s"err: ${e.getMessage}") }
+          name -> verdict
+        }
+      val detJson = results.map { case (k, v) => s"${q(k)}: $v" }
+        .mkString(s"""{"cpus": [$cpus, $altCpus], "queries": {""", ",", "}}")
+      Files.writeString(Paths.get("DETERMINISM.json"), detJson)
+      val bad = results.filterNot(_._2 == "true")
+      System.err.println(
+        s"[verify] determinism: ${results.size - bad.size}/${results.size} identical " +
+          s"across local[$cpus] vs local[$altCpus]" +
+          (if (bad.nonEmpty) s"; DIFFER: ${bad.map(_._1).mkString(", ")}" else ""))
+      spark2.stop()
+    }
   }
 }

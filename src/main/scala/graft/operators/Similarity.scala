@@ -212,11 +212,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       minCos: Double,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      maxPerBucket: Option[Int] = None): DataFrame = {
     val centroids = KMeans.fit(df, vecCol, idCol, k, iters)
     val bucketed = KMeans.assign(df, vecCol, centroids)
       .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
-    nearDupPairsBucketed(bucketed, minCos)
+    nearDupPairsBucketed(bucketed, minCos, maxPerBucket)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
@@ -241,11 +242,12 @@ object Similarity {
       vecCol: String,
       k: Int,
       minCos: Double,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      maxPerBucket: Option[Int] = None): DataFrame = {
     val centroids = KMeans.fit(df, vecCol, idCol, k, iters)
     val bucketed = KMeans.assign(df, vecCol, centroids)
       .select(col("bucket"), col(idCol).as("id"), col(vecCol).as("vec"))
-    val drops = nearDupPairsBucketed(bucketed, minCos)
+    val drops = nearDupPairsBucketed(bucketed, minCos, maxPerBucket)
       .select(col("id_b").as("id")).distinct()
       .withColumn("_drop", lit(true))
     bucketed
@@ -473,12 +475,35 @@ object Similarity {
 
   /** Near-duplicate pairs within coarse-quantizer buckets: per-bucket
     * self-join (a < b) keeping pairs with cosine ≥ minCos. Norms
-    * precomputed per vector. */
+    * precomputed per vector.
+    *
+    * `maxPerBucket` bends the within-cluster quadratic — the published
+    * algorithms' own pair term, measured ~3× per 2× data at fixed k on
+    * cluster-dense corpora (dev/PLANS_r10.md §18) — exactly as
+    * [[knnGraphLsh]]'s candidate cap does: the CANONICAL (id_a) side of
+    * each bucket thins to an expected m members by the deterministic md5
+    * coin against the bucket count (an aggregate + join, no per-bucket
+    * window — hot buckets stay distributed), making pair work ~n·m,
+    * linear. Sampled semantics, stated: a member is dropped iff it
+    * matches a SAMPLED smaller-id canonical, so inside an over-deep
+    * near-identical cluster — the only place the cap bites — members
+    * still match virtually any canonical; isolated near-dup pairs whose
+    * smaller id loses the coin are the documented recall trade. The coin
+    * is engine-portable (q79's md5 arithmetic), so capped variants
+    * oracle-gate bit-exactly. */
   def nearDupPairsBucketed(
       df: DataFrame, // (id, vec: array<double>, bucket)
-      minCos: Double): DataFrame = {
+      minCos: Double,
+      maxPerBucket: Option[Int] = None): DataFrame = {
     val withN = df.withColumn("_n", norm(col("vec")))
-    val l = withN.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"), col("_n").as("_na"))
+    val l0 = withN.select(col("bucket"), col("id").as("id_a"), col("vec").as("va"), col("_n").as("_na"))
+    val l = maxPerBucket.fold(l0) { m =>
+      require(m >= 1, "maxPerBucket must be >= 1")
+      val counts = withN.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+      val coin = conv(substring(md5(col("id_a").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % col("_bn")
+      l0.join(counts, Seq("bucket")).filter(coin < lit(m.toLong)).drop("_bn")
+    }
     val r = withN.select(col("bucket"), col("id").as("id_b"), col("vec").as("vb"), col("_n").as("_nb"))
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -266,6 +266,46 @@ object EmbeddingQueries {
       |FROM e LEFT JOIN drops d ON e.vec_id = d.id
       |ORDER BY id""".stripMargin
 
+  /** Capped SemDeDup (q62's scale contract for cluster-dense corpora —
+    * r10 verdict #3): the canonical side of each cluster thins to an
+    * expected 2 members by the q79 md5 coin, bending the within-cluster
+    * pair quadratic to ~n·m while both engines mirror the sampling
+    * bit-exactly. Same discrete output shape as q62. */
+  private val q99: Q = (s, dir) =>
+    Similarity
+      .semDedup(emb(s, dir), "vec_id", "vec", k = 4, minCos = 0.35, iters = 0,
+        maxPerBucket = Some(2))
+      .orderBy(col("id"))
+
+  private val q99Sql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |init AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |dist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN init i),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |e AS (
+      |  SELECT a.cluster, v.vec_id, v.vec, sqrt(${dotSql("v.vec", "v.vec")}) AS nrm
+      |  FROM v JOIN assign a USING (vec_id)),
+      |bn AS (SELECT cluster, count(*) AS n FROM e GROUP BY 1),
+      |lc AS (
+      |  SELECT e.* FROM e JOIN bn USING (cluster)
+      |  WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT % bn.n < 2),
+      |drops AS (
+      |  SELECT DISTINCT r.vec_id AS id
+      |  FROM lc l JOIN e r ON l.cluster = r.cluster AND l.vec_id < r.vec_id
+      |  WHERE ${cosSql("l.vec", "r.vec", "l.nrm", "r.nrm")} >= 0.35)
+      |SELECT e.vec_id AS id, CAST(e.cluster AS INT) AS cluster,
+      |  (d.id IS NULL) AS keep
+      |FROM e LEFT JOIN drops d ON e.vec_id = d.id
+      |ORDER BY id""".stripMargin
+
   /** Corpus-wide kNN graph (k=3) over the shared sign-LSH buckets — both
     * join sides are the full corpus (the scale path where q38's broadcast
     * query batch doesn't apply). */
@@ -437,6 +477,7 @@ object EmbeddingQueries {
     "q38_lsh_topk"       -> q38,
     "q43_kmeans_quantize" -> q43,
     "q62_semdedup"        -> q62,
+    "q99_semdedup_capped" -> q99,
     "q78_knn_graph"       -> q78,
     "q79_knn_graph_capped" -> q79,
     "q80_ivf_topk"         -> q80,
@@ -451,6 +492,7 @@ object EmbeddingQueries {
     "q38_lsh_topk"       -> q38Sql,
     "q43_kmeans_quantize" -> q43Sql,
     "q62_semdedup"        -> q62Sql,
+    "q99_semdedup_capped" -> q99Sql,
     "q78_knn_graph"       -> q78Sql,
     "q79_knn_graph_capped" -> q79Sql,
     "q80_ivf_topk"         -> q80Sql

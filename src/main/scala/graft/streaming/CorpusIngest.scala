@@ -208,4 +208,39 @@ object CorpusIngest {
       .groupBy(others.map(col): _*)
       .agg(max(col(flagCol)).as(flagCol))
   }
+
+  // ------------------------------------------------- sketch telemetry
+
+  /** Ingest-gate observability: running HLL sketch of DISTINCT document
+    * content over the stream — "how many unique docs has this pipeline
+    * seen", the number the gate's datasheet carries without ever holding
+    * a distinct set. A complete/update-mode streaming aggregation whose
+    * state is bounded at 2^p register rows FOREVER (the
+    * [[graft.operators.Sketches]] streaming contract); the register max
+    * merges across micro-batches exactly like the batch merge law, so
+    * the stream's sketch CONVERGES to the batch sketch of everything
+    * ingested — across restarts too, since the registers are ordinary
+    * aggregation state in the checkpoint (spec-pinned). Read the number
+    * off with [[graft.operators.Sketches.hllEstimate]] sink-side. */
+  def corpusCardinalitySketch(stream: DataFrame, textCol: String, p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllRegisters(
+      stream.select(Dedup.normalizedTextHash(col(textCol)).as("_h")),
+      Nil, col("_h"), p)
+
+  /** Ingest-gate observability: running Count-Min sketch of the token
+    * stream — "which tokens are hot right now" telemetry with state
+    * bounded at depth×width counters forever. Same streaming/restart
+    * contract as [[corpusCardinalitySketch]] (counters are checkpointed
+    * aggregation state; merge = elementwise sum per micro-batch). Pair
+    * with [[graft.operators.Sketches.cmsEstimate]] or
+    * [[graft.operators.Sketches.cmsHeavyHitters]] batch-side to turn the
+    * registers into per-token counts. */
+  def hotTokenSketch(
+      stream: DataFrame,
+      textCol: String,
+      depth: Int = 3,
+      width: Int = 1024): DataFrame =
+    graft.operators.Sketches.cmsRegisters(
+      stream.select(explode(split(col(textCol), " ")).as("_t")),
+      Nil, col("_t"), depth, width)
 }
