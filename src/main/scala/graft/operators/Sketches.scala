@@ -267,7 +267,9 @@ object Sketches {
     val bc = spark.sparkContext.broadcast(table)
 
     // JVM twin of cmsBucket: md5("d|v") first 15 hex chars as a 60-bit
-    // long, mod width — byte-identical to the SQL form by the md5 law
+    // long, mod width. 15 hex chars = the digest's first 7.5 bytes, i.e.
+    // the first 8 bytes as an unsigned big-endian long shifted right a
+    // nibble — no hex-string round-trip in the per-row hot path.
     val est = udf { (g: String, v: String) =>
       if (v == null) 0L
       else {
@@ -275,9 +277,11 @@ object Sketches {
         var minCnt = Long.MaxValue
         var d = 0
         while (d < depth) {
-          val hex = md.digest(s"$d|$v".getBytes("UTF-8"))
-            .take(8).map(b => f"$b%02x").mkString // 16 hex chars; take 15
-          val bucket = java.lang.Long.parseLong(hex.substring(0, 15), 16) % width
+          val dig = md.digest(s"$d|$v".getBytes("UTF-8"))
+          var h = 0L
+          var i = 0
+          while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+          val bucket = (h >>> 4) % width
           minCnt = math.min(minCnt, bc.value.getOrElse((g, d, bucket), 0L))
           md.reset()
           d += 1
