@@ -259,6 +259,48 @@ object Similarity {
       .select(col("id"), col("cluster"), (!col("_d")).as("keep"))
   }
 
+  /** Cluster-balanced diversity subsample — the selection shape of the
+    * SemDeDup/DCLM family's "prototypicality" stage: k-means cluster the
+    * embeddings, then keep up to `quota` members PER CLUSTER, so the
+    * subsample preserves the corpus' semantic spread instead of letting
+    * dominant clusters swamp a uniform sample. Members are chosen by a
+    * deterministic md5 rank over the id (13 hex chars = 52 bits, exactly
+    * representable as a double, so the [[graft.functions.TopK]] score
+    * round-trips bit-exactly and both engines order identically; ties —
+    * impossible at 52 bits in practice — fall to the smaller id, the
+    * aggregator's own tiebreak). Output: `(cluster, id, pick)` with
+    * pick = 1..quota in coin order.
+    *
+    * Scale shape: assignment is the quantizer's map (corpus never
+    * shuffles), and selection is the partial-aggregating TopK — each
+    * task ships at most `quota` candidates per cluster to the shuffle,
+    * never a per-cluster window/sort, so a degenerate million-member
+    * cluster still reduces distributed. Numeric-id contract as for the
+    * TopK family. `iters = 0` is the oracle-able exemplar configuration;
+    * trained quantizers are the production path. */
+  def clusterBalancedSample(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      quota: Int,
+      iters: Int = 5): DataFrame = {
+    require(quota >= 1, "quota must be positive")
+    val centroids = KMeans.fit(df, vecCol, idCol, k, iters)
+    val coin = conv(substring(md5(col("id").cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+    KMeans.assign(df, vecCol, centroids)
+      .select(col("bucket").as("cluster"), col(idCol).as("id"))
+      .withColumn("_coin", coin)
+      .groupBy(col("cluster"))
+      .agg(graft.functions.TopK.topK(quota, col("id"), -col("_coin").cast("double")).as("_tk"))
+      .select(col("cluster"), posexplode(col("_tk")).as(Seq("_pos", "_nb")))
+      .select(
+        col("cluster"),
+        col("_nb.cid").as("id"),
+        (col("_pos") + 1).cast("int").as("pick"))
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Train a product-quantization codebook (Jégou, Douze & Schmid 2011,

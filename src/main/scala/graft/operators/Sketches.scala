@@ -298,4 +298,31 @@ object Sketches {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= lit(minCount))
   }
+
+  /** Ranked top-k heavy hitters per group — [[cmsHeavyHitters]] plus a
+    * deterministic rank (count desc, value asc): "the k most frequent
+    * tokens per language", the production question the sketch tier
+    * exists to answer. The row_number window runs over the HEAVY SET
+    * only — at most Σcount/minCount values per group survive the floor,
+    * a sketch-bounded row count, never the distinct-value set — so the
+    * per-group sort is bounded by the caller's floor, not the data.
+    * Output: `(groupCols…, value, n, rank)`, rank 1..k. */
+  def cmsTopK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      depth: Int,
+      width: Int,
+      minCount: Long,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w =
+      (if (groupCols.isEmpty) Window.partitionBy()
+       else Window.partitionBy(groupCols.map(col): _*))
+        .orderBy(col("n").desc, col("value").asc)
+    cmsHeavyHitters(df, groupCols, value, depth, width, minCount)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= lit(k))
+  }
 }
