@@ -6,7 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // integer-validated: these interpolate into local[N] masters AND into
+    // raw JSON (DETERMINISM.json) — a stray "*" must not inject either
+    def intEnv(name: String, default: Int): Int =
+      sys.env.get(name).flatMap(_.toIntOption).filter(_ > 0).getOrElse(default)
+    val cpus = intEnv("SPARK_GRAFT_CPUS", 32)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,7 +56,7 @@ object Verify {
     // carries determinism evidence without a separate dev/determinism.py
     // sweep. Opt-out: SPARK_GRAFT_NO_DETERMINISM=1.
     if (!sys.env.contains("SPARK_GRAFT_NO_DETERMINISM")) {
-      val altCpus = sys.env.getOrElse("SPARK_GRAFT_DET_CPUS", "7")
+      val altCpus = intEnv("SPARK_GRAFT_DET_CPUS", 7)
       val spark2 = SparkSession.builder()
         .master(s"local[$altCpus]")
         .config("spark.sql.shuffle.partitions", altCpus)

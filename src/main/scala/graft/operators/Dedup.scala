@@ -238,7 +238,13 @@ object Dedup {
     * pair participants only; the argmax is ONE map-side-combined
     * aggregate over (comp, id, score) rows — the lexicographic
     * struct-max trick, no per-cluster window/sort, so a million-member
-    * degenerate cluster still reduces distributed. */
+    * degenerate cluster still reduces distributed.
+    *
+    * Score contract: scores compare as IEEE doubles (integral scores
+    * beyond 2^53 may collapse under the cast; use a pre-scaled double
+    * if you need finer resolution up there). A NULL score ranks BELOW
+    * every non-null score — a null-scored member can only win a cluster
+    * whose members are all null-scored (ties then fall to lowest id). */
   def keepBestInCluster(
       pairs: DataFrame, // (aCol, bCol) near-dup pair graph
       aCol: String,
@@ -249,9 +255,12 @@ object Dedup {
     val comps = connectedComponents(pairs, aCol, bCol)
     // struct-MIN over (-score, id): smallest negated score = highest score,
     // ties fall to the smallest id under the struct's natural ascending
-    // order — no negation of the id, so string/any orderable ids work
+    // order — no negation of the id, so string/any orderable ids work.
+    // NULL scores coalesce to -Inf BEFORE the negation: a bare -NULL is
+    // NULL, and struct-min sorts a NULL field FIRST, which would let one
+    // null-scored member beat every real score in its cluster.
     val best = min(struct(
-      (-col(scoreCol).cast("double")).as("ns"),
+      (-coalesce(col(scoreCol).cast("double"), lit(Double.NegativeInfinity))).as("ns"),
       col("id").as("kid"),
       col(scoreCol).as("s")))
     comps

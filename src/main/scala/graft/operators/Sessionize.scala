@@ -43,13 +43,24 @@ object Sessionize {
     partitionCols.isEmpty &&
       df.queryExecution.optimizedPlan.stats.sizeInBytes > GlobalWindowWarnBytes
 
+  /** Opt-in strict mode: when this session conf is `true`, the global-window
+    * misuse FAILS FAST (IllegalArgumentException at plan time) instead of
+    * warning once into a log nobody reads — the production-job setting, so a
+    * 100× scale-up cannot silently funnel through one task. Default stays
+    * warn-only: the small-slice fallback is a documented contract. */
+  private[graft] val StrictConfKey = "spark.graft.sessionize.strictPartitioning"
+
   private def guard(df: DataFrame, partitionCols: Seq[String], op: String): Unit =
-    if (globalWindowFallback(df, partitionCols) && warnedOnce.compareAndSet(false, true))
-      log.warn(
+    if (globalWindowFallback(df, partitionCols)) {
+      val msg =
         s"Sessionize.$op called with no partitionCols on an input whose plan-time size " +
           s"estimate exceeds $GlobalWindowWarnBytes bytes: the global-window fallback " +
           "sorts ALL rows in ONE task. Supply partitionCols (granule / mission / day) " +
-          "at scale. (warned once per JVM)")
+          "at scale."
+      val strict = df.sparkSession.conf.getOption(StrictConfKey).exists(_.toBoolean)
+      require(!strict, s"$msg ($StrictConfKey=true)")
+      if (warnedOnce.compareAndSet(false, true)) log.warn(s"$msg (warned once per JVM)")
+    }
 
   private def w(orderCol: String, partitionCols: Seq[String]) = {
     val base =

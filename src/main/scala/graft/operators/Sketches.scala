@@ -257,13 +257,21 @@ object Sketches {
     val spark = df.sparkSession
     val regs  = cmsRegisters(df, groupCols, value, depth, width)
 
-    // bounded collect: ≤ depth·width rows per group (sketch, not data)
-    val table: Map[(String, Int, Long), Long] = regs.collect().map { r =>
-      val g = groupCols
-        .map(c => Option(r.getAs[Any](c)).map(String.valueOf(_)).getOrElse("\u0000N"))
-        .mkString("\u0000")
-      (g, r.getAs[Int]("depth"), r.getAs[Long]("bucket")) -> r.getAs[Long]("cnt")
-    }.toMap
+    // bounded collect: ≤ depth·width rows per group (sketch, not data).
+    // The group key MUST render through Spark's own cast("string") — the
+    // exact expression the probe key below uses — not JVM String.valueOf:
+    // the two disagree for types like TimestampType ("…00:00:00.0" vs
+    // "…00:00:00"), and a rendering mismatch zeroes every estimate,
+    // silently dropping true heavy hitters before the exact count.
+    val gKey = if (groupCols.isEmpty) lit("")
+      else concat_ws("\u0000",
+        groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
+    val table: Map[(String, Int, Long), Long] = regs
+      .select(gKey.as("gk"), col("depth"), col("bucket"), col("cnt"))
+      .collect().map { r =>
+        (r.getAs[String]("gk"), r.getAs[Int]("depth"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")
+      }.toMap
     val bc = spark.sparkContext.broadcast(table)
 
     // JVM twin of cmsBucket: md5("d|v") first 15 hex chars as a 60-bit
@@ -289,9 +297,6 @@ object Sketches {
         minCnt
       }
     }
-    val gKey = if (groupCols.isEmpty) lit("")
-      else concat_ws("\u0000",
-        groupCols.map(c => coalesce(col(c).cast("string"), lit("\u0000N"))): _*)
     df.select(groupCols.map(col) :+ value.cast("string").as("value"): _*)
       .filter(est(gKey, col("value")) >= lit(minCount))
       .groupBy(groupCols.map(col) :+ col("value"): _*)

@@ -369,6 +369,40 @@ object EmbeddingQueries {
       |SELECT qid, cid, rank, cos FROM r WHERE rank <= 3
       |ORDER BY qid, rank""".stripMargin
 
+  /** Cluster-balanced diversity subsample at the oracle-able exemplar
+    * configuration (`iters = 0` — centroids are the first k input vectors,
+    * so assignment distances are bit-identical sequential folds in both
+    * engines). The md5-coin selection order (coin asc, id asc — the TopK
+    * (score desc, cid asc) contract over score = -coin) is mirrored
+    * exactly: 13 hex chars = 52 bits, double-exact. Discrete output
+    * (cluster, id, pick) — no float columns. */
+  private val q100: Q = (s, dir) =>
+    Similarity
+      .clusterBalancedSample(emb(s, dir), "vec_id", "vec", k = 4, quota = 3, iters = 0)
+      .orderBy(col("cluster"), col("pick"))
+
+  private val q100Sql =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+      |init AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, vec AS cvec
+      |  FROM (SELECT * FROM v ORDER BY vec_id LIMIT 4)),
+      |dist AS (
+      |  SELECT v.vec_id, i.c, ${sqL2Sql("v.vec", "i.cvec")} AS d
+      |  FROM v CROSS JOIN init i),
+      |assign AS (
+      |  SELECT vec_id, c AS cluster FROM (
+      |    SELECT vec_id, c, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM dist)
+      |  WHERE rn = 1),
+      |r AS (
+      |  SELECT cluster, vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster
+      |      ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 13))::BIGINT, vec_id) AS pick
+      |  FROM assign)
+      |SELECT CAST(cluster AS INT) AS cluster, vec_id AS id, CAST(pick AS INT) AS pick
+      |FROM r WHERE pick <= 3
+      |ORDER BY cluster, pick""".stripMargin
+
   /** IVF multi-probe top-3 (nprobe = 2 of 4 cells): the production ANN
     * read path at its oracle-able configuration — `iters = 0` exemplar
     * centroids (exact input vectors, every distance a bit-identical
@@ -481,7 +515,8 @@ object EmbeddingQueries {
     "q78_knn_graph"       -> q78,
     "q79_knn_graph_capped" -> q79,
     "q80_ivf_topk"         -> q80,
-    "q83_pq_encode"        -> q83
+    "q83_pq_encode"        -> q83,
+    "q100_cluster_sample"  -> q100
   )
 
   val oracles: Map[String, String] = Map(
@@ -495,6 +530,7 @@ object EmbeddingQueries {
     "q99_semdedup_capped" -> q99Sql,
     "q78_knn_graph"       -> q78Sql,
     "q79_knn_graph_capped" -> q79Sql,
-    "q80_ivf_topk"         -> q80Sql
+    "q80_ivf_topk"         -> q80Sql,
+    "q100_cluster_sample"  -> q100Sql
   )
 }

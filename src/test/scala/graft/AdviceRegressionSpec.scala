@@ -156,6 +156,43 @@ class AdviceRegressionSpec extends SparkSpec {
     assert(out(0).getAs[Long]("n_members") === 3L)
   }
 
+  test("keepBestInCluster: a null-scored member LOSES to any real score (r11 advice)") {
+    import graft.operators.Dedup
+    // one cluster {A,B,C}; B has score NULL. Pre-fix, -NULL = NULL sorted
+    // FIRST in the struct-min, so B always won with best_score = null.
+    val pairs  = Seq(("A", "B"), ("B", "C")).toDF("a", "b")
+    val scores = Seq(("A", Option(1.0)), ("B", Option.empty[Double]), ("C", Option(3.0)))
+      .toDF("id", "score")
+    val out = Dedup.keepBestInCluster(pairs, "a", "b", scores, "id", "score").collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[String]("keep_id") === "C")
+    assert(out(0).getAs[Double]("best_score") === 3.0)
+    assert(out(0).getAs[Long]("n_members") === 3L)
+    // all-null cluster: ties at -Inf fall to the smallest id, score stays null
+    val nullScores = Seq(("A", Option.empty[Double]), ("B", Option.empty[Double]),
+      ("C", Option.empty[Double])).toDF("id", "score")
+    val allNull = Dedup.keepBestInCluster(pairs, "a", "b", nullScores, "id", "score").collect()
+    assert(allNull.length === 1)
+    assert(allNull(0).getAs[String]("keep_id") === "A")
+    assert(allNull(0).isNullAt(allNull(0).fieldIndex("best_score")))
+  }
+
+  test("cmsHeavyHitters: TimestampType group columns keep the never-miss law (r11 advice)") {
+    import graft.operators.Sketches
+    // JVM Timestamp.toString renders "…00:00:00.0"; Spark cast("string")
+    // renders "…00:00:00". Pre-fix the broadcast register table used the
+    // JVM form while the probe used Spark's, so every estimate was 0 and
+    // true heavy hitters were silently dropped before the exact count.
+    val day = ts("2024-03-01 00:00:00")
+    val rows = Seq.fill(6)((day, "the")) ++ Seq.fill(2)((day, "dog")) ++
+      (0 until 10).map(i => (day, s"rare$i"))
+    val df = rows.toDF("day", "token")
+    val got = Sketches
+      .cmsHeavyHitters(df, Seq("day"), $"token", depth = 3, width = 256, minCount = 4L)
+      .collect().map(r => (r.getAs[Timestamp]("day"), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((day, "the", 6L)))
+  }
+
   test("lm-filter / dsir-select null-group docs fall into the scored branch, not dropped (r10 advice)") {
     // exercised end-to-end in CorpusJobSpec; here pin the predicate algebra:
     // coalesce(pred, false) partitions ALL rows across the two branches

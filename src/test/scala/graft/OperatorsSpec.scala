@@ -173,6 +173,37 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1L)._1 !== out(3L)._1)
   }
 
+  test("clusterBalancedSample: per-cluster quota, md5-coin order, deterministic across partitionings") {
+    // iters = 0 → centroids are the first k=2 vectors by id: [1,0] and [0,1].
+    // Cluster 0 holds ids 1,3,4,6 (four members, quota 2), cluster 1 holds 2,5.
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)), (3L, Array(0.9, 0.1)),
+      (4L, Array(0.8, 0.2)), (5L, Array(0.1, 0.9)), (6L, Array(0.95, 0.05))
+    ).toDF("vec_id", "vec")
+    // the operator's own coin: first 13 hex chars of md5(id-as-string), 52 bits
+    def coin(id: Long): Long = {
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
+    def expectPicks(ids: Seq[Long], quota: Int): Seq[(Long, Int)] =
+      ids.sortBy(id => (coin(id), id)).take(quota).zipWithIndex.map { case (id, i) => (id, i + 1) }
+    val got = Similarity.clusterBalancedSample(df, "vec_id", "vec", k = 2, quota = 2, iters = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster.keySet === Set(0, 1))
+    assert(byCluster(0).map(t => (t._2, t._3)).sortBy(_._2).toSeq === expectPicks(Seq(1L, 3L, 4L, 6L), 2))
+    assert(byCluster(1).map(t => (t._2, t._3)).sortBy(_._2).toSeq === expectPicks(Seq(2L, 5L), 2))
+    // quota larger than a cluster keeps the whole cluster, never pads
+    val all = Similarity.clusterBalancedSample(df, "vec_id", "vec", k = 2, quota = 10, iters = 0)
+    assert(all.count() === 6L)
+    // deterministic under a different partitioning (partial-agg merge order)
+    val repart = Similarity
+      .clusterBalancedSample(df.repartition(7), "vec_id", "vec", k = 2, quota = 2, iters = 0)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted
+    assert(repart === got.sorted)
+  }
+
   test("repetition kernel: hand-checked counts incl. empty tokens, ties, sub-gram docs") {
     val df = Seq(
       (1L, "a b a b a"),       // 2-grams: ab ba ab ba — 4 total, 2 dup, top 2; 3-grams: aba bab aba — 3,1,2

@@ -143,4 +143,24 @@ class SessionizeSpec extends SparkSpec {
       spark.range(10L).toDF("idx").withColumn("k", lit("a")), "idx", Seq("k"))
     assert(out.agg(max(col("region_id"))).head().getLong(0) === 0L)
   }
+
+  test("strict mode turns the global-window misuse into a plan-time failure (r12 verdict)") {
+    val big = spark.range((Sessionize.GlobalWindowWarnBytes / 8L).toLong + 1000L)
+      .toDF("idx").withColumn("k", lit("a"))
+    spark.conf.set(Sessionize.StrictConfKey, "true")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Sessionize.byKeyChange(big, "idx", Seq("k"))
+      }
+      assert(e.getMessage.contains(Sessionize.StrictConfKey))
+      // partitioned big inputs and small unpartitioned slices stay allowed
+      assert(Sessionize.byKeyChange(big, "idx", Seq("k"), partitionCols = Seq("k"))
+        .columns.contains("region_id"))
+      assert(Sessionize.byKeyChange(spark.range(10L).toDF("idx").withColumn("k", lit("a")),
+        "idx", Seq("k")).columns.contains("region_id"))
+      intercept[IllegalArgumentException] {
+        Sessionize.byKeyChangeWithMargin(big, "idx", Seq("k"), margin = 2L)
+      }
+    } finally spark.conf.unset(Sessionize.StrictConfKey)
+  }
 }
