@@ -330,4 +330,36 @@ object Sketches {
       .withColumn("rank", row_number().over(w).cast("int"))
       .filter(col("rank") <= lit(k))
   }
+
+  /** Heavy-hitter harvest from a bounded candidate set + CMS registers —
+    * the read path that turns streaming sketch state into a top-of-
+    * distribution report. `candidates` is any bounded candidate pool
+    * (typically the exploded [[graft.functions.SpaceSaving]] summaries a
+    * streaming query maintains —
+    * [[graft.streaming.CorpusIngest.hotTokenCandidates]]); `regs` is the
+    * matching groupless [[cmsRegisters]] state. Each candidate's count is
+    * its CMS estimate (min over depth lookups — [[cmsEstimate]], whose
+    * estimates never underestimate and are independent of the candidate
+    * pool's eviction order), floored at `minCount`.
+    *
+    * Convergence law (spec-pinned incl. across streaming restarts): the
+    * SpaceSaving never-miss guarantee puts every value with true count >
+    * shardN/capacity in the pool, and CMS never underestimates, so no
+    * true heavy hitter is lost; in the collision-free regime (width ≫
+    * candidates, capacity ≥ distinct) the harvest equals the batch
+    * [[cmsHeavyHitters]] output exactly, with `cms_count` = the true
+    * count. Under collision/eviction pressure it stays a SUPERSET of the
+    * true heavy set with upper-bound counts — the sketch family's
+    * documented one-sided error. Output: `(valueCol, cms_count)`. */
+  def harvestHeavyHitters(
+      candidates: DataFrame,
+      regs: DataFrame,
+      valueCol: String,
+      depth: Int,
+      width: Int,
+      minCount: Long): DataFrame = {
+    require(minCount >= 1L, "minCount must be positive")
+    cmsEstimate(regs, Nil, candidates.select(col(valueCol)).distinct(), valueCol, depth, width)
+      .filter(col("cms_count") >= lit(minCount))
+  }
 }

@@ -243,4 +243,35 @@ object CorpusIngest {
     graft.operators.Sketches.cmsRegisters(
       stream.select(explode(split(col(textCol), " ")).as("_t")),
       Nil, col("_t"), depth, width)
+
+  /** Ingest-gate observability: the bounded heavy-hitter CANDIDATE pool
+    * that completes [[hotTokenSketch]] into an actionable top-k — the
+    * registers say how hot any given token is, this says WHICH tokens to
+    * ask about. Per shard (token-hash partitioned, so each token lives in
+    * exactly one shard's summary) a [[graft.functions.SpaceSaving]]
+    * summary of at most `capacity` counters rides as ordinary streaming-
+    * aggregation state: bounded at shards×capacity FOREVER, checkpointed,
+    * restart-safe. Every token whose true count exceeds its shard's
+    * stream-length/capacity is guaranteed present (the SpaceSaving
+    * never-miss law — one shard's stream is ~1/shards of the tokens, so
+    * the global threshold is N/(shards·capacity) for even sharding).
+    *
+    * Harvest sink-side with
+    * [[graft.operators.Sketches.harvestHeavyHitters]] over the exploded
+    * `candidates` column + the [[hotTokenSketch]] registers: that pairing
+    * converges to the batch [[graft.operators.Sketches.cmsHeavyHitters]]
+    * answer (spec-pinned, incl. across restarts). Output per shard:
+    * `(shard, candidates: array<struct<value,count,err>>)`. */
+  def hotTokenCandidates(
+      stream: DataFrame,
+      textCol: String,
+      capacity: Int = 256,
+      shards: Int = 8): DataFrame = {
+    require(shards >= 1, "shards must be positive")
+    stream
+      .select(explode(split(col(textCol), " ")).as("_t"))
+      .withColumn("shard", pmod(xxhash64(col("_t")), lit(shards)).cast("int"))
+      .groupBy(col("shard"))
+      .agg(graft.functions.SpaceSaving.summary(capacity, col("_t")).as("candidates"))
+  }
 }

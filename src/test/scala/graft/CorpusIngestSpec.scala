@@ -318,4 +318,54 @@ class CorpusIngestSpec extends SparkSpec {
     assert(streamCms === batchCms)
     assert(streamCms.size <= 128) // depth × width
   }
+
+  test("heavy-hitter harvest converges to the batch operator across a restart (r12 verdict #5)") {
+    // candidates (SpaceSaving state, bounded at shards×capacity) + CMS
+    // registers, both ordinary checkpointed aggregation state: after a
+    // kill/restart the sink-side harvest must equal the batch
+    // cmsHeavyHitters answer over everything ingested
+    val dir = java.nio.file.Files.createTempDirectory("hh_harvest")
+    val in  = dir.resolve("in"); java.nio.file.Files.createDirectories(in)
+    val schema = Seq.empty[(Long, String)].toDF("doc_id", "text").schema
+    def writeBatch(name: String, rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(in.resolve(name).toString)
+
+    val depth = 3; val width = 512; val capacity = 64; val shards = 4
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(in.toString + "/*")
+      val qc = CorpusIngest.hotTokenCandidates(stream, "text", capacity, shards)
+        .writeStream.outputMode("complete").format("memory").queryName("hh_cands")
+        .option("checkpointLocation", s"$dir/ckpt_cands").start()
+      val qr = CorpusIngest.hotTokenSketch(stream, "text", depth, width)
+        .writeStream.outputMode("complete").format("memory").queryName("hh_regs")
+        .option("checkpointLocation", s"$dir/ckpt_regs").start()
+      try { qc.processAllAvailable(); qr.processAllAvailable() }
+      finally { qc.stop(); qr.stop() }
+    }
+
+    // hot tokens appear in every doc; the tail is ~60 distinct one-off tokens
+    val batch1 = (0L until 30L).map(i => (i, s"alpha beta tok$i"))
+    val batch2 = (30L until 60L).map(i => (i, s"alpha gamma tok$i"))
+    writeBatch("b1", batch1)
+    runOnce()
+    writeBatch("b2", batch2)
+    runOnce() // restart: both states resume from the checkpoint
+
+    val cands = spark.table("hh_cands")
+    assert(cands.count() <= shards.toLong) // one bounded summary row per shard
+    val candVals = cands.select(explode($"candidates").as("c")).select($"c.value".as("value"))
+    assert(candVals.count() <= (shards * capacity).toLong)
+    val harvest = graft.operators.Sketches
+      .harvestHeavyHitters(candVals, spark.table("hh_regs"), "value", depth, width, minCount = 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val batchHH = graft.operators.Sketches
+      .cmsHeavyHitters(all.select(explode(split($"text", " ")).as("_t")), Nil, $"_t",
+        depth, width, minCount = 25L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(harvest === batchHH)
+    assert(harvest === Set(("alpha", 60L), ("beta", 30L), ("gamma", 30L)))
+  }
 }

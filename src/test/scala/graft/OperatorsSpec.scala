@@ -929,6 +929,46 @@ class OperatorsSpec extends SparkSpec {
     assert(gotNull === Set((None, "the", 9L)))
   }
 
+  test("SpaceSaving: exact in the unevicted regime, bounded + never-miss under pressure; harvest = batch HH") {
+    import graft.functions.SpaceSaving
+    val rows = Seq.fill(9)("the") ++ Seq.fill(5)("cat") ++ Seq.fill(2)("dog") ++
+      (0 until 30).map(i => s"rare$i") // N = 46, 33 distinct
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def summarize(df: org.apache.spark.sql.DataFrame, m: Int): Map[String, (Long, Long)] = df
+      .agg(SpaceSaving.summary(m, $"t").as("s"))
+      .select(explode($"s").as("c")).select($"c.value", $"c.count", $"c.err")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // capacity ≥ distinct: nothing evicts, counts exact, errs zero — under
+    // partial-agg merges across partitions too
+    val exact = summarize(rows.toDF("t").repartition(7), 100)
+    assert(exact.view.mapValues(_._1).toMap === truth)
+    assert(exact.values.forall(_._2 === 0L))
+    // eviction pressure in one summary (m=8 ≪ 33 distinct): state bounded at
+    // m; count never underestimates and count−err never overestimates; every
+    // value with true count > N/m = 5.75 (only "the") is guaranteed present
+    val pressured = summarize(rows.toDF("t").coalesce(1), 8)
+    assert(pressured.size <= 8)
+    assert(pressured.contains("the"))
+    pressured.foreach { case (v, (c, e)) =>
+      val t = truth.getOrElse(v, 0L)
+      assert(c >= t, s"$v undercounted: $c < $t")
+      assert(c - e <= t, s"$v lower bound broken: $c - $e > $t")
+    }
+    // harvest law: capacity > N/minCount (16 > 11.5) guarantees every value
+    // with count ≥ 4 is a candidate; collision-free CMS counts are exact, so
+    // the harvest IS the batch cmsHeavyHitters answer
+    val df = rows.toDF("t")
+    val cands = df.agg(SpaceSaving.summary(16, $"t").as("s"))
+      .select(explode($"s").as("c")).select($"c.value".as("value"))
+    val regs = Sketches.cmsRegisters(df, Nil, $"t", depth = 3, width = 1024)
+    val harvest = Sketches.harvestHeavyHitters(cands, regs, "value", 3, 1024, minCount = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = Sketches.cmsHeavyHitters(df, Nil, $"t", 3, 1024, minCount = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(harvest === batch)
+    assert(harvest === Set(("the", 9L), ("cat", 5L)))
+  }
+
   test("Sketches.cmsRegisters on a stream: bounded state, converges to the batch sketch") {
     // same contract as streaming HLL: the counter aggregation is a plain
     // stateful sum with state bounded by depth × width forever
