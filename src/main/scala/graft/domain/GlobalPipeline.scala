@@ -204,22 +204,35 @@ object GlobalPipeline {
     * stays the fill). Annotation rows derive from the first science
     * variable's pixel set: every variable of a pixel carries identical
     * annotations (same first-writer-wins row), so no dedup shuffle is
-    * needed. */
+    * needed.
+    *
+    * ONE pass over the product: each row explodes into its science pair
+    * plus (first-science-variable rows only) the three annotation pairs.
+    * The earlier sci-UNION-ann form referenced `product` twice, so the
+    * whole upstream pipeline — including its broadcast builds — executed
+    * twice in the same job; at the 36000×18000 deploy mesh that doubled
+    * driver memory and OOM'd the global-day probe at 10⁵ soundings. */
   def toStoreVariables(mission: String, product: DataFrame): DataFrame = {
     val p    = MissionPrefix(mission)
     val base = Seq("time", "lat_idx", "lon_idx", "lat", "lon").map(col)
-    val sci = product.select(
-      base :+ concat(lit(p), col("variable")).as("variable") :+ col("value"): _*)
-    if (!Annotating(mission)) sci
-    else {
-      val first = MissionScienceVars(mission).head
-      val ann = product
-        .filter(col("variable") === first)
-        .select(base :+ expr(
-          s"stack(3, '${p}target_id', CAST(target_num AS DOUBLE), " +
-            s"'${p}target_type', CAST(target_type AS DOUBLE), " +
-            s"'${p}operation_mode', CAST(operation_mode AS DOUBLE)) AS (variable, value)"): _*)
-      sci.unionByName(ann)
-    }
+    val sci = array(struct(
+      concat(lit(p), col("variable")).as("variable"),
+      col("value").cast("double").as("value")))
+    val pairs =
+      if (!Annotating(mission)) sci
+      else {
+        val first = MissionScienceVars(mission).head
+        val ann = array(
+          struct(lit(p + "target_id").as("variable"),
+            col("target_num").cast("double").as("value")),
+          struct(lit(p + "target_type").as("variable"),
+            col("target_type").cast("double").as("value")),
+          struct(lit(p + "operation_mode").as("variable"),
+            col("operation_mode").cast("double").as("value")))
+        when(col("variable") === first, concat(sci, ann)).otherwise(sci)
+      }
+    product
+      .select(base :+ explode(pairs).as("_pv"): _*)
+      .select(base :+ col("_pv.variable").as("variable") :+ col("_pv.value").as("value"): _*)
   }
 }

@@ -763,6 +763,39 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "globalday") {
+      // the reference's headline workload, end to end at the DEPLOY grid:
+      // one synthetic granule-day → sessionize (region split) → interp →
+      // mask → Zarr store write at mesh 100·gridN × 50·gridN (gridN=360 ⇒
+      // 36000×18000, ~1 km) with the production 250×250×5 chunking.
+      // Reference envelope for the same day: single Python process,
+      // scipy griddata parallelism ≤ 2, write pool ≤ 4 (BASELINE.md).
+      val meshW = 100 * gridN
+      val meshH = 50 * gridN
+      val mesh  = graft.operators.Grid.GridSpec(-180.0, 180.0, meshW, -90.0, 90.0, meshH)
+      val store = java.nio.file.Files.createTempDirectory("globalday").resolve("store.zarr")
+      val t0   = System.nanoTime()
+      val prod = graft.domain.GlobalPipeline.toStoreVariables(
+        "oco3",
+        graft.domain.GlobalPipeline.process(granule, mesh, Pipeline.Config(gridN = gridN, method = method)))
+      graft.sinks.ZarrStore.write(
+        prod, store.toString,
+        graft.sinks.ZarrStore.GridSpec(
+          meshH, meshW,
+          -90.0 + 180.0 / meshH / 2, 180.0 / meshH,
+          -180.0 + 360.0 / meshW / 2, 360.0 / meshW),
+        graft.sinks.ZarrStore.Chunking(t = 5, y = 250, x = 250))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val chunkFiles = {
+        val d = store.toFile
+        def count(f: java.io.File): Long =
+          if (f.isDirectory) f.listFiles().map(count).sum else 1L
+        count(d)
+      }
+      println(s"""{"probe":"global_day_zarr","soundings":$n,"mesh":"${meshW}x$meshH","method":"$method","store_files":$chunkFiles,"sec":$sec}""")
+      spark.stop()
+      return
+    }
     val t0  = System.nanoTime()
     val out = variant match {
       case "global" =>
