@@ -27,6 +27,19 @@ object Bench {
     }.maxByOption(_.keys.count(_.contains('_'))).getOrElse(Map.empty)
   }
 
+  /** Baseline timing for one full query name from a parsed "queries"
+    * block. Driver-written BENCH_r*.json records keep only the last 2000
+    * chars of stdout, which usually truncates the detail line's head and
+    * leaves ONLY the compact line's short `qNN` keys — so a baseline with
+    * no underscored keys joins on the same prefix shortening the compact
+    * emitter uses (`q26_minhash_neardup` → `q26`). A full-named baseline
+    * never falls back: a stray short match there would misattribute. */
+  def baselineFor(prevQ: Map[String, Double], fullName: String): Option[Double] =
+    prevQ.get(fullName).orElse {
+      if (prevQ.keys.exists(_.contains('_'))) None
+      else prevQ.get(fullName.takeWhile(_ != '_'))
+    }
+
   /** Machine-load stamp from /proc/loadavg: (1m, 5m, 15m averages,
     * currently-runnable task count). Recorded at run start AND end so a
     * load-contaminated bench is machine-detectable afterwards — the r7
@@ -113,7 +126,7 @@ object Bench {
       .lastOption
     val deltas = prev.map { case (f, prevQ) =>
       val ds = results.flatMap { case (k, v, _) =>
-        prevQ.get(k).map(p => "\"" + k + "\":" + fmt(v - p))
+        baselineFor(prevQ, k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
       // stamp the baseline's mtime: a bare filename stops identifying the
       // record once this run overwrites it (BENCH_SELF.json especially)

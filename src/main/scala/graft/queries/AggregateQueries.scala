@@ -378,7 +378,31 @@ object AggregateQueries {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 200
       |ORDER BY lang, value""".stripMargin
 
+  /** Ranked top-k per group over the heavy set (q98 + deterministic rank):
+    * the window runs over the sketch-bounded heavy set only, never the
+    * distinct-token set, so the oracle is ROW_NUMBER over the same
+    * GROUP BY … HAVING. */
+  private val q101: Q = (s, dir) => {
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+    graft.operators.Sketches
+      .cmsTopK(toks, Seq("lang"), col("token"), depth = 3, width = 256,
+        minCount = 100L, k = 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  private val q101Sql =
+    """WITH hh AS (
+      |  SELECT lang, token AS value, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 100)
+      |SELECT lang, value, n,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, value ASC) AS INT) AS rank
+      |FROM hh QUALIFY rank <= 5
+      |ORDER BY lang, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_cms_topk"               -> q101,
     "q98_heavy_hitters"           -> q98,
     "q97_hll_overlap"             -> q97,
     "q95_cms_counts"              -> q95,
@@ -396,6 +420,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_cms_topk"               -> q101Sql,
     "q98_heavy_hitters"           -> q98Sql,
     "q97_hll_overlap"             -> q97Sql,
     "q95_cms_counts"              -> q95Sql,

@@ -39,6 +39,18 @@ class AdviceRegressionSpec extends SparkSpec {
       """{"metric":"total","queries":{"q01":1.499,"q02":2.001},"sf":"sf0.1"}""" + "\n" +
         committed
     assert(Bench.parsePrevQueries(twoBlocks) === Map("q01_a" -> 1.5, "q02_b" -> 2.0))
+    // driver tails usually truncate the detail line's HEAD, leaving only the
+    // compact short-key block: deltas must still join via prefix shortening
+    // (r12: delta_sec came back empty against a short-keyed baseline)
+    val shortOnly = Bench.parsePrevQueries(
+      """..."queries":{"q01":1.499,"q100":0.589},"sf":"sf0.1"...""")
+    assert(shortOnly === Map("q01" -> 1.499, "q100" -> 0.589))
+    assert(Bench.baselineFor(shortOnly, "q01_pricing_summary") === Some(1.499))
+    assert(Bench.baselineFor(shortOnly, "q100_cluster_sample") === Some(0.589))
+    assert(Bench.baselineFor(shortOnly, "q02_filter_project") === None)
+    // a full-named baseline never falls back to a short-key match
+    assert(Bench.baselineFor(Map("q01_other" -> 9.9), "q01_pricing_summary") === None)
+    assert(Bench.baselineFor(Map("q01_pricing_summary" -> 1.2), "q01_pricing_summary") === Some(1.2))
   }
 
   test("as-of join never tears a row: null value columns stay with the newest right row") {
