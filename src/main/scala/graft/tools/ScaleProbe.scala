@@ -577,6 +577,19 @@ object ScaleProbe {
         .option("checkpointLocation", s"$dir/ckpt_cms").start()
       tq.processAllAvailable(); tq.stop()
       tq2.processAllAvailable(); tq2.stop()
+      // heavy-hitter candidate pool (r12 verdict #5): SpaceSaving summaries
+      // as streaming state, bounded at shards×capacity whatever the vocab;
+      // harvest = candidates priced by the CMS registers above
+      val tq3 = CorpusIngest.hotTokenCandidates(stream, "text", capacity = 256, shards = 8)
+        .writeStream.outputMode("complete").format("memory").queryName("probe_cands")
+        .option("checkpointLocation", s"$dir/ckpt_cands").start()
+      tq3.processAllAvailable(); tq3.stop()
+      val candVals = spark.table("probe_cands")
+        .select(explode(col("candidates")).as("c")).select(col("c.value").as("value"))
+      val candRows  = candVals.count()
+      val harvested = graft.operators.Sketches.harvestHeavyHitters(
+        candVals, spark.table("probe_cms"), "value", depth = 3, width = 1024,
+        minCount = math.max(n / 100L, 1L)).count()
       val estDistinct = graft.operators.Sketches
         .hllEstimate(spark.table("probe_hll"), Nil, p = 12)
         .collect()(0).getAs[Double]("estimate")
@@ -585,7 +598,8 @@ object ScaleProbe {
       println(s"""{"probe":"ingest_gate","docs":$n,"files":64,"batches":$batches,""" +
         s""""batch_sec":${r(batchSec)},"stream_sec":${r(sec)},""" +
         s""""docs_per_sec":${r(n / sec)},""" +
-        s""""telemetry":{"hll_est_distinct":${r(estDistinct)},"cms_registers":$cmsRegs}}""")
+        s""""telemetry":{"hll_est_distinct":${r(estDistinct)},"cms_registers":$cmsRegs,""" +
+        s""""hh_candidates":$candRows,"hh_harvested":$harvested}}""")
       spark.stop()
       return
     }
