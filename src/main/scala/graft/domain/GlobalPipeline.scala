@@ -97,7 +97,13 @@ object GlobalPipeline {
         graft.CacheScope.persist(sessions0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else sessions0
     val extents  = regionExtent(sessions)
-    val pixels   = coveredPixels(extents, grid)
+    // slim pixel payload: per-region constants (time/mode/target) stay in
+    // the bounded region-level table and re-attach AFTER the mask join —
+    // they must not ride the per-pixel explode at the 36000×18000 mesh
+    val attrs    = extents.select(
+      col("region_id"), col("time"), col("operation_mode"), col("target_id"))
+    val pixels   = coveredPixels(
+      extents.select("region_id", "fminx", "fmaxx", "fminy", "fmaxy"), grid)
     // cogroup kernel, not the rank-1-window join: the join form materializes
     // |pixels|×|soundings| per region and OOMs at ~1M soundings — the global
     // mesh (18000×36000 in production) is exactly where that bites
@@ -106,6 +112,8 @@ object GlobalPipeline {
       if (cfg.method == "nearest_join") "nearest" else cfg.method)
     val mask     = Pipeline.maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+      // one row per region — broadcast by construction (granule-day contract)
+      .join(broadcast(attrs), Seq("region_id"))
     // M4 first-writer-wins per global pixel per day
     val w = Window
       .partitionBy(col("time"), col("lat_idx"), col("lon_idx"))

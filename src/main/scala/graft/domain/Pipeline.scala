@@ -162,8 +162,12 @@ object Pipeline {
       sessions: DataFrame,
       cfg: Config,
       valueCols: Seq[String]): DataFrame = {
+    // slim pixel payload: per-region constants (target/time/bbox) do NOT
+    // ride the per-pixel explode — they re-attach at the end from the
+    // region-level table, which is bounded by region count, not pixels
     val pixels = regionPixels(regionsWithBbox, cfg)
-    val interped = cfg.method match {
+      .select("region_id", "lon_idx", "lat_idx", "lon", "lat")
+    val interped0 = cfg.method match {
       case m @ ("nearest" | "linear" | "cubic") =>
         graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols, m)
       // legacy join-based nearest (rank-1 window over pixels×soundings);
@@ -171,8 +175,13 @@ object Pipeline {
       case "nearest_join" => interpolateNearest(pixels, sessions, valueCols)
       case other          => throw new IllegalArgumentException(s"unknown method: $other")
     }
+    val interped = interped0.select(
+      (Seq("region_id", "lon_idx", "lat_idx", "lon", "lat") ++ valueCols).map(col): _*)
     val mask     = maskPixels(pixels, sessions, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+      // one row per region — broadcast by construction (granule-day contract)
+      .join(broadcast(regionsWithBbox.select(col("region_id"), col("target_id"), col("time"))),
+        Seq("region_id"))
     val stackExpr = valueCols.map(v => s"'$v', $v").mkString(s"stack(${valueCols.size}, ", ", ", ") AS (variable, value)")
     masked
       .select(

@@ -21,7 +21,8 @@ object LinearInterp {
 
   final case class PixelIn(region_id: Long, lon_idx: Int, lat_idx: Int, lon: Double, lat: Double)
   final case class PointIn(region_id: Long, sounding_index: Long, px: Double, py: Double, values: Seq[Double])
-  final case class PixelOut(region_id: Long, lon_idx: Int, lat_idx: Int, values: Seq[Double])
+  final case class PixelOut(
+      region_id: Long, lon_idx: Int, lat_idx: Int, lon: Double, lat: Double, values: Seq[Double])
 
   private def nearestValue(
       xs: Array[Double],
@@ -42,8 +43,11 @@ object LinearInterp {
 
   /** pixels: (region_id, lon_idx, lat_idx, lon, lat, ...); soundings:
     * (region_id, sounding_index, longitude, latitude, valueCols...).
-    * Returns pixels' rows + one column per valueCol (NaN outside the convex
-    * hull for linear/cubic; callers drop NaN rows in sparse form).
+    * Returns `(region_id, lon_idx, lat_idx, lon, lat, valueCols…)` — one
+    * row per pixel of a region that has soundings (NaN outside the convex
+    * hull for linear/cubic; callers drop NaN rows in sparse form). Extra
+    * pixel columns do NOT pass through: per-region constants belong in a
+    * region-level table the caller re-attaches (bounded by region count).
     *
     * `method` ∈ nearest | linear | cubic. The kernel form of `nearest`
     * (first-minimum scan per pixel, ties to lowest sounding_index) exists
@@ -105,14 +109,21 @@ object LinearInterp {
                   nearestValue(xs, ys, perVar(vi), p.lon, p.lat)
               }
             }
-            PixelOut(p.region_id, p.lon_idx, p.lat_idx, vals)
+            PixelOut(p.region_id, p.lon_idx, p.lat_idx, p.lon, p.lat, vals)
           }
         }
       }
 
+    // the kernel emits the pixel coordinates itself, so the result is
+    // self-contained: NO join back to `pixels` (that join was pixel-sized
+    // on BOTH sides — at the 36000×18000 deploy mesh it re-shuffled the
+    // whole covered-pixel set a second time for columns the cogroup
+    // already held). Per-region constants (time / target / mode) are the
+    // caller's to re-attach from the region-level table, which is bounded
+    // by the region count, not the pixel count.
     val expanded = valueCols.zipWithIndex.foldLeft(out.toDF()) { case (df, (c, i)) =>
       df.withColumn(c, col("values")(i))
     }
-    pixels.join(expanded.drop("values"), Seq("region_id", "lon_idx", "lat_idx"))
+    expanded.drop("values")
   }
 }
