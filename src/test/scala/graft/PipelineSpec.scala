@@ -93,4 +93,30 @@ class PipelineSpec extends SparkSpec {
     // both rows survive (region guard passes), including the bad one
     assert(sess.count() === 2)
   }
+
+  test("interpolate emits a self-contained slim payload: kernel-emitted coords, no pass-through") {
+    import spark.implicits._
+    // the slim-payload contract (r13): extra pixel columns must NOT ride
+    // the per-pixel explode through the kernel — at the 36000×18000 deploy
+    // mesh a pass-through meant a second pixel-sized shuffle join whose
+    // only purpose was re-attaching per-region constants
+    val pixels = Seq(
+      (1L, 0, 0, 10.0, 40.0, "per-region-constant"),
+      (1L, 1, 0, 10.5, 40.0, "per-region-constant"),
+      (1L, 0, 1, 10.0, 40.5, "per-region-constant")
+    ).toDF("region_id", "lon_idx", "lat_idx", "lon", "lat", "extra_payload")
+    val soundings = Seq(
+      (1L, 0L, 10.0, 40.0, 400.0),
+      (1L, 1L, 10.6, 40.1, 401.0)
+    ).toDF("region_id", "sounding_index", "longitude", "latitude", "xco2")
+    val out = graft.operators.LinearInterp.interpolate(pixels, soundings, Seq("xco2"), "nearest")
+    assert(out.columns.toSeq === Seq("region_id", "lon_idx", "lat_idx", "lon", "lat", "xco2"))
+    val got = out.collect().map(r =>
+      (r.getAs[Int]("lon_idx"), r.getAs[Int]("lat_idx")) ->
+        ((r.getAs[Double]("lon"), r.getAs[Double]("lat")))).toMap
+    assert(got === Map(
+      (0, 0) -> ((10.0, 40.0)),
+      (1, 0) -> ((10.5, 40.0)),
+      (0, 1) -> ((10.0, 40.5))))
+  }
 }
