@@ -88,7 +88,13 @@ object SifPipeline {
       if (resolved.columns.contains("granule_path"))
         sessionizePerGranule(resolved, cfg, "granule_path")
       else sessionize(resolved, cfg)
-    val sessions = qualityFilter(sessionized)
+    val sessions0 = qualityFilter(sessionized)
+    // three consumers (region summary + interp + mask) — persist so the
+    // sessionization window chain runs once, matching Pipeline.process
+    val sessions =
+      if (cfg.persistSessions)
+        graft.CacheScope.persist(sessions0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else sessions0
     val regions  = TargetCatalog.associate(Pipeline.regionSummary(sessions), catalog)
     Pipeline.gridInterpMask(regions, sessions, cfg, Seq("daily_sif"))
   }

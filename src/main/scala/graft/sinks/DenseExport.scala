@@ -85,7 +85,13 @@ object DenseExport {
       .option("compression", codec)
       .partitionBy("variable", "t_chunk", "lat_chunk", "lon_chunk")
       .parquet(path)
-    updateStoreAttrs(long, path, extra = Map(
+    // coverage attrs come from the store just written, NOT from `long`:
+    // aggregating the input plan here would re-execute the entire upstream
+    // pipeline a second time (the toStoreVariables double-execution class —
+    // at the deploy mesh that doubled cost and OOM'd the driver). The
+    // readback is column-pruned to `time` only, and it also widens coverage
+    // over days already in the store from earlier appends.
+    updateStoreAttrs(long.sparkSession.read.parquet(path), path, extra = Map(
       "chunk_time_days" -> chunks.timeDays.toString,
       "chunk_lat_px"    -> chunks.latPx.toString,
       "chunk_lon_px"    -> chunks.lonPx.toString,

@@ -491,18 +491,32 @@ object CoGExport {
     }
 
     // level 0: north-up rows (G6 flip), then successive sparse 2×2 means
-    val level0 = long.select(
+    val level0raw = long.select(
       col("variable").cast("string"),
       col("time").cast("date").cast("string").as("day"),
       (lit(nLat - 1) - col("lat_idx")).cast("int").as("row"),
       col("lon_idx").cast("int").as("col"),
       col("value").cast("double"))
+    // every overview level's lineage passes through level 0, and the union
+    // below references nLevels of those chains — without a persist the
+    // (possibly expensive) `long` plan would execute once PER LEVEL
+    // (the toStoreVariables double-execution class). CacheScope: batch
+    // callers get session-lifetime cache; the streaming loop's per-batch
+    // withScope unpersists it at micro-batch end.
+    val level0 =
+      if (nLevels > 1)
+        graft.CacheScope.persist(level0raw, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else level0raw
+    // each level feeds BOTH its own tile branch and the next level's agg,
+    // so deeper chains would re-run every shallower agg (agg1 3×, agg2 2×
+    // at 4 levels) — persist each; total footprint ≤ Σ 4⁻ˡ ≈ 1.33× level 0
     val levels = Iterator.iterate(level0) { prev =>
-      prev.groupBy(
+      val next = prev.groupBy(
         col("variable"), col("day"),
         (col("row") / 2).cast("int").as("row"),
         (col("col") / 2).cast("int").as("col"))
         .agg(avg(col("value")).as("value"))
+      graft.CacheScope.persist(next, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }.take(nLevels).toIndexedSeq
     val cells = levels.zipWithIndex.map { case (df, l) =>
       df.select(

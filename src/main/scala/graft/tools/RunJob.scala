@@ -172,7 +172,15 @@ object RunJob {
           GlobalPipeline.mergeMissions(
             several.map { case (m, paths) => m -> missionProduct(m, paths) }.toMap)
       }
-    val cleaned = if (dropEmpty) ProductStore.dropEmptySlices(product) else product
+    val cleaned0 = if (dropEmpty) ProductStore.dropEmptySlices(product) else product
+    // every run takes ≥2 actions over the product (store write + the row
+    // count; plus optional COG / netCDF exports — up to 4) and the plan
+    // above is the full granule→sessionize→interp→mask pipeline: without
+    // a persist EACH action re-executes it end to end. CacheScope so the
+    // streaming wrapper's per-batch scope releases it; the explicit
+    // unpersist below covers the batch path.
+    val cleaned = graft.CacheScope.persist(
+      cleaned0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- store + optional slice exports
     format match {
@@ -218,6 +226,7 @@ object RunJob {
       case "parquet" => ProductStore.read(spark, outPath).count()
       case _         => cleaned.count()
     }
+    cleaned.unpersist(blocking = false)
     println(
       s"""{"job":"run","granules":${files.length},"store":"$outPath","format":"$format","rows":$nOut""" +
         nCog.map(n => s""","cog_slices":$n""").getOrElse("") +
