@@ -42,6 +42,30 @@ object ScaleProbe {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Sounding rows for the L2 Lite granule-FILE probes (h5granule /
+    * runjob): ~200-sounding target blocks, 10% bad quality, SAM/Target
+    * mode alternating per target. */
+  private def h5Soundings(n: Int, nTgt: Int): Seq[graft.sources.SyntheticGranule.Sounding] = {
+    import graft.sources.SyntheticGranule.Sounding
+    val day = java.sql.Timestamp.valueOf("2023-06-15 10:30:00")
+    (0 until n).map { i =>
+      val tgt = (i / 200) % nTgt
+      val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+      val lat = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+      Sounding(
+        sounding_index = i.toLong,
+        sounding_id = 2023061500000000L + i,
+        latitude = lat, longitude = lon, time = day,
+        vertex_latitude = Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
+        vertex_longitude = Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
+        xco2_quality_flag = if (i % 10 == 9) 1 else 0,
+        xco2 = 400.0 + (i % 100) / 10.0,
+        xco2_uncertainty = 0.5,
+        operation_mode = if (tgt % 2 == 0) 4 else 2,
+        target_id = f"fossil$tgt%04d")
+    }
+  }
+
   /** Parametric synthetic granule: runs of ~200 soundings per region,
     * cycling over targets, every 5th block nadir-mode noise; built
     * distributed via spark.range. */
@@ -730,28 +754,55 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "runjob") {
+      // full FRONT-DOOR probe: one synthetic L2 Lite granule file driven
+      // through RunJob's YAML config — global Zarr store at the parametric
+      // mesh (gridN=360 ⇒ the production 36000×18000) PLUS the COG mosaic
+      // and netCDF-4 exports. Exercises the job's one-pipeline-execution
+      // contract: the product persists across its 4 actions (store write,
+      // row count, COG, nc4) instead of re-running granule→sessionize→
+      // interp→mask per consumer.
+      val dir = java.nio.file.Files.createTempDirectory("runjobprobe")
+      val g   = dir.resolve("oco3_LtCO2_20230615_B10400Br.nc4")
+      java.nio.file.Files.write(
+        g,
+        graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+          h5Soundings(n, nTgt), chunkRows = 16384, deflateLevel = 4))
+      val cfgP = dir.resolve("run-config.yaml")
+      java.nio.file.Files.write(
+        cfgP,
+        s"""input:
+           |  files:
+           |    oco3: [${g.toString}]
+           |output:
+           |  local: ${dir.resolve("store")}
+           |  format: zarr
+           |  global: true
+           |  cog:
+           |    output:
+           |      local: ${dir.resolve("cog")}
+           |  nc4:
+           |    output:
+           |      local: ${dir.resolve("nc")}
+           |grid:
+           |  latitude: ${50 * gridN}
+           |  longitude: ${100 * gridN}
+           |  method: $method
+           |""".stripMargin.getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      graft.tools.RunJob.main(Array(cfgP.toString))
+      val sec = BigDecimal((System.nanoTime() - t0) / 1e9)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"runjob_front_door","soundings":$n,"mesh":"${100 * gridN}x${50 * gridN}","method":"$method","wall_sec":$sec}""")
+      spark.stop()
+      return
+    }
     if (variant == "h5granule") {
       // front-door probe: encode an n-sounding netCDF-4/HDF5 granule
       // (chunked+deflate, the real L2 Lite storage profile), ingest it
       // through the hdf5 source and run the full target pipeline
-      import graft.sources.SyntheticGranule.Sounding
-      val day = java.sql.Timestamp.valueOf("2023-06-15 10:30:00")
-      val ss = (0 until n).map { i =>
-        val tgt  = (i / 200) % nTgt
-        val lon  = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
-        val lat  = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
-        Sounding(
-          sounding_index = i.toLong,
-          sounding_id = 2023061500000000L + i,
-          latitude = lat, longitude = lon, time = day,
-          vertex_latitude = Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
-          vertex_longitude = Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
-          xco2_quality_flag = if (i % 10 == 9) 1 else 0,
-          xco2 = 400.0 + (i % 100) / 10.0,
-          xco2_uncertainty = 0.5,
-          operation_mode = if (tgt % 2 == 0) 4 else 2,
-          target_id = f"fossil$tgt%04d")
-      }
+      val ss    = h5Soundings(n, nTgt)
       val tw0   = System.nanoTime()
       val bytes = graft.sources.netcdf.NetCDFGranules.writeGranuleH5(ss, chunkRows = 16384, deflateLevel = 4)
       val encS  = (System.nanoTime() - tw0) / 1e9
