@@ -83,6 +83,71 @@ object Climatology {
         countDistinct(col(tsCol).cast("date")).as("n_days"))
   }
 
+  /** Incremental climatology maintenance — day-grain exact-sum state.
+    *
+    * The reference tool recomputes every span mean from the full store on
+    * each run (`tools/climatology/main.py:151-486`); at 100 TB that is a
+    * full-store rescan per nightly day. This pair maintains a parquet
+    * STATE table at (day, keys) grain holding [[graft.functions.Portable]]
+    * two-limb exact sum partials (plain longs, associative), so:
+    *
+    *  - [[updateDailyState]] ingests one day-batch by aggregating ONLY the
+    *    new rows and dynamic-partition-overwriting exactly the day
+    *    partitions present in the batch — idempotent per day (re-ingesting
+    *    a day converges, the store's exactly-once-effect contract). The
+    *    ingest unit is whole days (the granule-day contract): a batch
+    *    holding half a day would replace the other half.
+    *  - [[meansFromState]] folds the bounded state (days × keys rows, not
+    *    the raw 100 TB) into any span level, bit-identical to
+    *    [[temporalMean]] over all raw rows because limb addition is
+    *    associative and the overflow guard re-proves from merged
+    *    witnesses ([[graft.functions.Portable.sumFastMerge]]).
+    */
+  def updateDailyState(
+      df: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      statePath: String): Unit = {
+    val day = col(tsCol).cast("date").as("day")
+    df.groupBy(day +: keyCols.map(col): _*)
+      .agg(sumFastPartial(col(valueCol), 2).as("_p"))
+      .select(
+        (col("day") +: keyCols.map(col)) ++ Seq(
+          col("_p.sq").as("sq"), col("_p.sr").as("sr"), col("_p.n").as("n"),
+          col("_p.mq").as("mq"), col("_p.nc").as("nc")): _*)
+      .write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(statePath)
+  }
+
+  /** Span means from the day-grain state — output schema identical to
+    * [[temporalMean]] (span_start, keys…, mean_value, valid_count,
+    * n_days). "seasonal-ref" derives its coverage clip from the state's
+    * min day (the store's own daily grain). */
+  def meansFromState(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      span: String,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val st = spark.read.parquet(statePath)
+    val ts = col("day").cast("timestamp")
+    val (in, start) =
+      if (span == "seasonal-ref") {
+        val cov = st.agg(min(ts).as("_coverage_start"))
+        (st.crossJoin(broadcast(cov)), spanStartSeasonalRef(ts, col("_coverage_start")))
+      } else (st, spanStart(ts, span))
+    val spanCol = date_format(start, "yyyy-MM-dd").as("span_start")
+    val p = struct(col("sq"), col("sr"), col("n"), col("mq"), col("nc"))
+    in.groupBy(spanCol +: keyCols.map(col): _*)
+      .agg(
+        (sumFastMerge(p, 2) / sum(col("nc"))).as("mean_value"),
+        sum(col("nc")).as("valid_count"),
+        countDistinct(col("day")).as("n_days"))
+  }
+
   /** Second-level consolidation: group first-level monthly means by
     * month-of-year and average the means (mean-of-means), summing counts.
     * `monthOf` must extract the month number from span_start. */

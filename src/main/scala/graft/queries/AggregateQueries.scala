@@ -401,7 +401,25 @@ object AggregateQueries {
       |FROM hh QUALIFY rank <= 5
       |ORDER BY lang, rank""".stripMargin
 
+  /** A7 incremental: day-grain exact-sum state maintained across three
+    * ingest batches (the third a REPEAT of the second — day-partition
+    * overwrite converges), then folded to monthly means. Oracle is the
+    * plain full-recompute SQL (q12's), so the hash match proves the
+    * incremental path is bit-identical to recomputation AND idempotent
+    * under re-ingest. */
+  private val q102: Q = (s, dir) => {
+    val ev    = Tables.events(s, dir)
+    val state = java.nio.file.Files.createTempDirectory("climo-state").toString
+    val isOdd = dayofmonth(col("ts")) % 2 === 1
+    graft.operators.Climatology.updateDailyState(ev.filter(!isOdd), "ts", "value", Seq("event_type"), state)
+    graft.operators.Climatology.updateDailyState(ev.filter(isOdd), "ts", "value", Seq("event_type"), state)
+    graft.operators.Climatology.updateDailyState(ev.filter(isOdd), "ts", "value", Seq("event_type"), state)
+    graft.operators.Climatology.meansFromState(s, state, "month", Seq("event_type"))
+      .orderBy(col("span_start"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q102_incremental_climatology" -> q102,
     "q101_cms_topk"               -> q101,
     "q98_heavy_hitters"           -> q98,
     "q97_hll_overlap"             -> q97,
@@ -420,6 +438,7 @@ object AggregateQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q102_incremental_climatology" -> q12Sql, // full recompute == incremental state fold
     "q101_cms_topk"               -> q101Sql,
     "q98_heavy_hitters"           -> q98Sql,
     "q97_hll_overlap"             -> q97Sql,

@@ -111,15 +111,53 @@ object FunctionQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Z-order (Morton) clustering key — the write-layout sort key for
+    * 2-D data skipping (`operators/Layout.zOrderedParquet`). The oracle
+    * reproduces the parallel-prefix bit spread with DuckDB's own bitwise
+    * arithmetic, so the codegen'd Catalyst expression is cross-engine
+    * hash-gated bit for bit. */
+  private val q103: Q = (s, dir) =>
+    Tables.lineitem(s, dir).select(
+      col("l_orderkey"),
+      col("l_linenumber"),
+      graft.functions.ZOrder2(
+        pmod(col("l_partkey"), lit(1024)),
+        pmod(col("l_suppkey"), lit(1024))).as("zval"))
+
+  private val q103Sql =
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_partkey % 1024 AS BIGINT) AS x0,
+      |    CAST(l_suppkey % 1024 AS BIGINT) AS y0
+      |  FROM lineitem),
+      |s1 AS (SELECT l_orderkey, l_linenumber,
+      |  ((x0 | (x0 << 16)) & 281470681808895) AS x1,
+      |  ((y0 | (y0 << 16)) & 281470681808895) AS y1 FROM b),
+      |s2 AS (SELECT l_orderkey, l_linenumber,
+      |  ((x1 | (x1 << 8)) & 71777214294589695) AS x2,
+      |  ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM s1),
+      |s3 AS (SELECT l_orderkey, l_linenumber,
+      |  ((x2 | (x2 << 4)) & 1085102592571150095) AS x3,
+      |  ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM s2),
+      |s4 AS (SELECT l_orderkey, l_linenumber,
+      |  ((x3 | (x3 << 2)) & 3689348814741910323) AS x4,
+      |  ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM s3),
+      |s5 AS (SELECT l_orderkey, l_linenumber,
+      |  ((x4 | (x4 << 1)) & 6148914691236517205) AS x5,
+      |  ((y4 | (y4 << 1)) & 6148914691236517205) AS y5 FROM s4)
+      |SELECT l_orderkey, l_linenumber, (x5 | (y5 << 1)) AS zval FROM s5""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q33_climatology_seasonal" -> q33,
     "q34_scalar_functions"     -> q34,
-    "q51_climatology_seasonal_ref" -> q51
+    "q51_climatology_seasonal_ref" -> q51,
+    "q103_zorder_key"          -> q103
   )
 
   val oracles: Map[String, String] = Map(
     "q33_climatology_seasonal" -> q33Sql,
     "q34_scalar_functions"     -> q34Sql,
-    "q51_climatology_seasonal_ref" -> q51Sql
+    "q51_climatology_seasonal_ref" -> q51Sql,
+    "q103_zorder_key"          -> q103Sql
   )
 }

@@ -162,6 +162,32 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(means === Set((0, 410.0), (1, 440.0)))
   }
 
+  test("incremental day-grain state: fold is bit-identical to full recompute, re-ingest converges") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    // two months, 14 days each, 3 rows/day across two keys
+    val ev = (for (m <- 1 to 2; d <- 1 to 14; i <- 0 until 3) yield (
+      java.sql.Timestamp.valueOf(f"2023-$m%02d-$d%02d 0$i%01d:30:00"),
+      if (i == 0) "a" else "b",
+      m * 100.0 + d + i * 0.25
+    )).toDF("ts", "event_type", "value")
+    val state = Files.createTempDirectory("incclimo").toString
+    val firstWeek = ev.filter(dayofmonth(col("ts")) <= 7)
+    val rest      = ev.filter(dayofmonth(col("ts")) > 7)
+    Climatology.updateDailyState(firstWeek, "ts", "value", Seq("event_type"), state)
+    Climatology.updateDailyState(rest, "ts", "value", Seq("event_type"), state)
+    // idempotent re-ingest: replaying a day-batch overwrites its own
+    // partitions and changes nothing
+    Climatology.updateDailyState(rest, "ts", "value", Seq("event_type"), state)
+    for (span <- Seq("month", "year")) {
+      val inc  = Climatology.meansFromState(spark, state, span, Seq("event_type"))
+        .collect().toSet
+      val full = Climatology.temporalMean(ev, "ts", "value", span, Seq("event_type"))
+        .collect().toSet
+      assert(inc === full, s"span=$span") // Row equality on doubles: BIT-identical
+    }
+  }
+
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {
     val dir = Files.createTempDirectory("gridof")
     import spark.implicits._
