@@ -123,6 +123,29 @@ object Climatology {
       .parquet(statePath)
   }
 
+  /** State refresh after a store-day REWRITE (the reprocessing flow):
+    * when a day's store partition is replaced with corrected data
+    * (`ProductStore.appendIdempotent` re-delivering a fixed day — the
+    * reference's S8 verify/repair semantics), the climatology state for
+    * that day is stale. This re-aggregates exactly the touched days FROM
+    * THE STORE with a day-partition-pruned scan and overwrites their
+    * state partitions — idempotent like the store rewrite itself, and
+    * never a full-store rescan. `dayCol` must be the store's day
+    * partition column so the `isin` prunes to the touched partitions. */
+  def refreshDaysFromStore(
+      store: DataFrame,
+      dayCol: String,
+      days: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      keyCols: Seq[String],
+      statePath: String): Unit = {
+    require(days.nonEmpty, "refreshDaysFromStore: no days to refresh")
+    updateDailyState(
+      store.filter(col(dayCol).isin(days: _*)),
+      tsCol, valueCol, keyCols, statePath)
+  }
+
   /** Span means from the day-grain state — output schema identical to
     * [[temporalMean]] (span_start, keys…, mean_value, valid_count,
     * n_days). "seasonal-ref" derives its coverage clip from the state's

@@ -45,6 +45,13 @@ object MicroBatchIngest {
     * only driver-side data; granule bytes flow executor-side. Exactly-once
     * effect: checkpointed queue offsets × day-partition overwrite.
     * Returns the started query (AvailableNow: drains, then stops). */
+  /** `climatologyState`: optional day-grain exact-sum state dir
+    * ([[graft.operators.Climatology.updateDailyState]]) kept fresh per
+    * micro-batch — after the store append, the batch's days re-aggregate
+    * FROM THE STORE (day-pruned scan, correct even when a later batch
+    * re-delivers or rewrites a day the state already covers), so span
+    * means are always one bounded fold away instead of a nightly
+    * full-store rescan. */
   def ingestQueue(
       spark: SparkSession,
       queueDir: String,
@@ -52,7 +59,8 @@ object MicroBatchIngest {
       storePath: String,
       catalog: DataFrame,
       cfg: graft.domain.Pipeline.Config = graft.domain.Pipeline.Config(),
-      maxMessagesPerBatch: Int = 1): StreamingQuery = {
+      maxMessagesPerBatch: Int = 1,
+      climatologyState: Option[String] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("filequeue")
       .option("path", queueDir)
@@ -70,9 +78,24 @@ object MicroBatchIngest {
         // one session table per micro-batch until LRU eviction.
         if (paths.nonEmpty) graft.CacheScope.withScope {
           val granules = graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths.toSeq)
-          val product = graft.domain.Pipeline.process(
+          val product0 = graft.domain.Pipeline.process(
             granules.drop("sounding_id"), catalog, cfg)
+          // with a climatology state the product has TWO consumers (store
+          // append + the touched-days collect) — persist within the
+          // batch's CacheScope so the pipeline executes once
+          val product =
+            if (climatologyState.isDefined)
+              graft.CacheScope.persist(product0, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            else product0
           graft.sinks.ProductStore.appendIdempotent(product, storePath)
+          climatologyState.foreach { statePath =>
+            val days = product.select(col("time").cast("date").cast("string"))
+              .distinct().collect().map(_.getString(0)).toSeq
+            if (days.nonEmpty)
+              graft.operators.Climatology.refreshDaysFromStore(
+                graft.sinks.ProductStore.read(spark, storePath),
+                "day", days, "time", "value", Seq("target_id", "variable"), statePath)
+          }
         }
       }
       .start()

@@ -141,8 +141,42 @@ object ClimatologyJob {
     s""""format":"parquet""""
   }
 
+  /** Incremental parquet mode (`--state <dir>`): maintain the day-grain
+    * exact-sum state ([[Climatology.updateDailyState]]) instead of
+    * rescanning the whole store per run. Days present in the store but
+    * absent from the state refresh automatically (the nightly case);
+    * `--refresh-days d1,d2` forces specific days (the S8 reprocessing
+    * case — a rewritten store day whose state is stale). Span means then
+    * fold the bounded state, bit-identical to the full recompute. */
+  private def runParquetIncremental(
+      spark: SparkSession, store: String, out: String, span: String,
+      doConsolidated: Boolean, statePath: String, refreshDays: Seq[String]): String = {
+    val keys    = Seq("target_id", "variable")
+    val product = ProductStore.read(spark, store)
+    val storeDays = product.select(col("day").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val stateDays = {
+      val p  = new Path(statePath)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        spark.read.parquet(statePath).select(col("day").cast("string")).distinct()
+          .collect().map(_.getString(0))
+      else Array.empty[String]
+    }
+    val touched = (storeDays.diff(stateDays) ++ refreshDays).distinct.sorted
+    if (touched.nonEmpty)
+      Climatology.refreshDaysFromStore(
+        product, "day", touched.toSeq, "time", "value", keys, statePath)
+    val means = Climatology.meansFromState(spark, statePath, span, keys)
+    val result =
+      if (doConsolidated) Climatology.consolidateMonthly(means, keys)
+      else means
+    result.write.mode("overwrite").parquet(out)
+    s""""format":"parquet","refreshed_days":${touched.length}"""
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>]")
+    require(args.length >= 2, "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>] [--state <dir> [--refresh-days d1,d2]]")
     val Array(store, out) = args.take(2)
     val flags = args.drop(2)
     val span  = flags.find(!_.startsWith("--")).getOrElse("month")
@@ -150,6 +184,10 @@ object ClimatologyJob {
     val variable = flags.sliding(2).collectFirst { case Array("--variable", v) => v }
     val from = flags.sliding(2).collectFirst { case Array("--from", d) => java.time.LocalDate.parse(d) }
     val to   = flags.sliding(2).collectFirst { case Array("--to", d) => java.time.LocalDate.parse(d) }
+    val statePath = flags.sliding(2).collectFirst { case Array("--state", p) => p }
+    val refreshDays = flags.sliding(2)
+      .collectFirst { case Array("--refresh-days", d) => d.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .getOrElse(Nil)
     val preExisting = SparkSession.getActiveSession.isDefined
     val spark = Jobs.session("graft-climatology")
     spark.sparkContext.setLogLevel("WARN")
@@ -160,7 +198,10 @@ object ClimatologyJob {
     }
     val detail =
       if (isZarr) runZarr(spark, store, out, span, doConsolidated, variable, from, to)
-      else runParquet(spark, store, out, span, doConsolidated)
+      else statePath match {
+        case Some(sp) => runParquetIncremental(spark, store, out, span, doConsolidated, sp, refreshDays)
+        case None     => runParquet(spark, store, out, span, doConsolidated)
+      }
     println(s"""{"job":"climatology","store":"$store","span":"$span",$detail}""")
     if (!preExisting) spark.stop()
   }

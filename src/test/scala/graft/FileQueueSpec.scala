@@ -106,6 +106,52 @@ class FileQueueSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.keySet === cachedBefore)
   }
 
+  test("streaming climatology state stays fresh per batch and converges on re-delivery") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.operators.Climatology
+    import graft.sources.SyntheticGranule.sounding
+    val queue = Files.createTempDirectory("climoq-queue")
+    val gran  = Files.createTempDirectory("climoq-granules")
+    val base  = Files.createTempDirectory("climoq")
+    val store = base.resolve("store").toString
+    val state = base.resolve("state").toString
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    def mkNc(name: String, day: String, xco2: Double): String = {
+      val ss = (0 until 6).map(i =>
+        sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001",
+          xco2 = xco2 + i, day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    val g1 = mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15", 400.0)
+    val g2 = mkNc("oco3_LtCO2_20230716_B.nc", "2023-07-16", 410.0)
+    writeMsg(queue, "msg-day1", Seq(g1))
+    writeMsg(queue, "msg-day2", Seq(g2))
+    def drain(ckpt: String): Unit =
+      graft.streaming.MicroBatchIngest.ingestQueue(
+        spark, queue.toString, ckpt, store, catalog,
+        climatologyState = Some(state)).awaitTermination()
+    drain(Files.createTempDirectory("climoq-ckpt1").toString)
+    def check(): Unit = {
+      val fromState = Climatology
+        .meansFromState(spark, state, "month", Seq("target_id", "variable"))
+        .collect().toSet
+      val recompute = Climatology.temporalMean(
+        graft.sinks.ProductStore.read(spark, store).withColumnRenamed("time", "ts"),
+        "ts", "value", "month", Seq("target_id", "variable")).collect().toSet
+      assert(fromState === recompute) // bit-identical, no full-store rescan path
+    }
+    check()
+    // at-least-once: redeliver day 1 under a fresh checkpoint — store AND
+    // state both converge (day-partition overwrite + store-backed refresh)
+    writeMsg(queue, "msg-day1-redelivery", Seq(g1))
+    drain(Files.createTempDirectory("climoq-ckpt2").toString)
+    check()
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")
