@@ -676,6 +676,62 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "climostate") {
+      // incremental climatology at store scale: args(5) = days in the
+      // store, n = long-form rows per day. Compares the nightly paths —
+      // full-store temporalMean rescan (the reference tool's shape) vs
+      // one-day state update + bounded state fold — and pins bit-equality
+      // between the two means.
+      val nDays = if (args.length > 5) args(5).toInt else 100
+      val dir   = java.nio.file.Files.createTempDirectory("climostate")
+      val store = dir.resolve("store").toString
+      val state = dir.resolve("state").toString
+      val rows = spark.range(nDays.toLong * n).select(
+        concat(lit("t"), pmod(col("id"), lit(50))).as("target_id"),
+        (lit(java.sql.Timestamp.valueOf("2020-01-01 00:00:00")).cast("long") +
+          (col("id") / n).cast("long") * 86400L + pmod(col("id"), lit(86400)))
+          .cast("timestamp").as("time"),
+        pmod(col("id"), lit(500)).cast("int").as("lat_idx"),
+        pmod(col("id") / 500, lit(500)).cast("int").as("lon_idx"),
+        lit(0.0).as("lat"), lit(0.0).as("lon"),
+        lit("xco2").as("variable"),
+        (lit(400.0) + pmod(col("id"), lit(1000)) / 100.0).as("value"))
+      graft.sinks.ProductStore.create(rows, store)
+      val product = graft.sinks.ProductStore.read(spark, store)
+      val keys    = Seq("target_id", "variable")
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // the reference tool's shape: full-store rescan per run
+      val (_, fullSec) = timed {
+        graft.operators.Climatology.temporalMean(product, "time", "value", "month", keys)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // backfill: all days into the state once (one-time cost)
+      val (_, backfillSec) = timed {
+        graft.operators.Climatology.updateDailyState(product, "time", "value", keys, state)
+      }
+      // nightly: ONE day re-aggregates + the bounded state fold
+      val lastDay = java.time.LocalDate.parse("2020-01-01").plusDays(nDays - 1L).toString
+      val (_, daySec) = timed {
+        graft.operators.Climatology.refreshDaysFromStore(
+          product, "day", Seq(lastDay), "time", "value", keys, state)
+      }
+      val (_, foldSec) = timed {
+        graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // bit-equality of the two paths
+      val a = graft.operators.Climatology.temporalMean(product, "time", "value", "month", keys)
+      val b = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+      val equal = a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+      println(
+        s"""{"probe":"climo_state","days":$nDays,"rows_per_day":$n,""" +
+          s""""full_recompute_sec":${f"$fullSec%.3f"},"backfill_sec":${f"$backfillSec%.3f"},""" +
+          s""""nightly_day_sec":${f"$daySec%.3f"},"state_fold_sec":${f"$foldSec%.3f"},"bit_equal":$equal}""")
+      spark.stop()
+      return
+    }
     if (variant == "corpusjob") {
       // end-to-end ingest-tier probe: the full CorpusJob chain (exact-dedup
       // → pii-scrub → quality-filter → neardup clustering → decontaminate
