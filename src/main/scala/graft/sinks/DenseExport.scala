@@ -90,7 +90,12 @@ object DenseExport {
     // pipeline a second time (the toStoreVariables double-execution class —
     // at the deploy mesh that doubled cost and OOM'd the driver). The
     // readback is column-pruned to `time` only, and it also widens coverage
-    // over days already in the store from earlier appends.
+    // over days already in the store from earlier appends. An empty input
+    // writes no partition directories — nothing to describe, skip the
+    // attrs (a readback would fail schema inference on the bare _SUCCESS).
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs    = rootP.getFileSystem(long.sparkSession.sessionState.newHadoopConf())
+    if (!fs.listStatus(rootP).exists(_.isDirectory)) return
     updateStoreAttrs(long.sparkSession.read.parquet(path), path, extra = Map(
       "chunk_time_days" -> chunks.timeDays.toString,
       "chunk_lat_px"    -> chunks.latPx.toString,

@@ -32,6 +32,12 @@ class ExportSpec extends SparkSpec {
     assert(rows.zip(rows.tail).forall { case (a, b) => a >= b })
   }
 
+  test("chunked export of an empty frame writes no attrs and does not throw") {
+    val path = Files.createTempDirectory("chunked-empty").toString
+    DenseExport.exportChunkedLayout(product.filter(lit(false)), path)
+    assert(!new java.io.File(path, "_store_attrs.json").exists())
+  }
+
   test("chunked export: file boundaries are exactly chunk boundaries") {
     val path = Files.createTempDirectory("chunked").toString
     // 6×6-pixel chunks over the 16×16 demo grids → chunk indices 0..2
