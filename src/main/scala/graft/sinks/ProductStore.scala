@@ -81,6 +81,46 @@ object ProductStore {
     dups
   }
 
+  /** Maintenance compaction for streaming appends. A long-running
+    * micro-batch loop leaves each day partition with one file per write,
+    * and a 100 TB store accretes millions of small files — the classic
+    * lakehouse failure mode (listing pressure, tiny row groups whose
+    * min/max stats prune nothing). Rewrites the given day partitions as
+    * ceil(rows / targetRows) files, raster-sorted within files so the
+    * stats tighten back up. Content-identical, idempotent, atomic per
+    * partition (dynamic overwrite — the appendIdempotent contract).
+    * Returns (files before, files after) across the given days. */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      days: Seq[String],
+      targetRows: Long = 4L * 1000 * 1000): (Long, Long) = {
+    require(days.nonEmpty, "compact: no days given")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def dayFiles(): Long = days.map { d =>
+      val p = new org.apache.hadoop.fs.Path(root, s"day=$d")
+      if (fs.exists(p)) fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet")).toLong
+      else 0L
+    }.sum
+    val before = dayFiles()
+    val st     = read(spark, path).filter(col("day").cast("string").isin(days: _*))
+    val total  = st.count()
+    val nFiles = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    // materialize before overwriting the path we are reading from (the
+    // repair pattern); the count above shares the same pruned scan shape
+    val compacted = st
+      .repartitionByRange(nFiles, col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
+      .sortWithinPartitions(col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
+      .localCheckpoint(true)
+    compacted.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day")
+      .parquet(path)
+    (before, dayFiles())
+  }
+
   /** P9/A11: drop-empty guard — remove (target, day) slices whose every
     * value is null/NaN before writing (`utils/dataset_utils.py:21-26`,
     * `runconfig.py:259-261`). In sparse long form a fully-empty slice can

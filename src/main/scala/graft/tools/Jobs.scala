@@ -34,7 +34,17 @@ object RepairJob {
     val spark        = Jobs.session("graft-repair")
     spark.sparkContext.setLogLevel("WARN")
     val fixed = ProductStore.repair(spark, store)
-    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed}""")
+    // optional maintenance compaction: --compact d1,d2 [--target-rows n]
+    val compactDays = args.sliding(2)
+      .collectFirst { case Array("--compact", d) => d.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .getOrElse(Nil)
+    val targetRows = args.sliding(2)
+      .collectFirst { case Array("--target-rows", n) => n.toLong }.getOrElse(4L * 1000 * 1000)
+    val compacted = if (compactDays.nonEmpty) {
+      val (b, a) = ProductStore.compact(spark, store, compactDays, targetRows)
+      s""","files_before":$b,"files_after":$a"""
+    } else ""
+    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted}""")
     spark.stop()
   }
 }

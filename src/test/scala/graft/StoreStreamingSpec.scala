@@ -15,6 +15,24 @@ class StoreStreamingSpec extends SparkSpec {
   private lazy val product =
     Pipeline.process(DomainQueries.demoGranule(spark), DomainQueries.demoCatalog(spark))
 
+  test("compact merges a day's small files, content-identical and idempotent") {
+    val path = tmp("compact")
+    // simulate a streaming day written in many small pieces
+    ProductStore.create(product.repartition(8), path)
+    val day = ProductStore.read(spark, path)
+      .select(col("day").cast("string")).distinct().collect().map(_.getString(0)).min
+    val before = ProductStore.read(spark, path).collect().toSet
+    val (b, a) = ProductStore.compact(spark, path, Seq(day), targetRows = 1000000)
+    assert(b >= 4, s"setup should produce several small files, got $b")
+    assert(a === 1, s"one target-sized file after compaction, got $a")
+    assert(ProductStore.read(spark, path).collect().toSet === before)
+    assert(ProductStore.findDuplicates(spark, path).count() === 0)
+    // idempotent: compacting again changes nothing
+    val (b2, a2) = ProductStore.compact(spark, path, Seq(day), targetRows = 1000000)
+    assert(b2 === 1 && a2 === 1)
+    assert(ProductStore.read(spark, path).collect().toSet === before)
+  }
+
   test("idempotent append converges on re-delivery of the same day") {
     val path = tmp("store")
     ProductStore.create(product, path)
