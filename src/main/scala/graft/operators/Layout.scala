@@ -26,18 +26,29 @@ object Layout {
     * row-group stats within a file stay tight too. The key column is
     * dropped before the write: the pruning value lives in the x/y stats
     * themselves. */
+  /** `bloomFilterCols` additionally writes parquet split-block bloom
+    * filters for the named columns — POINT-lookup skipping on
+    * high-cardinality columns the z-order key does not cluster (e.g. a
+    * sounding/document id): min/max stats are useless there (every file
+    * spans the id range), the bloom answers "definitely not in this row
+    * group" instead. Complementary axes: z-order for range boxes, bloom
+    * for point probes. */
   def zOrderedParquet(
       df: DataFrame,
       xCol: String,
       yCol: String,
       path: String,
-      numFiles: Int): Unit = {
+      numFiles: Int,
+      bloomFilterCols: Seq[String] = Nil): Unit = {
     require(!df.columns.contains("_z"), "input already has a '_z' column")
-    df.withColumn("_z", ZOrder2(col(xCol), col(yCol)))
+    val writer = df.withColumn("_z", ZOrder2(col(xCol), col(yCol)))
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       // projection keeps the per-partition sort order
       .drop("_z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite")
+    bloomFilterCols
+      .foldLeft(writer)((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
+      .parquet(path)
   }
 }

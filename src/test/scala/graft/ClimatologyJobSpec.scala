@@ -188,6 +188,37 @@ class ClimatologyJobSpec extends SparkSpec {
     }
   }
 
+  test("incremental state property: ANY day-batch split folds bit-identical to recompute") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    val rng = new scala.util.Random(13)
+    val ev = (for (m <- 1 to 3; d <- 1 to 10; i <- 0 until 2) yield (
+      java.sql.Timestamp.valueOf(f"2023-$m%02d-$d%02d 0$i%01d:15:00"),
+      if ((d + i) % 2 == 0) "a" else "b",
+      m * 10.0 + d + i * 0.5
+    )).toDF("ts", "event_type", "value")
+    val allDays = ev.select(col("ts").cast("date").cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val full = Climatology.temporalMean(ev, "ts", "value", "month", Seq("event_type"))
+      .collect().toSet
+    for (trial <- 1 to 3) {
+      // random partition of the 30 days into 1..5 whole-day batches,
+      // random order, one batch randomly replayed (at-least-once)
+      val nBatches = 1 + rng.nextInt(5)
+      val assign   = allDays.groupBy(_ => rng.nextInt(nBatches)).values.toSeq
+      val batches  = rng.shuffle(assign ++ Seq(assign(rng.nextInt(assign.size))))
+      val state    = Files.createTempDirectory(s"prop-state-$trial").toString
+      batches.foreach { days =>
+        Climatology.updateDailyState(
+          ev.filter(col("ts").cast("date").cast("string").isin(days: _*)),
+          "ts", "value", Seq("event_type"), state)
+      }
+      val inc = Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+        .collect().toSet
+      assert(inc === full, s"trial $trial: batches=${batches.map(_.size).mkString(",")}")
+    }
+  }
+
   test("day-rewrite reprocessing: store-backed refresh brings state bit-identical to recompute") {
     import spark.implicits._
     import graft.operators.Climatology

@@ -54,6 +54,25 @@ class LayoutSpec extends SparkSpec {
     assert(neg.getMessage != null)
   }
 
+  test("bloomFilterCols: the written row groups carry bloom filters for the named column") {
+    import spark.implicits._
+    val df = (0 until 4096).map(i => (i % 64, i / 64, s"id-$i")).toDF("lat_idx", "lon_idx", "doc_id")
+    val dir = Files.createTempDirectory("bloom").resolve("z").toString
+    Layout.zOrderedParquet(df, "lat_idx", "lon_idx", dir, numFiles = 2, bloomFilterCols = Seq("doc_id"))
+    val conf = spark.sessionState.newHadoopConf()
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(cols.get)
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(byName("doc_id") === true, s"doc_id must carry a bloom filter: $byName")
+      assert(byName("lat_idx") === false, "unlisted columns stay bloom-free")
+    } finally reader.close()
+  }
+
   test("zOrderedParquet: a lon-box predicate touches fewer files than the row-major layout") {
     import spark.implicits._
     // 64×64 grid; row-major = the store's natural (lat, lon) sort
