@@ -35,4 +35,34 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Per-run scratch directory that the JVM deletes on exit. Query closures
+    * that materialize intermediate state (q31's demo store, q102's
+    * climatology state) MUST allocate here, not bare createTempDirectory —
+    * the returned DataFrame is lazy, so the dir can only be reclaimed after
+    * the run, and harness/bench invocations would otherwise leak one dir per
+    * call. Deletion is a single shutdown hook over the tree (bounded: a few
+    * MB of per-query state, never input data). */
+  def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchRoots.add(p)
+    p
+  }
+
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private val _hook = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scratchRoots.forEach { root =>
+        try {
+          import java.nio.file.{Files, Path}
+          import java.util.Comparator
+          val all = Files.walk(root)
+          try all.sorted(Comparator.reverseOrder[Path]()).forEach(p => Files.deleteIfExists(p))
+          finally all.close()
+        } catch { case _: Throwable => () } // best-effort: exit cleanup only
+      }
+    }, "graft-scratch-cleanup"))
+  }
 }

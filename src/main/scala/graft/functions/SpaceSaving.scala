@@ -15,12 +15,25 @@ import org.apache.spark.sql.functions.udaf
   * Guarantees carried by the summary (and pinned in specs):
   *  - state is bounded at `m` counters FOREVER, whatever the distinct
   *    count of the stream;
-  *  - `count` never underestimates the true count, and overestimates by
-  *    at most `err` (the evicted mass absorbed at takeover time);
+  *  - within a single UNMERGED summary, `count` never underestimates the
+  *    true count, and overestimates by at most `err` (the evicted mass
+  *    absorbed at takeover time);
   *  - every value whose true count exceeds N/m (N = stream size reaching
   *    this summary) is present — the never-miss law heavy-hitter
   *    harvesting builds on. With `m` ≥ distinct values nothing ever
   *    evicts and every count is exact.
+  *
+  * After a distributed MERGE the guarantees weaken to the standard
+  * mergeable-summaries error band (Agarwal et al. 2012): the merge sums
+  * only counters PRESENT in each partial and truncates back to the top
+  * `m`, so a value evicted from one partial but kept in another loses the
+  * evicted side's absorbed mass — merged counts CAN underestimate, by at
+  * most the evicted partial's minimum counter per merge. The never-miss
+  * threshold likewise degrades additively across merges (a value must
+  * exceed the SUM of the partials' N_i/m thresholds to be guaranteed
+  * present). The specs exercise the collision/eviction-free regime where
+  * both bounds are tight; downstream consumers treat the output strictly
+  * as a CANDIDATE set and re-price counts with CMS.
   *
   * This is the CANDIDATE side of streaming heavy hitters: it answers
   * "which values could be frequent" with a bounded set; the counts worth

@@ -57,7 +57,11 @@ object Sessionize {
           s"estimate exceeds $GlobalWindowWarnBytes bytes: the global-window fallback " +
           "sorts ALL rows in ONE task. Supply partitionCols (granule / mission / day) " +
           "at scale."
-      val strict = df.sparkSession.conf.getOption(StrictConfKey).exists(_.toBoolean)
+      // tolerant parse: anything other than (case-insensitive) "true" means
+      // warn-only, so a malformed conf value ("1", "yes") cannot surface as an
+      // opaque toBoolean parse failure unrelated to the misuse being guarded
+      val strict =
+        df.sparkSession.conf.getOption(StrictConfKey).exists(_.trim.equalsIgnoreCase("true"))
       require(!strict, s"$msg ($StrictConfKey=true)")
       if (warnedOnce.compareAndSet(false, true)) log.warn(s"$msg (warned once per JVM)")
     }

@@ -348,9 +348,14 @@ object Sketches {
     * true heavy hitter is lost; in the collision-free regime (width ≫
     * candidates, capacity ≥ distinct) the harvest equals the batch
     * [[cmsHeavyHitters]] output exactly, with `cms_count` = the true
-    * count. Under collision/eviction pressure it stays a SUPERSET of the
-    * true heavy set with upper-bound counts — the sketch family's
-    * documented one-sided error. Output: `(valueCol, cms_count)`. */
+    * count. Under collision/eviction pressure the superset property holds
+    * only when `minCount` ≥ the SpaceSaving never-miss threshold
+    * (shardN/capacity, summed across merged partials): a true hitter whose
+    * count falls between `minCount` and that threshold is not guaranteed a
+    * pool slot and can be missed — below the threshold, recall is
+    * best-effort while the reported counts remain upper bounds (CMS's
+    * documented one-sided error). Size capacity so shardN/capacity ≤
+    * minCount to keep the guarantee. Output: `(valueCol, cms_count)`. */
   def harvestHeavyHitters(
       candidates: DataFrame,
       regs: DataFrame,

@@ -409,7 +409,7 @@ object AggregateQueries {
     * under re-ingest. */
   private val q102: Q = (s, dir) => {
     val ev    = Tables.events(s, dir)
-    val state = java.nio.file.Files.createTempDirectory("climo-state").toString
+    val state = Tables.scratchDir("climo-state").toString
     val isOdd = dayofmonth(col("ts")) % 2 === 1
     graft.operators.Climatology.updateDailyState(ev.filter(!isOdd), "ts", "value", Seq("event_type"), state)
     graft.operators.Climatology.updateDailyState(ev.filter(isOdd), "ts", "value", Seq("event_type"), state)

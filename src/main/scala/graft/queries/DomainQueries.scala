@@ -50,11 +50,9 @@ object DomainQueries {
       demoGranule(s), demoCatalog(s),
       Pipeline.Config(gridN = 16, method = "nearest"))
     // per-run store dir: a fixed shared path races when two driver
-    // processes (e.g. parallel Verify sweeps) overwrite/read concurrently
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_demo_store")
-      .resolve("store")
-      .toString
+    // processes (e.g. parallel Verify sweeps) overwrite/read concurrently;
+    // scratchDir registers exit-time cleanup so repeated runs don't leak
+    val path = graft.Tables.scratchDir("graft_demo_store").resolve("store").toString
     graft.sinks.ProductStore.appendIdempotent(out, path)
     graft.sinks.ProductStore
       .read(s, path)

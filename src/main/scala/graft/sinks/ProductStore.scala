@@ -89,12 +89,28 @@ object ProductStore {
     * ceil(rows / targetRows) files, raster-sorted within files so the
     * stats tighten back up. Content-identical, idempotent, atomic per
     * partition (dynamic overwrite — the appendIdempotent contract).
+    *
+    * `zOrder` switches the within-day layout from raster order to the
+    * Morton key of (lat_idx, lon_idx) ([[graft.operators.Layout]]): a
+    * raster-sorted day prunes only on the leading latitude, so a
+    * longitude-box read (the climatology tool's lat/lon subset,
+    * `tools/climatology/main.py:220`) touches every file — z-clustering
+    * makes each file a compact spatial rectangle and the box skips the
+    * rest, in any stats-reading engine. `bloomFilterCols` adds parquet
+    * split-block blooms for point-probe columns (e.g. target_id) whose
+    * min/max stats never prune. Both are pure layout: content identical.
+    *
+    * The pruned scan materializes ONCE (localCheckpoint before counting),
+    * serving the row count, the overwrite-source safety, and the
+    * repartition — not three scans.
     * Returns (files before, files after) across the given days. */
   def compact(
       spark: SparkSession,
       path: String,
       days: Seq[String],
-      targetRows: Long = 4L * 1000 * 1000): (Long, Long) = {
+      targetRows: Long = 4L * 1000 * 1000,
+      zOrder: Boolean = false,
+      bloomFilterCols: Seq[String] = Nil): (Long, Long) = {
     require(days.nonEmpty, "compact: no days given")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs   = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -104,19 +120,25 @@ object ProductStore {
       else 0L
     }.sum
     val before = dayFiles()
-    val st     = read(spark, path).filter(col("day").cast("string").isin(days: _*))
+    // one materialization: checkpoint the pruned scan, then count the
+    // checkpointed data (no second scan) and overwrite from the checkpoint
+    val st = read(spark, path)
+      .filter(col("day").cast("string").isin(days: _*))
+      .localCheckpoint(true)
     val total  = st.count()
     val nFiles = math.max(1L, (total + targetRows - 1) / targetRows).toInt
-    // materialize before overwriting the path we are reading from (the
-    // repair pattern); the count above shares the same pruned scan shape
+    val layoutCols: Seq[org.apache.spark.sql.Column] =
+      if (zOrder) Seq(col("day"), graft.functions.ZOrder2(col("lat_idx"), col("lon_idx")))
+      else Seq(col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
     val compacted = st
-      .repartitionByRange(nFiles, col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
-      .sortWithinPartitions(col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
-      .localCheckpoint(true)
-    compacted.write
+      .repartitionByRange(nFiles, layoutCols: _*)
+      .sortWithinPartitions(layoutCols: _*)
+    val writer = compacted.write
       .mode(SaveMode.Overwrite)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("day")
+    bloomFilterCols
+      .foldLeft(writer)((w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true"))
       .parquet(path)
     (before, dayFiles())
   }

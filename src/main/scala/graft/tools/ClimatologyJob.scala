@@ -145,9 +145,14 @@ object ClimatologyJob {
     * exact-sum state ([[Climatology.updateDailyState]]) instead of
     * rescanning the whole store per run. Days present in the store but
     * absent from the state refresh automatically (the nightly case);
-    * `--refresh-days d1,d2` forces specific days (the S8 reprocessing
-    * case — a rewritten store day whose state is stale). Span means then
-    * fold the bounded state, bit-identical to the full recompute. */
+    * days present in the state but DELETED from the store are dropped
+    * (their `day=` partitions removed) so a shrunk store cannot leave
+    * stale rows contaminating span means. `--refresh-days d1,d2` forces
+    * specific days — REQUIRED for in-place rewrites (the S8 reprocessing
+    * case: a day whose store partition was replaced with corrected data
+    * still exists on both sides, so only the operator knows it's stale).
+    * Span means then fold the bounded state, bit-identical to the full
+    * recompute. */
   private def runParquetIncremental(
       spark: SparkSession, store: String, out: String, span: String,
       doConsolidated: Boolean, statePath: String, refreshDays: Seq[String]): String = {
@@ -155,14 +160,21 @@ object ClimatologyJob {
     val product = ProductStore.read(spark, store)
     val storeDays = product.select(col("day").cast("string")).distinct()
       .collect().map(_.getString(0))
-    val stateDays = {
-      val p  = new Path(statePath)
-      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-      if (fs.exists(p))
+    val stateRoot = new Path(statePath)
+    val fs        = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    val stateDays =
+      if (fs.exists(stateRoot))
         spark.read.parquet(statePath).select(col("day").cast("string")).distinct()
           .collect().map(_.getString(0))
       else Array.empty[String]
-    }
+    // stale side: state days whose store partition no longer exists — drop
+    // them, or they silently ride every future fold (bounded: one dir/day)
+    val stale = stateDays.diff(storeDays).sorted
+    stale.foreach { d => fs.delete(new Path(stateRoot, s"day=$d"), true) }
+    if (stale.nonEmpty)
+      System.err.println(
+        s"[climatology] dropped ${stale.length} state day(s) no longer in the store: " +
+          stale.mkString(","))
     val touched = (storeDays.diff(stateDays) ++ refreshDays).distinct.sorted
     if (touched.nonEmpty)
       Climatology.refreshDaysFromStore(
@@ -172,11 +184,15 @@ object ClimatologyJob {
       if (doConsolidated) Climatology.consolidateMonthly(means, keys)
       else means
     result.write.mode("overwrite").parquet(out)
-    s""""format":"parquet","refreshed_days":${touched.length}"""
+    s""""format":"parquet","refreshed_days":${touched.length},"dropped_days":${stale.length}"""
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>] [--state <dir> [--refresh-days d1,d2]]")
+    require(args.length >= 2,
+      "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>] " +
+        "[--state <dir> [--refresh-days d1,d2]]  " +
+        "(--refresh-days is REQUIRED after rewriting a store day in place; " +
+        "new/deleted store days are detected automatically)")
     val Array(store, out) = args.take(2)
     val flags = args.drop(2)
     val span  = flags.find(!_.startsWith("--")).getOrElse("month")
