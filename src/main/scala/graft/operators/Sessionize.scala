@@ -57,11 +57,19 @@ object Sessionize {
           s"estimate exceeds $GlobalWindowWarnBytes bytes: the global-window fallback " +
           "sorts ALL rows in ONE task. Supply partitionCols (granule / mission / day) " +
           "at scale."
-      // tolerant parse: anything other than (case-insensitive) "true" means
-      // warn-only, so a malformed conf value ("1", "yes") cannot surface as an
-      // opaque toBoolean parse failure unrelated to the misuse being guarded
-      val strict =
-        df.sparkSession.conf.getOption(StrictConfKey).exists(_.trim.equalsIgnoreCase("true"))
+      // strict parse: only "true"/"false" (case-insensitive) are valid — a
+      // malformed value ("1", "yes") intended to ENABLE fail-fast must not
+      // silently disable the safety guard, so it is a configuration error
+      // with a message naming the bad value (clearer than a bare toBoolean
+      // NumberFormatException deep in the window build)
+      val strict = df.sparkSession.conf.getOption(StrictConfKey).map(_.trim) match {
+        case None => false
+        case Some(v) if v.equalsIgnoreCase("true")  => true
+        case Some(v) if v.equalsIgnoreCase("false") => false
+        case Some(v) =>
+          throw new IllegalArgumentException(
+            s"$StrictConfKey must be true or false, got '$v'")
+      }
       require(!strict, s"$msg ($StrictConfKey=true)")
       if (warnedOnce.compareAndSet(false, true)) log.warn(s"$msg (warned once per JVM)")
     }

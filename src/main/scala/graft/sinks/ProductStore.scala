@@ -90,8 +90,8 @@ object ProductStore {
     * stats tighten back up. Content-identical, idempotent, atomic per
     * partition (dynamic overwrite — the appendIdempotent contract).
     *
-    * `zOrder` switches the within-day layout from raster order to the
-    * Morton key of (lat_idx, lon_idx) ([[graft.operators.Layout]]): a
+    * `zOrder` switches the within-(day, variable) layout from raster order
+    * to the Morton key of (lat_idx, lon_idx) ([[graft.operators.Layout]]): a
     * raster-sorted day prunes only on the leading latitude, so a
     * longitude-box read (the climatology tool's lat/lon subset,
     * `tools/climatology/main.py:220`) touches every file — z-clustering
@@ -127,8 +127,14 @@ object ProductStore {
       .localCheckpoint(true)
     val total  = st.count()
     val nFiles = math.max(1L, (total + targetRows - 1) / targetRows).toInt
+    // z-clustering applies WITHIN each variable: dropping `variable` from the
+    // layout would interleave all variables per file, wrecking the per-row-group
+    // min/max stats that variable-filtered reads (the per-variable climatology
+    // scan) prune on — the raster layout had that pruning, compaction must not
+    // take it away.
     val layoutCols: Seq[org.apache.spark.sql.Column] =
-      if (zOrder) Seq(col("day"), graft.functions.ZOrder2(col("lat_idx"), col("lon_idx")))
+      if (zOrder)
+        Seq(col("day"), col("variable"), graft.functions.ZOrder2(col("lat_idx"), col("lon_idx")))
       else Seq(col("day"), col("variable"), col("lat_idx"), col("lon_idx"))
     val compacted = st
       .repartitionByRange(nFiles, layoutCols: _*)

@@ -168,8 +168,18 @@ object ClimatologyJob {
           .collect().map(_.getString(0))
       else Array.empty[String]
     // stale side: state days whose store partition no longer exists — drop
-    // them, or they silently ride every future fold (bounded: one dir/day)
+    // them, or they silently ride every future fold (bounded: one dir/day).
+    // Guard: an EMPTY store (empty-but-valid parquet, or a mistyped store
+    // path paired with a long-lived --state dir) would classify every state
+    // day as stale and destroy the expensive incremental state in one run —
+    // refuse the drop and fail loudly instead, so the operator can fix the
+    // path or intentionally delete the state dir.
     val stale = stateDays.diff(storeDays).sorted
+    if (stale.nonEmpty && storeDays.isEmpty)
+      throw new IllegalStateException(
+        s"[climatology] store $store has ZERO days but state $statePath has " +
+          s"${stale.length} — refusing to drop ALL state days (likely a wrong " +
+          "store path or an empty store; delete the state dir manually if intended)")
     stale.foreach { d => fs.delete(new Path(stateRoot, s"day=$d"), true) }
     if (stale.nonEmpty)
       System.err.println(

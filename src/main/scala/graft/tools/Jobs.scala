@@ -34,15 +34,23 @@ object RepairJob {
     val spark        = Jobs.session("graft-repair")
     spark.sparkContext.setLogLevel("WARN")
     val fixed = ProductStore.repair(spark, store)
-    // optional maintenance compaction: --compact d1,d2 [--target-rows n]
+    // optional maintenance compaction:
+    //   --compact d1,d2 [--target-rows n] [--zorder] [--bloom c1,c2]
+    // --zorder lays each (day, variable) out on the Morton curve so lat/lon
+    // box reads (the climatology tool's subset) skip files; --bloom adds
+    // parquet split-block bloom filters for point-probe columns.
     val compactDays = args.sliding(2)
       .collectFirst { case Array("--compact", d) => d.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
       .getOrElse(Nil)
     val targetRows = args.sliding(2)
       .collectFirst { case Array("--target-rows", n) => n.toLong }.getOrElse(4L * 1000 * 1000)
+    val zOrder = args.contains("--zorder")
+    val bloomCols = args.sliding(2)
+      .collectFirst { case Array("--bloom", c) => c.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
+      .getOrElse(Nil)
     val compacted = if (compactDays.nonEmpty) {
-      val (b, a) = ProductStore.compact(spark, store, compactDays, targetRows)
-      s""","files_before":$b,"files_after":$a"""
+      val (b, a) = ProductStore.compact(spark, store, compactDays, targetRows, zOrder, bloomCols)
+      s""","files_before":$b,"files_after":$a,"zorder":$zOrder"""
     } else ""
     println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted}""")
     spark.stop()

@@ -279,6 +279,52 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(stateDays === Array("day=2023-06-15", "day=2023-07-01"))
   }
 
+  test("ClimatologyJob --state: deleting a store day drops its state partition; empty store refuses the drop") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    import graft.sinks.ProductStore
+    val mkLong = (day: String, v: Double) => (0 until 4).map(i =>
+      ("fossil0001", java.sql.Timestamp.valueOf(f"$day 10:0$i%01d:00"),
+        i, i, 40.0 + i, 10.0 + i, "xco2", v + i))
+      .toDF("target_id", "time", "lat_idx", "lon_idx", "lat", "lon", "variable", "value")
+    val dir   = Files.createTempDirectory("staledrop")
+    val store = dir.resolve("store").toString
+    val state = dir.resolve("state").toString
+
+    ProductStore.appendIdempotent(mkLong("2023-06-15", 400.0), store)
+    ProductStore.appendIdempotent(mkLong("2023-07-01", 410.0), store)
+    graft.tools.ClimatologyJob.main(Array(store, dir.resolve("out1").toString, "month", "--state", state))
+    def stateDays() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    assert(stateDays() === Array("day=2023-06-15", "day=2023-07-01"))
+
+    // a store day is deleted (retention / erroneous-ingest rollback): the
+    // next incremental run must drop its state partition, and span means
+    // must equal a full recompute over the shrunk store
+    val conf = spark.sessionState.newHadoopConf()
+    val fs   = new org.apache.hadoop.fs.Path(store).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(store, "day=2023-07-01"), true)
+    graft.tools.ClimatologyJob.main(Array(store, dir.resolve("out2").toString, "month", "--state", state))
+    assert(stateDays() === Array("day=2023-06-15"), "deleted store day must leave the state")
+    val got  = spark.read.parquet(dir.resolve("out2").toString).collect().toSet
+    val full = Climatology.temporalMean(
+      mkLong("2023-06-15", 400.0), "time", "value", "month", Seq("target_id", "variable"))
+      .collect().toSet
+    assert(got === full) // bit-identical to recompute over the shrunk store
+
+    // guard: a store with ZERO days (empty-but-valid parquet, or a mistyped
+    // path) must NOT wipe the whole state — it refuses loudly instead
+    val emptyStore = dir.resolve("empty-store").toString
+    mkLong("2023-06-15", 400.0).withColumn("day", col("time").cast("date"))
+      .limit(0).write.parquet(emptyStore)
+    val ex = intercept[IllegalStateException] {
+      graft.tools.ClimatologyJob.main(
+        Array(emptyStore, dir.resolve("out3").toString, "month", "--state", state))
+    }
+    assert(ex.getMessage.contains("refusing"))
+    assert(stateDays() === Array("day=2023-06-15"), "state must survive the refused run")
+  }
+
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {
     val dir = Files.createTempDirectory("gridof")
     import spark.implicits._

@@ -163,4 +163,23 @@ class SessionizeSpec extends SparkSpec {
       }
     } finally spark.conf.unset(Sessionize.StrictConfKey)
   }
+
+  test("malformed strict-flag values are a loud configuration error, not silent warn-only (r14 advice)") {
+    val big = spark.range((Sessionize.GlobalWindowWarnBytes / 8L).toLong + 1000L)
+      .toDF("idx").withColumn("k", lit("a"))
+    // "1"/"yes" intended to ENABLE fail-fast must not silently disable it
+    for (bad <- Seq("1", "yes", "TRUEE")) {
+      spark.conf.set(Sessionize.StrictConfKey, bad)
+      try {
+        val e = intercept[IllegalArgumentException] {
+          Sessionize.byKeyChange(big, "idx", Seq("k"))
+        }
+        assert(e.getMessage.contains(bad), s"error must name the bad value '$bad'")
+      } finally spark.conf.unset(Sessionize.StrictConfKey)
+    }
+    // case-insensitive true/false both parse
+    spark.conf.set(Sessionize.StrictConfKey, "FALSE")
+    try assert(Sessionize.byKeyChange(big, "idx", Seq("k")).columns.contains("region_id"))
+    finally spark.conf.unset(Sessionize.StrictConfKey)
+  }
 }

@@ -33,6 +33,66 @@ class StoreStreamingSpec extends SparkSpec {
     assert(ProductStore.read(spark, path).collect().toSet === before)
   }
 
+  test("compact zOrder: content-identical, lon-box touches fewer files, blooms in footers") {
+    // a dense day: two variables over a 64×64 grid — the shape where the
+    // raster layout (day, variable, lat, lon) spreads a longitude box over
+    // every file and the Morton layout confines it to spatial rectangles
+    // high-cardinality target_id: the bloom's point-probe use case (a
+    // constant id is fully dictionary-encoded and parquet rightly skips
+    // the bloom — the dictionary is already an exact membership filter)
+    val grid = (for (v <- Seq("sif", "xco2"); lat <- 0 until 64; lon <- 0 until 64)
+      yield (f"fossil${lat * 64 + lon}%04d", v, lat, lon, (lat * 64 + lon).toDouble))
+      .toDF("target_id", "variable", "lat_idx", "lon_idx", "value")
+      .withColumn("time", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val raster = tmp("compact-raster")
+    val zorder = tmp("compact-zorder")
+    Seq(raster, zorder).foreach(p => ProductStore.create(grid.repartition(8), p))
+    val day    = "2024-01-01"
+    val before = ProductStore.read(spark, raster).collect().toSet
+    val (_, aR) = ProductStore.compact(spark, raster, Seq(day), targetRows = 512)
+    val (_, aZ) = ProductStore.compact(spark, zorder, Seq(day), targetRows = 512,
+      zOrder = true, bloomFilterCols = Seq("target_id"))
+    assert(aR === 16 && aZ === 16, s"both layouts compact to 16 files, got $aR/$aZ")
+    // pure layout: content identical to the raster compact and the original
+    assert(ProductStore.read(spark, zorder).collect().toSet === before)
+    assert(ProductStore.read(spark, raster).collect().toSet === before)
+    // a longitude box crosses EVERY latitude strip: raster spreads it over
+    // ~all files; z-order confines it to the overlapping rectangles
+    def filesHolding(path: String): Long =
+      ProductStore.read(spark, path)
+        .filter(col("lon_idx").between(8, 15))
+        .select(input_file_name()).distinct().count()
+    val rmF = filesHolding(raster)
+    val zF  = filesHolding(zorder)
+    assert(rmF >= 12, s"raster should spread the lon box over most files, got $rmF")
+    assert(zF * 2 <= rmF, s"z-order should at least halve file touch: $zF vs $rmF")
+    // variable stays a leading layout key: a variable filter prunes files
+    // under z-order exactly as it did under raster (no interleaving)
+    def filesForVariable(path: String): Long =
+      ProductStore.read(spark, path).filter(col("variable") === "sif")
+        .select(input_file_name()).distinct().count()
+    assert(filesForVariable(zorder) <= filesForVariable(raster))
+    // bloom filters present on the named column, absent elsewhere
+    val conf = spark.sessionState.newHadoopConf()
+    val part = new java.io.File(zorder, s"day=$day").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(cols.get)
+        .map(c => c.getPath.toDotString -> (c.getBloomFilterOffset >= 0)).toMap
+      assert(byName("target_id") === true, s"target_id must carry a bloom: $byName")
+      assert(byName("variable") === false, "unlisted columns stay bloom-free")
+    } finally reader.close()
+    // idempotent: re-compacting the z-ordered day changes nothing
+    val (b2, a2) = ProductStore.compact(spark, zorder, Seq(day), targetRows = 512,
+      zOrder = true, bloomFilterCols = Seq("target_id"))
+    assert(b2 === 16 && a2 === 16)
+    assert(ProductStore.read(spark, zorder).collect().toSet === before)
+  }
+
   test("idempotent append converges on re-delivery of the same day") {
     val path = tmp("store")
     ProductStore.create(product, path)
