@@ -45,9 +45,10 @@ object ScaleProbe {
   /** Sounding rows for the L2 Lite granule-FILE probes (h5granule /
     * runjob): ~200-sounding target blocks, 10% bad quality, SAM/Target
     * mode alternating per target. */
-  private def h5Soundings(n: Int, nTgt: Int): Seq[graft.sources.SyntheticGranule.Sounding] = {
+  private def h5Soundings(
+      n: Int, nTgt: Int, dayStr: String = "2023-06-15"): Seq[graft.sources.SyntheticGranule.Sounding] = {
     import graft.sources.SyntheticGranule.Sounding
-    val day = java.sql.Timestamp.valueOf("2023-06-15 10:30:00")
+    val day = java.sql.Timestamp.valueOf(s"$dayStr 10:30:00")
     (0 until n).map { i =>
       val tgt = (i / 200) % nTgt
       val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
@@ -807,6 +808,114 @@ object ScaleProbe {
       val sec   = BigDecimal((System.nanoTime() - t0) / 1e9)
         .setScale(3, BigDecimal.RoundingMode.HALF_UP)
       println(s"""{"probe":"corpus_job","docs":$n,"wall_sec":$sec,"datasheet":${sheet.json}}""")
+      spark.stop()
+      return
+    }
+    if (variant == "prodloop") {
+      // the COMPOSED production loop (the reference's 15-min-cadence deploy
+      // mode, `tools/deploy/README.md` queue consumer) end-to-end in ONE
+      // probe — every seam bit-checked:
+      //   N granule-day HDF5 files → filequeue messages → ingestQueue
+      //   (streaming: decode → pipeline → idempotent store append →
+      //   per-batch incremental climatology state) → zOrder+bloom compact
+      //   of all written days → read-back + meansFromState.
+      // args(5) = nDays (one granule file per day, one message per day).
+      val nDays = if (args.length > 5) args(5).toInt else 5
+      val base  = java.nio.file.Files.createTempDirectory("prodloop")
+      val queue = base.resolve("queue"); java.nio.file.Files.createDirectories(queue)
+      val store = base.resolve("store").toString
+      val state = base.resolve("state").toString
+      val day0  = java.time.LocalDate.parse("2023-06-15")
+      // setup (untimed): real chunked+deflate L2 Lite granule files
+      val days = (0 until nDays).map(di => day0.plusDays(di.toLong).toString)
+      days.zipWithIndex.foreach { case (d, di) =>
+        val g = base.resolve(s"oco3_LtCO2_${d.replace("-", "")}_B10400Br.nc4")
+        java.nio.file.Files.write(
+          g, graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+            h5Soundings(n, nTgt, d), chunkRows = 16384, deflateLevel = 4))
+        java.nio.file.Files.write(
+          queue.resolve(f"msg-$di%03d"), g.toString.getBytes("UTF-8"))
+      }
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      // order-independent content signature over every column: the seam
+      // check that store rewrites (append replay, compact) are pure layout
+      def sig(): (Long, BigDecimal) = {
+        val df = graft.sinks.ProductStore.read(spark, store)
+        val h  = df.select(xxhash64(df.columns.sorted.map(col): _*).as("h"))
+        // decimal sum: 2^63-scale hashes overflow a long sum under ANSI
+        val r = h.agg(count(lit(1)).as("n"), sum(col("h").cast("decimal(38,0)")).as("s"))
+          .collect()(0)
+        (r.getLong(0), BigDecimal(r.getDecimal(1)))
+      }
+      val keys = Seq("target_id", "variable")
+      // stage 1: streaming ingest, one granule-day per micro-batch, with
+      // per-batch climatology state refresh
+      val (_, ingestSec) = timed {
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue.toString, base.resolve("ckpt").toString, store, catalog,
+          Pipeline.Config(gridN = gridN, method = method),
+          maxMessagesPerBatch = 1, climatologyState = Some(state))
+          .awaitTermination()
+      }
+      val sigAfterIngest = sig()
+      // seam A: re-delivery converges (at-least-once → exactly-once effect);
+      // replay the FIRST day under a fresh checkpoint, store + state both
+      val (_, replaySec) = timed {
+        java.nio.file.Files.write(
+          queue.resolve("msg-replay"),
+          base.resolve(s"oco3_LtCO2_${days.head.replace("-", "")}_B10400Br.nc4")
+            .toString.getBytes("UTF-8"))
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue.toString, base.resolve("ckpt2").toString, store, catalog,
+          Pipeline.Config(gridN = gridN, method = method),
+          maxMessagesPerBatch = 1, climatologyState = Some(state))
+          .awaitTermination()
+      }
+      val replayConverges = sig() == sigAfterIngest
+      // stage 2: maintenance compaction of every written day — z-ordered,
+      // bloom on target_id (the RepairJob --compact --zorder path)
+      val ((filesBefore, filesAfter), compactSec) = timed {
+        graft.sinks.ProductStore.compact(
+          spark, store, days, targetRows = 4L * 1000 * 1000,
+          zOrder = true, bloomFilterCols = Seq("target_id"))
+      }
+      val compactPure = sig() == sigAfterIngest
+      val dupsAfter   = graft.sinks.ProductStore.findDuplicates(spark, store).count()
+      // stage 3: span means from the incremental state (the nightly read
+      // path) vs a full-store recompute — bit-equal, and the fold must not
+      // rescan the store
+      val product = graft.sinks.ProductStore.read(spark, store)
+      val (inc, foldSec) = timed {
+        val m = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val (full, rescanSec) = timed {
+        val m = graft.operators.Climatology
+          .temporalMean(product, "time", "value", "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val climoEqual = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      // stage 4: analytic read-back off the compacted store — a spatial box
+      // (the climatology tool's lat/lon subset) and its file-touch count
+      // through the z-ordered layout
+      val ((boxRows, boxFiles), boxSec) = timed {
+        val box = product.filter(col("lon_idx").between(0, 63))
+        (box.count(), box.select(input_file_name()).distinct().count())
+      }
+      def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"prod_loop","soundings_per_day":$n,"days":$nDays,"gridN":$gridN,""" +
+          s""""method":"$method","ingest_sec":${r(ingestSec)},"replay_sec":${r(replaySec)},""" +
+          s""""replay_converges":$replayConverges,"compact_sec":${r(compactSec)},""" +
+          s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
+          s""""compact_content_equal":$compactPure,"duplicates_after":$dupsAfter,""" +
+          s""""state_fold_sec":${r(foldSec)},"full_rescan_sec":${r(rescanSec)},""" +
+          s""""climo_bit_equal":$climoEqual,"box_rows":$boxRows,"box_files":$boxFiles,""" +
+          s""""box_sec":${r(boxSec)},"store_rows":${sigAfterIngest._1}}""")
       spark.stop()
       return
     }
