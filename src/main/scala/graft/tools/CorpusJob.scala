@@ -119,13 +119,16 @@ object CorpusJob {
     } finally if (!preExisting) spark.stop()
   }
 
-  /** Per-step retention record: rows entering each step, rows leaving. */
-  final case class StepCount(op: String, rowsIn: Long, rowsOut: Long)
+  /** Per-step retention record: rows entering each step, rows leaving,
+    * and the step's wall seconds (materialization + count; 0.0 for stages
+    * resumed from a checkpoint — they did no work this run). */
+  final case class StepCount(op: String, rowsIn: Long, rowsOut: Long, sec: Double = 0.0)
 
   final case class Datasheet(steps: Seq[StepCount], outputRows: Long) {
     def json: String = {
       val ss = steps.map(s =>
-        s"""{"op":"${s.op}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut}}""")
+        s"""{"op":"${s.op}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut},""" +
+          s""""sec":${BigDecimal(s.sec).setScale(3, BigDecimal.RoundingMode.HALF_UP)}}""")
       s"""{"steps":[${ss.mkString(",")}],"output_rows":$outputRows}"""
     }
   }
@@ -443,12 +446,14 @@ object CorpusJob {
 
     stepsNode.zipWithIndex.drop(startIdx).foreach { case (s, i) =>
       val op = req(s, "op").asText
+      val t0 = System.nanoTime()
       ckptDir match {
         case Some(_) =>
           val path = stagePath(i, op)
           applyStep(cur, s).write.mode("overwrite").parquet(path)
           val mat = spark.read.parquet(path)
           val n   = mat.count()
+          val sec = (System.nanoTime() - t0) / 1e9
           // the meta sidecar commits the stage: written only after the
           // parquet _SUCCESS exists, so a kill mid-write is never resumable
           val out = fs.create(metaPath(i, op), true)
@@ -456,13 +461,13 @@ object CorpusJob {
             s"""{"op":"$op","step_md5":"${stepMd5(s)}","rows_in":$curRows,"rows_out":$n}\n"""
               .getBytes("UTF-8"))
           finally out.close()
-          counts += StepCount(op, curRows, n)
+          counts += StepCount(op, curRows, n, sec)
           cur = mat
           curRows = n
         case None =>
           val mat = applyStep(cur, s).persist(StorageLevel.MEMORY_AND_DISK)
           val n   = mat.count()
-          counts += StepCount(op, curRows, n)
+          counts += StepCount(op, curRows, n, (System.nanoTime() - t0) / 1e9)
           curPersisted.foreach(_.unpersist())
           curPersisted = Some(mat)
           cur = org.apache.spark.sql.GraftSqlBridge.planBarrier(mat)

@@ -347,7 +347,7 @@ class CorpusJobSpec extends SparkSpec {
     Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
     val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
     // a over-budgeted -> keeps all 20; b zero-budget -> drops all
-    assert(sheet.steps === Seq(CorpusJob.StepCount("mixture", 40L, 20L)))
+    assert(sheet.steps.map(c => (c.op, c.rowsIn, c.rowsOut)) === Seq(("mixture", 40L, 20L)))
     val out = spark.read.parquet(s"$dir/out/documents")
     assert(out.filter($"source" === "b").count() === 0L)
     assert(out.filter($"source" === "a").count() === 20L)
@@ -369,7 +369,7 @@ class CorpusJobSpec extends SparkSpec {
          |""".stripMargin
     Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
     val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
-    assert(sheet.steps === Seq(CorpusJob.StepCount("pack-sequences", 4L, 3L)))
+    assert(sheet.steps.map(c => (c.op, c.rowsIn, c.rowsOut)) === Seq(("pack-sequences", 4L, 3L)))
     val out = spark.read.parquet(s"$dir/out/documents")
       .orderBy($"seq_idx")
       .select($"seq_idx", $"seq_text").as[(Long, String)].collect()
@@ -396,7 +396,7 @@ class CorpusJobSpec extends SparkSpec {
          |""".stripMargin
     Files.write(dir.resolve("job.yaml"), cfg.getBytes("UTF-8"))
     val sheet = CorpusJob.run(spark, s"$dir/job.yaml")
-    assert(sheet.steps === Seq(CorpusJob.StepCount("neardup", 3L, 2L)))
+    assert(sheet.steps.map(c => (c.op, c.rowsIn, c.rowsOut)) === Seq(("neardup", 3L, 2L)))
     val ids = spark.read.parquet(s"$dir/out/documents")
       .select("doc_id").as[Long].collect().sorted
     assert(ids === Array(0L, 2L))
@@ -416,7 +416,7 @@ class CorpusJobSpec extends SparkSpec {
          |""".stripMargin
     Files.write(dir.resolve("job-cap.yaml"), cfgCap.getBytes("UTF-8"))
     val sheetCap = CorpusJob.run(spark, s"$dir/job-cap.yaml")
-    assert(sheetCap.steps === Seq(CorpusJob.StepCount("neardup", 3L, 3L)))
+    assert(sheetCap.steps.map(c => (c.op, c.rowsIn, c.rowsOut)) === Seq(("neardup", 3L, 3L)))
   }
 
   test("CorpusJob: checkpointed stages materialize to parquet and a killed run resumes without recompute") {
@@ -464,14 +464,19 @@ class CorpusJobSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val sheet2 = CorpusJob.run(spark, s"$dir/job.yaml")
-    assert(sheet2 === sheet1, "resumed datasheet must replay finished stages identically")
+    // sec is a wall-clock measurement (0.0 on resumed stages), excluded
+    // from the replay-identity contract
+    def shape(d: CorpusJob.Datasheet) = (d.steps.map(c => (c.op, c.rowsIn, c.rowsOut)), d.outputRows)
+    assert(shape(sheet2) === shape(sheet1), "resumed datasheet must replay finished stages identically")
     assert(spark.read.parquet(s"$dir/out/documents")
       .select("doc_id").as[Long].collect().sorted === Array(0L, 3L, 4L, 6L))
 
     // fully-complete checkpoints: nothing recomputes, the sheet replays
-    // entirely from sidecars (input still empty)
+    // entirely from sidecars (input still empty) — and every replayed
+    // stage reports sec=0.0 (it did no work this run)
     val sheet3 = CorpusJob.run(spark, s"$dir/job.yaml")
-    assert(sheet3 === sheet1)
+    assert(shape(sheet3) === shape(sheet1))
+    assert(sheet3.steps.forall(_.sec === 0.0))
 
     // a same-op PARAMETER change invalidates that stage and everything
     // after it: quality-filter relaxes so doc 2 now passes — stages 0-1
