@@ -963,6 +963,190 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "streamrestart") {
+      // kill/restart stateful-streaming probe: n events over n/100 users
+      // sessionize via flatMapGroupsWithState on the RocksDB state store;
+      // the query is HARD-STOPPED mid-stream after a few committed batches
+      // (offsets for in-flight work uncommitted → replayed), restarted
+      // from the checkpoint, and drained. Exactly-once effect = per-batchId
+      // overwrite sink; the final closed-session set must equal a batch
+      // gaps-and-islands recompute over the same events (minus each user's
+      // final, still-open session). Walls: pre-kill throughput, restart
+      // recovery (state reload + first batch), post-restart drain.
+      import org.apache.spark.sql.streaming.Trigger
+      val dir   = java.nio.file.Files.createTempDirectory("streamrestart")
+      val inDir = dir.resolve("in"); java.nio.file.Files.createDirectories(inDir)
+      val k = math.max(100L, n / 100L) // users (state cells)
+      val r = n / k                    // events per user
+      val gapSec = 60L
+      // event j of user u: 4-event sessions 30 s apart, 2 h between
+      // sessions; all users share the timeline so file slices are
+      // time-ordered and sessions SPAN slice boundaries (state must
+      // carry across batches and across the kill)
+      val events = spark.range(n)
+        .select(
+          pmod(col("id"), lit(k)).as("user_id"),
+          (col("id") / k).cast("long").as("_j"))
+        .select(
+          col("user_id"),
+          (lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).cast("long") +
+            (col("_j") / 4).cast("long") * 7200L + pmod(col("_j"), lit(4)) * 30L)
+            .cast("timestamp").as("ts"),
+          (col("user_id") * 1000 + col("_j")).cast("double").as("value"),
+          col("_j"))
+      // 32 time-slice files written in order (mod time + path both ascend)
+      val nSlices = 32
+      (0 until nSlices).foreach { s =>
+        val lo = s.toLong * r / nSlices; val hi = (s + 1).toLong * r / nSlices
+        events.filter(col("_j") >= lo && col("_j") < hi).drop("_j")
+          .coalesce(1).write.mode("overwrite").parquet(s"$dir/tmp-$s")
+        val part = new java.io.File(s"$dir/tmp-$s").listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(
+          part.toPath, inDir.resolve(f"slice-$s%02d.parquet"))
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val out  = s"$dir/out"
+      val ckpt = s"$dir/ckpt"
+      import spark.implicits._
+      def startQuery() = {
+        val stream = spark.readStream
+          .schema(events.drop("_j").schema)
+          .option("maxFilesPerTrigger", 2)
+          .parquet(inDir.toString)
+          .as[graft.streaming.StatefulSessions.Event]
+        graft.streaming.StatefulSessions.sessionize(
+          stream, gapSec,
+          timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[graft.streaming.StatefulSessions.ClosedSession], id: Long) =>
+            // idempotent per-batch sink: a replayed batch overwrites itself
+            b.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }
+          .start()
+      }
+      // phase 1: run until ≥3 batches commit, then HARD STOP mid-stream
+      val t0 = System.nanoTime()
+      val q1 = startQuery()
+      while (q1.isActive && q1.recentProgress.length < 3) Thread.sleep(100)
+      val batchesBeforeKill = q1.recentProgress.length
+      q1.stop() // interrupts the stream thread; in-flight batch abandoned
+      val killSec = (System.nanoTime() - t0) / 1e9
+      // phase 2: restart from the checkpoint, drain everything
+      val t1 = System.nanoTime()
+      val q2 = startQuery()
+      q2.awaitTermination()
+      val drainSec = (System.nanoTime() - t1) / 1e9
+      val rocksOk = Option(q2.lastProgress).exists(_.stateOperators.exists(
+        _.customMetrics.keySet.toString.contains("rocksdb")))
+      val totalBatches = batchesBeforeKill + q2.recentProgress.length
+      // correctness: closed sessions == batch gaps-and-islands recompute
+      // (exact Row equality), excluding each user's final open session
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val batchSessions = events.drop("_j")
+        .withColumn("_new",
+          when(unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)) > gapSec
+            || lag(col("ts"), 1).over(w).isNull, 1L).otherwise(0L))
+        .withColumn("_sid", sum(col("_new")).over(w))
+        .groupBy(col("user_id"), col("_sid"))
+        .agg(
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+        .withColumn("_last", max(col("_sid")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("_sid") < col("_last")) // open sessions never emit
+        .drop("_sid", "_last")
+      val got = spark.read.parquet(out)
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+      val equal = got.exceptAll(batchSessions).isEmpty &&
+        batchSessions.exceptAll(got).isEmpty
+      val nClosed = got.count()
+      def rr(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"stream_restart","events":$n,"users":$k,"slices":$nSlices,""" +
+          s""""batches_before_kill":$batchesBeforeKill,"total_batches":$totalBatches,""" +
+          s""""prekill_sec":${rr(killSec)},"restart_drain_sec":${rr(drainSec)},""" +
+          s""""rocksdb":$rocksOk,"closed_sessions":$nClosed,"batch_equal":$equal}""")
+      spark.stop()
+      return
+    }
+    if (variant == "runjob3") {
+      // the reference's FULL deploy-mesh day (J5 at scale): all THREE
+      // missions — oco3 (targeted), oco2 (no target ids, mode-only), and
+      // oco3_sif (targets via /Sequences indirection) — as real HDF5
+      // granule files through RunJob's mission-keyed YAML into ONE shared
+      // global Zarr store with per-mission variable prefixes and G5
+      // empty-variable synthesis. n = oco3 soundings; oco2 gets n,
+      // sif n/2 (SIF products are smaller).
+      val dir = java.nio.file.Files.createTempDirectory("runjob3")
+      val oco3 = dir.resolve("oco3_LtCO2_20230615_B10400Br.nc4")
+      java.nio.file.Files.write(oco3,
+        graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+          h5Soundings(n, nTgt), chunkRows = 16384, deflateLevel = 4))
+      val oco2 = dir.resolve("oco2_LtCO2_20230615_B11100Ar.nc4")
+      java.nio.file.Files.write(oco2,
+        graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+          h5Soundings(n, nTgt).map(s => s.copy(
+            target_id = "",
+            operation_mode = if (s.operation_mode == 0) 0 else 2)),
+          chunkRows = 16384, deflateLevel = 4))
+      val sif  = dir.resolve("oco3_LtSIF_20230615_B10400Br.nc4")
+      val sifEpoch = (java.time.LocalDate.parse("2023-06-15").toEpochDay -
+        java.time.LocalDate.parse("1990-01-01").toEpochDay) * 86400.0 + 37800.0
+      val sifRows = (0 until n / 2).map { i =>
+        val tgt = (i / 200) % nTgt
+        val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+        val lat = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+        graft.sources.netcdf.NetCDFGranules.SifSounding(
+          i.toLong, lat, lon, sifEpoch + i * 0.1,
+          Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
+          Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
+          quality_flag = if (i % 10 == 9) 1 else 0,
+          daily_sif = 1.0 + (i % 100) / 50.0,
+          operation_mode = 3, sequences_index = tgt)
+      }
+      java.nio.file.Files.write(sif,
+        graft.sources.netcdf.NetCDFGranules.writeSifGranuleH5(
+          sifRows, (0 until nTgt).map(i => f"fossil$i%04d")))
+      val store = dir.resolve("store").toString
+      val cfgP  = dir.resolve("run-config.yaml")
+      java.nio.file.Files.write(cfgP,
+        s"""input:
+           |  files:
+           |    oco3: [${oco3.toString}]
+           |    oco2: [${oco2.toString}]
+           |    oco3_sif: [${sif.toString}]
+           |output:
+           |  local: $store
+           |  format: zarr
+           |  global: true
+           |grid:
+           |  latitude: ${50 * gridN}
+           |  longitude: ${100 * gridN}
+           |  method: $method
+           |""".stripMargin.getBytes("UTF-8"))
+      val t0 = System.nanoTime()
+      graft.tools.RunJob.main(Array(cfgP.toString))
+      val sec = BigDecimal((System.nanoTime() - t0) / 1e9)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      // the merged store must carry all three missions' science variables
+      // with real pixels, plus the G5-synthesized annotation arrays
+      val vars = graft.tools.ClimatologyJob.storeVariables(spark, store)
+      def px(v: String): Long =
+        try graft.sinks.ZarrStore.read(spark, store, v).count() catch { case _: Exception => -1L }
+      val sci = Seq("OCO3_global_xco2", "OCO2_global_xco2", "OCO3_SIF_global_daily_sif")
+      val pixels = sci.map(v => s""""$v":${px(v)}""").mkString(",")
+      println(
+        s"""{"probe":"runjob_three_mission","soundings":{"oco3":$n,"oco2":$n,"sif":${n / 2}},""" +
+          s""""mesh":"${100 * gridN}x${50 * gridN}","method":"$method","wall_sec":$sec,""" +
+          s""""store_variables":${vars.length},"pixels":{$pixels}}""")
+      spark.stop()
+      return
+    }
     if (variant == "h5granule") {
       // front-door probe: encode an n-sounding netCDF-4/HDF5 granule
       // (chunked+deflate, the real L2 Lite storage profile), ingest it
