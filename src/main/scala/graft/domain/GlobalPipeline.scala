@@ -56,19 +56,55 @@ object GlobalPipeline {
         min(array_min(col("vertex_latitude").cast("array<double>"))).as("fminy"),
         max(array_max(col("vertex_latitude").cast("array<double>"))).as("fmaxy"))
 
+  /** Conf key bounding a single region's covered-pixel explode (below). */
+  val MaxRegionPixelsConfKey = "spark.graft.global.maxRegionPixels"
+
+  /** Default region-size ceiling: 3 orders of magnitude above any sane
+    * SAM/target region at the 1-km deploy mesh (a 2°×2° box ≈ 4·10⁴
+    * pixels), well below the degenerate whole-granule region that OOMs a
+    * task (measured: a constant-mode 100k-sounding granule sessionizes to
+    * ONE region covering the observation band ≈ 3.8·10⁷ pixels at
+    * 36000×18000, and its single cogroup task dies). */
+  val DefaultMaxRegionPixels = 32L * 1000 * 1000
+
   /** Global pixels covered by each region's extent: per-region explode of
     * the covered global index ranges; coordinates via the global linspace
-    * formula (no global mesh materialization). */
+    * formula (no global mesh materialization).
+    *
+    * Scale guard: in-flight data is proportional to Σ region areas, and the
+    * interpolation cogroup downstream materializes ONE region per task — a
+    * degenerate region (a granule whose session key never changes, e.g. a
+    * constant operation mode) silently concentrates a band-sized dense
+    * array in one task and OOMs it mid-job. Regions above
+    * [[MaxRegionPixelsConfKey]] (default [[DefaultMaxRegionPixels]]) fail
+    * AT THE EXPLODE with a message naming the region and its area instead —
+    * same philosophy as the Sessionize global-window guard: the silent
+    * scale killer must be loud. The check is one per-REGION comparison
+    * (bounded rows), zero extra jobs. */
   def coveredPixels(extents: DataFrame, g: GridSpec): DataFrame = {
     val stepX = (g.maxX - g.minX) / (g.nX - 1)
     val stepY = (g.maxY - g.minY) / (g.nY - 1)
+    val maxPx = extents.sparkSession.conf.getOption(MaxRegionPixelsConfKey)
+      .map(_.trim.toLong).getOrElse(DefaultMaxRegionPixels)
+    val area = (col("_xhi") - col("_xlo") + 1).cast("long") *
+      (col("_yhi") - col("_ylo") + 1).cast("long")
+    val guardedXlo = when(
+      area > maxPx,
+      raise_error(concat(
+        lit("coveredPixels: region "), col("region_id").cast("string"),
+        lit(" covers "), area.cast("string"),
+        lit(s" grid cells (> $MaxRegionPixelsConfKey=$maxPx); a region this size "),
+        lit("concentrates a dense band in one interpolation task. Check the "),
+        lit("granule's session keys (operation mode / target) or raise the conf.")))
+        .cast("int"))
+      .otherwise(col("_xlo"))
     extents
       .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - g.minX) / stepX).cast("int")))
       .withColumn("_xhi", least(lit(g.nX - 1), floor((col("fmaxx") - g.minX) / stepX).cast("int")))
       .withColumn("_ylo", greatest(lit(0), ceil((col("fminy") - g.minY) / stepY).cast("int")))
       .withColumn("_yhi", least(lit(g.nY - 1), floor((col("fmaxy") - g.minY) / stepY).cast("int")))
       .filter(col("_xlo") <= col("_xhi") && col("_ylo") <= col("_yhi"))
-      .withColumn("lon_idx", explode(sequence(col("_xlo"), col("_xhi"))))
+      .withColumn("lon_idx", explode(sequence(guardedXlo, col("_xhi"))))
       .withColumn("lat_idx", explode(sequence(col("_ylo"), col("_yhi"))))
       .withColumn("lon", lit(g.minX) + col("lon_idx") * ((lit(g.maxX) - lit(g.minX)) / (lit(g.nX) - lit(1))))
       .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))

@@ -1087,16 +1087,27 @@ object ScaleProbe {
       java.nio.file.Files.write(oco3,
         graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
           h5Soundings(n, nTgt), chunkRows = 16384, deflateLevel = 4))
+      // OCO-2: no target ids; the mode ALTERNATION stays — the reference's
+      // R3 mode-only run splitting is what bounds region size (forcing a
+      // constant mode makes the whole granule ONE global-band region whose
+      // covered-pixel explode is a few-hundred-MB single task: measured,
+      // this OOMs — degenerate input, not a pipeline path)
       val oco2 = dir.resolve("oco2_LtCO2_20230615_B11100Ar.nc4")
       java.nio.file.Files.write(oco2,
         graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
-          h5Soundings(n, nTgt).map(s => s.copy(
-            target_id = "",
-            operation_mode = if (s.operation_mode == 0) 0 else 2)),
+          h5Soundings(n, nTgt).map(_.copy(target_id = "")),
           chunkRows = 16384, deflateLevel = 4))
       val sif  = dir.resolve("oco3_LtSIF_20230615_B10400Br.nc4")
       val sifEpoch = (java.time.LocalDate.parse("2023-06-15").toEpochDay -
         java.time.LocalDate.parse("1990-01-01").toEpochDay) * 86400.0 + 37800.0
+      // SIF mode must ALTERNATE between capture blocks (mode 3) and
+      // non-capture gaps, as real granules do: the GLOBAL pipeline
+      // sessionizes mode-only runs (R4), so a constant mode over
+      // contiguous indices collapses the whole granule into ONE
+      // band-covering region — 38M covered pixels in a single
+      // interpolation task at this mesh (measured: the straggler ran
+      // 28 min before this fix; the coveredPixels guard now fails it
+      // loudly instead)
       val sifRows = (0 until n / 2).map { i =>
         val tgt = (i / 200) % nTgt
         val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
@@ -1107,7 +1118,7 @@ object ScaleProbe {
           Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
           quality_flag = if (i % 10 == 9) 1 else 0,
           daily_sif = 1.0 + (i % 100) / 50.0,
-          operation_mode = 3, sequences_index = tgt)
+          operation_mode = if (tgt % 2 == 0) 3 else 0, sequences_index = tgt)
       }
       java.nio.file.Files.write(sif,
         graft.sources.netcdf.NetCDFGranules.writeSifGranuleH5(

@@ -158,4 +158,27 @@ class MissionVariantsSpec extends SparkSpec {
     assert(d.count() === 9)
     assert(d.filter(isnan(col("value"))).count() === 9)
   }
+
+  test("coveredPixels guard: an oversized region fails loudly at the explode, not as a task OOM") {
+    val g = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    // two regions: a sane 2°×2°-ish box and a band-sized degenerate one
+    val extents = Seq(
+      (0L, 10.0, 12.0, 40.0, 42.0),      // ~20×20 cells at 0.1°
+      (1L, -170.0, 150.0, -40.0, -28.0)) // ~3200×120 cells = 384k
+      .toDF("region_id", "fminx", "fmaxx", "fminy", "fmaxy")
+    // default ceiling (32M) is 2+ orders above even the degenerate band
+    assert(GlobalPipeline.coveredPixels(extents, g).count() > 384000L)
+    // with the ceiling below the band's area, the explode raises a
+    // message naming the region and its size; the sane region alone passes
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "100000")
+    try {
+      val e = intercept[Exception] {
+        GlobalPipeline.coveredPixels(extents, g).count()
+      }
+      assert(e.getMessage.contains("region 1") && e.getMessage.contains("maxRegionPixels"),
+        s"unexpected message: ${e.getMessage}")
+      assert(GlobalPipeline.coveredPixels(extents.filter(col("region_id") === 0L), g)
+        .count() === 400L) // 20×20 (ceil/floor inner-cell rounding)
+    } finally spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+  }
 }
