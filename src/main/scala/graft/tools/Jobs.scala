@@ -31,6 +31,7 @@ object Jobs {
 object RepairJob {
   def main(args: Array[String]): Unit = {
     val Array(store) = args.take(1)
+    val preExisting  = SparkSession.getActiveSession.isDefined
     val spark        = Jobs.session("graft-repair")
     spark.sparkContext.setLogLevel("WARN")
     val fixed = ProductStore.repair(spark, store)
@@ -53,6 +54,6 @@ object RepairJob {
       s""","files_before":$b,"files_after":$a,"zorder":$zOrder"""
     } else ""
     println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted}""")
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

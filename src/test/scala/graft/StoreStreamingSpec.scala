@@ -93,6 +93,38 @@ class StoreStreamingSpec extends SparkSpec {
     assert(ProductStore.read(spark, zorder).collect().toSet === before)
   }
 
+  test("RepairJob CLI: repair + --compact --zorder --bloom through the front door") {
+    val path = tmp("repaircli")
+    val grid = (for (v <- Seq("sif", "xco2"); lat <- 0 until 16; lon <- 0 until 16)
+      yield (f"fossil${lat * 16 + lon}%04d", v, lat, lon, (lat * 16 + lon).toDouble))
+      .toDF("target_id", "variable", "lat_idx", "lon_idx", "value")
+      .withColumn("time", lit("2024-01-01 00:00:00").cast("timestamp"))
+    ProductStore.create(grid.repartition(6), path)
+    // a foreign double-append: the CLI must repair it, then compact z-ordered
+    grid.withColumn("day", col("time").cast("date"))
+      .write.mode("append").partitionBy("day").parquet(path)
+    val before = grid.withColumn("day", col("time").cast("date")).collect().toSet
+    graft.tools.RepairJob.main(Array(
+      path, "--compact", "2024-01-01", "--target-rows", "256", "--zorder",
+      "--bloom", "target_id"))
+    assert(ProductStore.findDuplicates(spark, path).count() === 0)
+    assert(ProductStore.read(spark, path).collect().toSet === before)
+    val files = new java.io.File(path, "day=2024-01-01").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length === 2, s"512 rows / 256 target-rows = 2 files, got ${files.length}")
+    // bloom footer present through the CLI path too
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(files.head.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val hasBloom = (0 until cols.size).map(cols.get)
+        .exists(c => c.getPath.toDotString == "target_id" && c.getBloomFilterOffset >= 0)
+      assert(hasBloom, "target_id bloom missing through the CLI path")
+    } finally reader.close()
+  }
+
   test("idempotent append converges on re-delivery of the same day") {
     val path = tmp("store")
     ProductStore.create(product, path)
