@@ -325,6 +325,38 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(stateDays() === Array("day=2023-06-15"), "state must survive the refused run")
   }
 
+  test("ClimatologyJob --refresh-days CLI: an in-place day rewrite refreshes only the named day") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    import graft.sinks.ProductStore
+    val mkLong = (day: String, v: Double) => (0 until 4).map(i =>
+      ("fossil0001", java.sql.Timestamp.valueOf(f"$day 10:0$i%01d:00"),
+        i, i, 40.0 + i, 10.0 + i, "xco2", v + i))
+      .toDF("target_id", "time", "lat_idx", "lon_idx", "lat", "lon", "variable", "value")
+    val dir   = Files.createTempDirectory("refreshcli")
+    val store = dir.resolve("store").toString
+    val state = dir.resolve("state").toString
+    ProductStore.appendIdempotent(mkLong("2023-06-15", 400.0), store)
+    ProductStore.appendIdempotent(mkLong("2023-06-16", 200.0), store)
+    graft.tools.ClimatologyJob.main(Array(store, dir.resolve("out1").toString, "month", "--state", state))
+    // S8 reprocessing: day 2's store partition rewritten IN PLACE (both
+    // sides still list the day, so only --refresh-days knows it's stale)
+    ProductStore.appendIdempotent(mkLong("2023-06-16", 500.0), store)
+    // without the flag the stale state rides along (the documented hazard)
+    graft.tools.ClimatologyJob.main(Array(store, dir.resolve("out2").toString, "month", "--state", state))
+    val stale = spark.read.parquet(dir.resolve("out2").toString).collect().toSet
+    // with the flag the day re-aggregates from the store: bit-equal to recompute
+    graft.tools.ClimatologyJob.main(Array(
+      store, dir.resolve("out3").toString, "month", "--state", state,
+      "--refresh-days", "2023-06-16"))
+    val got  = spark.read.parquet(dir.resolve("out3").toString).collect().toSet
+    val full = Climatology.temporalMean(
+      ProductStore.read(spark, store), "time", "value", "month", Seq("target_id", "variable"))
+      .collect().toSet
+    assert(got === full)
+    assert(stale !== full, "without --refresh-days the rewrite must be invisible (the flag's reason to exist)")
+  }
+
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {
     val dir = Files.createTempDirectory("gridof")
     import spark.implicits._
