@@ -67,6 +67,40 @@ object GlobalPipeline {
     * 36000×18000, and its single cogroup task dies). */
   val DefaultMaxRegionPixels = 32L * 1000 * 1000
 
+  /** Conf key selecting what [[process]] does with a region above
+    * [[MaxRegionPixelsConfKey]]: `"split"` (default — tile the region's
+    * covered extent into latitude strips that SHARE the region's soundings,
+    * so a legitimate giant capture processes in parallel instead of
+    * aborting; the reference processes it too, just serially —
+    * `OCO3SamGlobalProcessor.py:152-191`) or `"fail"` (the loud guard:
+    * raise at the explode, the right mode when an oversized region can only
+    * mean degenerate input). */
+  val OversizeRegionsConfKey = "spark.graft.global.oversizeRegions"
+
+  /** Conf key for the per-tile pixel target when splitting an oversized
+    * region (default [[DefaultTilePixels]]): each latitude-strip tile
+    * covers ≈ this many grid cells, i.e. one interpolation task's
+    * working set. */
+  val TilePixelsConfKey = "spark.graft.global.tilePixels"
+
+  /** 4M pixels/tile ≈ 64 MB of pixel structs in a cogroup task — an order
+    * of magnitude under the measured single-task OOM point, and ~10 tiles
+    * for the measured 38M-pixel degenerate band (so the one straggler task
+    * becomes ~10 parallel ones). */
+  val DefaultTilePixels = 4L * 1000 * 1000
+
+  /** Parse a long conf naming the key on a malformed value (a bare
+    * `.toLong` throws an opaque NumberFormatException that doesn't say
+    * WHICH conf was bad). */
+  private def longConf(spark: SparkSession, key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      try v.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"$key: invalid long value '$v'")
+      }
+    }.getOrElse(default)
+
   /** Global pixels covered by each region's extent: per-region explode of
     * the covered global index ranges; coordinates via the global linspace
     * formula (no global mesh materialization).
@@ -84,8 +118,7 @@ object GlobalPipeline {
   def coveredPixels(extents: DataFrame, g: GridSpec): DataFrame = {
     val stepX = (g.maxX - g.minX) / (g.nX - 1)
     val stepY = (g.maxY - g.minY) / (g.nY - 1)
-    val maxPx = extents.sparkSession.conf.getOption(MaxRegionPixelsConfKey)
-      .map(_.trim.toLong).getOrElse(DefaultMaxRegionPixels)
+    val maxPx = longConf(extents.sparkSession, MaxRegionPixelsConfKey, DefaultMaxRegionPixels)
     val area = (col("_xhi") - col("_xlo") + 1).cast("long") *
       (col("_yhi") - col("_ylo") + 1).cast("long")
     val guardedXlo = when(
@@ -110,6 +143,96 @@ object GlobalPipeline {
       .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))
       .drop("_xlo", "_xhi", "_ylo", "_yhi", "fminx", "fmaxx", "fminy", "fmaxy")
   }
+
+  /** Per-(region, tile) index-space extents — the oversized-region SPLIT
+    * (the scale-safe completion of the r15 fail-only guard).
+    *
+    * A region whose covered extent exceeds [[MaxRegionPixelsConfKey]] is
+    * tiled into contiguous latitude strips of ≈[[TilePixelsConfKey]] grid
+    * cells each; every tile SHARES the region's full sounding set (the
+    * interpolation is per-region-global: the Delaunay triangulation /
+    * nearest scan needs all of a region's points regardless of which pixels
+    * a task evaluates — bounded, a region is one capture, O(10³–10⁵)
+    * soundings), so per-tile results are pixel-identical to the unsplit
+    * region: identical triangulation, identical mask, and tiles partition
+    * the extent disjointly. Normal regions get exactly one tile — the
+    * common path is unchanged up to a surrogate-key rename.
+    *
+    * Under `oversizeRegions=fail` the r15 behavior is kept: the explode
+    * raises, naming the region and its area.
+    *
+    * Output (bounded rows: Σ regions' tile counts): `region_id`, `tile`,
+    * `rkey` (dense surrogate cogroup/join key per tile — region ids are
+    * arbitrary longs, so packing (region, tile) arithmetically could
+    * collide; a row_number over this bounded table cannot), and the tile's
+    * inclusive index bounds `_xlo/_xhi/_tylo/_tyhi`. */
+  def regionTiles(extents: DataFrame, g: GridSpec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark  = extents.sparkSession
+    val stepX  = (g.maxX - g.minX) / (g.nX - 1)
+    val stepY  = (g.maxY - g.minY) / (g.nY - 1)
+    val maxPx  = longConf(spark, MaxRegionPixelsConfKey, DefaultMaxRegionPixels)
+    // tiles never exceed the region ceiling: an operator who lowered
+    // maxRegionPixels below the tile target meant "smaller tasks"
+    val tilePx = math.max(1L, math.min(
+      longConf(spark, TilePixelsConfKey, DefaultTilePixels), maxPx))
+    val mode = spark.conf.getOption(OversizeRegionsConfKey).getOrElse("split") match {
+      case m @ ("split" | "fail") => m
+      case other =>
+        throw new IllegalArgumentException(
+          s"$OversizeRegionsConfKey: unknown value '$other' (expected split | fail)")
+    }
+    val area = (col("_xhi") - col("_xlo") + 1).cast("long") *
+      (col("_yhi") - col("_ylo") + 1).cast("long")
+    val nTiles =
+      if (mode == "fail")
+        when(
+          area > maxPx,
+          raise_error(concat(
+            lit("coveredPixels: region "), col("region_id").cast("string"),
+            lit(" covers "), area.cast("string"),
+            lit(s" grid cells (> $MaxRegionPixelsConfKey=$maxPx); a region this size "),
+            lit("concentrates a dense band in one interpolation task. Check the "),
+            lit("granule's session keys (operation mode / target) or raise the conf.")))
+            .cast("long"))
+          .otherwise(lit(1L))
+      // Column./ is double division; areas ≤ nX·nY ≤ ~6.5·10⁸ are exact in
+      // a double, so floor-of-quotient is the exact integer ceil-div
+      else when(area > maxPx, floor((area + lit(tilePx - 1)) / lit(tilePx)).cast("long"))
+        .otherwise(lit(1L))
+    extents
+      .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - g.minX) / stepX).cast("int")))
+      .withColumn("_xhi", least(lit(g.nX - 1), floor((col("fmaxx") - g.minX) / stepX).cast("int")))
+      .withColumn("_ylo", greatest(lit(0), ceil((col("fminy") - g.minY) / stepY).cast("int")))
+      .withColumn("_yhi", least(lit(g.nY - 1), floor((col("fmaxy") - g.minY) / stepY).cast("int")))
+      .filter(col("_xlo") <= col("_xhi") && col("_ylo") <= col("_yhi"))
+      .withColumn("_ntiles", nTiles)
+      .withColumn(
+        "_rpt", // latitude rows per tile, ceil — the last strip may be short
+        floor(((col("_yhi") - col("_ylo") + 1).cast("long") + col("_ntiles") - 1) /
+          col("_ntiles")).cast("long"))
+      .withColumn("tile", explode(sequence(lit(0L), col("_ntiles") - 1)))
+      .withColumn("_tylo", (col("_ylo") + col("tile") * col("_rpt")).cast("int"))
+      .withColumn("_tyhi", least(col("_yhi"), (col("_tylo") + col("_rpt") - 1).cast("int")))
+      // ceil rounding can leave trailing strips past the extent — drop them
+      .filter(col("_tylo") <= col("_yhi"))
+      .select(col("region_id"), col("tile"), col("_xlo"), col("_xhi"), col("_tylo"), col("_tyhi"))
+      .withColumn(
+        "rkey",
+        row_number().over(Window.orderBy(col("region_id"), col("tile"))).cast("long"))
+  }
+
+  /** Covered global pixels per TILE ([[regionTiles]] output), keyed by the
+    * tile surrogate `rkey` — same per-row explode and linspace arithmetic
+    * as [[coveredPixels]], over the tile's latitude strip. */
+  def coveredPixelsByTile(tiles: DataFrame, g: GridSpec): DataFrame =
+    tiles
+      .select(col("rkey"), col("_xlo"), col("_xhi"), col("_tylo"), col("_tyhi"))
+      .withColumn("lon_idx", explode(sequence(col("_xlo"), col("_xhi"))))
+      .withColumn("lat_idx", explode(sequence(col("_tylo"), col("_tyhi"))))
+      .withColumn("lon", lit(g.minX) + col("lon_idx") * ((lit(g.maxX) - lit(g.minX)) / (lit(g.nX) - lit(1))))
+      .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))
+      .drop("_xlo", "_xhi", "_tylo", "_tyhi")
 
   /** Full global pipeline → sparse long form with per-pixel annotations
     * (M4: numeric target id, target type code, operation mode;
@@ -138,16 +261,35 @@ object GlobalPipeline {
     // they must not ride the per-pixel explode at the 36000×18000 mesh
     val attrs    = extents.select(
       col("region_id"), col("time"), col("operation_mode"), col("target_id"))
-    val pixels   = coveredPixels(
+    // oversized-region split: the unit of interpolation/mask work is a TILE
+    // (normal regions = 1 tile); tiles of one region share its soundings,
+    // so the cogroup key is the tile surrogate `rkey` and results are
+    // pixel-identical to the unsplit region (see regionTiles)
+    val tiles    = regionTiles(
       extents.select("region_id", "fminx", "fmaxx", "fminy", "fmaxy"), grid)
+    val keymap   = tiles.select(col("rkey"), col("region_id"))
+    val pixels   = coveredPixelsByTile(tiles, grid)
+      .withColumnRenamed("rkey", "region_id")
+    // one row per (region, tile) — broadcast by construction; joining the
+    // session table on region_id replicates each sounding once per tile of
+    // its region (exactly once for the normal single-tile case)
+    val sessionsK = sessions
+      .join(broadcast(keymap), Seq("region_id"))
+      .drop("region_id")
+      .withColumnRenamed("rkey", "region_id")
     // cogroup kernel, not the rank-1-window join: the join form materializes
     // |pixels|×|soundings| per region and OOMs at ~1M soundings — the global
     // mesh (18000×36000 in production) is exactly where that bites
     val interped = graft.operators.LinearInterp.interpolate(
-      pixels, sessions, valueCols,
+      pixels, sessionsK, valueCols,
       if (cfg.method == "nearest_join") "nearest" else cfg.method)
-    val mask     = Pipeline.maskPixels(pixels, sessions, cfg)
+    val mask     = Pipeline.maskPixels(pixels, sessionsK, cfg)
     val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+      // back from tile surrogate to the ORIGINAL region id (first-writer-
+      // wins must order by region order, not tile order)
+      .withColumnRenamed("region_id", "rkey")
+      .join(broadcast(keymap), Seq("rkey"))
+      .drop("rkey")
       // one row per region — broadcast by construction (granule-day contract)
       .join(broadcast(attrs), Seq("region_id"))
     // M4 first-writer-wins per global pixel per day

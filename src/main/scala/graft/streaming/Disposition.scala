@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** The reference queue consumer's disposition taxonomy, applied to errors
+  * that surface INSIDE the pipeline (after a message was admitted).
+  *
+  * The reference classifies every processing failure before acking:
+  * `NonRetryableException → basic_reject(requeue=False)` (drop to
+  * dead-letter), anything transient → `basic_nack` (requeue)
+  * (`sam_extract/main.py:711-735`, `exceptions/Exceptions.py:16-42`).
+  * [[FileQueueSource]] applies the same taxonomy at DISCOVERY (unreadable /
+  * missing-input messages never enter the stream); this object covers the
+  * second failure surface: an ADMITTED granule whose processing trips an
+  * analysis-time guard — e.g. the degenerate-region ceiling
+  * ([[graft.domain.GlobalPipeline.MaxRegionPixelsConfKey]] under
+  * `oversizeRegions=fail`) or a malformed-conf `IllegalArgumentException`.
+  * Without classification such an error is a POISON MESSAGE: the
+  * micro-batch fails, Spark replays it from the checkpoint, it fails again
+  * — a crash loop that wedges the whole queue behind one bad granule.
+  * [[MicroBatchIngest.ingestQueue]] catches the batch failure, asks
+  * [[nonRetryable]], and either dead-letters the message and continues the
+  * stream (reject) or rethrows so Spark's checkpoint replay requeues it
+  * (nack).
+  */
+object Disposition {
+
+  /** The full cause chain of `t`, cycle-safe, outermost first. */
+  def causes(t: Throwable): List[Throwable] = {
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Throwable]
+    var cur  = t
+    while (cur != null && seen.add(cur)) cur = cur.getCause
+    seen.toList
+  }
+
+  /** Deterministic-failure classification — replaying the same bytes can
+    * only fail the same way:
+    *  - `raise_error` guards (Spark condition USER_RAISED_EXCEPTION): every
+    *    in-pipeline scale/sanity guard in this engine raises through it
+    *    (region ceiling, Zarr bounds, sessionize strict mode);
+    *  - `IllegalArgumentException` / `AnalysisException`: malformed conf or
+    *    a granule whose decoded schema doesn't bind the pipeline's columns;
+    *  - `FileNotFoundException`: the input vanished after admission —
+    *    redelivery cannot bring it back (the reference's
+    *    `__validate_files` NonRetryable).
+    * Everything else (executor loss, I/O hiccups, OOM) is transient:
+    * requeue via Spark's own checkpoint replay. */
+  def nonRetryable(t: Throwable): Boolean = causes(t).exists {
+    case e: org.apache.spark.SparkThrowable
+        if e.getCondition == "USER_RAISED_EXCEPTION" => true
+    case _: org.apache.spark.sql.AnalysisException   => true
+    case _: IllegalArgumentException                 => true
+    case _: java.io.FileNotFoundException            => true
+    case _                                           => false
+  }
+
+  /** `basic_reject(requeue=False)`: move a message file out of the queue to
+    * `<queue>/.deadletter/` with a `<name>.reason` sidecar carrying the
+    * guard message. Idempotent — a replayed reject is a no-op move (the
+    * reason sidecar is rewritten). */
+  def deadLetter(queueDir: String, name: String, cause: Throwable, conf: Configuration): Unit = {
+    val q    = new Path(queueDir)
+    val fs   = q.getFileSystem(conf)
+    val dead = new Path(q, ".deadletter")
+    fs.mkdirs(dead)
+    val src = new Path(q, name)
+    if (fs.exists(src)) fs.rename(src, new Path(dead, name))
+    val reason = new Path(dead, s"$name.reason")
+    val out    = fs.create(reason, true)
+    try out.write(
+      (causes(cause).map(c => s"${c.getClass.getName}: ${c.getMessage}").mkString("\n") + "\n")
+        .getBytes("UTF-8"))
+    finally out.close()
+    // driver-side and rare: a visible one-liner beats a logger dependency
+    println(s"graft.streaming: non-retryable failure — dead-lettered message '$name': ${cause.getMessage}")
+  }
+
+  /** Is this message already dead-lettered? (A replayed batch must not
+    * re-process a rejected message.) */
+  def isDead(queueDir: String, name: String, conf: Configuration): Boolean = {
+    val fs = new Path(queueDir).getFileSystem(conf)
+    fs.exists(new Path(new Path(new Path(queueDir), ".deadletter"), name))
+  }
+}

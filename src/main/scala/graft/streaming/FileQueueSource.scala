@@ -205,10 +205,14 @@ class MsgReaderFactory(conf: SerializableHadoopConf) extends PartitionReaderFact
     val p  = partition.asInstanceOf[MsgPartition]
     val fs = new Path(p.queueDir).getFileSystem(conf.value)
     val f  = new Path(new Path(p.queueDir), p.name)
-    // a message may already be acked-and-moved on replay after commit races;
-    // check both locations so redelivery stays readable
-    val loc =
-      if (fs.exists(f)) f else new Path(new Path(new Path(p.queueDir), ".acked"), p.name)
+    // a message may already be acked-and-moved on replay after commit
+    // races, or rejected-and-moved by the in-pipeline disposition
+    // (Disposition.deadLetter) just before a crash; check all three
+    // locations so redelivery stays readable (the ingest loop skips
+    // dead-lettered messages before processing)
+    val q = new Path(p.queueDir)
+    val loc = Seq(f, new Path(new Path(q, ".acked"), p.name),
+      new Path(new Path(q, ".deadletter"), p.name)).find(fs.exists).getOrElse(f)
     val lines: Iterator[String] = {
       val src = scala.io.Source.fromInputStream(fs.open(loc), "UTF-8")
       src.getLines().map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).toList.iterator

@@ -52,6 +52,13 @@ object MicroBatchIngest {
     * re-delivers or rewrites a day the state already covers), so span
     * means are always one bounded fold away instead of a nightly
     * full-store rescan. */
+  /** `product`: optional override of the batch pipeline — `(spark, granule
+    * paths) → long-form product` — so the SAME queue loop drives other
+    * pipelines (e.g. the global-mesh product,
+    * `GlobalPipeline.toStoreVariables ∘ GlobalPipeline.process`); default
+    * is the target-focused `Pipeline.process` over `catalog`/`cfg`.
+    * `stateKeys`: climatology state grouping keys (the global store's long
+    * form has no target_id — pass `Seq("variable")`). */
   def ingestQueue(
       spark: SparkSession,
       queueDir: String,
@@ -60,26 +67,41 @@ object MicroBatchIngest {
       catalog: DataFrame,
       cfg: graft.domain.Pipeline.Config = graft.domain.Pipeline.Config(),
       maxMessagesPerBatch: Int = 1,
-      climatologyState: Option[String] = None): StreamingQuery = {
+      climatologyState: Option[String] = None,
+      stateKeys: Seq[String] = Seq("target_id", "variable"),
+      product: Option[(SparkSession, Seq[String]) => DataFrame] = None): StreamingQuery = {
     val stream = spark.readStream
       .format("filequeue")
       .option("path", queueDir)
       .option("maxmessagesperbatch", maxMessagesPerBatch)
       .load()
+    val buildProduct: Seq[String] => DataFrame = product match {
+      case Some(f) => paths => f(spark, paths)
+      case None =>
+        paths =>
+          graft.domain.Pipeline.process(
+            graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths).drop("sounding_id"),
+            catalog, cfg)
+    }
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val paths = batch.select(col("granule_path")).distinct().collect().map(_.getString(0))
+        val hconf = spark.sessionState.newHadoopConf()
+        val byMsg: Seq[(String, Seq[String])] = batch
+          .select(col("message"), col("granule_path")).collect()
+          .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.distinct)
+          .toSeq.sortBy(_._1)
+          // a replayed batch can contain a message rejected just before a
+          // crash — already in .deadletter, never re-process it
+          .filterNot { case (name, _) => Disposition.isDead(queueDir, name, hconf) }
         // CacheScope brackets the whole batch: the session table persists
         // across its three consumers WITHIN the batch (same win as batch
         // mode), then unpersists in the scope's finally — a multi-day
         // streaming run holds a flat cache footprint instead of accreting
         // one session table per micro-batch until LRU eviction.
-        if (paths.nonEmpty) graft.CacheScope.withScope {
-          val granules = graft.sources.netcdf.NetCDFGranules.readGranules(spark, paths.toSeq)
-          val product0 = graft.domain.Pipeline.process(
-            granules.drop("sounding_id"), catalog, cfg)
+        def runBatch(paths: Seq[String]): Unit = if (paths.nonEmpty) graft.CacheScope.withScope {
+          val product0 = buildProduct(paths)
           // with a climatology state the product has TWO consumers (store
           // append + the touched-days collect) — persist within the
           // batch's CacheScope so the pipeline executes once
@@ -94,8 +116,31 @@ object MicroBatchIngest {
             if (days.nonEmpty)
               graft.operators.Climatology.refreshDaysFromStore(
                 graft.sinks.ProductStore.read(spark, storePath),
-                "day", days, "time", "value", Seq("target_id", "variable"), statePath)
+                "day", days, "time", "value", stateKeys, statePath)
           }
+        }
+        // the reference's disposition taxonomy for ADMITTED messages
+        // (`main.py:711-735`): deterministic guard/analysis failures →
+        // reject without requeue (dead-letter, stream continues); anything
+        // transient → rethrow, Spark replays the batch from the checkpoint
+        // (nack/requeue). Without this, one degenerate granule crash-loops
+        // the micro-batch and wedges the whole queue behind it.
+        try runBatch(byMsg.flatMap(_._2).distinct)
+        catch {
+          case e if Disposition.nonRetryable(e) =>
+            if (byMsg.sizeIs <= 1)
+              byMsg.foreach { case (name, _) => Disposition.deadLetter(queueDir, name, e, hconf) }
+            else
+              // isolate the poison message: the joint attempt committed
+              // nothing (one atomic write job), so re-run each admitted
+              // message alone against the idempotent store
+              byMsg.foreach { case (name, paths) =>
+                try runBatch(paths)
+                catch {
+                  case e2 if Disposition.nonRetryable(e2) =>
+                    Disposition.deadLetter(queueDir, name, e2, hconf)
+                }
+              }
         }
       }
       .start()

@@ -152,6 +152,76 @@ class FileQueueSpec extends SparkSpec {
     check()
   }
 
+  test("in-pipeline guard failure dead-letters the poison message; the stream continues; split mode processes it") {
+    import graft.domain.{GlobalPipeline, Pipeline}
+    import graft.sources.SyntheticGranule.sounding
+    val queue = Files.createTempDirectory("poison-queue")
+    val gran  = Files.createTempDirectory("poison-granules")
+    val store = Files.createTempDirectory("poison-store").resolve("store").toString
+    // 3 granule-days; day 2 is a constant-mode DEGENERATE granule — no
+    // mode alternation, so the global pipeline sessionizes it to ONE
+    // region spanning the whole observation band
+    def mkNc(name: String, day: String, degenerate: Boolean): String = {
+      val ss =
+        if (degenerate)
+          (0 until 24).map(i => sounding(i, 40.0 + 0.05 * (i % 5), -60.0 + 5.0 * i,
+            mode = 4, target = "fossil0001", day = day))
+        else
+          (0 until 6).map(i => sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i,
+            mode = if (i == 3) 0 else 4, target = "fossil0001", day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    val g1 = mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15", degenerate = false)
+    val g2 = mkNc("oco3_LtCO2_20230616_B.nc", "2023-06-16", degenerate = true)
+    val g3 = mkNc("oco3_LtCO2_20230617_B.nc", "2023-06-17", degenerate = false)
+    writeMsg(queue, "msg-day1", Seq(g1))
+    writeMsg(queue, "msg-day2", Seq(g2))
+    writeMsg(queue, "msg-day3", Seq(g3))
+    val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    val globalProduct = Some((s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
+      GlobalPipeline.toStoreVariables("oco3", GlobalPipeline.process(
+        graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+        mesh, Pipeline.Config())))
+    def drain(ckpt: String): Unit =
+      graft.streaming.MicroBatchIngest.ingestQueue(
+        spark, queue.toString, ckpt, store, spark.emptyDataFrame,
+        product = globalProduct).awaitTermination()
+    // day 2's single region spans ~125°×~0.3°+footprints — far above a
+    // 10k-cell ceiling; fail mode makes it a guard error mid-pipeline
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "10000")
+    spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "fail")
+    try {
+      drain(Files.createTempDirectory("poison-ckpt1").toString)
+      // the queue terminated cleanly; days 1 and 3 landed, day 2 rejected
+      val stored = graft.sinks.ProductStore.read(spark, store)
+      assert(stored.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted ===
+        Array("2023-06-15", "2023-06-17"))
+      val dead = new java.io.File(queue.resolve(".deadletter").toString).list()
+        .filterNot(_.startsWith(".")).toSet // local FS adds .crc sidecars
+      assert(dead === Set("msg-day2", "msg-day2.reason"))
+      val reason = new String(
+        Files.readAllBytes(queue.resolve(".deadletter").resolve("msg-day2.reason")), "UTF-8")
+      assert(reason.contains("maxRegionPixels"), s"reason sidecar: $reason")
+      val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
+      assert(acked === Set("msg-day1", "msg-day3"))
+      // split mode (the default): the SAME degenerate granule processes —
+      // tiled into ceiling-bounded strips instead of rejected
+      spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "split")
+      writeMsg(queue, "msg-day2-retry", Seq(g2))
+      drain(Files.createTempDirectory("poison-ckpt2").toString)
+      val after = graft.sinks.ProductStore.read(spark, store)
+      assert(after.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted ===
+        Array("2023-06-15", "2023-06-16", "2023-06-17"))
+      assert(after.filter(col("day").cast("string") === "2023-06-16").count() > 0)
+    } finally {
+      spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+      spark.conf.unset(GlobalPipeline.OversizeRegionsConfKey)
+    }
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")

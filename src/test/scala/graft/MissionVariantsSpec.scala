@@ -181,4 +181,74 @@ class MissionVariantsSpec extends SparkSpec {
         .count() === 400L) // 20×20 (ceil/floor inner-cell rounding)
     } finally spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
   }
+
+  test("regionTiles: oversized regions split into disjoint latitude strips covering the extent") {
+    val g = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    val extents = Seq(
+      (0L, 10.0, 12.0, 40.0, 42.0),      // ~20×20 cells — one tile
+      (1L, -170.0, 150.0, -40.0, -28.0)) // ~3200×120 cells = 384k — splits
+      .toDF("region_id", "fminx", "fmaxx", "fminy", "fmaxy")
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "100000")
+    spark.conf.set(GlobalPipeline.TilePixelsConfKey, "37000") // non-round: exercises ceil remainders
+    try {
+      val tiles = GlobalPipeline.regionTiles(extents, g).collect()
+      val small = tiles.filter(_.getAs[Long]("region_id") == 0L)
+      val big   = tiles.filter(_.getAs[Long]("region_id") == 1L)
+      assert(small.length === 1)
+      assert(big.length > 1)
+      // surrogate keys are unique across all tiles
+      assert(tiles.map(_.getAs[Long]("rkey")).distinct.length === tiles.length)
+      // the big region's strips are disjoint, ordered, and exactly cover
+      // [min ylo, max yhi] with every strip ≤ the tile target's row count
+      val strips = big.map(r => (r.getAs[Int]("_tylo"), r.getAs[Int]("_tyhi"))).sorted
+      assert(strips.forall { case (lo, hi) => lo <= hi })
+      assert(strips.sliding(2).forall {
+        case Array((_, hi1), (lo2, _)) => lo2 == hi1 + 1
+        case _                         => true
+      })
+      val width = big.head.getAs[Int]("_xhi") - big.head.getAs[Int]("_xlo") + 1
+      assert(strips.forall { case (lo, hi) => (hi - lo + 1).toLong * width <= 37000L + width })
+    } finally {
+      spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+      spark.conf.unset(GlobalPipeline.TilePixelsConfKey)
+    }
+  }
+
+  test("oversized-region split: tiled output is pixel-identical to the unsplit run; fail mode still raises") {
+    val g = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    // one ~2°×2.2° region (≈ 20×22 cells at 0.1°), enough soundings for a
+    // real Delaunay triangulation, plus a second small region for ordering
+    val granule = SyntheticGranule.toDF(
+      spark,
+      (0 until 12).map(i =>
+        sounding(i, 40.2 + 0.15 * i, 10.2 + 0.13 * ((i * 5) % 12), mode = 4,
+          target = "fossil0001", xco2 = 400.0 + i)) ++
+        Seq(sounding(12, 0.0, 0.0, mode = 0, target = "x")) ++
+        (13 until 18).map(i =>
+          sounding(i, -0.4 + 0.1 * (i - 13), -4.4 + 0.1 * (i - 13), mode = 4,
+            target = "volcano0002", xco2 = 500.0)))
+    def run(): Seq[String] =
+      GlobalPipeline.process(granule, g, graft.domain.Pipeline.Config(method = "linear"))
+        .collect().map(_.toString).sorted.toSeq
+    val base = run() // default confs: every region is a single tile
+    assert(base.nonEmpty)
+    // force the first region to split into many strips
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "100")
+    spark.conf.set(GlobalPipeline.TilePixelsConfKey, "37")
+    try {
+      assert(run() === base) // pixel-identical: same triangulation per tile
+      // fail mode keeps the r15 loud-guard semantics through process()
+      spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "fail")
+      val e = intercept[Exception] { run() }
+      assert(e.getMessage.contains("maxRegionPixels"), s"unexpected: ${e.getMessage}")
+      // and a malformed mode value names the conf key
+      spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "tile")
+      val bad = intercept[IllegalArgumentException] { run() }
+      assert(bad.getMessage.contains(GlobalPipeline.OversizeRegionsConfKey))
+    } finally {
+      spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+      spark.conf.unset(GlobalPipeline.TilePixelsConfKey)
+      spark.conf.unset(GlobalPipeline.OversizeRegionsConfKey)
+    }
+  }
 }
