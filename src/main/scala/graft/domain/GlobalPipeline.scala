@@ -234,6 +234,84 @@ object GlobalPipeline {
       .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))
       .drop("_xlo", "_xhi", "_tylo", "_tyhi")
 
+  /** Footprint mask on the GLOBAL lattice (M1+M2), footprint-driven.
+    *
+    * [[Pipeline.maskPixels]] joins the region's pixels against its
+    * footprints on the region key with the bbox ranges as residual
+    * predicates — per region that's |pixels|×|footprints| pair
+    * evaluations, which a degenerate band region turns into O(10¹¹) (4M
+    * pixels/tile × 10⁵ replicated footprints): the mask, not the
+    * interpolation, becomes the stall. On the global integer lattice the
+    * join can be inverted: each SCALED footprint explodes to the mesh
+    * indexes its bbox covers (bounded by Σ footprint areas — a 1-km mesh
+    * footprint covers ~4–9 cells, so ~10⁶ candidate rows for a 10⁵-
+    * sounding day, independent of region size), then the original
+    * semantics apply EXACTLY: the center-in-bbox `between` prefilter and
+    * the exact ray-cast. The index range is widened ±1 cell so ulp-level
+    * rounding differences against the linspace pixel centers can never
+    * exclude a pixel the `between` would keep; the widened extras are
+    * dropped by that same `between`, and candidates outside the region's
+    * pixel set drop in the caller's inner join with the interpolated
+    * pixels. Output: distinct (region_id, lon_idx, lat_idx) — the same
+    * contract as `Pipeline.maskPixels`.
+    *
+    * Reference semantics unchanged (`OCO3SamProcessor.py:234-295`): bbox
+    * prefilter + exact polygon test with centroid scaling. */
+  /** `clipTo` (optional): per-key inclusive index bounds `(region_id,
+    * _xlo, _xhi, _tylo, _tyhi)` — candidates outside them are dropped
+    * BEFORE the distinct (a broadcast join over the bounded tile table),
+    * which both enforces the covered-extent contract and clips each
+    * replicated footprint's candidates to its own tile's strip. */
+  def maskPixelsGlobal(
+      soundings: DataFrame,
+      g: GridSpec,
+      cfg: Pipeline.Config,
+      clipTo: Option[DataFrame] = None): DataFrame = {
+    val s     = math.min(math.max(cfg.maskScale, 1.0), 1.5)
+    val stepX = (g.maxX - g.minX) / (g.nX - 1)
+    val stepY = (g.maxY - g.minY) / (g.nY - 1)
+    val candidates = soundings.select(
+      col("region_id"),
+      col("vertex_longitude").cast("array<double>").as("vxs"),
+      col("vertex_latitude").cast("array<double>").as("vys"))
+      // centroid-affine scaling of the ring (same arithmetic as maskPixels)
+      .withColumn("cx", aggregate(col("vxs"), lit(0.0), (a, v) => a + v) / size(col("vxs")))
+      .withColumn("cy", aggregate(col("vys"), lit(0.0), (a, v) => a + v) / size(col("vys")))
+      .withColumn("sxs", transform(col("vxs"), v => col("cx") + (v - col("cx")) * lit(s)))
+      .withColumn("sys", transform(col("vys"), v => col("cy") + (v - col("cy")) * lit(s)))
+      .withColumn("fminx", array_min(col("sxs")))
+      .withColumn("fmaxx", array_max(col("sxs")))
+      .withColumn("fminy", array_min(col("sys")))
+      .withColumn("fmaxy", array_max(col("sys")))
+      .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - g.minX) / stepX).cast("int") - 1))
+      .withColumn("_xhi", least(lit(g.nX - 1), floor((col("fmaxx") - g.minX) / stepX).cast("int") + 1))
+      .withColumn("_ylo", greatest(lit(0), ceil((col("fminy") - g.minY) / stepY).cast("int") - 1))
+      .withColumn("_yhi", least(lit(g.nY - 1), floor((col("fmaxy") - g.minY) / stepY).cast("int") + 1))
+      .filter(col("_xlo") <= col("_xhi") && col("_ylo") <= col("_yhi"))
+      .withColumn("lon_idx", explode(sequence(col("_xlo"), col("_xhi"))))
+      .withColumn("lat_idx", explode(sequence(col("_ylo"), col("_yhi"))))
+      .withColumn("lon", lit(g.minX) + col("lon_idx") * ((lit(g.maxX) - lit(g.minX)) / (lit(g.nX) - lit(1))))
+      .withColumn("lat", lit(g.minY) + col("lat_idx") * ((lit(g.maxY) - lit(g.minY)) / (lit(g.nY) - lit(1))))
+      // the ORIGINAL prefilter, verbatim — the widened index range is a
+      // superset, this keeps the kept-pixel set bit-identical
+      .filter(
+        col("lon").between(col("fminx"), col("fmaxx")) &&
+          col("lat").between(col("fminy"), col("fmaxy")))
+      .filter(graft.functions.PointInPolygon(col("lon"), col("lat"), col("sxs"), col("sys")))
+      .select(col("region_id"), col("lon_idx"), col("lat_idx"))
+    val clipped = clipTo match {
+      case Some(bounds) =>
+        candidates
+          .join(broadcast(bounds), Seq("region_id"))
+          .filter(
+            col("lon_idx").between(col("_xlo"), col("_xhi")) &&
+              col("lat_idx").between(col("_tylo"), col("_tyhi")))
+          .drop("_xlo", "_xhi", "_tylo", "_tyhi")
+      case None => candidates
+    }
+    clipped.distinct()
+  }
+
   /** Full global pipeline → sparse long form with per-pixel annotations
     * (M4: numeric target id, target type code, operation mode;
     * first-writer-wins = lowest region_id). `quality` is the per-mission
@@ -261,15 +339,13 @@ object GlobalPipeline {
     // they must not ride the per-pixel explode at the 36000×18000 mesh
     val attrs    = extents.select(
       col("region_id"), col("time"), col("operation_mode"), col("target_id"))
-    // oversized-region split: the unit of interpolation/mask work is a TILE
+    // oversized-region split: the unit of interpolation work is a TILE
     // (normal regions = 1 tile); tiles of one region share its soundings,
     // so the cogroup key is the tile surrogate `rkey` and results are
     // pixel-identical to the unsplit region (see regionTiles)
     val tiles    = regionTiles(
       extents.select("region_id", "fminx", "fmaxx", "fminy", "fmaxy"), grid)
     val keymap   = tiles.select(col("rkey"), col("region_id"))
-    val pixels   = coveredPixelsByTile(tiles, grid)
-      .withColumnRenamed("rkey", "region_id")
     // one row per (region, tile) — broadcast by construction; joining the
     // session table on region_id replicates each sounding once per tile of
     // its region (exactly once for the normal single-tile case)
@@ -277,14 +353,28 @@ object GlobalPipeline {
       .join(broadcast(keymap), Seq("region_id"))
       .drop("region_id")
       .withColumnRenamed("rkey", "region_id")
+    // MASK FIRST, then interpolate only the masked pixels: interpolation
+    // is per-pixel pure (the Delaunay/nearest kernel is built from the
+    // region's POINTS alone), so evaluating it on the masked set gives
+    // bit-identical values while shrinking the cogroup input from the
+    // covered EXTENT (Σ region areas — 2·10⁷–4·10⁷ cells/day at the
+    // 36000×18000 mesh) to the footprint-covered set (Σ footprint areas ≈
+    // soundings × O(1) cells ≈ 10⁶/day). The covered-extent contract is
+    // kept by clipping candidates to the tile's index bounds (broadcast
+    // join — the extent itself is never exploded).
+    val pixels = maskPixelsGlobal(
+      sessionsK, grid, cfg,
+      clipTo = Some(tiles.select(
+        col("rkey").as("region_id"), col("_xlo"), col("_xhi"), col("_tylo"), col("_tyhi"))))
+      .withColumn("lon", lit(grid.minX) + col("lon_idx") * ((lit(grid.maxX) - lit(grid.minX)) / (lit(grid.nX) - lit(1))))
+      .withColumn("lat", lit(grid.minY) + col("lat_idx") * ((lit(grid.maxY) - lit(grid.minY)) / (lit(grid.nY) - lit(1))))
     // cogroup kernel, not the rank-1-window join: the join form materializes
     // |pixels|×|soundings| per region and OOMs at ~1M soundings — the global
     // mesh (18000×36000 in production) is exactly where that bites
     val interped = graft.operators.LinearInterp.interpolate(
       pixels, sessionsK, valueCols,
       if (cfg.method == "nearest_join") "nearest" else cfg.method)
-    val mask     = Pipeline.maskPixels(pixels, sessionsK, cfg)
-    val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+    val masked   = interped
       // back from tile surrogate to the ORIGINAL region id (first-writer-
       // wins must order by region order, not tile order)
       .withColumnRenamed("region_id", "rkey")

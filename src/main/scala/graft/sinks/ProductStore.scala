@@ -55,12 +55,15 @@ object ProductStore {
 
   def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
 
-  /** S8 verify: duplicate logical rows (foreign writers / plain appends). */
-  def findDuplicates(spark: SparkSession, path: String): DataFrame =
-    read(spark, path)
-      .groupBy(KeyCols.map(col): _*)
+  /** S8 verify: duplicate logical rows (foreign writers / plain appends).
+    * Key columns adapt to the store's shape — the GLOBAL store's long form
+    * carries no target_id (its logical key is the pixel). */
+  def findDuplicates(spark: SparkSession, path: String): DataFrame = {
+    val df = read(spark, path)
+    df.groupBy(KeyCols.filter(df.columns.contains).map(col): _*)
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+  }
 
   /** S8 repair: keep-first per logical key (first = earliest time, matching
     * the reference's keep='first' on the append dim) and rewrite the
@@ -69,8 +72,9 @@ object ProductStore {
     val dups = findDuplicates(spark, path).count()
     if (dups > 0) {
       // materialize before overwriting the path we are reading from
+      val all = read(spark, path)
       val clean = graft.operators.Dedup
-        .keepFirst(read(spark, path), KeyCols, "time")
+        .keepFirst(all, KeyCols.filter(all.columns.contains), "time")
         .localCheckpoint(true)
       clean.write
         .mode(SaveMode.Overwrite)

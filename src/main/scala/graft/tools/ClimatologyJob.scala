@@ -185,7 +185,16 @@ object ClimatologyJob {
       System.err.println(
         s"[climatology] dropped ${stale.length} state day(s) no longer in the store: " +
           stale.mkString(","))
-    val touched = (storeDays.diff(stateDays) ++ refreshDays).distinct.sorted
+    // a --refresh-days day absent from the store would be a silent no-op
+    // (the pruned scan yields zero rows, dynamic overwrite writes nothing)
+    // yet still count as "refreshed" — surface the operator typo instead
+    val absentRefresh = refreshDays.diff(storeDays).sorted
+    if (absentRefresh.nonEmpty)
+      System.err.println(
+        s"[climatology] WARNING: --refresh-days day(s) not present in the store " +
+          s"(check the day strings): ${absentRefresh.mkString(",")}")
+    val touched = (storeDays.diff(stateDays) ++ refreshDays.intersect(storeDays))
+      .distinct.sorted
     if (touched.nonEmpty)
       Climatology.refreshDaysFromStore(
         product, "day", touched.toSeq, "time", "value", keys, statePath)
@@ -194,7 +203,8 @@ object ClimatologyJob {
       if (doConsolidated) Climatology.consolidateMonthly(means, keys)
       else means
     result.write.mode("overwrite").parquet(out)
-    s""""format":"parquet","refreshed_days":${touched.length},"dropped_days":${stale.length}"""
+    s""""format":"parquet","refreshed_days":${touched.length},"dropped_days":${stale.length},""" +
+      s""""absent_refresh_days":${absentRefresh.length}"""
   }
 
   def main(args: Array[String]): Unit = {

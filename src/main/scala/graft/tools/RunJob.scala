@@ -164,8 +164,18 @@ object RunJob {
     val product: DataFrame =
       if (isGlobal) {
         val mesh = Grid.GridSpec(-180.0, 180.0, meshW, -90.0, 90.0, meshH)
-        missionFiles.map { case (m, paths) => missionGlobal(m, paths, mesh) }
-          .reduce(_.unionByName(_))
+        missionFiles.map { case (m, paths) =>
+          val p = missionGlobal(m, paths, mesh)
+          // multi-mission: SEQUENCE the mission builds — materialize
+          // mission N (eager localCheckpoint truncates its lineage, so its
+          // session caches and broadcasts are collectable) before building
+          // N+1. Leaving all three pipelines lazy under one union
+          // co-resided their builds in a single job: measured 4× driver
+          // heap (32 GiB) for 2.5× soundings at the deploy mesh where one
+          // mission fits 8 GiB. The union is at the store grain — it only
+          // reads the checkpointed partitions.
+          if (missionFiles.sizeIs > 1) p.localCheckpoint(true) else p
+        }.reduce(_.unionByName(_))
       } else missionFiles match {
         case Seq((m, paths)) => missionProduct(m, paths)
         case several => // J5: disjoint variable sets union in long form

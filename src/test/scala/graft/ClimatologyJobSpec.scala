@@ -355,6 +355,21 @@ class ClimatologyJobSpec extends SparkSpec {
       .collect().toSet
     assert(got === full)
     assert(stale !== full, "without --refresh-days the rewrite must be invisible (the flag's reason to exist)")
+    // a --refresh-days day ABSENT from the store (operator typo) must not
+    // count as refreshed: the pruned scan writes nothing, so silently
+    // reporting it refreshed would mask the typo. It warns and the means
+    // still match the recompute.
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val oldErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true, "UTF-8"))
+    try
+      graft.tools.ClimatologyJob.main(Array(
+        store, dir.resolve("out4").toString, "month", "--state", state,
+        "--refresh-days", "2023-06-16,2099-01-01"))
+    finally System.setErr(oldErr)
+    assert(new String(errBuf.toByteArray, "UTF-8").contains("2099-01-01"),
+      "absent refresh day must be warned about")
+    assert(spark.read.parquet(dir.resolve("out4").toString).collect().toSet === full)
   }
 
   test("gridOf reconstructs the store's mesh from its coordinate arrays") {

@@ -219,4 +219,42 @@ class DelaunaySpec extends AnyFunSuite {
     val av  = tri.alignValues(vs)
     assert(math.abs(Delaunay.interpolateLinear(tri, av, 5.0, 0.0) - 20.0) < 1e-9)
   }
+
+  test("50k-point band triangulation + 100k queries stay in the seconds envelope (degenerate-region scale)") {
+    // the oversized-region SPLIT path hands this kernel a whole granule's
+    // points (10⁴–10⁵) per tile; the pre-r16 textbook form was O(n²) in
+    // triangulation and O(T) per query — minutes of CPU where this
+    // envelope demands seconds. Correctness at scale: a planar field is
+    // reproduced exactly at every interior query.
+    val n = 50000
+    val r = new scala.util.Random(7)
+    val xs = Array.fill(n)(r.nextDouble() * 300) // wide, flat band (the degenerate shape)
+    val ys = Array.fill(n)(r.nextDouble() * 10)
+    def f(x: Double, y: Double) = 3.0 * x - 2.0 * y + 7.0
+    val vs = Array.tabulate(n)(i => f(xs(i), ys(i)))
+    val t0 = System.nanoTime()
+    val tri = Delaunay.triangulate(xs, ys).get
+    val triSec = (System.nanoTime() - t0) / 1e9
+    val av = tri.alignValues(vs)
+    val t1 = System.nanoTime()
+    var bad = 0
+    var hit = 0
+    var q = 0
+    while (q < 100000) {
+      val qx = 1.0 + (q % 1000) * 0.297
+      val qy = 0.1 + (q / 1000) * 0.09
+      val got = Delaunay.interpolateLinear(tri, av, qx, qy)
+      if (!got.isNaN) {
+        hit += 1
+        if (math.abs(got - f(qx, qy)) > 1e-6) bad += 1
+      }
+      q += 1
+    }
+    val qSec = (System.nanoTime() - t1) / 1e9
+    assert(hit > 90000, s"only $hit of 100k queries landed in-hull")
+    assert(bad === 0, s"$bad in-hull queries off a planar field")
+    // generous CI margins; the O(n²)/O(T) forms blow these by >10×
+    assert(triSec < 60.0, s"triangulate took $triSec s")
+    assert(qSec < 30.0, s"100k queries took $qSec s")
+  }
 }

@@ -214,6 +214,41 @@ class MissionVariantsSpec extends SparkSpec {
     }
   }
 
+  test("maskPixelsGlobal equals the pixels×footprints mask exactly (incl. on-grid-line bboxes)") {
+    val g   = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    val cfg = graft.domain.Pipeline.Config(maskScale = 1.2)
+    // footprints whose scaled bboxes land EXACTLY on grid lines (0.1°
+    // cells, half-width 0.5° ⇒ 0.6° scaled) — the boundary case where a
+    // prefilter rewrite could drift by one cell
+    val granule = SyntheticGranule.toDF(
+      spark,
+      (0 until 8).map(i => sounding(i, 40.0 + 0.1 * i, 10.0 + 0.1 * i, mode = 4,
+        target = "fossil0001", half = 0.5)) ++
+        Seq(sounding(8, 0.0, 0.0, mode = 0, target = "x")) ++
+        (9 until 14).map(i => sounding(i, -0.35 + 0.07 * (i - 9), -4.35 + 0.07 * (i - 9),
+          mode = 4, target = "volcano0002", half = 0.33)))
+    val sessions = graft.domain.Pipeline.qualityFilter(GlobalPipeline.sessionize(granule, cfg), cfg)
+    val extents  = GlobalPipeline.regionExtent(sessions)
+    val tiles    = GlobalPipeline.regionTiles(
+      extents.select("region_id", "fminx", "fmaxx", "fminy", "fmaxy"), g)
+    val keymap   = tiles.select(col("rkey"), col("region_id"))
+    val pixels   = GlobalPipeline.coveredPixelsByTile(tiles, g).withColumnRenamed("rkey", "region_id")
+    val sessionsK = sessions.join(broadcast(keymap), Seq("region_id"))
+      .drop("region_id").withColumnRenamed("rkey", "region_id")
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Int)] =
+      df.select(col("region_id").cast("long"), col("lon_idx").cast("int"), col("lat_idx").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val oldMask = keySet(graft.domain.Pipeline.maskPixels(pixels, sessionsK, cfg))
+    // footprint-driven candidates ∩ the region's pixel set (in process()
+    // that intersection is the inner join with the interpolated pixels)
+    val newMask = keySet(
+      GlobalPipeline.maskPixelsGlobal(sessionsK, g, cfg)
+        .join(pixels.select("region_id", "lon_idx", "lat_idx"),
+          Seq("region_id", "lon_idx", "lat_idx"), "left_semi"))
+    assert(oldMask.nonEmpty)
+    assert(newMask === oldMask)
+  }
+
   test("oversized-region split: tiled output is pixel-identical to the unsplit run; fail mode still raises") {
     val g = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
     // one ~2°×2.2° region (≈ 20×22 cells at 0.1°), enough soundings for a
