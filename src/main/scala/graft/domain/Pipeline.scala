@@ -153,10 +153,74 @@ object Pipeline {
       .distinct()
   }
 
-  /** Shared tail: per-region grid → nearest interpolation → footprint mask
-    * → sparse long form. `regionsWithBbox` must carry (region_id, target_id,
-    * time, min/max lon/lat); `sessions` the per-sounding rows with
-    * region_id. */
+  /** Footprint mask on the per-region TARGET lattice — the footprint-driven
+    * inversion of [[maskPixels]] (same move as
+    * `GlobalPipeline.maskPixelsGlobal`, column-parameterized because each
+    * region's linspace grid has its own bbox/step): each SCALED footprint
+    * explodes to the grid indexes its bbox covers (±1-widened so rounding
+    * can never exclude a pixel), the pixel center recomputes through the
+    * EXACT [[regionPixels]] linspace expression, and the ORIGINAL
+    * `between` prefilter + ray-cast decide — so the kept set is identical
+    * to `maskPixels(regionPixels(...), …)` while the pair count drops from
+    * |gridN²|×|footprints| per region to Σ footprint-covered cells.
+    * Output: distinct (region_id, lon_idx, lat_idx, lon, lat). */
+  def maskPixelsOnRegionGrid(
+      sessions: DataFrame,
+      regionsWithBbox: DataFrame,
+      cfg: Config): DataFrame = {
+    val s = math.min(math.max(cfg.maskScale, 1.0), 1.5)
+    val n = cfg.gridN
+    val stepX = (col("max_lon") - col("min_lon")) / (lit(n) - lit(1))
+    val stepY = (col("max_lat") - col("min_lat")) / (lit(n) - lit(1))
+    sessions.select(
+      col("region_id"),
+      col("vertex_longitude").cast("array<double>").as("vxs"),
+      col("vertex_latitude").cast("array<double>").as("vys"))
+      // one row per region — broadcast by construction
+      .join(
+        broadcast(regionsWithBbox.select(
+          col("region_id"), col("min_lon"), col("max_lon"), col("min_lat"), col("max_lat"))),
+        Seq("region_id"))
+      .withColumn("cx", aggregate(col("vxs"), lit(0.0), (a, v) => a + v) / size(col("vxs")))
+      .withColumn("cy", aggregate(col("vys"), lit(0.0), (a, v) => a + v) / size(col("vys")))
+      .withColumn("sxs", transform(col("vxs"), v => col("cx") + (v - col("cx")) * lit(s)))
+      .withColumn("sys", transform(col("vys"), v => col("cy") + (v - col("cy")) * lit(s)))
+      .withColumn("fminx", array_min(col("sxs")))
+      .withColumn("fmaxx", array_max(col("sxs")))
+      .withColumn("fminy", array_min(col("sys")))
+      .withColumn("fmaxy", array_max(col("sys")))
+      .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - col("min_lon")) / stepX).cast("int") - 1))
+      .withColumn("_xhi", least(lit(n - 1), floor((col("fmaxx") - col("min_lon")) / stepX).cast("int") + 1))
+      .withColumn("_ylo", greatest(lit(0), ceil((col("fminy") - col("min_lat")) / stepY).cast("int") - 1))
+      .withColumn("_yhi", least(lit(n - 1), floor((col("fmaxy") - col("min_lat")) / stepY).cast("int") + 1))
+      .filter(col("_xlo") <= col("_xhi") && col("_ylo") <= col("_yhi"))
+      .withColumn("lon_idx", explode(sequence(col("_xlo"), col("_xhi"))))
+      .withColumn("lat_idx", explode(sequence(col("_ylo"), col("_yhi"))))
+      // the EXACT regionPixels linspace expression — bit-identical centers
+      .withColumn(
+        "lon",
+        col("min_lon") + col("lon_idx") * ((col("max_lon") - col("min_lon")) / (lit(n) - lit(1))))
+      .withColumn(
+        "lat",
+        col("min_lat") + col("lat_idx") * ((col("max_lat") - col("min_lat")) / (lit(n) - lit(1))))
+      // the ORIGINAL prefilter, verbatim
+      .filter(
+        col("lon").between(col("fminx"), col("fmaxx")) &&
+          col("lat").between(col("fminy"), col("fmaxy")))
+      .filter(PointInPolygon(col("lon"), col("lat"), col("sxs"), col("sys")))
+      .select(col("region_id"), col("lon_idx"), col("lat_idx"), col("lon"), col("lat"))
+      .distinct()
+  }
+
+  /** Shared tail: footprint mask on the per-region grid → interpolation of
+    * the MASKED pixels only → sparse long form. `regionsWithBbox` must
+    * carry (region_id, target_id, time, min/max lon/lat); `sessions` the
+    * per-sounding rows with region_id.
+    *
+    * Mask-first (r16): interpolation is per-pixel pure, so running it on
+    * the masked set gives bit-identical values while the kernel input
+    * drops from gridN² cells per region to the footprint-covered cells —
+    * and the gridN²×|footprints| mask join disappears entirely. */
   def gridInterpMask(
       regionsWithBbox: DataFrame,
       sessions: DataFrame,
@@ -165,8 +229,7 @@ object Pipeline {
     // slim pixel payload: per-region constants (target/time/bbox) do NOT
     // ride the per-pixel explode — they re-attach at the end from the
     // region-level table, which is bounded by region count, not pixels
-    val pixels = regionPixels(regionsWithBbox, cfg)
-      .select("region_id", "lon_idx", "lat_idx", "lon", "lat")
+    val pixels = maskPixelsOnRegionGrid(sessions, regionsWithBbox, cfg)
     val interped0 = cfg.method match {
       case m @ ("nearest" | "linear" | "cubic") =>
         graft.operators.LinearInterp.interpolate(pixels, sessions, valueCols, m)
@@ -177,8 +240,7 @@ object Pipeline {
     }
     val interped = interped0.select(
       (Seq("region_id", "lon_idx", "lat_idx", "lon", "lat") ++ valueCols).map(col): _*)
-    val mask     = maskPixels(pixels, sessions, cfg)
-    val masked   = interped.join(mask, Seq("region_id", "lon_idx", "lat_idx"))
+    val masked = interped
       // one row per region — broadcast by construction (granule-day contract)
       .join(broadcast(regionsWithBbox.select(col("region_id"), col("target_id"), col("time"))),
         Seq("region_id"))

@@ -24,21 +24,88 @@ object LinearInterp {
   final case class PixelOut(
       region_id: Long, lon_idx: Int, lat_idx: Int, lon: Double, lat: Double, values: Seq[Double])
 
-  private def nearestValue(
-      xs: Array[Double],
-      ys: Array[Double],
-      vs: Array[Double],
-      qx: Double,
-      qy: Double): Double = {
-    var best = 0; var bestD = Double.MaxValue
-    var i = 0
-    while (i < xs.length) {
-      val dx = qx - xs(i); val dy = qy - ys(i)
-      val d  = dx * dx + dy * dy
-      if (d < bestD) { bestD = d; best = i } // strict < keeps first (lowest sounding_index)
-      i += 1
+  /** Exact nearest-point index: argmin of squared distance, ties to the
+    * LOWEST point index — identical to the linear scan's `strict <` over
+    * ascending indices, which is what keeps the reference's
+    * keep-first-sounding semantics. Uniform grid + outward Chebyshev-ring
+    * search: a cell at ring k holds points at distance ≥ (k−1)·min(cw,ch)
+    * from anywhere in the query's (clamped) cell, so the search stops as
+    * soon as that bound exceeds the best hit — O(1) expected per query
+    * versus the O(points) scan that made a degenerate 90k-point band
+    * region O(10¹⁰) under `method=nearest`. */
+  private final class PointGrid(xs: Array[Double], ys: Array[Double]) {
+    private val n = xs.length
+    private var minX = Double.MaxValue; private var minY = Double.MaxValue
+    private var maxX = Double.MinValue; private var maxY = Double.MinValue
+    locally {
+      var i = 0
+      while (i < n) {
+        if (xs(i) < minX) minX = xs(i); if (xs(i) > maxX) maxX = xs(i)
+        if (ys(i) < minY) minY = ys(i); if (ys(i) > maxY) maxY = ys(i)
+        i += 1
+      }
     }
-    vs(best)
+    private val side = math.max(1, math.ceil(math.sqrt(n.toDouble)).toInt)
+    private val cw   = math.max((maxX - minX) / side, 1e-300)
+    private val ch   = math.max((maxY - minY) / side, 1e-300)
+    private val minStep = math.min(cw, ch)
+    private val cells: Array[Array[Int]] = {
+      val bufs = Array.fill(side * side)(new scala.collection.mutable.ArrayBuffer[Int](2))
+      var i = 0
+      while (i < n) { // ascending index order per cell — tie-break preserved
+        bufs(cellOf(ys(i), minY, ch) * side + cellOf(xs(i), minX, cw)) += i
+        i += 1
+      }
+      bufs.map(_.toArray)
+    }
+    @inline private def cellOf(v: Double, lo: Double, w: Double): Int =
+      math.min(side - 1, math.max(0, ((v - lo) / w).toInt))
+
+    def nearest(qx: Double, qy: Double): Int = {
+      val cx = cellOf(qx, minX, cw)
+      val cy = cellOf(qy, minY, ch)
+      var bestI = -1; var bestD = Double.MaxValue
+      @inline def scanCell(gx: Int, gy: Int): Unit = {
+        val cell = cells(gy * side + gx)
+        var j = 0
+        while (j < cell.length) {
+          val i  = cell(j)
+          val dx = qx - xs(i); val dy = qy - ys(i)
+          val d  = dx * dx + dy * dy
+          if (d < bestD || (d == bestD && i < bestI)) { bestD = d; bestI = i }
+          j += 1
+        }
+      }
+      var r = 0
+      var done = false
+      while (!done) {
+        // the whole Chebyshev ring r (clipped to the grid)
+        val x0 = cx - r; val x1 = cx + r; val y0 = cy - r; val y1 = cy + r
+        if (x0 >= side || x1 < 0 || y0 >= side || y1 < 0) done = true
+        else {
+          var gx = math.max(0, x0)
+          while (gx <= math.min(side - 1, x1)) {
+            if (y0 >= 0) scanCell(gx, y0)
+            if (r > 0 && y1 < side) scanCell(gx, y1)
+            gx += 1
+          }
+          if (r > 0) {
+            var gy = math.max(0, y0 + 1)
+            while (gy <= math.min(side - 1, y1 - 1)) {
+              if (x0 >= 0) scanCell(x0, gy)
+              if (x1 < side) scanCell(x1, gy)
+              gy += 1
+            }
+          }
+          if (bestI >= 0) {
+            val lb = r.toDouble * minStep // ring r+1 points are ≥ r·minStep away
+            if (lb * lb > bestD) done = true
+          }
+          r += 1
+        }
+      }
+      bestI
+    }
   }
 
   /** pixels: (region_id, lon_idx, lat_idx, lon, lat, ...); soundings:
@@ -97,17 +164,21 @@ object LinearInterp {
                 case _                     => None
               }
             else None
+          // one index per group, one search per PIXEL (the same argmin
+          // serves every variable — the old form re-scanned per variable)
+          lazy val pgrid = new PointGrid(xs, ys)
           pit.map { p =>
-            val vals = valueCols.indices.map { vi =>
-              (triOpt, aligned) match {
-                case (Some(tri), Some(av)) =>
+            val vals: IndexedSeq[Double] = (triOpt, aligned) match {
+              case (Some(tri), Some(av)) =>
+                valueCols.indices.map { vi =>
                   grads match {
                     case Some(g) => Delaunay.interpolateCubic(tri, av(vi), g(vi), p.lon, p.lat)
                     case None    => Delaunay.interpolateLinear(tri, av(vi), p.lon, p.lat)
                   }
-                case _ =>
-                  nearestValue(xs, ys, perVar(vi), p.lon, p.lat)
-              }
+                }
+              case _ =>
+                val ni = pgrid.nearest(p.lon, p.lat)
+                valueCols.indices.map(vi => perVar(vi)(ni))
             }
             PixelOut(p.region_id, p.lon_idx, p.lat_idx, p.lon, p.lat, vals)
           }

@@ -119,4 +119,52 @@ class PipelineSpec extends SparkSpec {
       (1, 0) -> ((10.5, 40.0)),
       (0, 1) -> ((10.0, 40.5))))
   }
+
+  test("maskPixelsOnRegionGrid equals the full-grid pixels×footprints mask exactly") {
+    // the footprint-driven inversion must keep the EXACT pixel set and
+    // bit-identical centers; footprints use a half-width whose scaled
+    // bbox lands on grid lines (the boundary-rounding hazard)
+    val cfg = Pipeline.Config(gridN = 16, maskScale = 1.2)
+    val sessions = Pipeline.qualityFilter(Pipeline.sessionize(granule, cfg), cfg)
+    val regions  = TargetCatalog.associate(Pipeline.regionSummary(sessions), catalog)
+    val pixels   = Pipeline.regionPixels(regions, cfg)
+      .select("region_id", "lon_idx", "lat_idx", "lon", "lat")
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("region_id").cast("long"), col("lon_idx"), col("lat_idx"),
+        col("lon"), col("lat"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          java.lang.Double.doubleToLongBits(r.getDouble(3)),
+          java.lang.Double.doubleToLongBits(r.getDouble(4)))).toSet
+    val oldMask = keySet(
+      Pipeline.maskPixels(pixels, sessions, cfg)
+        .join(pixels, Seq("region_id", "lon_idx", "lat_idx")))
+    val newMask = keySet(Pipeline.maskPixelsOnRegionGrid(sessions, regions, cfg))
+    assert(oldMask.nonEmpty)
+    assert(newMask === oldMask) // exact, incl. bit-level lon/lat centers
+  }
+
+  test("grid-indexed nearest kernel equals the rank-1 join form exactly (incl. distance ties)") {
+    import spark.implicits._
+    // the kernel's nearest path now runs a point-grid ring search instead
+    // of a per-pixel linear scan — the argmin (ties → lowest
+    // sounding_index) must be bit-identical to the independent
+    // window-join implementation. Points include EXACT duplicates
+    // (distance ties) and a clustered blob far from some queries (the
+    // ring search's worst case).
+    val rng = new scala.util.Random(11)
+    val pts = (0 until 500).map { i =>
+      if (i >= 490) (1L, (i - 490).toLong + 500, 10.123, 40.456, 600.0 + i) // 10 coincident points
+      else (1L, i.toLong, 10.0 + rng.nextDouble(), 40.0 + rng.nextDouble(), 400.0 + i)
+    }.toDF("region_id", "sounding_index", "longitude", "latitude", "xco2")
+    val pixels = (0 until 400).map { k =>
+      (1L, k % 20, k / 20, 9.5 + (k % 20) * 0.1, 39.5 + (k / 20) * 0.1)
+    }.toDF("region_id", "lon_idx", "lat_idx", "lon", "lat")
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.select("lon_idx", "lat_idx", "xco2").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val kernel = keyed(graft.operators.LinearInterp.interpolate(pixels, pts, Seq("xco2"), "nearest"))
+    val join   = keyed(graft.domain.Pipeline.interpolateNearest(pixels, pts, Seq("xco2")))
+    assert(kernel.size === 400)
+    assert(kernel === join)
+  }
 }
