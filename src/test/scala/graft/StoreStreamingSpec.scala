@@ -66,12 +66,19 @@ class StoreStreamingSpec extends SparkSpec {
     val zF  = filesHolding(zorder)
     assert(rmF >= 12, s"raster should spread the lon box over most files, got $rmF")
     assert(zF * 2 <= rmF, s"z-order should at least halve file touch: $zF vs $rmF")
-    // variable stays a leading layout key: a variable filter prunes files
-    // under z-order exactly as it did under raster (no interleaving)
+    // variable stays a leading layout key: a variable filter touches ~half
+    // the files (sif is half the rows) plus at most ONE boundary straddle —
+    // NOT all of them (interleaving). Compared against the file budget, not
+    // the raster run: repartitionByRange samples its boundaries per run, so
+    // raster/zorder straddle counts can differ by one between otherwise
+    // identical runs (this exact flake: 9 vs 8 under full-suite ordering).
     def filesForVariable(path: String): Long =
       ProductStore.read(spark, path).filter(col("variable") === "sif")
         .select(input_file_name()).distinct().count()
-    assert(filesForVariable(zorder) <= filesForVariable(raster))
+    val vZ = filesForVariable(zorder)
+    val vR = filesForVariable(raster)
+    assert(vZ <= aZ / 2 + 1, s"z-order must not interleave variables: sif touches $vZ of $aZ files")
+    assert(vR <= aR / 2 + 1, s"raster baseline: sif touches $vR of $aR files")
     // bloom filters present on the named column, absent elsewhere
     val conf = spark.sessionState.newHadoopConf()
     val part = new java.io.File(zorder, s"day=$day").listFiles()
