@@ -197,8 +197,17 @@ object GlobalPipeline {
             .cast("long"))
           .otherwise(lit(1L))
       // Column./ is double division; areas ≤ nX·nY ≤ ~6.5·10⁸ are exact in
-      // a double, so floor-of-quotient is the exact integer ceil-div
-      else when(area > maxPx, floor((area + lit(tilePx - 1)) / lit(tilePx)).cast("long"))
+      // a double, so floor-of-quotient is the exact integer ceil-div.
+      // Capped at the strip count (latitude rows): strips are full-width,
+      // so a tilePixels below the region's column width would otherwise
+      // explode more tile rows than there are strips to assign
+      // (pathological tilePixels=1 at a band region ⇒ 4·10⁸ tile rows) —
+      // the cap clamps the effective tile to ≥ one full row.
+      else when(
+        area > maxPx,
+        least(
+          floor((area + lit(tilePx - 1)) / lit(tilePx)).cast("long"),
+          (col("_yhi") - col("_ylo") + 1).cast("long")))
         .otherwise(lit(1L))
     extents
       .withColumn("_xlo", greatest(lit(0), ceil((col("fminx") - g.minX) / stepX).cast("int")))

@@ -301,15 +301,21 @@ object Delaunay {
     var badList = new Array[Int](256)
     var bndU    = new Array[Int](256)
     var bndV    = new Array[Int](256)
+    // a failed locate (walk stall AND no triangle's circumcircle contains
+    // the point — fp-degenerate geometry) must route to the safe fallback
+    // like adjacencyOverflow does: skipping the point would SILENTLY
+    // exclude it from the triangulation and change interpolated values
+    var locateFailed = false
     var last = addTri(sA, sB, sC)
     var pi = 0
-    while (pi < n && !adjacencyOverflow) {
+    while (pi < n && !adjacencyOverflow && !locateFailed) {
       val p   = order(pi).intValue
       val px  = vx(p); val py = vy(p)
       val gen = pi + 1
       val seed0 = if (alive(last)) last else { var k = nTri - 1; while (k >= 0 && !alive(k)) k -= 1; k }
       val seed  = locate(seed0, px, py)
-      if (seed >= 0) {
+      if (seed < 0) locateFailed = true
+      else {
         // cavity BFS over edge-adjacent bad triangles (badGen marks visit)
         badGen(seed) = gen
         badList(0) = seed
@@ -358,13 +364,35 @@ object Delaunay {
       }
       pi += 1
     }
-    if (adjacencyOverflow) return triangulateSafe(xsIn, ysIn)
+    if (adjacencyOverflow || locateFailed) return triangulateSafe(xsIn, ysIn)
     val finalTris = ArrayBuffer.empty[Array[Int]]
+    val used      = new Array[Boolean](n)
     var id = 0
     while (id < nTri) {
-      if (alive(id) && ta(id) < n && tb(id) < n && tc(id) < n)
+      if (alive(id) && ta(id) < n && tb(id) < n && tc(id) < n) {
         finalTris += Array(ta(id), tb(id), tc(id))
+        used(ta(id)) = true; used(tb(id)) = true; used(tc(id)) = true
+      }
       id += 1
+    }
+    // vertex-coverage self-check: under fp degeneracy a later insertion's
+    // cavity can fail to be star-shaped and "swallow" an earlier vertex
+    // (the battery in DelaunaySpec caught a real one). A dropped point is
+    // the one silent-correctness hazard of this kernel, so an incomplete
+    // cover re-runs the textbook path and keeps WHICHEVER covers more
+    // kept points (the two paths degrade differently: the safe form's
+    // global incircle rescan drops exactly-co-circular points its det==0
+    // test never marks bad, while the walk's barycentric containment
+    // still seeds them — so "fall back blindly" could LOSE coverage).
+    // O(T+n) and branch-free on healthy input, where cover is complete.
+    var covered = finalTris.nonEmpty
+    var ci = 0
+    while (covered && ci < n) { covered = used(ci); ci += 1 }
+    if (!covered && finalTris.nonEmpty) {
+      val fastCover = used.count(identity)
+      val safeOpt   = triangulateSafe(xsIn, ysIn)
+      val safeCover = safeOpt.fold(0)(_.triangles.flatten.distinct.length)
+      if (safeCover > fastCover) return safeOpt
     }
     if (finalTris.isEmpty) None
     else Some(Triangulation(xs, ys, keep.toArray, finalTris.toArray))
@@ -374,7 +402,7 @@ object Delaunay {
     * insertion) — retained as the fallback for inputs whose fp-degenerate
     * adjacency overflows the fast path's two-triangles-per-edge invariant.
     * Handles every configuration because it never tracks adjacency. */
-  private def triangulateSafe(xsIn: Array[Double], ysIn: Array[Double]): Option[Triangulation] = {
+  private[graft] def triangulateSafe(xsIn: Array[Double], ysIn: Array[Double]): Option[Triangulation] = {
     val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
     val keep = ArrayBuffer.empty[Int]
     var i = 0

@@ -39,8 +39,15 @@ object Disposition {
     *  - `raise_error` guards (Spark condition USER_RAISED_EXCEPTION): every
     *    in-pipeline scale/sanity guard in this engine raises through it
     *    (region ceiling, Zarr bounds, sessionize strict mode);
-    *  - `IllegalArgumentException` / `AnalysisException`: malformed conf or
-    *    a granule whose decoded schema doesn't bind the pipeline's columns;
+    *  - `IllegalArgumentException` RAISED BY THIS ENGINE (a `graft.` frame
+    *    in the throw-site stack): malformed conf or argument validation.
+    *    The reference rejects only ITS OWN NonRetryable taxonomy
+    *    (`exceptions/Exceptions.py:16-42`); IAE is ubiquitous in JVM/Spark
+    *    internals and can be transient (racy config, library edge cases),
+    *    so a blanket IAE match could permanently dead-letter a good
+    *    granule — third-party IAEs stay transient (requeue);
+    *  - `AnalysisException`: a granule whose decoded schema doesn't bind
+    *    the pipeline's columns;
     *  - `FileNotFoundException`: the input vanished after admission —
     *    redelivery cannot bring it back (the reference's
     *    `__validate_files` NonRetryable).
@@ -50,10 +57,18 @@ object Disposition {
     case e: org.apache.spark.SparkThrowable
         if e.getCondition == "USER_RAISED_EXCEPTION" => true
     case _: org.apache.spark.sql.AnalysisException   => true
-    case _: IllegalArgumentException                 => true
+    case e: IllegalArgumentException if graftRaised(e) => true
     case _: java.io.FileNotFoundException            => true
     case _                                           => false
   }
+
+  /** Did this engine raise `e`? True when a `graft.` frame appears in the
+    * recorded stack (main source only — test frames are `graft.*Spec`,
+    * which never throw pipeline guards in production). Exceptions carried
+    * back from executors keep their original throw-site frames, so the
+    * check survives serialization. */
+  private[streaming] def graftRaised(e: Throwable): Boolean =
+    e.getStackTrace.exists(_.getClassName.startsWith("graft."))
 
   /** `basic_reject(requeue=False)`: move a message file out of the queue to
     * `<queue>/.deadletter/` with a `<name>.reason` sidecar carrying the

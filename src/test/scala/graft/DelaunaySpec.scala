@@ -257,4 +257,48 @@ class DelaunaySpec extends AnyFunSuite {
     assert(triSec < 60.0, s"triangulate took $triSec s")
     assert(qSec < 30.0, s"100k queries took $qSec s")
   }
+
+  test("fast path never silently drops a vertex on degenerate geometry (locate-fail ⇒ safe fallback)") {
+    // The one silent-correctness hazard of the incremental path: a stalled
+    // walk (or an fp-degenerate cavity swallowing an earlier vertex) used
+    // to SKIP points silently. Battery of fp-adversarial inputs;
+    // invariant: the returned vertex set (as original input indices) is a
+    // SUPERSET of the textbook safe path's — never fewer points than the
+    // baseline. (Strict equality is the wrong bar: the safe form's global
+    // incircle rescan itself drops exactly-co-circular points its det==0
+    // test never marks bad, where the walk's barycentric containment
+    // covers them — this battery caught BOTH a real fast-path swallow on
+    // a near-coincident cluster and that safe-path co-circular drop.)
+    val r = new scala.util.Random(7)
+    def vset(t: Option[Delaunay.Triangulation]): Set[Int] =
+      t.fold(Set.empty[Int])(tri => tri.triangles.flatten.map(tri.keptIdx).toSet)
+    def coverage(name: String, xs: Array[Double], ys: Array[Double]): Unit = {
+      val fast = vset(Delaunay.triangulate(xs, ys))
+      val safe = vset(Delaunay.triangulateSafe(xs, ys))
+      assert(safe.subsetOf(fast),
+        s"$name: fast drops ${(safe -- fast).size} points the safe baseline keeps")
+    }
+    // near-coincident cluster inside a spread hull (walk stalls on slivers)
+    val cl = 200
+    val cx = Array.tabulate(cl)(i => 5.0 + (i % 17) * 1e-13) ++ Array(0.0, 10.0, 0.0, 10.0)
+    val cy = Array.tabulate(cl)(i => 5.0 + (i / 17) * 1e-13) ++ Array(0.0, 0.0, 10.0, 10.0)
+    coverage("near-coincident cluster", cx, cy)
+    // exactly co-circular points (every 4-point incircle test is a tie)
+    val nc = 64
+    val ox = Array.tabulate(nc)(i => 5.0 + 3.0 * math.cos(2 * math.Pi * i / nc))
+    val oy = Array.tabulate(nc)(i => 5.0 + 3.0 * math.sin(2 * math.Pi * i / nc))
+    coverage("co-circular", ox, oy)
+    // regular lattice (co-circular quads everywhere)
+    val gx = (for (i <- 0 until 24; j <- 0 until 24) yield i.toDouble).toArray
+    val gy = (for (i <- 0 until 24; j <- 0 until 24) yield j.toDouble).toArray
+    coverage("regular lattice", gx, gy)
+    // near-collinear band (ulp-scale perpendicular jitter)
+    val bx = Array.tabulate(500)(i => i * 0.02)
+    val by = Array.tabulate(500)(i => i * 0.02 + (r.nextDouble() - 0.5) * 1e-12)
+    coverage("near-collinear band", bx, by)
+    // random with many exact duplicates (dedup + degenerate inserts)
+    val dx = Array.fill(300)(math.floor(r.nextDouble() * 10) / 2.0)
+    val dy = Array.fill(300)(math.floor(r.nextDouble() * 10) / 2.0)
+    coverage("coarse duplicates", dx, dy)
+  }
 }

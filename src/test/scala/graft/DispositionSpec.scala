@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Disposition
+
+/** Unit taxonomy for the queue consumer's reject/requeue classification —
+  * the reference rejects only ITS OWN NonRetryable exception family
+  * (`exceptions/Exceptions.py:16-42`); everything else requeues. The IAE
+  * clause must therefore be scoped to graft-raised errors: a transient
+  * library IllegalArgumentException (JVM/Spark internals raise IAE for
+  * racy-config edge cases) must NOT permanently dead-letter a granule. */
+class DispositionSpec extends SparkSpec {
+
+  private def withFrames(e: Throwable, cls: String): e.type = {
+    e.setStackTrace(Array(
+      new StackTraceElement(cls, "apply", "X.scala", 42),
+      new StackTraceElement("org.apache.spark.scheduler.Task", "run", "Task.scala", 139)))
+    e
+  }
+
+  test("graft-raised IllegalArgumentException is non-retryable (reject)") {
+    val guard = withFrames(
+      new IllegalArgumentException("spark.graft.global.maxRegionPixels: invalid long value 'x'"),
+      "graft.domain.GlobalPipeline")
+    assert(Disposition.nonRetryable(guard))
+    // also when wrapped in a driver/executor envelope
+    assert(Disposition.nonRetryable(new RuntimeException("job aborted", guard)))
+  }
+
+  test("library IllegalArgumentException from a non-graft frame requeues (retryable)") {
+    val lib = withFrames(
+      new IllegalArgumentException("Self-suppression not permitted"),
+      "org.apache.spark.network.util.TransportConf")
+    assert(!Disposition.nonRetryable(lib))
+    assert(!Disposition.nonRetryable(new RuntimeException("stage failed", lib)))
+  }
+
+  test("a REAL graft conf guard classifies non-retryable end-to-end") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.conf.set(graft.domain.GlobalPipeline.MaxRegionPixelsConfKey, "not-a-long")
+    try {
+      val extents = Seq((1L, 10.0, 12.0, 40.0, 42.0))
+        .toDF("region_id", "fminx", "fmaxx", "fminy", "fmaxy")
+      val e = intercept[IllegalArgumentException] {
+        graft.domain.GlobalPipeline
+          .coveredPixels(extents, graft.operators.Grid.GridSpec(-180, 180, 360, -90, 90, 180))
+          .count()
+      }
+      assert(Disposition.nonRetryable(e))
+    } finally spark.conf.unset(graft.domain.GlobalPipeline.MaxRegionPixelsConfKey)
+  }
+
+  test("transient failures stay retryable; FileNotFound and raise_error guards reject") {
+    assert(!Disposition.nonRetryable(new RuntimeException("executor lost")))
+    assert(!Disposition.nonRetryable(new java.io.IOException("connection reset")))
+    assert(Disposition.nonRetryable(new java.io.FileNotFoundException("/gone.nc4")))
+    val guard = intercept[Exception] {
+      spark.sql("SELECT raise_error('region too large')").collect()
+    }
+    assert(Disposition.nonRetryable(guard))
+    val analysis = intercept[Exception] { spark.sql("SELECT no_such_col FROM range(1)").collect() }
+    assert(Disposition.nonRetryable(analysis))
+  }
+}

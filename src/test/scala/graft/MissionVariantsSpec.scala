@@ -214,6 +214,27 @@ class MissionVariantsSpec extends SparkSpec {
     }
   }
 
+  test("regionTiles: pathological tilePixels below the region width clamps to one strip per row") {
+    val g = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    val extents = Seq((1L, -170.0, 150.0, -40.0, -28.0)) // ~3200×120 cells
+      .toDF("region_id", "fminx", "fmaxx", "fminy", "fmaxy")
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "100000")
+    spark.conf.set(GlobalPipeline.TilePixelsConfKey, "1") // << region width
+    try {
+      val tiles = GlobalPipeline.regionTiles(extents, g).collect()
+      val rows  = tiles.map(r => r.getAs[Int]("_tyhi") - r.getAs[Int]("_tylo") + 1)
+      // unclamped, ceil(384k / 1) would explode 384k tile rows; the cap
+      // bounds tiles at the strip count (latitude rows) — one row each
+      assert(tiles.length <= 121, s"${tiles.length} tiles for a 120-row extent")
+      assert(rows.forall(_ >= 1))
+      assert(rows.sum === tiles.map(r =>
+        r.getAs[Int]("_tyhi")).max - tiles.map(r => r.getAs[Int]("_tylo")).min + 1)
+    } finally {
+      spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+      spark.conf.unset(GlobalPipeline.TilePixelsConfKey)
+    }
+  }
+
   test("maskPixelsGlobal equals the pixels×footprints mask exactly (incl. on-grid-line bboxes)") {
     val g   = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
     val cfg = graft.domain.Pipeline.Config(maskScale = 1.2)
