@@ -266,11 +266,15 @@ object GlobalPipeline {
     *
     * Reference semantics unchanged (`OCO3SamProcessor.py:234-295`): bbox
     * prefilter + exact polygon test with centroid scaling. */
-  /** `clipTo` (optional): per-key inclusive index bounds `(region_id,
-    * _xlo, _xhi, _tylo, _tyhi)` — candidates outside them are dropped
-    * BEFORE the distinct (a broadcast join over the bounded tile table),
-    * which both enforces the covered-extent contract and clips each
-    * replicated footprint's candidates to its own tile's strip. */
+  /** `clipTo` (optional): the TILE table `(region_id, rkey, _xlo, _xhi,
+    * _tylo, _tyhi)` — each candidate joins its region's tiles (broadcast,
+    * bounded rows) and keeps only the tile strips containing it, emitted
+    * under the tile surrogate `rkey` as the output's region key. Strips
+    * partition a region's extent disjointly, so a candidate lands in at
+    * most one tile; the clip both enforces the covered-extent contract
+    * and assigns tile ownership WITHOUT replicating the soundings (the
+    * r16 form masked per-tile-replicated soundings — an oversized region
+    * re-evaluated every footprint once per tile). */
   def maskPixelsGlobal(
       soundings: DataFrame,
       g: GridSpec,
@@ -309,13 +313,13 @@ object GlobalPipeline {
       .filter(graft.functions.PointInPolygon(col("lon"), col("lat"), col("sxs"), col("sys")))
       .select(col("region_id"), col("lon_idx"), col("lat_idx"))
     val clipped = clipTo match {
-      case Some(bounds) =>
+      case Some(tiles) =>
         candidates
-          .join(broadcast(bounds), Seq("region_id"))
+          .join(broadcast(tiles), Seq("region_id"))
           .filter(
             col("lon_idx").between(col("_xlo"), col("_xhi")) &&
               col("lat_idx").between(col("_tylo"), col("_tyhi")))
-          .drop("_xlo", "_xhi", "_tylo", "_tyhi")
+          .select(col("rkey").as("region_id"), col("lon_idx"), col("lat_idx"))
       case None => candidates
     }
     clipped.distinct()
@@ -350,39 +354,48 @@ object GlobalPipeline {
       col("region_id"), col("time"), col("operation_mode"), col("target_id"))
     // oversized-region split: the unit of interpolation work is a TILE
     // (normal regions = 1 tile); tiles of one region share its soundings,
-    // so the cogroup key is the tile surrogate `rkey` and results are
-    // pixel-identical to the unsplit region (see regionTiles)
+    // so the pixel/evaluation key is the tile surrogate `rkey` and results
+    // are pixel-identical to the unsplit region (see regionTiles)
     val tiles    = regionTiles(
       extents.select("region_id", "fminx", "fmaxx", "fminy", "fmaxy"), grid)
     val keymap   = tiles.select(col("rkey"), col("region_id"))
-    // one row per (region, tile) — broadcast by construction; joining the
-    // session table on region_id replicates each sounding once per tile of
-    // its region (exactly once for the normal single-tile case)
-    val sessionsK = sessions
-      .join(broadcast(keymap), Seq("region_id"))
-      .drop("region_id")
-      .withColumnRenamed("rkey", "region_id")
     // MASK FIRST, then interpolate only the masked pixels: interpolation
     // is per-pixel pure (the Delaunay/nearest kernel is built from the
     // region's POINTS alone), so evaluating it on the masked set gives
     // bit-identical values while shrinking the cogroup input from the
     // covered EXTENT (Σ region areas — 2·10⁷–4·10⁷ cells/day at the
     // 36000×18000 mesh) to the footprint-covered set (Σ footprint areas ≈
-    // soundings × O(1) cells ≈ 10⁶/day). The covered-extent contract is
-    // kept by clipping candidates to the tile's index bounds (broadcast
-    // join — the extent itself is never exploded).
+    // soundings × O(1) cells ≈ 10⁶/day). The mask runs ONCE per region on
+    // the original region ids; the broadcast tile clip assigns each
+    // candidate its owning tile (and enforces the covered-extent
+    // contract) — the extent itself is never exploded, and footprints are
+    // never re-evaluated per tile.
     val pixels = maskPixelsGlobal(
-      sessionsK, grid, cfg,
+      sessions, grid, cfg,
       clipTo = Some(tiles.select(
-        col("rkey").as("region_id"), col("_xlo"), col("_xhi"), col("_tylo"), col("_tyhi"))))
+        col("region_id"), col("rkey"), col("_xlo"), col("_xhi"), col("_tylo"), col("_tyhi"))))
       .withColumn("lon", lit(grid.minX) + col("lon_idx") * ((lit(grid.maxX) - lit(grid.minX)) / (lit(grid.nX) - lit(1))))
       .withColumn("lat", lit(grid.minY) + col("lat_idx") * ((lit(grid.maxY) - lit(grid.minY)) / (lit(grid.nY) - lit(1))))
     // cogroup kernel, not the rank-1-window join: the join form materializes
     // |pixels|×|soundings| per region and OOMs at ~1M soundings — the global
-    // mesh (18000×36000 in production) is exactly where that bites
-    val interped = graft.operators.LinearInterp.interpolate(
-      pixels, sessionsK, valueCols,
+    // mesh (18000×36000 in production) is exactly where that bites.
+    // TRIANGULATE ONCE PER REGION: the kernel (triangulation + aligned
+    // values + cubic gradients) is built on the original region key, then
+    // the serialized kernel row — not the soundings — replicates per tile
+    // through the broadcast keymap (r16 re-built the same 90k-point
+    // triangulation once per tile: 12× redundant work on the degenerate
+    // band day, which is why it ran 9.5× the normal day instead of ~2×).
+    val spark = granule.sparkSession
+    import spark.implicits._
+    val kernels = graft.operators.LinearInterp.buildKernels(
+      sessions, valueCols,
       if (cfg.method == "nearest_join") "nearest" else cfg.method)
+    val kernelsK = kernels.toDF()
+      .join(broadcast(keymap), Seq("region_id"))
+      .drop("region_id")
+      .withColumnRenamed("rkey", "region_id")
+      .as[graft.operators.LinearInterp.RegionKernel]
+    val interped = graft.operators.LinearInterp.interpolateKernels(pixels, kernelsK, valueCols)
     val masked   = interped
       // back from tile surrogate to the ORIGINAL region id (first-writer-
       // wins must order by region order, not tile order)

@@ -88,24 +88,142 @@ object Delaunay {
       val bufs = Array.fill(nx * ny)(new scala.collection.mutable.ArrayBuffer[Int](4))
       var ti = 0
       while (ti < t.triangles.length) {
+        // SCANLINE registration, not bbox: a clustered point layout's hull
+        // slivers (long thin triangles bridging clusters) have bboxes
+        // covering O(w·h) cells while their body touches O(w+h) — bbox
+        // rasterization flooded the grid (build cost AND every query's
+        // candidate scan; the 36000×18000 band day spent ~20 s here). Per
+        // cell row, the triangle's exact x-interval over the padded y-band
+        // is computed from its edges and widened by `pad`, so the
+        // registered set still covers the barycentric tolerance region
+        // (-1e-9 relative ≪ pad); containing triangles are registered in
+        // every cell they can match, and ids stay ascending per cell —
+        // first-containing-triangle semantics are bit-identical.
         val tr = t.triangles(ti)
-        val bx0 = math.min(xs(tr(0)), math.min(xs(tr(1)), xs(tr(2)))) - pad
-        val bx1 = math.max(xs(tr(0)), math.max(xs(tr(1)), xs(tr(2)))) + pad
-        val by0 = math.min(ys(tr(0)), math.min(ys(tr(1)), ys(tr(2)))) - pad
-        val by1 = math.max(ys(tr(0)), math.max(ys(tr(1)), ys(tr(2)))) + pad
-        val cx0 = math.max(0, math.min(nx - 1, ((bx0 - minX) / cw).toInt))
-        val cx1 = math.max(0, math.min(nx - 1, ((bx1 - minX) / cw).toInt))
+        val x1 = xs(tr(0)); val y1 = ys(tr(0))
+        val x2 = xs(tr(1)); val y2 = ys(tr(1))
+        val x3 = xs(tr(2)); val y3 = ys(tr(2))
+        val by0 = math.min(y1, math.min(y2, y3)) - pad
+        val by1 = math.max(y1, math.max(y2, y3)) + pad
         val cy0 = math.max(0, math.min(ny - 1, ((by0 - minY) / ch).toInt))
         val cy1 = math.max(0, math.min(ny - 1, ((by1 - minY) / ch).toInt))
         var cy = cy0
         while (cy <= cy1) {
-          var cx = cx0
-          while (cx <= cx1) { bufs(cy * nx + cx) += ti; cx += 1 }
+          val bandLo = minY + cy * ch - pad
+          val bandHi = minY + (cy + 1) * ch + pad
+          // x-extent of the triangle within [bandLo, bandHi]: vertices in
+          // the band plus each edge's x at its band-clipped parameter ends
+          // (x is affine along an edge, so extremes sit at clipped ends)
+          var lo = Double.MaxValue
+          var hi = -Double.MaxValue
+          @inline def vertex(px: Double, py: Double): Unit =
+            if (py >= bandLo && py <= bandHi) { if (px < lo) lo = px; if (px > hi) hi = px }
+          @inline def edge(ax: Double, ay: Double, bxx: Double, byy: Double): Unit = {
+            val dy = byy - ay
+            if (dy != 0.0) {
+              var t0 = (bandLo - ay) / dy
+              var t1 = (bandHi - ay) / dy
+              if (t0 > t1) { val tt = t0; t0 = t1; t1 = tt }
+              t0 = math.max(0.0, t0); t1 = math.min(1.0, t1)
+              if (t0 <= t1) {
+                val xa = ax + t0 * (bxx - ax)
+                val xb = ax + t1 * (bxx - ax)
+                if (xa < lo) lo = xa; if (xa > hi) hi = xa
+                if (xb < lo) lo = xb; if (xb > hi) hi = xb
+              }
+            }
+          }
+          vertex(x1, y1); vertex(x2, y2); vertex(x3, y3)
+          edge(x1, y1, x2, y2); edge(x2, y2, x3, y3); edge(x3, y3, x1, y1)
+          if (lo <= hi) {
+            val cx0 = math.max(0, math.min(nx - 1, ((lo - pad - minX) / cw).toInt))
+            val cx1 = math.max(0, math.min(nx - 1, ((hi + pad - minX) / cw).toInt))
+            var cx = cx0
+            while (cx <= cx1) { bufs(cy * nx + cx) += ti; cx += 1 }
+          }
           cy += 1
         }
         ti += 1
       }
       new TriGrid(minX, minY, maxX, maxY, pad, 1.0 / cw, 1.0 / ch, nx, ny, bufs.map(_.toArray))
+    }
+  }
+
+  /** Diagnostic counters from the LAST triangulate() call (single-threaded
+    * per task; for probe introspection only). */
+  private[graft] var lastStats: String = ""
+
+  /** Open-addressing long→long hash map (linear probing, BACKWARD-SHIFT
+    * deletion, unboxed) — the edge-adjacency store for the incremental
+    * insertion. `scala.collection.mutable.LongMap` marks removals as
+    * vacated slots it only reclaims on growth; Bowyer–Watson's churn
+    * (~3 adds + 3 removes per created triangle, 2.4M each at a 90k-point
+    * region) grew its probe chains until a single lookup cost ~1.6 µs —
+    * 16 of the band day's 17 kernel seconds were LongMap traffic.
+    * Backward-shift deletion keeps chains tombstone-free (measured ~20×
+    * on the same input), and primitive value arrays avoid the boxing
+    * LongMap[Long] incurs. Key 0 is the empty sentinel: edge keys pack
+    * (min<<32 | max) of two DISTINCT vertex ids, so key 0 (edge 0–0)
+    * cannot occur. Load ≤ 1/2, capacity a power of two. */
+  private final class EdgeMap(expected: Int) {
+    private var cap  = Integer.highestOneBit(math.max(64, expected)) * 4
+    private var mask = cap - 1
+    private var ks   = new Array[Long](cap)
+    private var vs   = new Array[Long](cap)
+    private var n    = 0
+    @inline private def idx(k: Long): Int = {
+      var h = k * -7046029254386353131L // fibonacci-style 64-bit mix
+      h ^= h >>> 32
+      (h & mask).toInt
+    }
+    def get(k: Long): Long = {
+      var i = idx(k)
+      while (true) {
+        val ki = ks(i)
+        if (ki == k) return vs(i)
+        if (ki == 0L) return 0L
+        i = (i + 1) & mask
+      }
+      0L // unreachable
+    }
+    def put(k: Long, v: Long): Unit = {
+      if ((n + 1) * 2 > cap) grow()
+      var i = idx(k)
+      while (ks(i) != 0L && ks(i) != k) i = (i + 1) & mask
+      if (ks(i) == 0L) { ks(i) = k; n += 1 }
+      vs(i) = v
+    }
+    def remove(k: Long): Unit = {
+      var i = idx(k)
+      while (ks(i) != k) {
+        if (ks(i) == 0L) return
+        i = (i + 1) & mask
+      }
+      var j    = i
+      var loop = true
+      while (loop) {
+        j = (j + 1) & mask
+        val kj = ks(j)
+        if (kj == 0L) loop = false
+        else {
+          val h = idx(kj)
+          // kj may shift back to i iff its ideal slot is not cyclically
+          // inside (i, j]
+          if (((j - h) & mask) >= ((j - i) & mask)) { ks(i) = kj; vs(i) = vs(j); i = j }
+        }
+      }
+      ks(i) = 0L
+      n -= 1
+    }
+    private def grow(): Unit = {
+      val ok = ks; val ov = vs
+      cap *= 2; mask = cap - 1
+      ks = new Array[Long](cap); vs = new Array[Long](cap); n = 0
+      var i = 0
+      while (i < ok.length) {
+        if (ok(i) != 0L) put(ok(i), ov(i))
+        i += 1
+      }
     }
   }
 
@@ -166,29 +284,31 @@ object Delaunay {
       badGen = java.util.Arrays.copyOf(badGen, cap)
     }
     // undirected edge -> the ≤2 alive triangles sharing it, packed as two
-    // (id+1) halves of one Long in an unboxed LongMap. A third alive
-    // triangle on an edge is geometrically impossible in a valid
+    // (id+1) halves of one Long in the tombstone-free EdgeMap. A third
+    // alive triangle on an edge is geometrically impossible in a valid
     // triangulation; if fp degeneracy ever produces one, bail out to the
     // safe O(n²) form below rather than corrupt the adjacency.
-    val edgeMap = new scala.collection.mutable.LongMap[Long](math.max(16, 8 * n))
+    val edgeMap = new EdgeMap(math.max(16, 4 * n))
     var adjacencyOverflow = false
+    var statLocates = 0L; var statWalkSteps = 0L; var statFullScans = 0L
+    var statCavity = 0L
     @inline def ekey(u: Int, v: Int): Long =
       if (u < v) u.toLong << 32 | v else v.toLong << 32 | u
     def edgeAdd(u: Int, v: Int, id: Int): Unit = {
       val k   = ekey(u, v)
-      val cur = edgeMap.getOrElse(k, 0L)
-      if ((cur & 0xFFFFFFFFL) == 0L) edgeMap(k) = cur | (id + 1).toLong
-      else if ((cur >>> 32) == 0L) edgeMap(k) = cur | ((id + 1).toLong << 32)
+      val cur = edgeMap.get(k)
+      if ((cur & 0xFFFFFFFFL) == 0L) edgeMap.put(k, cur | (id + 1).toLong)
+      else if ((cur >>> 32) == 0L) edgeMap.put(k, cur | ((id + 1).toLong << 32))
       else adjacencyOverflow = true
     }
     def edgeRemove(u: Int, v: Int, id: Int): Unit = {
       val k   = ekey(u, v)
-      val cur = edgeMap.getOrElse(k, 0L)
+      val cur = edgeMap.get(k)
       var lo  = (cur & 0xFFFFFFFFL).toInt
       var hi  = (cur >>> 32).toInt
       if (lo == id + 1) { lo = hi; hi = 0 } else if (hi == id + 1) hi = 0
       if (lo == 0) edgeMap.remove(k)
-      else edgeMap(k) = lo.toLong | (hi.toLong << 32)
+      else edgeMap.put(k, lo.toLong | (hi.toLong << 32))
     }
     def addTri(a: Int, b: Int, c: Int): Int = {
       if (nTri == cap) growTris()
@@ -204,7 +324,7 @@ object Delaunay {
       edgeRemove(tc(id), ta(id), id)
     }
     def neighborAcross(id: Int, u: Int, v: Int): Int = {
-      val cur = edgeMap.getOrElse(ekey(u, v), 0L)
+      val cur = edgeMap.get(ekey(u, v))
       val lo  = (cur & 0xFFFFFFFFL).toInt - 1
       val hi  = (cur >>> 32).toInt - 1
       if (lo >= 0 && lo != id) lo else if (hi >= 0 && hi != id) hi else -1
@@ -227,15 +347,28 @@ object Delaunay {
       det > 0
     }
 
-    /** Orientation-guided walk to a triangle containing (px, py); falls
-      * back to a full scan if the walk stalls (degenerate geometry). The
-      * walk stays inside the super-triangle, so containment always exists,
-      * and a containing triangle always fails the incircle test for its
-      * own interior point — a valid cavity seed. */
-    def locate(start: Int, px: Double, py: Double): Int = {
+    /** REMEMBERING STOCHASTIC walk (Devillers et al., "Walking in a
+      * triangulation", SoCG 2001) to a triangle containing (px, py): step
+      * across a uniformly-chosen edge among those whose opposite
+      * barycentric coordinate is negative, never straight back across the
+      * edge just crossed. The deterministic most-negative-coordinate rule
+      * CYCLES on fp-noisy sliver fans (a clustered band layout spent 16 s
+      * of its 90k-point build burning the step cap + O(T) rescans; the
+      * stochastic choice terminates almost surely and cut it to ~1 s).
+      * The final triangle SET is unchanged: the cavity is the set of
+      * incircle-violating triangles, identical from any valid seed, and
+      * the xorshift is seeded per-insertion — same input, same walk.
+      * Falls back to a full scan if the walk still stalls (degenerate
+      * geometry). The walk stays inside the super-triangle, so containment
+      * always exists, and a containing triangle always fails the incircle
+      * test for its own interior point — a valid cavity seed. */
+    def locate(start: Int, px: Double, py: Double, seed: Int): Int = {
       var cur   = start
+      var prev  = -1
       var steps = 0
+      var rng   = seed | 1 // xorshift32 state (never 0)
       val sCap  = 4 * (nTri + 16)
+      statLocates += 1
       while (steps < sCap) {
         val a = ta(cur); val b = tb(cur); val c = tc(cur)
         val x1 = vx(a); val y1 = vy(a)
@@ -249,17 +382,30 @@ object Delaunay {
           val l2 = ((y3 - y1) * (px - x3) + (x1 - x3) * (py - y3)) / det
           val l3 = 1.0 - l1 - l2
           if (l1 >= -1e-12 && l2 >= -1e-12 && l3 >= -1e-12) return cur
-          // step across the edge opposite the most-negative coordinate
-          var eu = 0; var ev = 0
-          if (l1 <= l2 && l1 <= l3) { eu = b; ev = c }      // l1 -> vertex a
-          else if (l2 <= l1 && l2 <= l3) { eu = c; ev = a } // l2 -> vertex b
-          else { eu = a; ev = b }                           // l3 -> vertex c
-          val nxt = neighborAcross(cur, eu, ev)
+          rng ^= rng << 13; rng ^= rng >>> 17; rng ^= rng << 5
+          val r0 = (rng >>> 1) % 3 // random starting edge
+          var nxt  = -1
+          var back = -1 // the only negative edge leads to prev (last resort)
+          var k = 0
+          while (nxt < 0 && k < 3) {
+            val e = (r0 + k) % 3
+            val neg = if (e == 0) l1 < -1e-12 else if (e == 1) l2 < -1e-12 else l3 < -1e-12
+            if (neg) {
+              // edge opposite vertex e
+              val eu = if (e == 0) b else if (e == 1) c else a
+              val ev = if (e == 0) c else if (e == 1) a else b
+              val nb = neighborAcross(cur, eu, ev)
+              if (nb >= 0) { if (nb != prev) nxt = nb else back = nb }
+            }
+            k += 1
+          }
+          if (nxt < 0) nxt = back
           if (nxt < 0) steps = sCap
-          else { cur = nxt; steps += 1 }
+          else { prev = cur; cur = nxt; steps += 1; statWalkSteps += 1 }
         }
       }
       // fallback: exhaustive scan over alive triangles (rare)
+      statFullScans += 1
       var id = 0
       while (id < nTri) {
         if (alive(id) && circumContains(id, px, py)) return id
@@ -313,7 +459,7 @@ object Delaunay {
       val px  = vx(p); val py = vy(p)
       val gen = pi + 1
       val seed0 = if (alive(last)) last else { var k = nTri - 1; while (k >= 0 && !alive(k)) k -= 1; k }
-      val seed  = locate(seed0, px, py)
+      val seed  = locate(seed0, px, py, 0x9E3779B9 ^ pi)
       if (seed < 0) locateFailed = true
       else {
         // cavity BFS over edge-adjacent bad triangles (badGen marks visit)
@@ -357,6 +503,7 @@ object Delaunay {
           }
           bi += 1
         }
+        statCavity += badN
         var ki = 0
         while (ki < badN) { killTri(badList(ki)); ki += 1 }
         var ni = 0
@@ -364,6 +511,8 @@ object Delaunay {
       }
       pi += 1
     }
+    lastStats = s"locates=$statLocates walkSteps=$statWalkSteps fullScans=$statFullScans " +
+      s"cavity=$statCavity nTri=$nTri"
     if (adjacencyOverflow || locateFailed) return triangulateSafe(xsIn, ysIn)
     val finalTris = ArrayBuffer.empty[Array[Int]]
     val used      = new Array[Boolean](n)

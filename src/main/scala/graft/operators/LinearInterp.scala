@@ -24,6 +24,154 @@ object LinearInterp {
   final case class PixelOut(
       region_id: Long, lon_idx: Int, lat_idx: Int, lon: Double, lat: Double, values: Seq[Double])
 
+  /** A region's interpolation state, SERIALIZED — triangulation (or raw
+    * points for the nearest fallback), per-variable aligned values, and
+    * (cubic) per-variable gradients. Built ONCE per region by
+    * [[buildKernels]] and shared across every tile of an oversized region:
+    * the r16 tile split re-ran the full Delaunay build per tile (a 12-tile
+    * band day triangulated the same 90k points 12×, making the band day
+    * 9.5× the normal-day wall instead of ~2×). `tri` empty ⇒ nearest
+    * fallback on the raw point arrays; `gx` non-empty ⇒ cubic. */
+  final case class RegionKernel(
+      region_id: Long,
+      px: Array[Double],
+      py: Array[Double],
+      tri: Array[Int],            // flattened index triples into px/py
+      vals: Array[Array[Double]], // one array per value column, aligned to px/py
+      gx: Array[Array[Double]],   // cubic only: per-variable gradient x
+      gy: Array[Array[Double]])
+
+  /** Kernel construction from one region's (sounding-index-sorted) points —
+    * the SAME arithmetic as the inline cogroup path, factored so the
+    * build-once/evaluate-per-tile split cannot drift from it. */
+  private def mkKernel(
+      rid: Long, pts: Array[PointIn], nVars: Int, method: String): RegionKernel = {
+    val xs     = pts.map(_.px)
+    val ys     = pts.map(_.py)
+    val perVar = Array.tabulate(nVars)(vi => pts.map(_.values(vi)))
+    val triOpt =
+      if (method != "nearest" && pts.length >= 4) Delaunay.triangulate(xs, ys) else None
+    triOpt match {
+      case Some(t) =>
+        val aligned = perVar.map(t.alignValues)
+        val flat    = new Array[Int](t.triangles.length * 3)
+        var i = 0
+        while (i < t.triangles.length) {
+          val tr = t.triangles(i)
+          flat(3 * i) = tr(0); flat(3 * i + 1) = tr(1); flat(3 * i + 2) = tr(2)
+          i += 1
+        }
+        val (gxs, gys) =
+          if (method == "cubic") {
+            val g = aligned.map(Delaunay.estimateGradients(t, _))
+            (g.map(_.map(_._1)), g.map(_.map(_._2)))
+          } else (Array.empty[Array[Double]], Array.empty[Array[Double]])
+        RegionKernel(rid, t.px, t.py, flat, aligned, gxs, gys)
+      case None =>
+        // nearest fallback evaluates over the FULL point arrays (exact
+        // duplicates included): argmin ties break to the lowest
+        // sounding_index, which dedup would re-order
+        RegionKernel(rid, xs, ys, Array.empty, perVar, Array.empty, Array.empty)
+    }
+  }
+
+  /** Per-task evaluator over a (possibly deserialized) [[RegionKernel]] —
+    * rebuilds the lazy triangle/point indexes once, then evaluates pixels. */
+  private final class KernelEval(k: RegionKernel) {
+    private val nVars = k.vals.length
+    private val triOpt: Option[Delaunay.Triangulation] =
+      if (k.tri.isEmpty) None
+      else Some(Delaunay.Triangulation(
+        k.px, k.py, Array.tabulate(k.px.length)(identity),
+        Array.tabulate(k.tri.length / 3)(i =>
+          Array(k.tri(3 * i), k.tri(3 * i + 1), k.tri(3 * i + 2)))))
+    private val grads: Array[Array[(Double, Double)]] =
+      if (k.gx.isEmpty) null
+      else Array.tabulate(nVars)(vi =>
+        Array.tabulate(k.px.length)(j => (k.gx(vi)(j), k.gy(vi)(j))))
+    private lazy val pgrid = new PointGrid(k.px, k.py)
+    def eval(qx: Double, qy: Double): IndexedSeq[Double] = triOpt match {
+      case Some(tri) =>
+        (0 until nVars).map { vi =>
+          if (grads != null) Delaunay.interpolateCubic(tri, k.vals(vi), grads(vi), qx, qy)
+          else Delaunay.interpolateLinear(tri, k.vals(vi), qx, qy)
+        }
+      case None =>
+        val ni = pgrid.nearest(qx, qy)
+        (0 until nVars).map(vi => k.vals(vi)(ni))
+    }
+  }
+
+  private def pointsOf(soundings: DataFrame, valueCols: Seq[String]): Dataset[PointIn] = {
+    val spark = soundings.sparkSession
+    import spark.implicits._
+    soundings
+      .select(
+        col("region_id").cast("long"),
+        col("sounding_index").cast("long"),
+        col("longitude").cast("double").as("px"),
+        col("latitude").cast("double").as("py"),
+        array(valueCols.map(c => col(c).cast("double")): _*).as("values"))
+      .as[PointIn]
+  }
+
+  private def pixelsOf(pixels: DataFrame): Dataset[PixelIn] = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    pixels
+      .select(
+        col("region_id").cast("long"),
+        col("lon_idx").cast("int"),
+        col("lat_idx").cast("int"),
+        col("lon").cast("double"),
+        col("lat").cast("double"))
+      .as[PixelIn]
+  }
+
+  /** One serialized [[RegionKernel]] per region: shuffle the soundings by
+    * region once, build the triangulation/gradients once. Bounded output —
+    * one row per region, sized by that region's point count. */
+  def buildKernels(
+      soundings: DataFrame, valueCols: Seq[String], method: String): Dataset[RegionKernel] = {
+    val spark = soundings.sparkSession
+    import spark.implicits._
+    pointsOf(soundings, valueCols)
+      .groupByKey(_.region_id)
+      .mapGroups { (rid, it) =>
+        mkKernel(rid, it.toArray.sortBy(_.sounding_index), valueCols.length, method)
+      }
+  }
+
+  /** Evaluate pre-built kernels against pixels — cogroup on the pixel key
+    * (a TILE surrogate when an oversized region was split: each tile
+    * carries a replicated copy of its region's kernel, so per-tile results
+    * are bit-identical to the unsplit region at one triangulation's build
+    * cost instead of one per tile). Output contract identical to
+    * [[interpolate]]. */
+  def interpolateKernels(
+      pixels: DataFrame, kernels: Dataset[RegionKernel], valueCols: Seq[String]): DataFrame = {
+    val spark = pixels.sparkSession
+    import spark.implicits._
+    val out = pixelsOf(pixels)
+      .groupByKey(_.region_id)
+      .cogroup(kernels.groupByKey(_.region_id)) { (_, pit, kit) =>
+        if (!kit.hasNext) Iterator.empty
+        else {
+          val ev = new KernelEval(kit.next())
+          pit.map(p =>
+            PixelOut(p.region_id, p.lon_idx, p.lat_idx, p.lon, p.lat, ev.eval(p.lon, p.lat)))
+        }
+      }
+    expand(out.toDF(), valueCols)
+  }
+
+  private def expand(out: DataFrame, valueCols: Seq[String]): DataFrame = {
+    val expanded = valueCols.zipWithIndex.foldLeft(out) { case (df, (c, i)) =>
+      df.withColumn(c, col("values")(i))
+    }
+    expanded.drop("values")
+  }
+
   /** Exact nearest-point index: argmin of squared distance, ties to the
     * LOWEST point index — identical to the linear scan's `strict <` over
     * ascending indices, which is what keeps the reference's
@@ -128,63 +276,19 @@ object LinearInterp {
       method: String = "linear"): DataFrame = {
     val spark = pixels.sparkSession
     import spark.implicits._
-    val pin: Dataset[PixelIn] = pixels
-      .select(
-        col("region_id").cast("long"),
-        col("lon_idx").cast("int"),
-        col("lat_idx").cast("int"),
-        col("lon").cast("double"),
-        col("lat").cast("double"))
-      .as[PixelIn]
-    val sin: Dataset[PointIn] = soundings
-      .select(
-        col("region_id").cast("long"),
-        col("sounding_index").cast("long"),
-        col("longitude").cast("double").as("px"),
-        col("latitude").cast("double").as("py"),
-        array(valueCols.map(c => col(c).cast("double")): _*).as("values"))
-      .as[PointIn]
-
-    val out = pin
+    val out = pixelsOf(pixels)
       .groupByKey(_.region_id)
-      .cogroup(sin.groupByKey(_.region_id)) { (_, pit, sit) =>
+      .cogroup(pointsOf(soundings, valueCols).groupByKey(_.region_id)) { (rid, pit, sit) =>
         val pts = sit.toArray.sortBy(_.sounding_index)
         if (pts.isEmpty) Iterator.empty
         else {
-          val xs     = pts.map(_.px)
-          val ys     = pts.map(_.py)
-          val triOpt =
-            if (method != "nearest" && pts.length >= 4) Delaunay.triangulate(xs, ys) else None
-          val perVar = valueCols.indices.map(vi => pts.map(_.values(vi))).toArray
-          val aligned = triOpt.map(t => perVar.map(t.alignValues))
-          val grads =
-            if (method == "cubic")
-              (triOpt, aligned) match {
-                case (Some(tri), Some(av)) => Some(av.map(Delaunay.estimateGradients(tri, _)))
-                case _                     => None
-              }
-            else None
-          // one index per group, one search per PIXEL (the same argmin
-          // serves every variable — the old form re-scanned per variable)
-          lazy val pgrid = new PointGrid(xs, ys)
-          pit.map { p =>
-            val vals: IndexedSeq[Double] = (triOpt, aligned) match {
-              case (Some(tri), Some(av)) =>
-                valueCols.indices.map { vi =>
-                  grads match {
-                    case Some(g) => Delaunay.interpolateCubic(tri, av(vi), g(vi), p.lon, p.lat)
-                    case None    => Delaunay.interpolateLinear(tri, av(vi), p.lon, p.lat)
-                  }
-                }
-              case _ =>
-                val ni = pgrid.nearest(p.lon, p.lat)
-                valueCols.indices.map(vi => perVar(vi)(ni))
-            }
-            PixelOut(p.region_id, p.lon_idx, p.lat_idx, p.lon, p.lat, vals)
-          }
+          // same build + eval code as the serialized-kernel path — the two
+          // forms cannot drift
+          val ev = new KernelEval(mkKernel(rid, pts, valueCols.length, method))
+          pit.map(p =>
+            PixelOut(p.region_id, p.lon_idx, p.lat_idx, p.lon, p.lat, ev.eval(p.lon, p.lat)))
         }
       }
-
     // the kernel emits the pixel coordinates itself, so the result is
     // self-contained: NO join back to `pixels` (that join was pixel-sized
     // on BOTH sides — at the 36000×18000 deploy mesh it re-shuffled the
@@ -192,9 +296,6 @@ object LinearInterp {
     // already held). Per-region constants (time / target / mode) are the
     // caller's to re-attach from the region-level table, which is bounded
     // by the region count, not the pixel count.
-    val expanded = valueCols.zipWithIndex.foldLeft(out.toDF()) { case (df, (c, i)) =>
-      df.withColumn(c, col("values")(i))
-    }
-    expanded.drop("values")
+    expand(out.toDF(), valueCols)
   }
 }

@@ -1362,6 +1362,57 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "delaunayband") {
+      // driver-side decomposition of ONE band-day tile task: the same
+      // clustered point geometry h5Soundings produces (640 2°×2° target
+      // blocks along 4 latitude rows), triangulated once, then queried at
+      // the 1-km lattice positions the footprint mask keeps. Separates
+      // triangulate / grid-build (first query) / steady-state query cost —
+      // the numbers the globalband wall is made of.
+      val rows = (0 until n).filter(_ % 10 != 9) // the quality filter's 90%
+      val xsb = new Array[Double](rows.length)
+      val ysb = new Array[Double](rows.length)
+      var ri = 0
+      rows.foreach { i =>
+        val tgt = (i / 200) % nTgt
+        xsb(ri) = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+        ysb(ri) = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+        ri += 1
+      }
+      val vsb = Array.tabulate(rows.length)(i => 400.0 + (rows(i) % 100) / 10.0)
+      val t0 = System.nanoTime()
+      val tri = graft.functions.Delaunay.triangulate(xsb, ysb).get
+      val triSec = (System.nanoTime() - t0) / 1e9
+      println(s"stats: ${graft.functions.Delaunay.lastStats}")
+      val av = tri.alignValues(vsb)
+      // queries at mesh-cell centers covered by footprints: one per point,
+      // ~7 lattice cells each at the 36000x18000 mesh (0.01° steps)
+      val t1 = System.nanoTime()
+      var s = graft.functions.Delaunay.interpolateLinear(tri, av, xsb(0), ysb(0))
+      val buildSec = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      var q = 0
+      var inHull = 0
+      while (q < rows.length) {
+        var c = 0
+        while (c < 7) {
+          val r = graft.functions.Delaunay.interpolateLinear(
+            tri, av, xsb(q) + (c % 3) * 0.01 - 0.01, ysb(q) + (c / 3) * 0.01 - 0.01)
+          if (!r.isNaN) { inHull += 1; s += r }
+          c += 1
+        }
+        q += 1
+      }
+      val qSec = (System.nanoTime() - t2) / 1e9
+      println(
+        s"""{"probe":"delaunay_band","points":${rows.length},"triangles":${tri.triangles.length},""" +
+          s""""triangulate_sec":${BigDecimal(triSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+          s""""grid_build_sec":${BigDecimal(buildSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+          s""""queries":${rows.length * 7},"in_hull":$inHull,""" +
+          s""""query_sec":${BigDecimal(qSec).setScale(3, BigDecimal.RoundingMode.HALF_UP)},"checksum":${s.isNaN}}""")
+      spark.stop()
+      return
+    }
     if (variant == "globalband") {
       // the r15 scale-killer, now expected to COMPLETE: a constant-mode
       // granule (no session-key alternation) collapses to ONE region

@@ -167,4 +167,39 @@ class PipelineSpec extends SparkSpec {
     assert(kernel.size === 400)
     assert(kernel === join)
   }
+
+  test("serialized region kernels evaluate bit-identically to the inline cogroup (all methods)") {
+    import spark.implicits._
+    // the triangulate-once-per-region path (buildKernels →
+    // interpolateKernels, what GlobalPipeline shares across an oversized
+    // region's tiles) must reproduce LinearInterp.interpolate exactly —
+    // the kernel survives an encoder round-trip (Tungsten serialization),
+    // so every double must come back bit-identical. Two regions: a real
+    // triangulation (12 pts, 2 variables) and a 3-point nearest-fallback.
+    val rng = new scala.util.Random(5)
+    val pts = ((0 until 12).map { i =>
+      (1L, i.toLong, 10.0 + rng.nextDouble() * 2, 40.0 + rng.nextDouble() * 2,
+        400.0 + rng.nextDouble() * 10, 0.1 + rng.nextDouble())
+    } ++ (0 until 3).map { i =>
+      (2L, i.toLong, -5.0 + i * 0.3, -45.0 + i * 0.2, 500.0 + i, 0.5)
+    }).toDF("region_id", "sounding_index", "longitude", "latitude", "xco2", "xco2_uncertainty")
+    val pixels = ((0 until 200).map { k =>
+      (1L, k % 20, k / 20, 9.8 + (k % 20) * 0.12, 39.8 + (k / 20) * 0.25)
+    } ++ (0 until 20).map { k =>
+      (2L, k, 0, -5.2 + k * 0.06, -44.9)
+    }).toDF("region_id", "lon_idx", "lat_idx", "lon", "lat")
+    val cols = Seq("xco2", "xco2_uncertainty")
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map { r =>
+        (r.getAs[Long]("region_id"), r.getAs[Int]("lon_idx"), r.getAs[Int]("lat_idx")) ->
+          cols.map(c => java.lang.Double.doubleToLongBits(r.getAs[Double](c)))
+      }.toMap
+    Seq("nearest", "linear", "cubic").foreach { m =>
+      val inline = bits(graft.operators.LinearInterp.interpolate(pixels, pts, cols, m))
+      val shared = bits(graft.operators.LinearInterp.interpolateKernels(
+        pixels, graft.operators.LinearInterp.buildKernels(pts, cols, m), cols))
+      assert(inline.nonEmpty)
+      assert(shared === inline, s"method=$m")
+    }
+  }
 }
