@@ -97,4 +97,35 @@ object Disposition {
     val fs = new Path(queueDir).getFileSystem(conf)
     fs.exists(new Path(new Path(new Path(queueDir), ".deadletter"), name))
   }
+
+  /** Re-queue every dead-lettered message (`RepairJob --redrive`): move it
+    * out of `.deadletter/` back into the queue under `<name>.redrive` and
+    * drop its `.reason` sidecar — the operational analog of manually
+    * redelivering after the reference's `basic_reject(requeue=False)`
+    * once the operator has fixed the conf that poisoned it. The RENAME
+    * matters: the queue source's offset log is keyed by message name, so
+    * re-entering under the original name inside a live checkpoint would
+    * be skipped at discovery yet swept into `.acked` unprocessed; a fresh
+    * name is a fresh message. Idempotent — a second redrive finds an
+    * empty `.deadletter/` and is a no-op; a message whose target name
+    * already exists in the queue is left in place. Returns the re-queued
+    * names. */
+  def redrive(queueDir: String, conf: Configuration): Seq[String] = {
+    val q    = new Path(queueDir)
+    val fs   = q.getFileSystem(conf)
+    val dead = new Path(q, ".deadletter")
+    if (!fs.exists(dead)) return Nil
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    fs.listStatus(dead).toSeq.map(_.getPath).sortBy(_.getName).foreach { p =>
+      val name = p.getName
+      if (!name.startsWith(".") && !name.endsWith(".reason") && !name.endsWith(".crc")) {
+        val dst = new Path(q, s"$name.redrive")
+        if (!fs.exists(dst) && fs.rename(p, dst)) {
+          fs.delete(new Path(dead, s"$name.reason"), false)
+          moved += dst.getName
+        }
+      }
+    }
+    moved.toSeq
+  }
 }

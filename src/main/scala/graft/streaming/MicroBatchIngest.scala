@@ -125,22 +125,55 @@ object MicroBatchIngest {
         // transient → rethrow, Spark replays the batch from the checkpoint
         // (nack/requeue). Without this, one degenerate granule crash-loops
         // the micro-batch and wedges the whole queue behind it.
+        //
+        // (The joint attempt's store append is one atomic write job, so a
+        // guard error during it commits nothing; a non-retryable error in
+        // the climatology refresh AFTER the append committed is benign —
+        // the refresh recomputes from the store, so a later replay or the
+        // survivors' re-run converges it.)
         try runBatch(byMsg.flatMap(_._2).distinct)
         catch {
           case e if Disposition.nonRetryable(e) =>
             if (byMsg.sizeIs <= 1)
               byMsg.foreach { case (name, _) => Disposition.deadLetter(queueDir, name, e, hconf) }
-            else
-              // isolate the poison message: the joint attempt committed
-              // nothing (one atomic write job), so re-run each admitted
-              // message alone against the idempotent store
-              byMsg.foreach { case (name, paths) =>
-                try runBatch(paths)
-                catch {
-                  case e2 if Disposition.nonRetryable(e2) =>
-                    Disposition.deadLetter(queueDir, name, e2, hconf)
-                }
+            else {
+              // identify the poison messages WITHOUT committing: run each
+              // message's product to completion (count over the physical
+              // plan — deterministic guards fire during compute, nothing
+              // writes), then re-run the survivors JOINTLY. Committing
+              // per-message would be wrong: two messages carrying
+              // granules for the SAME day would each dynamic-overwrite
+              // that day's partition (last writer wins, both acked —
+              // silent loss); the joint re-run merges them like the
+              // normal path. A transient error while probing propagates
+              // → Spark replays the batch (nack), as usual.
+              val probed = byMsg.map { case (name, paths) =>
+                val err =
+                  try {
+                    graft.CacheScope.withScope {
+                      buildProduct(paths).queryExecution.toRdd.count()
+                    }
+                    None
+                  } catch { case e2 if Disposition.nonRetryable(e2) => Some(e2) }
+                (name, paths, err)
               }
+              probed.foreach {
+                case (name, _, Some(e2)) => Disposition.deadLetter(queueDir, name, e2, hconf)
+                case _                   => ()
+              }
+              val ok = probed.collect { case (name, paths, None) => (name, paths) }
+              try runBatch(ok.flatMap(_._2).distinct)
+              catch {
+                case e3 if Disposition.nonRetryable(e3) =>
+                  // combination-only deterministic failure (each message
+                  // passed alone): dead-letter the group with the shared
+                  // reason rather than crash-loop the queue — the redrive
+                  // path reprocesses them once the operator fixes the conf
+                  ok.foreach { case (name, _) =>
+                    Disposition.deadLetter(queueDir, name, e3, hconf)
+                  }
+              }
+            }
         }
       }
       .start()

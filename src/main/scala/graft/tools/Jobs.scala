@@ -53,7 +53,16 @@ object RepairJob {
       val (b, a) = ProductStore.compact(spark, store, compactDays, targetRows, zOrder, bloomCols)
       s""","files_before":$b,"files_after":$a,"zorder":$zOrder"""
     } else ""
-    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted}""")
+    // --redrive <queueDir>: re-queue dead-lettered messages (after the
+    // operator fixed the conf that poisoned them) — the next ingest run
+    // reprocesses them; the store append is idempotent either way.
+    val redriven = args.sliding(2)
+      .collectFirst { case Array("--redrive", q) =>
+        val names = graft.streaming.Disposition.redrive(q, spark.sessionState.newHadoopConf())
+        s""","redriven":${names.length}"""
+      }
+      .getOrElse("")
+    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted$redriven}""")
     if (!preExisting) spark.stop()
   }
 }

@@ -208,14 +208,92 @@ class FileQueueSpec extends SparkSpec {
       val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
       assert(acked === Set("msg-day1", "msg-day3"))
       // split mode (the default): the SAME degenerate granule processes —
-      // tiled into ceiling-bounded strips instead of rejected
+      // tiled into ceiling-bounded strips instead of rejected. The retry
+      // path is the OPERATIONAL one: `RepairJob --redrive` moves the
+      // dead-lettered message back into the queue (under a fresh name, so
+      // the offset log admits it) and clears its `.reason` sidecar.
       spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "split")
-      writeMsg(queue, "msg-day2-retry", Seq(g2))
+      graft.tools.RepairJob.main(Array(store, "--redrive", queue.toString))
+      val deadAfter = new java.io.File(queue.resolve(".deadletter").toString).list()
+        .filterNot(_.startsWith(".")).toSet
+      assert(deadAfter === Set.empty[String], s"deadletter not drained: $deadAfter")
+      assert(Files.exists(queue.resolve("msg-day2.redrive")))
+      // idempotent: a second redrive is a no-op
+      assert(graft.streaming.Disposition.redrive(
+        queue.toString, spark.sessionState.newHadoopConf()) === Nil)
       drain(Files.createTempDirectory("poison-ckpt2").toString)
       val after = graft.sinks.ProductStore.read(spark, store)
       assert(after.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted ===
         Array("2023-06-15", "2023-06-16", "2023-06-17"))
       assert(after.filter(col("day").cast("string") === "2023-06-16").count() > 0)
+      // the redriven message is acked away; the queue is clean
+      val ackedAfter = new java.io.File(queue.resolve(".acked").toString).list().toSet
+      assert(ackedAfter.contains("msg-day2.redrive"))
+    } finally {
+      spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
+      spark.conf.unset(GlobalPipeline.OversizeRegionsConfKey)
+    }
+  }
+
+  test("poison isolation re-runs the survivors JOINTLY: same-day messages merge, none lost") {
+    import graft.domain.{GlobalPipeline, Pipeline}
+    import graft.sources.SyntheticGranule.sounding
+    // One multi-message batch (maxMessagesPerBatch=3): msg A and msg B
+    // each carry a DIFFERENT granule for the SAME day; msg C is a
+    // degenerate band granule that trips the region ceiling under fail
+    // mode. The per-message isolation of r16 re-ran A then B alone, and
+    // the second dynamic day-partition overwrite erased A's pixels while
+    // both messages were acked — silent loss. The leave-one-out form must
+    // dead-letter ONLY C and land A∪B merged, identical to a joint run.
+    val queue = Files.createTempDirectory("iso-queue")
+    val gran  = Files.createTempDirectory("iso-granules")
+    val store = Files.createTempDirectory("iso-store").resolve("store").toString
+    def mkNc(name: String, lonBase: Double, degenerate: Boolean): String = {
+      val ss =
+        if (degenerate)
+          (0 until 24).map(i => sounding(i, 40.0 + 0.05 * (i % 5), -60.0 + 5.0 * i,
+            mode = 4, target = "fossil0001", day = "2023-06-16"))
+        else
+          (0 until 6).map(i => sounding(i, 41.0 + 0.1 * i, lonBase + 0.1 * i,
+            mode = if (i == 3) 0 else 4, target = "fossil0001", day = "2023-06-15"))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    val gA = mkNc("oco3_LtCO2_20230615_A.nc", lonBase = 11.0, degenerate = false)
+    val gB = mkNc("oco3_LtCO2_20230615_B.nc", lonBase = 21.0, degenerate = false)
+    val gC = mkNc("oco3_LtCO2_20230616_C.nc", lonBase = 0.0, degenerate = true)
+    writeMsg(queue, "msg-a", Seq(gA))
+    writeMsg(queue, "msg-b", Seq(gB))
+    writeMsg(queue, "msg-c", Seq(gC))
+    val mesh = graft.operators.Grid.GridSpec(-180.0, 180.0, 3600, -90.0, 90.0, 1800)
+    val globalProduct = Some((s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
+      GlobalPipeline.toStoreVariables("oco3", GlobalPipeline.process(
+        graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+        mesh, Pipeline.Config())))
+    spark.conf.set(GlobalPipeline.MaxRegionPixelsConfKey, "10000")
+    spark.conf.set(GlobalPipeline.OversizeRegionsConfKey, "fail")
+    try {
+      graft.streaming.MicroBatchIngest.ingestQueue(
+        spark, queue.toString, Files.createTempDirectory("iso-ckpt").toString, store,
+        spark.emptyDataFrame, maxMessagesPerBatch = 3,
+        product = globalProduct).awaitTermination()
+      val dead = new java.io.File(queue.resolve(".deadletter").toString).list()
+        .filterNot(_.startsWith(".")).toSet
+      assert(dead === Set("msg-c", "msg-c.reason"))
+      val stored = graft.sinks.ProductStore.read(spark, store)
+        .filter(col("day").cast("string") === "2023-06-15" && col("variable").endsWith("xco2"))
+      // BOTH granules' pixel neighborhoods present in the one day partition
+      val nA = stored.filter(col("lon").between(10.0, 13.0)).count()
+      val nB = stored.filter(col("lon").between(20.0, 23.0)).count()
+      assert(nA > 0, "msg-a's same-day pixels were lost by the isolation re-run")
+      assert(nB > 0, "msg-b's same-day pixels were lost by the isolation re-run")
+      // and the merged day equals a direct joint run of A+B (same pipeline)
+      val joint = globalProduct.get(spark, Seq(gA, gB))
+        .filter(to_date(col("time")).cast("string") === "2023-06-15" &&
+          col("variable").endsWith("xco2"))
+      assert(stored.count() === joint.count())
     } finally {
       spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
       spark.conf.unset(GlobalPipeline.OversizeRegionsConfKey)
