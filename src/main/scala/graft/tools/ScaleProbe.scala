@@ -1060,6 +1060,289 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "prodloop3") {
+      // the 3-MISSION day through the STREAMING loop at the global mesh —
+      // runjob3 proved the batch front door; this drives the same
+      // mission-dispatched product through ingestQueue: each queue message
+      // names one day's THREE granules (oco3 targeted, oco2 mode-only,
+      // oco3_sif via /Sequences), the product builder dispatches per
+      // mission by the reference's file-naming and SEQUENCES the mission
+      // builds (eager localCheckpoint per mission — the memory shape that
+      // fits the single-mission envelope), unions mission-prefixed store
+      // variables, and the loop appends to ONE idempotent store with
+      // per-batch climatology state keyed by variable. Seams: per-day
+      // walls, replay convergence, compact content-equality, fold vs
+      // rescan bit-equality, z-order box skip, per-mission pixel presence.
+      // args(5) = nDays.
+      val nDays = if (args.length > 5) args(5).toInt else 3
+      val mesh  = graft.operators.Grid.GridSpec(
+        -180.0, 180.0, 100 * gridN, -90.0, 90.0, 50 * gridN)
+      val base  = java.nio.file.Files.createTempDirectory("prodloop3")
+      val queue = base.resolve("queue"); java.nio.file.Files.createDirectories(queue)
+      val store = base.resolve("store").toString
+      val state = base.resolve("state").toString
+      val day0  = java.time.LocalDate.parse("2023-06-15")
+      val days  = (0 until nDays).map(di => day0.plusDays(di.toLong).toString)
+      days.zipWithIndex.foreach { case (d, di) =>
+        val tag  = d.replace("-", "")
+        val oco3 = base.resolve(s"oco3_LtCO2_${tag}_B10400Br.nc4")
+        java.nio.file.Files.write(oco3,
+          graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+            h5Soundings(n, nTgt, d), chunkRows = 16384, deflateLevel = 4))
+        val oco2 = base.resolve(s"oco2_LtCO2_${tag}_B11100Ar.nc4")
+        java.nio.file.Files.write(oco2,
+          graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+            h5Soundings(n, nTgt, d).map(_.copy(target_id = "")),
+            chunkRows = 16384, deflateLevel = 4))
+        val sif = base.resolve(s"oco3_LtSIF_${tag}_B10400Br.nc4")
+        val sifEpoch = (java.time.LocalDate.parse(d).toEpochDay -
+          java.time.LocalDate.parse("1990-01-01").toEpochDay) * 86400.0 + 37800.0
+        val sifRows = (0 until n / 2).map { i =>
+          val tgt = (i / 200) % nTgt
+          val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+          val lat = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+          graft.sources.netcdf.NetCDFGranules.SifSounding(
+            i.toLong, lat, lon, sifEpoch + i * 0.1,
+            Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
+            Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
+            quality_flag = if (i % 10 == 9) 1 else 0,
+            daily_sif = 1.0 + (i % 100) / 50.0,
+            operation_mode = if (tgt % 2 == 0) 3 else 0, sequences_index = tgt)
+        }
+        java.nio.file.Files.write(sif,
+          graft.sources.netcdf.NetCDFGranules.writeSifGranuleH5(
+            sifRows, (0 until nTgt).map(i => f"fossil$i%04d")))
+        java.nio.file.Files.write(
+          queue.resolve(f"msg-$di%03d"),
+          Seq(oco3, oco2, sif).map(_.toString).mkString("\n").getBytes("UTF-8"))
+      }
+      val cfg = Pipeline.Config(method = method)
+      // per-mission dispatch by the reference's granule naming
+      // (RunJob's missionGlobal, re-expressed over a path list)
+      def threeMissionProduct(
+          s: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+        import graft.domain.{GlobalPipeline, SifPipeline}
+        import graft.sources.netcdf.NetCDFGranules
+        val byMission = paths.groupBy { p =>
+          val f = new java.io.File(p).getName
+          if (f.contains("LtSIF")) "oco3_sif"
+          else if (f.startsWith("oco2_")) "oco2"
+          else "oco3"
+        }
+        byMission.toSeq.sortBy(_._1).map { case (m, ps) =>
+          val product = m match {
+            case "oco3" =>
+              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+                NetCDFGranules.readGranules(s, ps).drop("sounding_id"), mesh, cfg))
+            case "oco2" =>
+              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+                NetCDFGranules.readGranules(s, ps).drop("sounding_id"),
+                mesh, cfg.copy(samMode = cfg.targetMode)))
+            case "oco3_sif" =>
+              val soundings = NetCDFGranules.readSifGranules(s, ps)
+                .withColumn("time", SifPipeline.sifTime(col("delta_time")))
+              val resolved = SifPipeline.resolveTargets(
+                soundings, NetCDFGranules.readSifSequences(s, ps))
+              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+                resolved, mesh, cfg.copy(samMode = 3, targetMode = 2),
+                valueCols = Seq("daily_sif"),
+                quality = (df, _) => SifPipeline.qualityFilter(df)))
+          }
+          // sequence the mission builds (the runjob3 memory shape): each
+          // mission materializes before the next builds
+          if (byMission.sizeIs > 1) product.localCheckpoint(true) else product
+        }.reduce(_.unionByName(_))
+      }
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def sig(): (Long, BigDecimal) = {
+        val df = graft.sinks.ProductStore.read(spark, store)
+        val h  = df.select(xxhash64(df.columns.sorted.map(col): _*).as("h"))
+        val r = h.agg(count(lit(1)).as("n"), sum(col("h").cast("decimal(38,0)")).as("s"))
+          .collect()(0)
+        (r.getLong(0), BigDecimal(r.getDecimal(1)))
+      }
+      val keys = Seq("variable")
+      def drain(ckpt: String): org.apache.spark.sql.streaming.StreamingQuery = {
+        val q = graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue.toString, base.resolve(ckpt).toString, store, catalog,
+          cfg, maxMessagesPerBatch = 1,
+          climatologyState = Some(state), stateKeys = keys,
+          product = Some(threeMissionProduct))
+        q.awaitTermination(); q
+      }
+      val (q1, ingestSec) = timed(drain("ckpt"))
+      val perBatch = q1.recentProgress.toSeq
+        .filter(_.numInputRows > 0)
+        .map(p => BigDecimal(p.batchDuration / 1000.0).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      val sigAfterIngest = sig()
+      val (_, replaySec) = timed {
+        java.nio.file.Files.write(
+          queue.resolve("msg-replay"),
+          java.nio.file.Files.readAllBytes(queue.resolve(".acked").resolve("msg-000")))
+        drain("ckpt2")
+      }
+      val replayConverges = sig() == sigAfterIngest
+      val dayRows = sigAfterIngest._1 / math.max(1, nDays)
+      val ((filesBefore, filesAfter), compactSec) = timed {
+        graft.sinks.ProductStore.compact(
+          spark, store, days, targetRows = math.max(100L * 1000, dayRows / 12),
+          zOrder = true)
+      }
+      val compactPure = sig() == sigAfterIngest
+      val dupsAfter   = graft.sinks.ProductStore.findDuplicates(spark, store).count()
+      val product = graft.sinks.ProductStore.read(spark, store)
+      val (inc, foldSec) = timed {
+        val m = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val (full, rescanSec) = timed {
+        val m = graft.operators.Climatology
+          .temporalMean(product, "time", "value", "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val climoEqual = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      val boxLo = ((-120.0 + 180.0) / 360.0 * (100 * gridN - 1)).toInt
+      val boxHi = boxLo + (100 * gridN) / 180 * 2
+      val ((boxRows, boxFiles), boxSec) = timed {
+        val box = product.filter(col("lon_idx").between(boxLo, boxHi))
+        (box.count(), box.select(input_file_name()).distinct().count())
+      }
+      // per-mission presence: each science variable carries real pixels
+      val sciCounts = Seq("OCO3_global_xco2", "OCO2_global_xco2", "OCO3_SIF_global_daily_sif")
+        .map(v => v -> product.filter(col("variable") === v).count())
+      def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"prod_loop_3mission","soundings_per_day":{"oco3":$n,"oco2":$n,"sif":${n / 2}},""" +
+          s""""days":$nDays,"mesh":"${100 * gridN}x${50 * gridN}","method":"$method",""" +
+          s""""ingest_sec":${r(ingestSec)},"per_day_sec":[${perBatch.mkString(",")}],""" +
+          s""""replay_sec":${r(replaySec)},"replay_converges":$replayConverges,""" +
+          s""""compact_sec":${r(compactSec)},"files_before":$filesBefore,"files_after":$filesAfter,""" +
+          s""""compact_content_equal":$compactPure,"duplicates_after":$dupsAfter,""" +
+          s""""state_fold_sec":${r(foldSec)},"full_rescan_sec":${r(rescanSec)},""" +
+          s""""climo_bit_equal":$climoEqual,"box_rows":$boxRows,"box_files":$boxFiles,""" +
+          s""""box_skips_files":${boxRows > 0 && boxFiles < filesAfter},"box_sec":${r(boxSec)},""" +
+          s""""store_rows":${sigAfterIngest._1},""" +
+          s""""pixels":{${sciCounts.map { case (v, c) => s""""$v":$c""" }.mkString(",")}}}""")
+      spark.stop()
+      return
+    }
+    if (variant == "soakglobal") {
+      // LONG-HORIZON streaming soak (the remaining 100-TB operational
+      // unknown: everything above runs ≤10 days): args(5) days (default
+      // 30) through the composed global-mesh loop in decade chunks —
+      // enqueue 10 days, drain on the SAME checkpoint, compact the new
+      // days, snapshot the off-path costs that must stay bounded:
+      // checkpoint dir bytes, climatology state rows/files, store file
+      // count. Flat per-day wall + non-monotone off-path growth (beyond
+      // the store itself) is the pass criterion; final fold-vs-rescan
+      // bit-equality and a box read close the loop.
+      val nDays = if (args.length > 5) args(5).toInt else 30
+      val chunk = 10
+      val mesh  = graft.operators.Grid.GridSpec(
+        -180.0, 180.0, 100 * gridN, -90.0, 90.0, 50 * gridN)
+      val base  = java.nio.file.Files.createTempDirectory("soakg")
+      val queue = base.resolve("queue"); java.nio.file.Files.createDirectories(queue)
+      val store = base.resolve("store").toString
+      val state = base.resolve("state").toString
+      val ckpt  = base.resolve("ckpt").toString
+      val day0  = java.time.LocalDate.parse("2023-06-15")
+      val cfg   = Pipeline.Config(method = method)
+      val keys  = Seq("variable")
+      val globalProduct = Some(
+        (s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
+          graft.domain.GlobalPipeline.toStoreVariables(
+            "oco3",
+            graft.domain.GlobalPipeline.process(
+              graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+              mesh, cfg)))
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def du(p: java.nio.file.Path): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum) else f.length()
+        walk(p.toFile)
+      }
+      def storeFiles(): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(store))
+      }
+      val decades = (0 until nDays).grouped(chunk).toSeq
+      val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
+      decades.zipWithIndex.foreach { case (dayIdxs, di) =>
+        val days = dayIdxs.map(i => day0.plusDays(i.toLong).toString)
+        days.zipWithIndex.foreach { case (d, j) =>
+          val g = base.resolve(s"oco3_LtCO2_${d.replace("-", "")}_B10400Br.nc4")
+          java.nio.file.Files.write(
+            g, graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+              h5Soundings(n, nTgt, d), chunkRows = 16384, deflateLevel = 4))
+          java.nio.file.Files.write(
+            queue.resolve(f"msg-${dayIdxs.head + j}%03d"), g.toString.getBytes("UTF-8"))
+        }
+        val (q, drainSec) = timed {
+          val q = graft.streaming.MicroBatchIngest.ingestQueue(
+            spark, queue.toString, ckpt, store, catalog, cfg,
+            maxMessagesPerBatch = 1, climatologyState = Some(state),
+            stateKeys = keys, product = globalProduct)
+          q.awaitTermination(); q
+        }
+        val batchWalls = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.batchDuration / 1000.0)
+        val (_, compactSec) = timed {
+          graft.sinks.ProductStore.compact(
+            spark, store, days, targetRows = 600L * 1000, zOrder = true)
+        }
+        val stateRows  = spark.read.parquet(state).count()
+        val stateFiles = {
+          def walk(f: java.io.File): Long =
+            if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+            else if (f.getName.endsWith(".parquet")) 1L else 0L
+          walk(new java.io.File(state))
+        }
+        def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        rowsOut += s"""{"decade":$di,"days":${days.length},"drain_sec":${r2(drainSec)},""" +
+          s""""mean_day_sec":${r2(batchWalls.sum / math.max(1, batchWalls.length))},""" +
+          s""""max_day_sec":${r2(if (batchWalls.isEmpty) 0 else batchWalls.max)},""" +
+          s""""compact_sec":${r2(compactSec)},"ckpt_bytes":${du(java.nio.file.Paths.get(ckpt))},""" +
+          s""""state_rows":$stateRows,"state_files":$stateFiles,"store_files":${storeFiles()}}"""
+      }
+      // close the loop: fold vs rescan bit-equality + a box read
+      val product = graft.sinks.ProductStore.read(spark, store)
+      def timed2[T](body: => T): (T, Double) = timed(body)
+      val (inc, foldSec) = timed2 {
+        val m = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val (full, rescanSec) = timed2 {
+        val m = graft.operators.Climatology
+          .temporalMean(product, "time", "value", "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val climoEqual = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      val boxLo = ((-120.0 + 180.0) / 360.0 * (100 * gridN - 1)).toInt
+      val boxHi = boxLo + (100 * gridN) / 180 * 2
+      val (boxRows, boxSec) = timed2 {
+        product.filter(col("lon_idx").between(boxLo, boxHi)).count()
+      }
+      def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"soak_global","soundings_per_day":$n,"days":$nDays,""" +
+          s""""mesh":"${100 * gridN}x${50 * gridN}","method":"$method",""" +
+          s""""decades":[${rowsOut.mkString(",")}],""" +
+          s""""state_fold_sec":${r(foldSec)},"full_rescan_sec":${r(rescanSec)},""" +
+          s""""climo_bit_equal":$climoEqual,"box_rows":$boxRows,"box_sec":${r(boxSec)},""" +
+          s""""store_rows":${product.count()}}""")
+      spark.stop()
+      return
+    }
     if (variant == "runjob") {
       // full FRONT-DOOR probe: one synthetic L2 Lite granule file driven
       // through RunJob's YAML config — global Zarr store at the parametric
