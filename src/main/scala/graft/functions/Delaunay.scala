@@ -165,7 +165,7 @@ object Delaunay {
     * LongMap[Long] incurs. Key 0 is the empty sentinel: edge keys pack
     * (min<<32 | max) of two DISTINCT vertex ids, so key 0 (edge 0–0)
     * cannot occur. Load ≤ 1/2, capacity a power of two. */
-  private final class EdgeMap(expected: Int) {
+  private[graft] final class EdgeMap(expected: Int) {
     private var cap  = Integer.highestOneBit(math.max(64, expected)) * 4
     private var mask = cap - 1
     private var ks   = new Array[Long](cap)
