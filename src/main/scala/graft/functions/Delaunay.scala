@@ -149,9 +149,11 @@ object Delaunay {
     }
   }
 
-  /** Diagnostic counters from the LAST triangulate() call (single-threaded
-    * per task; for probe introspection only). */
-  private[graft] var lastStats: String = ""
+  /** Diagnostic counters from the LAST triangulate() call — for probe
+    * introspection only. Volatile because concurrent tasks in one executor
+    * JVM may each write it (last writer wins; readers are single-threaded
+    * driver-side probes). */
+  @volatile private[graft] var lastStats: String = ""
 
   /** Open-addressing long→long hash map (linear probing, BACKWARD-SHIFT
     * deletion, unboxed) — the edge-adjacency store for the incremental

@@ -301,4 +301,66 @@ class DelaunaySpec extends AnyFunSuite {
     val dy = Array.fill(300)(math.floor(r.nextDouble() * 10) / 2.0)
     coverage("coarse duplicates", dx, dy)
   }
+
+  test("fuzz: clustered layouts across seeds — Delaunay property, sample reproduction, planar exactness") {
+    // The r17 kernel internals (EdgeMap adjacency, stochastic walk,
+    // scanline triangle grid) all shipped this round; fuzz them with the
+    // geometry the band day actually has: K clusters along a wide flat
+    // band, cluster spans drawn per seed. Invariants per seed: every kept
+    // point is a triangle vertex; interpolateLinear reproduces a planar
+    // field exactly at cluster-interior queries; the empty-circumcircle
+    // property holds on a sampled triangle subset.
+    (1 to 12).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      val k = 5 + r.nextInt(40)
+      val perCluster = 20 + r.nextInt(120)
+      val span = 0.2 + r.nextDouble() * 3.0
+      val pts = (0 until k).flatMap { c =>
+        val cx = -150.0 + c * (300.0 / k)
+        val cy = -5.0 + (c % 4) * 3.0
+        (0 until perCluster).map { _ =>
+          (cx + r.nextDouble() * span, cy + r.nextDouble() * span)
+        }
+      }
+      val xs = pts.map(_._1).toArray
+      val ys = pts.map(_._2).toArray
+      def f(x: Double, y: Double) = 2.5 * x - 1.25 * y + 11.0
+      val vs  = xs.zip(ys).map { case (x, y) => f(x, y) }
+      val tri = Delaunay.triangulate(xs, ys).getOrElse(fail(s"seed $seed: no triangulation"))
+      val used = tri.triangles.flatten.toSet
+      assert(used === tri.px.indices.toSet, s"seed $seed: vertex dropped")
+      val av = tri.alignValues(vs)
+      // planar exactness at cluster-interior query points
+      (0 until k).foreach { c =>
+        val cx = -150.0 + c * (300.0 / k) + span / 2
+        val cy = -5.0 + (c % 4) * 3.0 + span / 2
+        val got = Delaunay.interpolateLinear(tri, av, cx, cy)
+        if (!got.isNaN)
+          assert(math.abs(got - f(cx, cy)) < 1e-7, s"seed $seed cluster $c: $got vs ${f(cx, cy)}")
+      }
+      // sampled empty-circumcircle checks (full check is O(T·n))
+      val rr = new scala.util.Random(seed + 99)
+      (0 until 40).foreach { _ =>
+        val t = tri.triangles(rr.nextInt(tri.triangles.length))
+        val (x1, y1) = (tri.px(t(0)), tri.py(t(0)))
+        val (x2, y2) = (tri.px(t(1)), tri.py(t(1)))
+        val (x3, y3) = (tri.px(t(2)), tri.py(t(2)))
+        val d = 2 * (x1 * (y2 - y3) + x2 * (y3 - y1) + x3 * (y1 - y2))
+        if (math.abs(d) > 1e-9) {
+          val ux = ((x1 * x1 + y1 * y1) * (y2 - y3) + (x2 * x2 + y2 * y2) * (y3 - y1) +
+            (x3 * x3 + y3 * y3) * (y1 - y2)) / d
+          val uy = ((x1 * x1 + y1 * y1) * (x3 - x2) + (x2 * x2 + y2 * y2) * (x1 - x3) +
+            (x3 * x3 + y3 * y3) * (x2 - x1)) / d
+          val r2 = (x1 - ux) * (x1 - ux) + (y1 - uy) * (y1 - uy)
+          (0 until 50).foreach { _ =>
+            val i = rr.nextInt(tri.px.length)
+            if (i != t(0) && i != t(1) && i != t(2)) {
+              val d2 = (tri.px(i) - ux) * (tri.px(i) - ux) + (tri.py(i) - uy) * (tri.py(i) - uy)
+              assert(d2 >= r2 * (1 - 1e-9) - 1e-7, s"seed $seed: point in circumcircle")
+            }
+          }
+        }
+      }
+    }
+  }
 }
