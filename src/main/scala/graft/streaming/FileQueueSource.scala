@@ -152,14 +152,38 @@ class FileQueueStream(
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(maxPerBatch.toLong)
   override def reportLatestOffset(): Offset = MsgOffset(readLog().length.toLong)
 
-  /** Ack every message below `upTo`: move it out of the queue (idempotent —
-    * replays re-ack as a no-op, and the reader falls back to `.acked/` so a
-    * replayed batch stays readable even after its files moved). */
-  private def ack(upTo: Long): Unit =
-    readLog().take(upTo.toInt).foreach { name =>
+  /** Durable acked watermark: the count of messages already moved out of
+    * the queue. Without it every ack re-probed EVERY prior message name
+    * with an `exists` call — O(messages²) filesystem round-trips over the
+    * queue's lifetime (at the reference's 15-min cadence that is tens of
+    * thousands of object-store HEAD requests per batch within a year).
+    * Written AFTER the renames, monotone, so a crash between rename and
+    * watermark replays only the last delta (rename of a moved name is a
+    * skipped no-op — the ack stays idempotent). */
+  private val wmPath = new Path(checkpointLocation, "filequeue-acked.watermark")
+  private def readWatermark(): Long =
+    if (!fs.exists(wmPath)) 0L
+    else {
+      val src = scala.io.Source.fromInputStream(fs.open(wmPath), "UTF-8")
+      try src.mkString.trim.toLong finally src.close()
+    }
+  @volatile private var ackedWatermark: Long = -1L // lazy: loaded on first ack
+
+  /** Ack every message below `upTo`: move the DELTA above the durable
+    * watermark out of the queue (idempotent — replays re-ack as a no-op,
+    * and the reader falls back to `.acked/` so a replayed batch stays
+    * readable even after its files moved). */
+  private def ack(upTo: Long): Unit = {
+    if (ackedWatermark < 0) ackedWatermark = readWatermark()
+    if (upTo <= ackedWatermark) return
+    readLog().slice(ackedWatermark.toInt, upTo.toInt).foreach { name =>
       val p = new Path(qPath, name)
       if (fs.exists(p)) fs.rename(p, new Path(ackedDir, name))
     }
+    val out = fs.create(wmPath, true)
+    try out.write(s"$upTo\n".getBytes("UTF-8")) finally out.close()
+    ackedWatermark = upTo
+  }
 
   /** Trigger.AvailableNow: freeze the drain target at query start — batches
     * still pace at `maxPerBatch`, and the query stops once the frozen

@@ -324,5 +324,23 @@ class FileQueueSpec extends SparkSpec {
     writeMsg(queue, "m2", Seq(g1))
     // second run must deliver ONLY the new message (m1 committed+acked)
     assert(runOnce() === Set("m2"))
+
+    // --- acked watermark: commits touch only the delta, and losing the
+    // watermark file (crash between renames and watermark write) only
+    // replays the last delta as skipped no-op renames
+    def wmFile(): java.io.File = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+      walk(new java.io.File(ckpt)).find(_.getName == "filequeue-acked.watermark")
+        .getOrElse(fail("no watermark file written"))
+    }
+    val wm = wmFile()
+    assert(new String(Files.readAllBytes(wm.toPath), "UTF-8").trim.toLong >= 2L)
+    Files.delete(wm.toPath) // crash-sim: watermark lost after renames
+    writeMsg(queue, "m3", Seq(g1))
+    assert(runOnce() === Set("m3")) // m1/m2 re-ack as no-ops, m3 delivers
+    assert(new String(Files.readAllBytes(wmFile().toPath), "UTF-8").trim.toLong === 3L)
+    val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
+    assert(Set("m1", "m2", "m3").subsetOf(acked))
   }
 }
