@@ -515,7 +515,19 @@ object Delaunay {
     }
     lastStats = s"locates=$statLocates walkSteps=$statWalkSteps fullScans=$statFullScans " +
       s"cavity=$statCavity nTri=$nTri"
-    if (adjacencyOverflow || locateFailed) return triangulateSafe(xsIn, ysIn)
+    if (adjacencyOverflow || locateFailed) {
+      // the bail result is coverage-checked too: triangulateSafe's
+      // containment-seeded degenerate insert keeps co-circular points, but
+      // if an fp-pathological input still drops any, surface the count so
+      // probes (and the interpolation path via lastStats) can see it
+      // instead of silently changing interpolated values.
+      val safeOpt  = triangulateSafe(xsIn, ysIn)
+      val nKept    = safeOpt.fold(n)(_.px.length)
+      val safeCov  = safeOpt.fold(0)(_.triangles.flatten.distinct.length)
+      lastStats += s" bail=${if (adjacencyOverflow) "adjacency" else "locate"}" +
+        s" safeDropped=${nKept - safeCov}"
+      return safeOpt
+    }
     val finalTris = ArrayBuffer.empty[Array[Int]]
     val used      = new Array[Boolean](n)
     var id = 0
@@ -543,7 +555,14 @@ object Delaunay {
       val fastCover = used.count(identity)
       val safeOpt   = triangulateSafe(xsIn, ysIn)
       val safeCover = safeOpt.fold(0)(_.triangles.flatten.distinct.length)
-      if (safeCover > fastCover) return safeOpt
+      // on a TIE neither path dominates (they can drop different
+      // vertices); keep the fast result but surface the residual count
+      // either way so probes can see a silent drop instead of guessing
+      if (safeCover > fastCover) {
+        lastStats += s" coverSwitch=safe residualDropped=${n - safeCover}"
+        return safeOpt
+      }
+      lastStats += s" coverSwitch=fast residualDropped=${n - fastCover}"
     }
     if (finalTris.isEmpty) None
     else Some(Triangulation(xs, ys, keep.toArray, finalTris.toArray))
@@ -590,9 +609,30 @@ object Delaunay {
         (bx_ * bx_ + by_ * by_) * (ax_ * cy_ - cx_ * ay_) +
         (cx_ * cx_ + cy_ * cy_) * (ax_ * by_ - bx_ * ay_) > 0
     }
+    // barycentric containment (sign-agnostic) — the degenerate-insert seed
+    def containsPt(t: Tri, px: Double, py: Double): Boolean = {
+      val x1 = vx(t.a); val y1 = vy(t.a)
+      val x2 = vx(t.b); val y2 = vy(t.b)
+      val x3 = vx(t.c); val y3 = vy(t.c)
+      val d1 = (px - x2) * (y1 - y2) - (x1 - x2) * (py - y2)
+      val d2 = (px - x3) * (y2 - y3) - (x2 - x3) * (py - y3)
+      val d3 = (px - x1) * (y3 - y1) - (x3 - x1) * (py - y1)
+      !((d1 < 0 || d2 < 0 || d3 < 0) && (d1 > 0 || d2 > 0 || d3 > 0))
+    }
     var p = 0
     while (p < n) {
-      val bad    = tris.filter(t => circumContains(t, vx(p), vy(p)))
+      var bad = tris.filter(t => circumContains(t, vx(p), vy(p)))
+      if (bad.isEmpty) {
+        // exactly-co-circular degenerate: the strict `> 0` incircle test
+        // never marks a tie bad, so the point would be inserted into
+        // NOTHING and silently vanish from the triangulation (the hazard
+        // this kernel's coverage checks exist to prevent). Seed the cavity
+        // by barycentric containment instead — like the fast path's locate
+        // seed. A point on a shared edge collects both incident triangles,
+        // so the boundary ring is the quad and no sliver is created. Only
+        // reachable on exact ties: healthy inputs are bit-identical.
+        bad = tris.filter(t => containsPt(t, vx(p), vy(p)))
+      }
       val badSet = bad.toSet
       val edges  = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
       bad.foreach { t =>
@@ -605,12 +645,55 @@ object Delaunay {
       edges.foreach { case ((u, v), cnt) => if (cnt == 1) tris += Tri(u, v, p) }
       p += 1
     }
-    val finalTris = tris
-      .filterNot(t => t.a >= n || t.b >= n || t.c >= n)
-      .map(t => Array(t.a, t.b, t.c))
-      .toArray
-    if (finalTris.isEmpty) None
-    else Some(Triangulation(xs, ys, keep.toArray, finalTris))
+    val real = tris.filterNot(t => t.a >= n || t.b >= n || t.c >= n)
+    if (real.isEmpty) return None
+    // Coverage repair: under exact ties a degenerate (non-star-shaped)
+    // cavity can swallow an earlier vertex, and a hull vertex can end up
+    // only in super-vertex triangles (both observed on the exact
+    // co-circular ring). A triangulation of ≥3 non-collinear points keeps
+    // EVERY point as a vertex, so re-attach each missing point: 3-split a
+    // containing real triangle (its own vertices all reappear), else
+    // connect to the nearest real edge (for a dropped hull point that edge
+    // is its neighbors' chord — exactly the right triangle). Splits and
+    // adds never un-cover a vertex, so one sequential pass converges.
+    // Zero-area repair slivers are inert downstream: every interpolation
+    // query guards |det| > 1e-12 before using a triangle. Only reachable
+    // on exact-tie inputs — healthy inputs have full cover and skip this.
+    val present = new Array[Boolean](n)
+    real.foreach { t => present(t.a) = true; present(t.b) = true; present(t.c) = true }
+    var rp = 0
+    while (rp < n) {
+      if (!present(rp)) {
+        val px = vx(rp); val py = vy(rp)
+        val host = real.indexWhere(t => containsPt(t, px, py))
+        if (host >= 0) {
+          val t = real.remove(host)
+          real += Tri(t.a, t.b, rp) += Tri(t.b, t.c, rp) += Tri(t.c, t.a, rp)
+        } else {
+          var bu = -1; var bv = -1; var bd = Double.MaxValue
+          real.foreach { t =>
+            var e = 0
+            while (e < 3) {
+              val u = if (e == 0) t.a else if (e == 1) t.b else t.c
+              val v = if (e == 0) t.b else if (e == 1) t.c else t.a
+              val dx = vx(v) - vx(u); val dy = vy(v) - vy(u)
+              val len2 = dx * dx + dy * dy
+              val s =
+                if (len2 <= 0) 0.0
+                else math.max(0.0, math.min(1.0, ((px - vx(u)) * dx + (py - vy(u)) * dy) / len2))
+              val ex = vx(u) + s * dx - px; val ey = vy(u) + s * dy - py
+              val d  = ex * ex + ey * ey
+              if (d < bd) { bd = d; bu = u; bv = v }
+              e += 1
+            }
+          }
+          real += Tri(bu, bv, rp)
+        }
+        present(rp) = true
+      }
+      rp += 1
+    }
+    Some(Triangulation(xs, ys, keep.toArray, real.map(t => Array(t.a, t.b, t.c)).toArray))
   }
 
   /** Per-vertex gradient estimation: weighted least-squares plane fit over

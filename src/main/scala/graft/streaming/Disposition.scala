@@ -39,8 +39,8 @@ object Disposition {
     *  - `raise_error` guards (Spark condition USER_RAISED_EXCEPTION): every
     *    in-pipeline scale/sanity guard in this engine raises through it
     *    (region ceiling, Zarr bounds, sessionize strict mode);
-    *  - `IllegalArgumentException` RAISED BY THIS ENGINE (a `graft.` frame
-    *    in the throw-site stack): malformed conf or argument validation.
+    *  - `IllegalArgumentException` RAISED BY THIS ENGINE (the throw-site
+    *    frame is `graft.`): malformed conf or argument validation.
     *    The reference rejects only ITS OWN NonRetryable taxonomy
     *    (`exceptions/Exceptions.py:16-42`); IAE is ubiquitous in JVM/Spark
     *    internals and can be transient (racy config, library edge cases),
@@ -62,13 +62,28 @@ object Disposition {
     case _                                           => false
   }
 
-  /** Did this engine raise `e`? True when a `graft.` frame appears in the
-    * recorded stack (main source only — test frames are `graft.*Spec`,
-    * which never throw pipeline guards in production). Exceptions carried
-    * back from executors keep their original throw-site frames, so the
-    * check survives serialization. */
+  /** Did this engine raise `e`? Classified by the THROW SITE, not the whole
+    * stack: most executor/driver work runs under graft lambdas, so a
+    * third-party IAE thrown anywhere beneath graft-invoked code would still
+    * carry graft frames further down — a whole-stack match would classify
+    * it non-retryable and permanently dead-letter a granule whose failure
+    * was transient. Instead we look at the throw-site frame, skipping ONLY
+    * the raise-helper plumbing graft guards go through (`scala.Predef`'s
+    * `require` and `scala.runtime`), and ask whether THAT frame is
+    * `graft.`. The skip list is deliberately narrow: a JDK-thrown IAE
+    * (e.g. TimSort's comparator-contract violation) keeps `java.util.*`
+    * as its throw site and classifies transient even with graft frames
+    * below it, while a graft `require` guard — whose top frame is
+    * `scala.Predef$.require` over the graft caller — still classifies
+    * non-retryable. Exceptions carried back from executors keep their
+    * original throw-site frames, so the check survives serialization. */
   private[streaming] def graftRaised(e: Throwable): Boolean =
-    e.getStackTrace.exists(_.getClassName.startsWith("graft."))
+    e.getStackTrace.iterator
+      .find { f =>
+        val c = f.getClassName
+        !(c.startsWith("scala.Predef") || c.startsWith("scala.runtime."))
+      }
+      .exists(_.getClassName.startsWith("graft."))
 
   /** `basic_reject(requeue=False)`: move a message file out of the queue to
     * `<queue>/.deadletter/` with a `<name>.reason` sidecar carrying the

@@ -161,28 +161,66 @@ class FileQueueStream(
     * watermark replays only the last delta (rename of a moved name is a
     * skipped no-op — the ack stays idempotent). */
   private val wmPath = new Path(checkpointLocation, "filequeue-acked.watermark")
-  private def readWatermark(): Long =
-    if (!fs.exists(wmPath)) 0L
-    else {
-      val src = scala.io.Source.fromInputStream(fs.open(wmPath), "UTF-8")
-      try src.mkString.trim.toLong finally src.close()
+
+  /** Tolerant read: a missing file means nothing acked yet, and a
+    * corrupt/TRUNCATED file (crash between the truncating create and the
+    * close of a non-atomic writer, or a partial upload) degrades to 0L —
+    * re-acking from zero is an idempotent walk of skipped no-op renames,
+    * whereas throwing here would crash `latestOffset` on every restart and
+    * permanently wedge the queue behind a zero-byte file. */
+  private def readWatermark(): Long = {
+    if (!fs.exists(wmPath)) return 0L
+    val txt =
+      try {
+        val src = scala.io.Source.fromInputStream(fs.open(wmPath), "UTF-8")
+        try src.mkString.trim finally src.close()
+      } catch { case _: java.io.IOException => "" }
+    try txt.toLong catch { case _: NumberFormatException => 0L }
+  }
+
+  /** Durable write via temp-file + rename: the watermark path only ever
+    * holds a complete value (rename is atomic on HDFS/local; on a
+    * copy-rename object store the window exposes either the old value or
+    * no file — both of which the tolerant reader handles). */
+  private def writeWatermark(v: Long): Unit = {
+    val tmp = new Path(checkpointLocation, "filequeue-acked.watermark.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+    if (!fs.rename(tmp, wmPath)) { // FSs that refuse rename-over-existing
+      fs.delete(wmPath, false)
+      fs.rename(tmp, wmPath)
     }
+  }
+
   @volatile private var ackedWatermark: Long = -1L // lazy: loaded on first ack
 
   /** Ack every message below `upTo`: move the DELTA above the durable
     * watermark out of the queue (idempotent — replays re-ack as a no-op,
     * and the reader falls back to `.acked/` so a replayed batch stays
-    * readable even after its files moved). */
+    * readable even after its files moved). The watermark only advances
+    * past names that were successfully moved or are confirmed absent: a
+    * transiently failed rename stops the walk, so the stranded file is
+    * retried on the next ack instead of being skipped forever. */
   private def ack(upTo: Long): Unit = {
     if (ackedWatermark < 0) ackedWatermark = readWatermark()
     if (upTo <= ackedWatermark) return
-    readLog().slice(ackedWatermark.toInt, upTo.toInt).foreach { name =>
-      val p = new Path(qPath, name)
-      if (fs.exists(p)) fs.rename(p, new Path(ackedDir, name))
+    var advanced = ackedWatermark
+    val names = readLog().slice(ackedWatermark.toInt, upTo.toInt).iterator
+    var halted = false
+    while (!halted && names.hasNext) {
+      val name = names.next()
+      val p    = new Path(qPath, name)
+      val dst  = new Path(ackedDir, name)
+      val ok   = !fs.exists(p) || fs.rename(p, dst) ||
+        // a replayed partial copy-rename can leave BOTH src and dst; the
+        // dst copy is the ack, so dropping the src completes the move
+        (fs.exists(dst) && fs.delete(p, false))
+      if (ok) advanced += 1 else halted = true
     }
-    val out = fs.create(wmPath, true)
-    try out.write(s"$upTo\n".getBytes("UTF-8")) finally out.close()
-    ackedWatermark = upTo
+    if (advanced > ackedWatermark) {
+      writeWatermark(advanced)
+      ackedWatermark = advanced
+    }
   }
 
   /** Trigger.AvailableNow: freeze the drain target at query start — batches

@@ -111,12 +111,29 @@ object MicroBatchIngest {
             else product0
           graft.sinks.ProductStore.appendIdempotent(product, storePath)
           climatologyState.foreach { statePath =>
-            val days = product.select(col("time").cast("date").cast("string"))
-              .distinct().collect().map(_.getString(0)).toSeq
-            if (days.nonEmpty)
-              graft.operators.Climatology.refreshDaysFromStore(
-                graft.sinks.ProductStore.read(spark, storePath),
-                "day", days, "time", "value", stateKeys, statePath)
+            // POST-COMMIT stage: the store append above already committed.
+            // A deterministic failure here must NOT propagate into the
+            // outer disposition catch — it would dead-letter every message
+            // in the batch with this shared reason even though their data
+            // is in the store (misattribution + redrive double-processing).
+            // The refresh recomputes its touched days FROM THE STORE, so
+            // skipping it is safe: the next batch touching those days (or
+            // an operator-run ClimatologyJob) converges the state. A
+            // transient failure still rethrows — Spark replays the batch
+            // and the idempotent append makes the replay a no-op.
+            try {
+              val days = product.select(col("time").cast("date").cast("string"))
+                .distinct().collect().map(_.getString(0)).toSeq
+              if (days.nonEmpty)
+                graft.operators.Climatology.refreshDaysFromStore(
+                  graft.sinks.ProductStore.read(spark, storePath),
+                  "day", days, "time", "value", stateKeys, statePath)
+            } catch {
+              case e if Disposition.nonRetryable(e) =>
+                println(s"graft.streaming: climatology refresh failed post-commit " +
+                  s"(store append already durable; state for this batch's days is stale " +
+                  s"until the next refresh): ${e.getMessage}")
+            }
           }
         }
         // the reference's disposition taxonomy for ADMITTED messages
@@ -127,10 +144,11 @@ object MicroBatchIngest {
         // the micro-batch and wedges the whole queue behind it.
         //
         // (The joint attempt's store append is one atomic write job, so a
-        // guard error during it commits nothing; a non-retryable error in
-        // the climatology refresh AFTER the append committed is benign —
-        // the refresh recomputes from the store, so a later replay or the
-        // survivors' re-run converges it.)
+        // guard error during it commits nothing — everything this catch
+        // sees is PRE-commit and safe to dead-letter. The one post-commit
+        // stage, the climatology refresh, handles its own deterministic
+        // failures inside runBatch so they never reach this catch and
+        // misattribute an already-stored message.)
         try runBatch(byMsg.flatMap(_._2).distinct)
         catch {
           case e if Disposition.nonRetryable(e) =>

@@ -349,6 +349,92 @@ object ScaleProbe {
     println(s"""{"probe":"embed_family","vectors":$n,"dim":$dim,"planes":$nPlanes,"ops":$qs}""")
   }
 
+  /** One day of the 3-mission workload: write the oco3-targeted, oco2
+    * mode-only, and oco3-SIF granule files for `d` under `base` and a
+    * queue message naming all three (the reference's one-message-per-day
+    * RMQ shape across missions). Shared by prodloop3 and soak3. */
+  private def writeThreeMissionDay(
+      base: java.nio.file.Path,
+      queue: java.nio.file.Path,
+      d: String,
+      msgName: String,
+      n: Int,
+      nTgt: Int): Unit = {
+    val tag  = d.replace("-", "")
+    val oco3 = base.resolve(s"oco3_LtCO2_${tag}_B10400Br.nc4")
+    java.nio.file.Files.write(oco3,
+      graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+        h5Soundings(n, nTgt, d), chunkRows = 16384, deflateLevel = 4))
+    val oco2 = base.resolve(s"oco2_LtCO2_${tag}_B11100Ar.nc4")
+    java.nio.file.Files.write(oco2,
+      graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
+        h5Soundings(n, nTgt, d).map(_.copy(target_id = "")),
+        chunkRows = 16384, deflateLevel = 4))
+    val sif = base.resolve(s"oco3_LtSIF_${tag}_B10400Br.nc4")
+    val sifEpoch = (java.time.LocalDate.parse(d).toEpochDay -
+      java.time.LocalDate.parse("1990-01-01").toEpochDay) * 86400.0 + 37800.0
+    val sifRows = (0 until n / 2).map { i =>
+      val tgt = (i / 200) % nTgt
+      val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
+      val lat = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
+      graft.sources.netcdf.NetCDFGranules.SifSounding(
+        i.toLong, lat, lon, sifEpoch + i * 0.1,
+        Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
+        Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
+        quality_flag = if (i % 10 == 9) 1 else 0,
+        daily_sif = 1.0 + (i % 100) / 50.0,
+        operation_mode = if (tgt % 2 == 0) 3 else 0, sequences_index = tgt)
+    }
+    java.nio.file.Files.write(sif,
+      graft.sources.netcdf.NetCDFGranules.writeSifGranuleH5(
+        sifRows, (0 until nTgt).map(i => f"fossil$i%04d")))
+    java.nio.file.Files.write(
+      queue.resolve(msgName),
+      Seq(oco3, oco2, sif).map(_.toString).mkString("\n").getBytes("UTF-8"))
+  }
+
+  /** Per-mission dispatch by the reference's granule naming (RunJob's
+    * missionGlobal, re-expressed over a path list): each mission's
+    * granules run its own GlobalPipeline variant, mission builds are
+    * SEQUENCED (eager localCheckpoint — the memory shape that fits the
+    * single-mission envelope), and the union carries mission-prefixed
+    * store variables. Shared by prodloop3 and soak3. */
+  private def threeMissionGlobalProduct(
+      s: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      mesh: graft.operators.Grid.GridSpec,
+      cfg: Pipeline.Config): org.apache.spark.sql.DataFrame = {
+    import graft.domain.{GlobalPipeline, SifPipeline}
+    import graft.sources.netcdf.NetCDFGranules
+    val byMission = paths.groupBy { p =>
+      val f = new java.io.File(p).getName
+      if (f.contains("LtSIF")) "oco3_sif"
+      else if (f.startsWith("oco2_")) "oco2"
+      else "oco3"
+    }
+    byMission.toSeq.sortBy(_._1).map { case (m, ps) =>
+      val product = m match {
+        case "oco3" =>
+          GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+            NetCDFGranules.readGranules(s, ps).drop("sounding_id"), mesh, cfg))
+        case "oco2" =>
+          GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+            NetCDFGranules.readGranules(s, ps).drop("sounding_id"),
+            mesh, cfg.copy(samMode = cfg.targetMode)))
+        case "oco3_sif" =>
+          val soundings = NetCDFGranules.readSifGranules(s, ps)
+            .withColumn("time", SifPipeline.sifTime(col("delta_time")))
+          val resolved = SifPipeline.resolveTargets(
+            soundings, NetCDFGranules.readSifSequences(s, ps))
+          GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
+            resolved, mesh, cfg.copy(samMode = 3, targetMode = 2),
+            valueCols = Seq("daily_sif"),
+            quality = (df, _) => SifPipeline.qualityFilter(df)))
+      }
+      if (byMission.sizeIs > 1) product.localCheckpoint(true) else product
+    }.reduce(_.unionByName(_))
+  }
+
   def main(args: Array[String]): Unit = {
     val n       = if (args.length > 0) args(0).toInt else 100000
     val nTgt    = if (args.length > 1) args(1).toInt else 50
@@ -1084,75 +1170,12 @@ object ScaleProbe {
       val day0  = java.time.LocalDate.parse("2023-06-15")
       val days  = (0 until nDays).map(di => day0.plusDays(di.toLong).toString)
       days.zipWithIndex.foreach { case (d, di) =>
-        val tag  = d.replace("-", "")
-        val oco3 = base.resolve(s"oco3_LtCO2_${tag}_B10400Br.nc4")
-        java.nio.file.Files.write(oco3,
-          graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
-            h5Soundings(n, nTgt, d), chunkRows = 16384, deflateLevel = 4))
-        val oco2 = base.resolve(s"oco2_LtCO2_${tag}_B11100Ar.nc4")
-        java.nio.file.Files.write(oco2,
-          graft.sources.netcdf.NetCDFGranules.writeGranuleH5(
-            h5Soundings(n, nTgt, d).map(_.copy(target_id = "")),
-            chunkRows = 16384, deflateLevel = 4))
-        val sif = base.resolve(s"oco3_LtSIF_${tag}_B10400Br.nc4")
-        val sifEpoch = (java.time.LocalDate.parse(d).toEpochDay -
-          java.time.LocalDate.parse("1990-01-01").toEpochDay) * 86400.0 + 37800.0
-        val sifRows = (0 until n / 2).map { i =>
-          val tgt = (i / 200) % nTgt
-          val lon = -170.0 + (tgt % 160) * 2.0 + (i * 7919 % 2000) / 1000.0
-          val lat = -40.0 + (tgt / 160) * 4.0 + (i * 104729 % 2000) / 1000.0
-          graft.sources.netcdf.NetCDFGranules.SifSounding(
-            i.toLong, lat, lon, sifEpoch + i * 0.1,
-            Seq(lat - 0.01, lat - 0.01, lat + 0.01, lat + 0.01),
-            Seq(lon - 0.01, lon + 0.01, lon + 0.01, lon - 0.01),
-            quality_flag = if (i % 10 == 9) 1 else 0,
-            daily_sif = 1.0 + (i % 100) / 50.0,
-            operation_mode = if (tgt % 2 == 0) 3 else 0, sequences_index = tgt)
-        }
-        java.nio.file.Files.write(sif,
-          graft.sources.netcdf.NetCDFGranules.writeSifGranuleH5(
-            sifRows, (0 until nTgt).map(i => f"fossil$i%04d")))
-        java.nio.file.Files.write(
-          queue.resolve(f"msg-$di%03d"),
-          Seq(oco3, oco2, sif).map(_.toString).mkString("\n").getBytes("UTF-8"))
+        writeThreeMissionDay(base, queue, d, f"msg-$di%03d", n, nTgt)
       }
       val cfg = Pipeline.Config(method = method)
-      // per-mission dispatch by the reference's granule naming
-      // (RunJob's missionGlobal, re-expressed over a path list)
       def threeMissionProduct(
-          s: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.DataFrame = {
-        import graft.domain.{GlobalPipeline, SifPipeline}
-        import graft.sources.netcdf.NetCDFGranules
-        val byMission = paths.groupBy { p =>
-          val f = new java.io.File(p).getName
-          if (f.contains("LtSIF")) "oco3_sif"
-          else if (f.startsWith("oco2_")) "oco2"
-          else "oco3"
-        }
-        byMission.toSeq.sortBy(_._1).map { case (m, ps) =>
-          val product = m match {
-            case "oco3" =>
-              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
-                NetCDFGranules.readGranules(s, ps).drop("sounding_id"), mesh, cfg))
-            case "oco2" =>
-              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
-                NetCDFGranules.readGranules(s, ps).drop("sounding_id"),
-                mesh, cfg.copy(samMode = cfg.targetMode)))
-            case "oco3_sif" =>
-              val soundings = NetCDFGranules.readSifGranules(s, ps)
-                .withColumn("time", SifPipeline.sifTime(col("delta_time")))
-              val resolved = SifPipeline.resolveTargets(
-                soundings, NetCDFGranules.readSifSequences(s, ps))
-              GlobalPipeline.toStoreVariables(m, GlobalPipeline.process(
-                resolved, mesh, cfg.copy(samMode = 3, targetMode = 2),
-                valueCols = Seq("daily_sif"),
-                quality = (df, _) => SifPipeline.qualityFilter(df)))
-          }
-          // sequence the mission builds (the runjob3 memory shape): each
-          // mission materializes before the next builds
-          if (byMission.sizeIs > 1) product.localCheckpoint(true) else product
-        }.reduce(_.unionByName(_))
-      }
+          s: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.DataFrame =
+        threeMissionGlobalProduct(s, paths, mesh, cfg)
       def timed[T](body: => T): (T, Double) = {
         val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
       }
@@ -1340,6 +1363,111 @@ object ScaleProbe {
           s""""state_fold_sec":${r(foldSec)},"full_rescan_sec":${r(rescanSec)},""" +
           s""""climo_bit_equal":$climoEqual,"box_rows":$boxRows,"box_sec":${r(boxSec)},""" +
           s""""store_rows":${product.count()}}""")
+      spark.stop()
+      return
+    }
+    if (variant == "soak3") {
+      // THE COMPOSITION the r17 verdict left unprobed: 3 missions × N days
+      // (default 30) through the streaming loop on ONE checkpoint — the
+      // prodloop3 workload inside the soakglobal decade harness. Run with
+      // SPARK_GRAFT_CPUS=16 / SPARK_DRIVER_MEM=16g to pin the reference's
+      // envelope (BASELINE.md: 16 vCPU / 120 GiB; we bound the DRIVER at
+      // 16 GiB). Pass criteria: per-day walls flat across decades,
+      // checkpoint growth = offset log only, state rows linear-in-days,
+      // fold-vs-rescan bit-equal, every mission's pixels present.
+      // args(5) = nDays.
+      val nDays = if (args.length > 5) args(5).toInt else 30
+      val chunk = 10
+      val mesh  = graft.operators.Grid.GridSpec(
+        -180.0, 180.0, 100 * gridN, -90.0, 90.0, 50 * gridN)
+      val base  = java.nio.file.Files.createTempDirectory("soak3")
+      val queue = base.resolve("queue"); java.nio.file.Files.createDirectories(queue)
+      val store = base.resolve("store").toString
+      val state = base.resolve("state").toString
+      val ckpt  = base.resolve("ckpt").toString
+      val day0  = java.time.LocalDate.parse("2023-06-15")
+      val cfg   = Pipeline.Config(method = method)
+      val keys  = Seq("variable")
+      val product3 = Some(
+        (s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
+          threeMissionGlobalProduct(s, paths, mesh, cfg))
+      def timed[T](body: => T): (T, Double) = {
+        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+      }
+      def du(p: java.nio.file.Path): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum) else f.length()
+        walk(p.toFile)
+      }
+      def parquetFiles(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+          else if (f.getName.endsWith(".parquet")) 1L else 0L
+        walk(new java.io.File(dir))
+      }
+      val decades = (0 until nDays).grouped(chunk).toSeq
+      val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
+      decades.zipWithIndex.foreach { case (dayIdxs, di) =>
+        val days = dayIdxs.map(i => day0.plusDays(i.toLong).toString)
+        days.zipWithIndex.foreach { case (d, j) =>
+          writeThreeMissionDay(base, queue, d, f"msg-${dayIdxs.head + j}%03d", n, nTgt)
+        }
+        val (q, drainSec) = timed {
+          val q = graft.streaming.MicroBatchIngest.ingestQueue(
+            spark, queue.toString, ckpt, store, catalog, cfg,
+            maxMessagesPerBatch = 1, climatologyState = Some(state),
+            stateKeys = keys, product = product3)
+          q.awaitTermination(); q
+        }
+        val batchWalls = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+          .map(_.batchDuration / 1000.0)
+        val (_, compactSec) = timed {
+          graft.sinks.ProductStore.compact(
+            spark, store, days, targetRows = 600L * 1000, zOrder = true)
+        }
+        val stateRows = spark.read.parquet(state).count()
+        def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+        rowsOut += s"""{"decade":$di,"days":${days.length},"drain_sec":${r2(drainSec)},""" +
+          s""""mean_day_sec":${r2(batchWalls.sum / math.max(1, batchWalls.length))},""" +
+          s""""max_day_sec":${r2(if (batchWalls.isEmpty) 0 else batchWalls.max)},""" +
+          s""""compact_sec":${r2(compactSec)},"ckpt_bytes":${du(java.nio.file.Paths.get(ckpt))},""" +
+          s""""state_rows":$stateRows,"state_files":${parquetFiles(state)},""" +
+          s""""store_files":${parquetFiles(store)}}"""
+      }
+      // close the loop: fold vs rescan bit-equality, per-mission presence,
+      // a z-order box read over the full span
+      val product = graft.sinks.ProductStore.read(spark, store)
+      val (inc, foldSec) = timed {
+        val m = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val (full, rescanSec) = timed {
+        val m = graft.operators.Climatology
+          .temporalMean(product, "time", "value", "month", keys)
+          .localCheckpoint(true)
+        m.count(); m
+      }
+      val climoEqual = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
+      val boxLo = ((-120.0 + 180.0) / 360.0 * (100 * gridN - 1)).toInt
+      val boxHi = boxLo + (100 * gridN) / 180 * 2
+      val ((boxRows, boxFiles), boxSec) = timed {
+        val box = product.filter(col("lon_idx").between(boxLo, boxHi))
+        (box.count(), box.select(input_file_name()).distinct().count())
+      }
+      val sciCounts = Seq("OCO3_global_xco2", "OCO2_global_xco2", "OCO3_SIF_global_daily_sif")
+        .map(v => v -> product.filter(col("variable") === v).count())
+      val maxMem = Runtime.getRuntime.totalMemory() / (1024 * 1024)
+      def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+      println(
+        s"""{"probe":"soak_3mission","soundings_per_day":{"oco3":$n,"oco2":$n,"sif":${n / 2}},""" +
+          s""""days":$nDays,"mesh":"${100 * gridN}x${50 * gridN}","method":"$method",""" +
+          s""""cpus":"${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}","driver_heap_mb":$maxMem,""" +
+          s""""decades":[${rowsOut.mkString(",")}],""" +
+          s""""state_fold_sec":${r(foldSec)},"full_rescan_sec":${r(rescanSec)},""" +
+          s""""climo_bit_equal":$climoEqual,"box_rows":$boxRows,"box_files":$boxFiles,""" +
+          s""""box_sec":${r(boxSec)},"store_rows":${product.count()},""" +
+          s""""pixels":{${sciCounts.map { case (v, c) => s""""$v":$c""" }.mkString(",")}}}""")
       spark.stop()
       return
     }

@@ -302,6 +302,55 @@ class DelaunaySpec extends AnyFunSuite {
     coverage("coarse duplicates", dx, dy)
   }
 
+  test("safe path keeps EVERY kept vertex (containment-seeded degenerate insert + coverage repair)") {
+    // The safe form's strict `> 0` incircle never marks an exactly
+    // co-circular point bad: before r18 it was inserted into NOTHING and
+    // silently vanished (5/64 dropped on the exact ring). The degenerate
+    // insert now seeds the cavity by barycentric containment and a final
+    // repair pass re-attaches any vertex a non-star cavity swallowed —
+    // full cover on every input for which a triangulation exists.
+    def fullCover(name: String, xs: Array[Double], ys: Array[Double]): Unit = {
+      val t = Delaunay.triangulateSafe(xs, ys).getOrElse(fail(s"$name: no triangulation"))
+      val cov = t.triangles.flatten.distinct.length
+      assert(cov === t.px.length, s"$name: safe path dropped ${t.px.length - cov} kept vertices")
+    }
+    val nc = 64
+    fullCover("co-circular ring",
+      Array.tabulate(nc)(i => 5.0 + 3.0 * math.cos(2 * math.Pi * i / nc)),
+      Array.tabulate(nc)(i => 5.0 + 3.0 * math.sin(2 * math.Pi * i / nc)))
+    fullCover("regular lattice",
+      (for (i <- 0 until 24; j <- 0 until 24) yield i.toDouble).toArray,
+      (for (i <- 0 until 24; j <- 0 until 24) yield j.toDouble).toArray)
+    val cl = 200
+    fullCover("cluster + ring",
+      Array.tabulate(cl)(i => 5.0 + (i % 17) * 1e-13) ++ Array(0.0, 10.0, 0.0, 10.0) ++
+        Array.tabulate(nc)(i => 5.0 + 3.0 * math.cos(2 * math.Pi * i / nc)),
+      Array.tabulate(cl)(i => 5.0 + (i / 17) * 1e-13) ++ Array(0.0, 0.0, 10.0, 10.0) ++
+        Array.tabulate(nc)(i => 5.0 + 3.0 * math.sin(2 * math.Pi * i / nc)))
+  }
+
+  test("bail path (adjacency overflow) is coverage-checked: co-circular ring survives, stats surface the bail") {
+    // ulp-spaced point pairs overflow the fast path's two-triangles-per-
+    // edge adjacency invariant → triangulate bails to the safe fallback.
+    // r17 returned that fallback UNCHECKED, so the safe path's co-circular
+    // drop silently changed interpolated values on precisely the inputs
+    // that bail. The input below forces the bail AND carries an exactly
+    // co-circular ring: every kept vertex must appear in the returned
+    // triangle set, and lastStats must record the bail with zero drops.
+    val nc = 64
+    val ox = Array.tabulate(nc)(i => 50.0 + 30.0 * math.cos(2 * math.Pi * i / nc))
+    val oy = Array.tabulate(nc)(i => 120.0 + 30.0 * math.sin(2 * math.Pi * i / nc))
+    val ux = Array.tabulate(400)(i =>
+      (i / 2) * 1.0 + (if (i % 2 == 0) 0.0 else java.lang.Math.ulp(1.0) * (i / 2)))
+    val uy = Array.tabulate(400)(i => if (i % 2 == 0) 0.0 else 1e-15)
+    val t = Delaunay.triangulate(ux ++ Array(100.0) ++ ox, uy ++ Array(50.0) ++ oy)
+      .getOrElse(fail("no triangulation"))
+    assert(Delaunay.lastStats.contains("bail="), s"input no longer bails: ${Delaunay.lastStats}")
+    assert(Delaunay.lastStats.contains("safeDropped=0"), s"silent drop on bail: ${Delaunay.lastStats}")
+    val cov = t.triangles.flatten.distinct.length
+    assert(cov === t.px.length, s"bail path dropped ${t.px.length - cov} kept vertices")
+  }
+
   test("fuzz: clustered layouts across seeds — Delaunay property, sample reproduction, planar exactness") {
     // The r17 kernel internals (EdgeMap adjacency, stochastic walk,
     // scanline triangle grid) all shipped this round; fuzz them with the

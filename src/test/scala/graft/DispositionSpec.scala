@@ -35,6 +35,36 @@ class DispositionSpec extends SparkSpec {
     assert(!Disposition.nonRetryable(new RuntimeException("stage failed", lib)))
   }
 
+  test("classification is by THROW SITE: a library IAE with graft frames below it requeues") {
+    // a third-party IAE thrown from inside a graft kernel's call tree —
+    // graft frames appear BELOW the throw site (most executor work runs
+    // under graft lambdas). Whole-stack matching would dead-letter this;
+    // throw-site matching requeues it.
+    val lib = new IllegalArgumentException("Comparison method violates its general contract!")
+    lib.setStackTrace(Array(
+      new StackTraceElement("java.util.TimSort", "mergeLo", "TimSort.java", 777),
+      new StackTraceElement("java.util.Arrays", "sort", "Arrays.java", 1441),
+      new StackTraceElement("graft.functions.Delaunay$", "triangulate", "Delaunay.scala", 200),
+      new StackTraceElement("org.apache.spark.scheduler.Task", "run", "Task.scala", 139)))
+    assert(!Disposition.nonRetryable(lib))
+    assert(!Disposition.nonRetryable(new RuntimeException("stage failed", lib)))
+  }
+
+  test("a scala.Predef.require-raised graft guard still rejects (scala plumbing is skipped)") {
+    val guard = new IllegalArgumentException("requirement failed: mesh must be non-empty")
+    guard.setStackTrace(Array(
+      new StackTraceElement("scala.Predef$", "require", "Predef.scala", 337),
+      new StackTraceElement("graft.operators.Grid$", "generate", "Grid.scala", 55),
+      new StackTraceElement("org.apache.spark.scheduler.Task", "run", "Task.scala", 139)))
+    assert(Disposition.nonRetryable(guard))
+    // and a REAL require with genuine JVM frames: thrown here, the top
+    // frames are scala.Predef plumbing over a graft.* caller — the skip
+    // must land on the graft frame, not bail at scala.Predef
+    val real = intercept[IllegalArgumentException] { require(false, "guard tripped") }
+    assert(real.getStackTrace.head.getClassName.startsWith("scala."))
+    assert(Disposition.nonRetryable(real))
+  }
+
   test("a REAL graft conf guard classifies non-retryable end-to-end") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -300,6 +300,42 @@ class FileQueueSpec extends SparkSpec {
     }
   }
 
+  test("post-commit refresh failure does NOT dead-letter an already-stored message") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    // The climatology refresh runs AFTER the store append committed. A
+    // deterministic failure there (here: stateKeys naming a column the
+    // product doesn't have → AnalysisException) used to propagate into
+    // the disposition catch and dead-letter the message even though its
+    // data was durably in the store — misattribution, and a redrive would
+    // double-process it. The post-commit stage must swallow deterministic
+    // failures: message acked, store intact, queue clean.
+    val queue = Files.createTempDirectory("pc-queue")
+    val gran  = Files.createTempDirectory("pc-granules")
+    val base  = Files.createTempDirectory("pc")
+    val store = base.resolve("store").toString
+    val state = base.resolve("state").toString
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    val ss = (0 until 6).map(i =>
+      sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001",
+        day = "2023-06-15"))
+    val p  = gran.resolve("oco3_LtCO2_20230615_B.nc")
+    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+    try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+    writeMsg(queue, "msg-day1", Seq(p.toString))
+    graft.streaming.MicroBatchIngest.ingestQueue(
+      spark, queue.toString, Files.createTempDirectory("pc-ckpt").toString, store, catalog,
+      climatologyState = Some(state),
+      stateKeys = Seq("no_such_column")).awaitTermination()
+    // the message was acked (data committed before the refresh failed) —
+    // NOT dead-lettered with the refresh's reason
+    val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
+    assert(acked === Set("msg-day1"))
+    assert(!Files.exists(queue.resolve(".deadletter").resolve("msg-day1")))
+    assert(graft.sinks.ProductStore.read(spark, store).count() > 0)
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")
@@ -342,5 +378,21 @@ class FileQueueSpec extends SparkSpec {
     assert(new String(Files.readAllBytes(wmFile().toPath), "UTF-8").trim.toLong === 3L)
     val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
     assert(Set("m1", "m2", "m3").subsetOf(acked))
+
+    // --- crash-sim: watermark file TRUNCATED (crash between a truncating
+    // create and the close). The tolerant reader degrades to 0L — the next
+    // drain re-acks m1..m3 as no-ops, delivers only the new message, and
+    // rewrites a complete watermark; no NumberFormatException crash-loop.
+    Files.write(wmFile().toPath, Array.emptyByteArray)
+    writeMsg(queue, "m4", Seq(g1))
+    assert(runOnce() === Set("m4"))
+    assert(new String(Files.readAllBytes(wmFile().toPath), "UTF-8").trim.toLong === 4L)
+    // garbage content degrades the same way (corrupt, not just empty)
+    Files.write(wmFile().toPath, "not-a-number".getBytes("UTF-8"))
+    writeMsg(queue, "m5", Seq(g1))
+    assert(runOnce() === Set("m5"))
+    assert(new String(Files.readAllBytes(wmFile().toPath), "UTF-8").trim.toLong === 5L)
+    val ackedAll = new java.io.File(queue.resolve(".acked").toString).list().toSet
+    assert(Set("m1", "m2", "m3", "m4", "m5").subsetOf(ackedAll))
   }
 }
