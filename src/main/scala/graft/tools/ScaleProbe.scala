@@ -1375,12 +1375,20 @@ object ScaleProbe {
       // 16 GiB). Pass criteria: per-day walls flat across decades,
       // checkpoint growth = offset log only, state rows linear-in-days,
       // fold-vs-rescan bit-equal, every mission's pixels present.
-      // args(5) = nDays.
+      // args(5) = nDays. args(6) (optional) = persistent base dir and
+      // args(7) = start day index — running the soak in several
+      // invocations over the same base dir resumes the SAME checkpoint,
+      // store, and state (each chunk boundary is then also a full
+      // JVM-restart seam, a stronger recovery test than one long run).
       val nDays = if (args.length > 5) args(5).toInt else 30
       val chunk = 10
       val mesh  = graft.operators.Grid.GridSpec(
         -180.0, 180.0, 100 * gridN, -90.0, 90.0, 50 * gridN)
-      val base  = java.nio.file.Files.createTempDirectory("soak3")
+      val base  =
+        if (args.length > 6) {
+          val p = java.nio.file.Paths.get(args(6)); java.nio.file.Files.createDirectories(p); p
+        } else java.nio.file.Files.createTempDirectory("soak3")
+      val startDay = if (args.length > 7) args(7).toInt else 0
       val queue = base.resolve("queue"); java.nio.file.Files.createDirectories(queue)
       val store = base.resolve("store").toString
       val state = base.resolve("state").toString
@@ -1405,9 +1413,10 @@ object ScaleProbe {
           else if (f.getName.endsWith(".parquet")) 1L else 0L
         walk(new java.io.File(dir))
       }
-      val decades = (0 until nDays).grouped(chunk).toSeq
+      val decades = (startDay until startDay + nDays).grouped(chunk).toSeq
       val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
-      decades.zipWithIndex.foreach { case (dayIdxs, di) =>
+      decades.foreach { dayIdxs =>
+        val di   = dayIdxs.head / chunk
         val days = dayIdxs.map(i => day0.plusDays(i.toLong).toString)
         days.zipWithIndex.foreach { case (d, j) =>
           writeThreeMissionDay(base, queue, d, f"msg-${dayIdxs.head + j}%03d", n, nTgt)
@@ -1457,7 +1466,7 @@ object ScaleProbe {
       }
       val sciCounts = Seq("OCO3_global_xco2", "OCO2_global_xco2", "OCO3_SIF_global_daily_sif")
         .map(v => v -> product.filter(col("variable") === v).count())
-      val maxMem = Runtime.getRuntime.totalMemory() / (1024 * 1024)
+      val maxMem = Runtime.getRuntime.maxMemory() / (1024 * 1024)
       def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
       println(
         s"""{"probe":"soak_3mission","soundings_per_day":{"oco3":$n,"oco2":$n,"sif":${n / 2}},""" +
