@@ -5,6 +5,25 @@ import java.nio.file.{Files, Path => JPath}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Local FS whose `rename` fails ONCE for configured source names — the
+  * transient-failure shape of an object store's copy+delete rename (a
+  * throttled COPY, a 5xx on the DELETE). Used to pin the acked-watermark
+  * walk's halt-and-retry semantics. */
+object FlakyRenameFs {
+  @volatile var failOnce: Set[String] = Set.empty
+}
+class FlakyRenameFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String   = "flakyq"
+  override def getUri: java.net.URI = java.net.URI.create("flakyq:///")
+  override def rename(src: org.apache.hadoop.fs.Path, dst: org.apache.hadoop.fs.Path): Boolean = {
+    if (FlakyRenameFs.failOnce(src.getName)) {
+      FlakyRenameFs.failOnce -= src.getName
+      return false
+    }
+    super.rename(src, dst)
+  }
+}
+
 /** Queue streaming input (SURVEY S5): message discovery, the reference's
   * reject/ack/requeue taxonomy, prefetch-style pacing, and end-to-end
   * delivery into the idempotent store. */
@@ -298,6 +317,50 @@ class FileQueueSpec extends SparkSpec {
       spark.conf.unset(GlobalPipeline.MaxRegionPixelsConfKey)
       spark.conf.unset(GlobalPipeline.OversizeRegionsConfKey)
     }
+  }
+
+  test("a transiently failed ack rename halts the watermark and is retried, not stranded") {
+    // Pre-r18 the ack walk advanced the watermark past EVERY name whether
+    // or not its rename succeeded, so one transient rename failure left
+    // the message file stranded in the queue dir forever (nothing below
+    // the watermark is ever re-probed). The walk must now halt at the
+    // first failure, persist only the successfully-moved prefix, and
+    // retry the failed name on the next ack.
+    val queue = Files.createTempDirectory("flaky-queue")
+    val gran  = Files.createTempDirectory("flaky-granules")
+    val ckpt  = Files.createTempDirectory("flaky-ckpt")
+    val g1    = mkGranule(gran, "a.nc")
+    writeMsg(queue, "m1", Seq(g1)); writeMsg(queue, "m2", Seq(g1)); writeMsg(queue, "m3", Seq(g1))
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set("fs.flakyq.impl", classOf[FlakyRenameFileSystem].getName)
+    conf.set("fs.flakyq.impl.disable.cache", "true")
+    val stream = new graft.streaming.FileQueueStream(
+      s"flakyq://${queue.toAbsolutePath}", 3, ckpt.toString, conf)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val end = stream.latestOffset(graft.streaming.MsgOffset(0L), ReadLimit.maxRows(3L))
+    assert(end === graft.streaming.MsgOffset(3L))
+    // m2's move to .acked fails once (object-store transient)
+    FlakyRenameFs.failOnce = Set("m2")
+    stream.commit(graft.streaming.MsgOffset(3L))
+    def wm(): Long = {
+      val f = ckpt.resolve("filequeue-acked.watermark")
+      new String(Files.readAllBytes(f), "UTF-8").trim.toLong
+    }
+    // watermark persisted ONLY past the moved prefix; m2 and m3 still
+    // in the queue (m3 halted behind m2 so ordering never skips a name)
+    assert(wm() === 1L)
+    val names1 = new java.io.File(queue.toString).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names1 === Set("m2", "m3"))
+    // next ack retries from the halt point and completes the walk
+    stream.commit(graft.streaming.MsgOffset(3L))
+    assert(wm() === 3L)
+    val names2 = new java.io.File(queue.toString).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names2 === Set.empty[String])
+    val acked = new java.io.File(queue.resolve(".acked").toString).list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(acked === Set("m1", "m2", "m3"))
   }
 
   test("post-commit refresh failure does NOT dead-letter an already-stored message") {
