@@ -349,6 +349,16 @@ class DelaunaySpec extends AnyFunSuite {
     assert(Delaunay.lastStats.contains("safeDropped=0"), s"silent drop on bail: ${Delaunay.lastStats}")
     val cov = t.triangles.flatten.distinct.length
     assert(cov === t.px.length, s"bail path dropped ${t.px.length - cov} kept vertices")
+    // and the repaired triangulation still interpolates: a planar field is
+    // reproduced exactly at interior queries (repair slivers are skipped
+    // by the |det| guard, so they must not poison containment lookups)
+    val vals = Array.tabulate(t.px.length)(i => 2.0 * t.px(i) + 3.0 * t.py(i) + 1.0)
+    var worst = 0.0
+    for (qx <- Seq(45.0, 50.0, 55.0); qy <- Seq(115.0, 120.0, 125.0)) {
+      val got = Delaunay.interpolateLinear(t, vals, qx, qy)
+      worst = math.max(worst, math.abs(got - (2.0 * qx + 3.0 * qy + 1.0)))
+    }
+    assert(worst < 1e-6, s"planar reproduction off by $worst on the repaired bail triangulation")
   }
 
   test("fuzz: clustered layouts across seeds — Delaunay property, sample reproduction, planar exactness") {
