@@ -399,6 +399,12 @@ class DelaunaySpec extends AnyFunSuite {
       }
       // sampled empty-circumcircle checks (full check is O(T·n))
       val rr = new scala.util.Random(seed + 99)
+      fuzzCircumcircle(tri, rr, seed)
+    }
+  }
+
+  private def fuzzCircumcircle(
+      tri: Delaunay.Triangulation, rr: scala.util.Random, seed: Int): Unit = {
       (0 until 40).foreach { _ =>
         val t = tri.triangles(rr.nextInt(tri.triangles.length))
         val (x1, y1) = (tri.px(t(0)), tri.py(t(0)))
@@ -418,6 +424,56 @@ class DelaunaySpec extends AnyFunSuite {
               assert(d2 >= r2 * (1 - 1e-9) - 1e-7, s"seed $seed: point in circumcircle")
             }
           }
+        }
+      }
+    }
+
+  test("fuzz: exact-tie layouts across seeds — full vertex cover on BOTH paths, planar exactness") {
+    // The r18 degenerate-insert + coverage-repair code deserves its own
+    // adversary: coordinates SNAPPED to a coarse grid (exact duplicates,
+    // exact collinear runs, exactly co-circular quads everywhere) plus an
+    // exact co-circular ring per seed. Invariants: both triangulate and
+    // triangulateSafe keep EVERY deduplicated point as a triangle vertex
+    // (the mathematical guarantee the repair pass restores), and linear
+    // interpolation still reproduces a planar field at snap-grid interior
+    // queries. (The empty-circumcircle property is NOT asserted here:
+    // tie layouts have non-unique triangulations by construction.)
+    (1 to 12).foreach { seed =>
+      val r    = new scala.util.Random(1000 + seed)
+      val step = Seq(0.25, 0.5, 1.0)(seed % 3)
+      val k    = 3 + r.nextInt(6)
+      val pts = (0 until k).flatMap { c =>
+        val cx = -30.0 + c * 12.0
+        val cy = -6.0 + (c % 3) * 5.0
+        (0 until 40 + r.nextInt(80)).map { _ =>
+          (cx + math.round(r.nextDouble() * 8 / step) * step,
+            cy + math.round(r.nextDouble() * 8 / step) * step)
+        }
+      }
+      val nRing = 16 + 4 * (seed % 4)
+      val ring = (0 until nRing).map { i =>
+        (20.0 + 6.0 * math.cos(2 * math.Pi * i / nRing),
+          20.0 + 6.0 * math.sin(2 * math.Pi * i / nRing))
+      }
+      val all = pts ++ ring
+      val xs  = all.map(_._1).toArray
+      val ys  = all.map(_._2).toArray
+      def f(x: Double, y: Double) = -1.5 * x + 0.75 * y + 4.0
+      for ((name, triOpt) <- Seq(
+          "fast" -> Delaunay.triangulate(xs, ys),
+          "safe" -> Delaunay.triangulateSafe(xs, ys))) {
+        val tri = triOpt.getOrElse(fail(s"seed $seed $name: no triangulation"))
+        val used = tri.triangles.flatten.toSet
+        assert(used === tri.px.indices.toSet,
+          s"seed $seed $name: ${tri.px.length - used.size} vertices dropped on exact ties")
+        val av = tri.alignValues(xs.zip(ys).map { case (x, y) => f(x, y) })
+        (0 until k).foreach { c =>
+          val qx = -30.0 + c * 12.0 + 4.0 + step / 3
+          val qy = -6.0 + (c % 3) * 5.0 + 4.0 + step / 3
+          val got = Delaunay.interpolateLinear(tri, av, qx, qy)
+          if (!got.isNaN)
+            assert(math.abs(got - f(qx, qy)) < 1e-7,
+              s"seed $seed $name cluster $c: $got vs ${f(qx, qy)}")
         }
       }
     }
