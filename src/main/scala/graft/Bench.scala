@@ -72,14 +72,19 @@ object Bench {
     // load-tainted instead of requiring forensic adjudication.
     val gate       = sys.env.get("SPARK_GRAFT_LOAD_GATE").map(_.toDouble).getOrElse(1.5)
     val maxWaitSec = sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toInt).getOrElse(300)
+    var cur    = load1m()
     var waited = 0
-    while (load1m() > gate && waited < maxWaitSec) {
+    while (cur > gate && waited < maxWaitSec) {
       System.err.println(
-        f"[bench] load1m=${load1m()}%.2f > gate $gate%.2f — waiting for a quiet box ($waited/$maxWaitSec s)")
+        f"[bench] load1m=$cur%.2f > gate $gate%.2f — waiting for a quiet box ($waited/$maxWaitSec s)")
       Thread.sleep(30000)
       waited += 30
+      cur = load1m()
     }
-    val contaminated = load1m() > gate
+    // judged by the sample that TERMINATED the wait: a fresh re-sample
+    // could catch a momentary dip on a box oscillating around the gate
+    // and stamp a busy-box run clean
+    val contaminated = cur > gate
     val loadStart = loadStamp()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

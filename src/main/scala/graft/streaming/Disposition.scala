@@ -67,21 +67,27 @@ object Disposition {
     * third-party IAE thrown anywhere beneath graft-invoked code would still
     * carry graft frames further down — a whole-stack match would classify
     * it non-retryable and permanently dead-letter a granule whose failure
-    * was transient. Instead we look at the throw-site frame, skipping ONLY
-    * the raise-helper plumbing graft guards go through (`scala.Predef`'s
-    * `require` and `scala.runtime`), and ask whether THAT frame is
-    * `graft.`. The skip list is deliberately narrow: a JDK-thrown IAE
-    * (e.g. TimSort's comparator-contract violation) keeps `java.util.*`
-    * as its throw site and classifies transient even with graft frames
-    * below it, while a graft `require` guard — whose top frame is
-    * `scala.Predef$.require` over the graft caller — still classifies
-    * non-retryable. Exceptions carried back from executors keep their
-    * original throw-site frames, so the check survives serialization. */
+    * was transient. Instead we walk down from the throw site past
+    * JDK/scala frames and ask whether the FIRST library frame is `graft.`:
+    *  - a graft `require` guard (`scala.Predef$` over the graft caller)
+    *    and a JDK-raised IAE fed by graft arguments (`Long.parseLong` on
+    *    malformed metadata, TimSort's contract violation under a graft
+    *    comparator — NumberFormatException IS an IAE) both attribute to
+    *    graft: replaying the same bytes fails the same way, and an
+    *    infinite requeue would wedge the queue where a dead-letter stays
+    *    operator-recoverable via redrive;
+    *  - an IAE whose first library frame is Spark/Hadoop/any other
+    *    non-graft package classifies transient (requeue), even when graft
+    *    invoked it — third-party IAEs can be racy-config artifacts, and a
+    *    wrong dead-letter there would discard a good granule.
+    * Exceptions carried back from executors keep their original
+    * throw-site frames, so the check survives serialization. */
   private[streaming] def graftRaised(e: Throwable): Boolean =
     e.getStackTrace.iterator
       .find { f =>
         val c = f.getClassName
-        !(c.startsWith("scala.Predef") || c.startsWith("scala.runtime."))
+        !(c.startsWith("java.") || c.startsWith("jdk.") || c.startsWith("sun.") ||
+          c.startsWith("scala."))
       }
       .exists(_.getClassName.startsWith("graft."))
 

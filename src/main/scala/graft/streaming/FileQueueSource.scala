@@ -188,7 +188,16 @@ class FileQueueStream(
     try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
     if (!fs.rename(tmp, wmPath)) { // FSs that refuse rename-over-existing
       fs.delete(wmPath, false)
-      fs.rename(tmp, wmPath)
+      if (!fs.rename(tmp, wmPath)) {
+        // second rename failed AFTER the delete: without this fallback the
+        // watermark would silently vanish and every future ack would
+        // re-walk ALL historical names. A direct write is non-atomic, but
+        // a crash mid-write leaves a truncation the tolerant reader
+        // already degrades to 0L — strictly better than no file.
+        val direct = fs.create(wmPath, true)
+        try direct.write(s"$v\n".getBytes("UTF-8")) finally direct.close()
+        fs.delete(tmp, false)
+      }
     }
   }
 
@@ -211,10 +220,18 @@ class FileQueueStream(
       val name = names.next()
       val p    = new Path(qPath, name)
       val dst  = new Path(ackedDir, name)
-      val ok   = !fs.exists(p) || fs.rename(p, dst) ||
-        // a replayed partial copy-rename can leave BOTH src and dst; the
-        // dst copy is the ack, so dropping the src completes the move
-        (fs.exists(dst) && fs.delete(p, false))
+      val ok = !fs.exists(p) || fs.rename(p, dst) || {
+        // a crashed copy-rename can leave BOTH src and dst. Completing
+        // the move by dropping src is only safe when dst is a FULL copy
+        // (equal length) — a truncated partial in .acked/ would become
+        // the reader's fallback copy and silently shorten the granule
+        // list. A partial dst is deleted so the next rename retries.
+        fs.exists(dst) && {
+          if (fs.getFileStatus(dst).getLen == fs.getFileStatus(p).getLen)
+            fs.delete(p, false)
+          else { fs.delete(dst, false); false }
+        }
+      }
       if (ok) advanced += 1 else halted = true
     }
     if (advanced > ackedWatermark) {

@@ -121,18 +121,36 @@ object MicroBatchIngest {
             // an operator-run ClimatologyJob) converges the state. A
             // transient failure still rethrows — Spark replays the batch
             // and the idempotent append makes the replay a no-op.
+            // A deterministic refresh failure (wrong stateKeys, schema
+            // drift) would recur EVERY batch — swallowing it with only a
+            // stdout line would freeze the derived state silently. The
+            // `_REFRESH_FAILED` marker inside the state dir is the
+            // durable alarm (underscore-prefixed, so parquet readers of
+            // the state ignore it); a later healthy refresh clears it.
+            val marker = new org.apache.hadoop.fs.Path(statePath, "_REFRESH_FAILED")
+            val mfs    = marker.getFileSystem(hconf)
             try {
               val days = product.select(col("time").cast("date").cast("string"))
                 .distinct().collect().map(_.getString(0)).toSeq
-              if (days.nonEmpty)
+              if (days.nonEmpty) {
                 graft.operators.Climatology.refreshDaysFromStore(
                   graft.sinks.ProductStore.read(spark, storePath),
                   "day", days, "time", "value", stateKeys, statePath)
+                mfs.delete(marker, false)
+              }
             } catch {
               case e if Disposition.nonRetryable(e) =>
+                try {
+                  mfs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
+                  val out = mfs.create(marker, true)
+                  try out.write(
+                    (java.time.Instant.now().toString + " " + e.toString + "\n")
+                      .getBytes("UTF-8"))
+                  finally out.close()
+                } catch { case _: Exception => () } // the marker is best-effort
                 println(s"graft.streaming: climatology refresh failed post-commit " +
-                  s"(store append already durable; state for this batch's days is stale " +
-                  s"until the next refresh): ${e.getMessage}")
+                  s"(store append already durable; state is STALE until a healthy " +
+                  s"refresh — see ${marker}): ${e.getMessage}")
             }
           }
         }

@@ -435,6 +435,27 @@ object ScaleProbe {
     }.reduce(_.unionByName(_))
   }
 
+  /** Wall-second timer shared by every probe variant (one definition —
+    * per-variant copies had started to accumulate). */
+  private def timed[T](body: => T): (T, Double) = {
+    val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Recursive byte size of a directory tree. */
+  private def du(p: java.nio.file.Path): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum) else f.length()
+    walk(p.toFile)
+  }
+
+  /** Count of `.parquet` files under a directory tree. */
+  private def parquetFiles(dir: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+    walk(new java.io.File(dir))
+  }
+
   def main(args: Array[String]): Unit = {
     val n       = if (args.length > 0) args(0).toInt else 100000
     val nTgt    = if (args.length > 1) args(1).toInt else 50
@@ -786,9 +807,6 @@ object ScaleProbe {
       graft.sinks.ProductStore.create(rows, store)
       val product = graft.sinks.ProductStore.read(spark, store)
       val keys    = Seq("target_id", "variable")
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
       // the reference tool's shape: full-store rescan per run
       val (_, fullSec) = timed {
         graft.operators.Climatology.temporalMean(product, "time", "value", "month", keys)
@@ -947,9 +965,6 @@ object ScaleProbe {
         java.nio.file.Files.write(
           queue.resolve(f"msg-$di%03d"), g.toString.getBytes("UTF-8"))
       }
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
       // order-independent content signature over every column: the seam
       // check that store rewrites (append replay, compact) are pure layout
       def sig(): (Long, BigDecimal) = {
@@ -1062,9 +1077,6 @@ object ScaleProbe {
         java.nio.file.Files.write(
           queue.resolve(f"msg-$di%03d"), g.toString.getBytes("UTF-8"))
       }
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
       def sig(): (Long, BigDecimal) = {
         val df = graft.sinks.ProductStore.read(spark, store)
         val h  = df.select(xxhash64(df.columns.sorted.map(col): _*).as("h"))
@@ -1176,9 +1188,6 @@ object ScaleProbe {
       def threeMissionProduct(
           s: org.apache.spark.sql.SparkSession, paths: Seq[String]): org.apache.spark.sql.DataFrame =
         threeMissionGlobalProduct(s, paths, mesh, cfg)
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
       def sig(): (Long, BigDecimal) = {
         val df = graft.sinks.ProductStore.read(spark, store)
         val h  = df.select(xxhash64(df.columns.sorted.map(col): _*).as("h"))
@@ -1282,20 +1291,6 @@ object ScaleProbe {
             graft.domain.GlobalPipeline.process(
               graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
               mesh, cfg)))
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
-      def du(p: java.nio.file.Path): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum) else f.length()
-        walk(p.toFile)
-      }
-      def storeFiles(): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
-          else if (f.getName.endsWith(".parquet")) 1L else 0L
-        walk(new java.io.File(store))
-      }
       val decades = (0 until nDays).grouped(chunk).toSeq
       val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
       decades.zipWithIndex.foreach { case (dayIdxs, di) =>
@@ -1322,28 +1317,22 @@ object ScaleProbe {
             spark, store, days, targetRows = 600L * 1000, zOrder = true)
         }
         val stateRows  = spark.read.parquet(state).count()
-        val stateFiles = {
-          def walk(f: java.io.File): Long =
-            if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
-            else if (f.getName.endsWith(".parquet")) 1L else 0L
-          walk(new java.io.File(state))
-        }
+        val stateFiles = parquetFiles(state)
         def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         rowsOut += s"""{"decade":$di,"days":${days.length},"drain_sec":${r2(drainSec)},""" +
           s""""mean_day_sec":${r2(batchWalls.sum / math.max(1, batchWalls.length))},""" +
           s""""max_day_sec":${r2(if (batchWalls.isEmpty) 0 else batchWalls.max)},""" +
           s""""compact_sec":${r2(compactSec)},"ckpt_bytes":${du(java.nio.file.Paths.get(ckpt))},""" +
-          s""""state_rows":$stateRows,"state_files":$stateFiles,"store_files":${storeFiles()}}"""
+          s""""state_rows":$stateRows,"state_files":$stateFiles,"store_files":${parquetFiles(store)}}"""
       }
       // close the loop: fold vs rescan bit-equality + a box read
       val product = graft.sinks.ProductStore.read(spark, store)
-      def timed2[T](body: => T): (T, Double) = timed(body)
-      val (inc, foldSec) = timed2 {
+      val (inc, foldSec) = timed {
         val m = graft.operators.Climatology.meansFromState(spark, state, "month", keys)
           .localCheckpoint(true)
         m.count(); m
       }
-      val (full, rescanSec) = timed2 {
+      val (full, rescanSec) = timed {
         val m = graft.operators.Climatology
           .temporalMean(product, "time", "value", "month", keys)
           .localCheckpoint(true)
@@ -1352,7 +1341,7 @@ object ScaleProbe {
       val climoEqual = inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty
       val boxLo = ((-120.0 + 180.0) / 360.0 * (100 * gridN - 1)).toInt
       val boxHi = boxLo + (100 * gridN) / 180 * 2
-      val (boxRows, boxSec) = timed2 {
+      val (boxRows, boxSec) = timed {
         product.filter(col("lon_idx").between(boxLo, boxHi)).count()
       }
       def r(x: Double) = BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP)
@@ -1399,20 +1388,6 @@ object ScaleProbe {
       val product3 = Some(
         (s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
           threeMissionGlobalProduct(s, paths, mesh, cfg))
-      def timed[T](body: => T): (T, Double) = {
-        val t0 = System.nanoTime(); val r = body; (r, (System.nanoTime() - t0) / 1e9)
-      }
-      def du(p: java.nio.file.Path): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum) else f.length()
-        walk(p.toFile)
-      }
-      def parquetFiles(dir: String): Long = {
-        def walk(f: java.io.File): Long =
-          if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(walk).sum)
-          else if (f.getName.endsWith(".parquet")) 1L else 0L
-        walk(new java.io.File(dir))
-      }
       val decades = (startDay until startDay + nDays).grouped(chunk).toSeq
       val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
       decades.foreach { dayIdxs =>

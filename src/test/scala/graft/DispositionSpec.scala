@@ -36,18 +36,47 @@ class DispositionSpec extends SparkSpec {
   }
 
   test("classification is by THROW SITE: a library IAE with graft frames below it requeues") {
-    // a third-party IAE thrown from inside a graft kernel's call tree —
-    // graft frames appear BELOW the throw site (most executor work runs
-    // under graft lambdas). Whole-stack matching would dead-letter this;
-    // throw-site matching requeues it.
-    val lib = new IllegalArgumentException("Comparison method violates its general contract!")
+    // a third-party (Spark-internal) IAE thrown from inside a graft
+    // kernel's call tree — graft frames appear BELOW the throw site (most
+    // executor work runs under graft lambdas). Whole-stack matching would
+    // dead-letter this; throw-site matching requeues it.
+    val lib = new IllegalArgumentException("Self-suppression not permitted")
     lib.setStackTrace(Array(
-      new StackTraceElement("java.util.TimSort", "mergeLo", "TimSort.java", 777),
-      new StackTraceElement("java.util.Arrays", "sort", "Arrays.java", 1441),
+      new StackTraceElement("org.apache.spark.network.util.TransportConf", "get", "TransportConf.java", 61),
+      new StackTraceElement("org.apache.spark.storage.BlockManager", "fetch", "BlockManager.scala", 900),
       new StackTraceElement("graft.functions.Delaunay$", "triangulate", "Delaunay.scala", 200),
       new StackTraceElement("org.apache.spark.scheduler.Task", "run", "Task.scala", 139)))
     assert(!Disposition.nonRetryable(lib))
     assert(!Disposition.nonRetryable(new RuntimeException("stage failed", lib)))
+  }
+
+  test("a JDK-raised IAE fed by graft arguments attributes to graft (deterministic -> reject)") {
+    // NumberFormatException IS an IllegalArgumentException: graft parsing
+    // malformed granule metadata via parseLong throws from java.lang
+    // frames with the graft caller directly below. Replaying the same
+    // bytes fails the same way — classifying it transient would wedge the
+    // queue in a crash loop, where a dead-letter stays recoverable via
+    // redrive. JDK frames are attributed to their first library caller.
+    val nfe = new NumberFormatException("""For input string: "not-a-sounding-id"""")
+    nfe.setStackTrace(Array(
+      new StackTraceElement("java.lang.NumberFormatException", "forInputString", "NumberFormatException.java", 67),
+      new StackTraceElement("java.lang.Long", "parseLong", "Long.java", 711),
+      new StackTraceElement("graft.sources.GranuleManifest$", "parse", "GranuleManifest.scala", 40),
+      new StackTraceElement("org.apache.spark.scheduler.Task", "run", "Task.scala", 139)))
+    assert(Disposition.nonRetryable(nfe))
+    // same shape for a graft comparator violating TimSort's contract
+    val tim = new IllegalArgumentException("Comparison method violates its general contract!")
+    tim.setStackTrace(Array(
+      new StackTraceElement("java.util.TimSort", "mergeLo", "TimSort.java", 777),
+      new StackTraceElement("java.util.Arrays", "sort", "Arrays.java", 1441),
+      new StackTraceElement("graft.functions.Delaunay$", "triangulate", "Delaunay.scala", 200)))
+    assert(Disposition.nonRetryable(tim))
+    // but the SAME JDK throw site over a non-graft caller stays transient
+    val libTim = new IllegalArgumentException("Comparison method violates its general contract!")
+    libTim.setStackTrace(Array(
+      new StackTraceElement("java.util.TimSort", "mergeLo", "TimSort.java", 777),
+      new StackTraceElement("org.apache.spark.util.collection.Sorter", "sort", "Sorter.scala", 37)))
+    assert(!Disposition.nonRetryable(libTim))
   }
 
   test("a scala.Predef.require-raised graft guard still rejects (scala plumbing is skipped)") {

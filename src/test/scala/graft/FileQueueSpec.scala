@@ -397,6 +397,18 @@ class FileQueueSpec extends SparkSpec {
     assert(acked === Set("msg-day1"))
     assert(!Files.exists(queue.resolve(".deadletter").resolve("msg-day1")))
     assert(graft.sinks.ProductStore.read(spark, store).count() > 0)
+    // the silent-freeze alarm: a durable marker records the failure (a
+    // stdout line alone would leave a permanently stale state invisible)
+    val marker = base.resolve("state").resolve("_REFRESH_FAILED")
+    assert(Files.exists(marker), "no durable refresh-failure marker written")
+    assert(new String(Files.readAllBytes(marker), "UTF-8").contains("no_such_column"))
+    // a later HEALTHY refresh clears the alarm: re-deliver the day with
+    // correct stateKeys on a fresh checkpoint
+    writeMsg(queue, "msg-day1-redelivery", Seq(p.toString))
+    graft.streaming.MicroBatchIngest.ingestQueue(
+      spark, queue.toString, Files.createTempDirectory("pc-ckpt2").toString, store, catalog,
+      climatologyState = Some(state)).awaitTermination()
+    assert(!Files.exists(marker), "healthy refresh did not clear the failure marker")
   }
 
   test("restart resumes from the checkpoint and late messages are picked up") {
