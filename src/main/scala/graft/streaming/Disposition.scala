@@ -39,13 +39,17 @@ object Disposition {
     *  - `raise_error` guards (Spark condition USER_RAISED_EXCEPTION): every
     *    in-pipeline scale/sanity guard in this engine raises through it
     *    (region ceiling, Zarr bounds, sessionize strict mode);
-    *  - `IllegalArgumentException` RAISED BY THIS ENGINE (the throw-site
-    *    frame is `graft.`): malformed conf or argument validation.
-    *    The reference rejects only ITS OWN NonRetryable taxonomy
+    *  - `IllegalArgumentException` RAISED BY THIS ENGINE (the first
+    *    non-JDK/non-scala frame below the throw site is `graft.` — see
+    *    [[graftRaised]]): malformed conf, argument validation, or a JDK
+    *    primitive fed bad graft arguments (`parseLong` on malformed
+    *    metadata — NumberFormatException IS an IAE). The reference
+    *    rejects only ITS OWN NonRetryable taxonomy
     *    (`exceptions/Exceptions.py:16-42`); IAE is ubiquitous in JVM/Spark
     *    internals and can be transient (racy config, library edge cases),
     *    so a blanket IAE match could permanently dead-letter a good
-    *    granule — third-party IAEs stay transient (requeue);
+    *    granule — IAEs whose first library frame is Spark/Hadoop/other
+    *    stay transient (requeue);
     *  - `AnalysisException`: a granule whose decoded schema doesn't bind
     *    the pipeline's columns;
     *  - `FileNotFoundException`: the input vanished after admission —
