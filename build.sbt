@@ -33,4 +33,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // keep stack traces on hot-thrown exceptions: the streaming disposition
+  // classifies errors by throw site, and the JVM's fast-throw optimization
+  // strips stacks exactly during a deterministic-guard replay loop
+  "-XX:-OmitStackTraceInFastThrow",
 )

@@ -109,9 +109,16 @@ object Bench {
       catch { case _: Throwable => () }
     }
     // median of 3 warm passes: the builder's own notes measured ±15% run-to-run
-    // noise on this machine; a single sample cannot support per-query deltas
+    // noise on this machine; a single sample cannot support per-query deltas.
+    // load1m is stamped BEFORE each pass (`load_passes`) and every query's
+    // median records WHICH pass supplied it (`median_pass`, 1-based): the
+    // start-only gate stamped the r18 driver record clean although load
+    // arrived mid-run — with per-pass stamps the driver can discount a
+    // contaminated pass without forensic adjudication.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
+    val passLoads = new scala.collection.mutable.ArrayBuffer[Double]
     val samples = (1 to passes).map { _ =>
+      passLoads += load1m()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok =
@@ -125,14 +132,18 @@ object Bench {
     }
     val results = ordered.map { case (name, _) =>
       val runs = samples.map(_.find(_._1 == name).get)
-      val med  = runs.map(_._2).sorted.apply(runs.size / 2)
-      (name, med, runs.forall(_._3))
+      val byTime = runs.zipWithIndex.sortBy(_._1._2)
+      val (medRun, medIdx) = byTime(runs.size / 2)
+      (name, medRun._2, runs.forall(_._3), medIdx + 1)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val loadPasses = passLoads.map(v => fmt(v).toString).mkString("[", ",", "]")
+    val medianPass = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // per-query deltas vs the most COMPLETE parseable baseline among the
     // committed bench artifacts: driver-written BENCH_r*.json tails can be
@@ -155,7 +166,7 @@ object Bench {
       .sortBy { case (f, m) => (m.size, f.lastModified) }
       .lastOption
     val deltas = prev.map { case (f, prevQ) =>
-      val ds = results.flatMap { case (k, v, _) =>
+      val ds = results.flatMap { case (k, v, _, _) =>
         baselineFor(prevQ, k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
       // stamp the baseline's mtime: a bare filename stops identifying the
@@ -170,6 +181,7 @@ object Bench {
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,""" +
         s""""load_start":$loadStart,"load_end":${loadStamp()},"contaminated":$contaminated,""" +
+        s""""load_passes":$loadPasses,"median_pass":$medianPass,""" +
         s""""queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}"""
     println(detail)
     // persist the FULL metric JSON next to the round artifacts: the driver
@@ -187,9 +199,9 @@ object Bench {
     // prefixes from the contract's own example ("queries":{"q1":sec,…}) —
     // ~1.4 KB for ~100 queries, safely inside the tail. Full names and the
     // delta block live in the detail line above and in BENCH_SELF.json.
-    val prefixes = results.map { case (k, _, _) => k.takeWhile(_ != '_') }
+    val prefixes = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
     val shortKeys = prefixes.distinct.size == prefixes.size
-    val qsShort = results.map { case (k, v, _) =>
+    val qsShort = results.map { case (k, v, _, _) =>
       "\"" + (if (shortKeys) k.takeWhile(_ != '_') else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     println(

@@ -27,7 +27,13 @@ object Delaunay {
       px: Array[Double],
       py: Array[Double],
       keptIdx: Array[Int], // positions into the ORIGINAL input arrays
-      triangles: Array[Array[Int]] // index triples into px/py
+      triangles: Array[Array[Int]], // index triples into px/py
+      // repaired vertices incident ONLY to zero-area slivers (see
+      // repairCoverage): the triangle walk's |det| guard skips their
+      // triangles, so interpolation exact-matches these to their sample
+      // value before walking. Empty on healthy input — the interpolation
+      // hot path pays one length check.
+      nnVerts: Array[Int] = Array.empty
   ) {
     /** Align a per-original-point value array with the deduped vertices. */
     def alignValues(original: Array[Double]): Array[Double] = keptIdx.map(original)
@@ -517,15 +523,15 @@ object Delaunay {
       s"cavity=$statCavity nTri=$nTri"
     if (adjacencyOverflow || locateFailed) {
       // the bail result is coverage-checked too: triangulateSafe's
-      // containment-seeded degenerate insert keeps co-circular points, but
-      // if an fp-pathological input still drops any, surface the count so
-      // probes (and the interpolation path via lastStats) can see it
-      // instead of silently changing interpolated values.
-      val safeOpt  = triangulateSafe(xsIn, ysIn)
-      val nKept    = safeOpt.fold(n)(_.px.length)
-      val safeCov  = safeOpt.fold(0)(_.triangles.flatten.distinct.length)
+      // containment-seeded degenerate insert + repair pass keep every
+      // vertex, and if an fp-pathological input still drops any, that is
+      // a silent interpolated-value change — surface the count in stats
+      // AND fail hard through the disposition taxonomy (coverageGuard).
+      val safeOpt = triangulateSafe(xsIn, ysIn)
+      val dropped = safeOpt.fold(0)(t => t.px.length - t.triangles.flatten.distinct.length)
       lastStats += s" bail=${if (adjacencyOverflow) "adjacency" else "locate"}" +
-        s" safeDropped=${nKept - safeCov}"
+        s" safeDropped=$dropped"
+      coverageGuard(dropped, s"bail=${if (adjacencyOverflow) "adjacency" else "locate"}")
       return safeOpt
     }
     val finalTris = ArrayBuffer.empty[Array[Int]]
@@ -555,18 +561,40 @@ object Delaunay {
       val fastCover = used.count(identity)
       val safeOpt   = triangulateSafe(xsIn, ysIn)
       val safeCover = safeOpt.fold(0)(_.triangles.flatten.distinct.length)
-      // on a TIE neither path dominates (they can drop different
-      // vertices); keep the fast result but surface the residual count
-      // either way so probes can see a silent drop instead of guessing
+      // whichever path wins, a residual drop is no longer a stat to
+      // proceed past: it silently changes interpolated values, so it
+      // fails the granule through the disposition taxonomy instead
+      // (coverageGuard; believed unreachable since the r18 repair pass —
+      // the exact-tie fuzz asserts full cover on both paths)
       if (safeCover > fastCover) {
-        lastStats += s" coverSwitch=safe residualDropped=${n - safeCover}"
+        val dropped = safeOpt.fold(0)(_.px.length - safeCover)
+        lastStats += s" coverSwitch=safe residualDropped=$dropped"
+        coverageGuard(dropped, "coverSwitch=safe")
         return safeOpt
       }
       lastStats += s" coverSwitch=fast residualDropped=${n - fastCover}"
+      coverageGuard(n - fastCover, "coverSwitch=fast")
     }
     if (finalTris.isEmpty) None
     else Some(Triangulation(xs, ys, keep.toArray, finalTris.toArray))
   }
+
+  /** Hard guard on this kernel's one silent-correctness hazard: a
+    * triangulation that lost a vertex changes interpolated values with no
+    * error anywhere. Unreachable on every known input since the r18
+    * coverage-repair pass (DelaunaySpec's exact-tie fuzz asserts full
+    * vertex cover on both paths); if an fp-pathological input ever does
+    * reach it, fail the granule through the disposition taxonomy — the
+    * graft throw site classifies non-retryable
+    * ([[graft.streaming.Disposition.nonRetryable]]), so the streaming
+    * loop dead-letters the message (redrivable) instead of proceeding
+    * with silently-shifted values (VERDICT r18 #2). */
+  private[graft] def coverageGuard(dropped: Int, where: String): Unit =
+    if (dropped > 0)
+      throw new IllegalArgumentException(
+        s"graft.functions.Delaunay: coverage guard tripped ($where): $dropped vertex(es) " +
+          "missing from the triangulation — interpolated values would silently change; " +
+          "failing the granule (dead-letter + redrive) instead")
 
   /** The textbook O(n²) Bowyer–Watson (global bad-triangle rescan per
     * insertion) — retained as the fallback for inputs whose fp-degenerate
@@ -647,35 +675,69 @@ object Delaunay {
     }
     val real = tris.filterNot(t => t.a >= n || t.b >= n || t.c >= n)
     if (real.isEmpty) return None
-    // Coverage repair: under exact ties a degenerate (non-star-shaped)
-    // cavity can swallow an earlier vertex, and a hull vertex can end up
-    // only in super-vertex triangles (both observed on the exact
-    // co-circular ring). A triangulation of ≥3 non-collinear points keeps
-    // EVERY point as a vertex, so re-attach each missing point: 3-split a
-    // containing real triangle (its own vertices all reappear), else
-    // connect to the nearest real edge (for a dropped hull point that edge
-    // is its neighbors' chord — exactly the right triangle). Splits and
-    // adds never un-cover a vertex, so one sequential pass converges.
-    // Zero-area repair slivers are inert downstream: every interpolation
-    // query guards |det| > 1e-12 before using a triangle. Only reachable
-    // on exact-tie inputs — healthy inputs have full cover and skip this.
-    val present = new Array[Boolean](n)
-    real.foreach { t => present(t.a) = true; present(t.b) = true; present(t.c) = true }
+    val realT = real.map(t => Array(t.a, t.b, t.c))
+    val nn    = repairCoverage(vx, vy, n, realT)
+    Some(Triangulation(xs, ys, keep.toArray, realT.toArray, nn))
+  }
+
+  /** Coverage repair (the exact-tie seam of [[triangulateSafe]]): under
+    * exact ties a degenerate (non-star-shaped) cavity can swallow an
+    * earlier vertex, and a hull vertex can end up only in super-vertex
+    * triangles (both observed on the exact co-circular ring). A
+    * triangulation of ≥3 non-collinear points keeps EVERY point as a
+    * vertex, so re-attach each missing point: 3-split a containing real
+    * triangle (its own vertices all reappear), else connect to the
+    * nearest real edge (for a dropped hull point that edge is its
+    * neighbors' chord — exactly the right triangle). Splits and adds
+    * never un-cover a vertex, so one sequential pass converges. Only
+    * reachable on exact-tie inputs — healthy inputs have full cover and
+    * skip this.
+    *
+    * Repair geometry is non-conforming (T-junctions, possible zero-area
+    * slivers when the re-attached point is collinear with its host edge).
+    * Zero-area slivers are inert downstream — every interpolation query
+    * guards |det| > 1e-12 before using a triangle — but a vertex incident
+    * ONLY to slivers would then be invisible to the triangle walk:
+    * queries at it would return NaN or an overlapping host triangle's
+    * plane instead of the vertex's own sample value (ADVICE r18). The
+    * returned array lists exactly those sliver-only vertices; the
+    * interpolation functions exact-match them first.
+    *
+    * Mutates `tris` in place; returns the sliver-only vertex ids.
+    * O(missing × T) with linear scans — `missing` is ≤6 on every observed
+    * input (exact-tie fuzz, ring/cluster batteries); probed at scale in
+    * dev/PLANS_r19. */
+  private[graft] def repairCoverage(
+      vx: Array[Double], vy: Array[Double], n: Int,
+      tris: ArrayBuffer[Array[Int]]): Array[Int] = {
+    def containsPt(t: Array[Int], px: Double, py: Double): Boolean = {
+      val x1 = vx(t(0)); val y1 = vy(t(0))
+      val x2 = vx(t(1)); val y2 = vy(t(1))
+      val x3 = vx(t(2)); val y3 = vy(t(2))
+      val d1 = (px - x2) * (y1 - y2) - (x1 - x2) * (py - y2)
+      val d2 = (px - x3) * (y2 - y3) - (x2 - x3) * (py - y3)
+      val d3 = (px - x1) * (y3 - y1) - (x3 - x1) * (py - y1)
+      !((d1 < 0 || d2 < 0 || d3 < 0) && (d1 > 0 || d2 > 0 || d3 > 0))
+    }
+    val present  = new Array[Boolean](n)
+    tris.foreach { t => present(t(0)) = true; present(t(1)) = true; present(t(2)) = true }
+    val repaired = ArrayBuffer.empty[Int]
     var rp = 0
     while (rp < n) {
       if (!present(rp)) {
+        repaired += rp
         val px = vx(rp); val py = vy(rp)
-        val host = real.indexWhere(t => containsPt(t, px, py))
+        val host = tris.indexWhere(t => containsPt(t, px, py))
         if (host >= 0) {
-          val t = real.remove(host)
-          real += Tri(t.a, t.b, rp) += Tri(t.b, t.c, rp) += Tri(t.c, t.a, rp)
+          val t = tris.remove(host)
+          tris += Array(t(0), t(1), rp) += Array(t(1), t(2), rp) += Array(t(2), t(0), rp)
         } else {
           var bu = -1; var bv = -1; var bd = Double.MaxValue
-          real.foreach { t =>
+          tris.foreach { t =>
             var e = 0
             while (e < 3) {
-              val u = if (e == 0) t.a else if (e == 1) t.b else t.c
-              val v = if (e == 0) t.b else if (e == 1) t.c else t.a
+              val u = t(e)
+              val v = t((e + 1) % 3)
               val dx = vx(v) - vx(u); val dy = vy(v) - vy(u)
               val len2 = dx * dx + dy * dy
               val s =
@@ -687,13 +749,24 @@ object Delaunay {
               e += 1
             }
           }
-          real += Tri(bu, bv, rp)
+          tris += Array(bu, bv, rp)
         }
         present(rp) = true
       }
       rp += 1
     }
-    Some(Triangulation(xs, ys, keep.toArray, real.map(t => Array(t.a, t.b, t.c)).toArray))
+    // sliver-only check over the re-attached set: |det| must clear the
+    // same 1e-12 the interpolation walk guards with, for at least one
+    // incident triangle, or the vertex goes on the exact-match list
+    repaired.filter { v =>
+      !tris.exists { t =>
+        (t(0) == v || t(1) == v || t(2) == v) && {
+          val det = (vy(t(1)) - vy(t(2))) * (vx(t(0)) - vx(t(2))) +
+            (vx(t(2)) - vx(t(1))) * (vy(t(0)) - vy(t(2)))
+          math.abs(det) > 1e-12
+        }
+      }
+    }.toArray
   }
 
   /** Per-vertex gradient estimation: weighted least-squares plane fit over
@@ -758,6 +831,10 @@ object Delaunay {
       qx: Double,
       qy: Double): Double = {
     val eps  = 1e-12
+    if (tri.nnVerts.length > 0) { // repair-sliver vertices: exact-match first
+      val m = nnMatch(tri, qx, qy)
+      if (m >= 0) return values(m)
+    }
     val cand = tri.candidateTris(qx, qy)
     var i = 0
     while (i < cand.length) {
@@ -798,6 +875,23 @@ object Delaunay {
     Double.NaN
   }
 
+  /** A repair-sliver vertex of `tri` at exactly (qx, qy), or -1. The
+    * triangle walk's |det| guard skips those vertices' only triangles, so
+    * the sample-point-reproduction invariant routes through this
+    * exact-coordinate match (queries AT a sample point carry the sample's
+    * own doubles — the pixel lattice inversion emits them verbatim).
+    * nnVerts is empty on healthy input, so the hot path pays one length
+    * check. */
+  @inline private def nnMatch(tri: Triangulation, qx: Double, qy: Double): Int = {
+    var k = 0
+    while (k < tri.nnVerts.length) {
+      val v = tri.nnVerts(k)
+      if (tri.px(v) == qx && tri.py(v) == qy) return v
+      k += 1
+    }
+    -1
+  }
+
   /** Barycentric linear interpolation of (qx, qy) against a triangulation
     * with per-vertex values. NaN outside the hull. */
   def interpolateLinear(
@@ -806,6 +900,10 @@ object Delaunay {
       qx: Double,
       qy: Double): Double = {
     val eps  = 1e-12
+    if (tri.nnVerts.length > 0) { // repair-sliver vertices: exact-match first
+      val m = nnMatch(tri, qx, qy)
+      if (m >= 0) return values(m)
+    }
     val cand = tri.candidateTris(qx, qy)
     var i = 0
     while (i < cand.length) {

@@ -85,15 +85,80 @@ object Disposition {
     *    invoked it — third-party IAEs can be racy-config artifacts, and a
     *    wrong dead-letter there would discard a good granule.
     * Exceptions carried back from executors keep their original
-    * throw-site frames, so the check survives serialization. */
-  private[streaming] def graftRaised(e: Throwable): Boolean =
-    e.getStackTrace.iterator
-      .find { f =>
+    * throw-site frames, so the check survives serialization.
+    *
+    * An EMPTY stack trace cannot be attributed by throw site. The JVM's
+    * default `-XX:+OmitStackTraceInFastThrow` strips stacks from
+    * repeatedly-thrown exceptions — precisely during a replay crash loop
+    * of a deterministic graft guard — so the fallback matters: use the
+    * nearest CAUSE that kept a stack (wrappers are created fresh per
+    * throw, but a cached cause can be stackless too). If nothing in the
+    * chain has a stack, classify transient; the bounded-redelivery
+    * breaker ([[bumpDeliveries]]) then stops the loop after
+    * `maxRedeliveries` replays. Launch configs additionally pass
+    * `-XX:-OmitStackTraceInFastThrow` (build.sbt, dev/probe.sh) so the
+    * primary classification keeps its evidence. */
+  private[streaming] def graftRaised(e: Throwable): Boolean = {
+    def firstLib(t: Throwable): Option[StackTraceElement] =
+      t.getStackTrace.iterator.find { f =>
         val c = f.getClassName
         !(c.startsWith("java.") || c.startsWith("jdk.") || c.startsWith("sun.") ||
           c.startsWith("scala."))
       }
-      .exists(_.getClassName.startsWith("graft."))
+    if (e.getStackTrace.nonEmpty) firstLib(e).exists(_.getClassName.startsWith("graft."))
+    else
+      causes(e).drop(1).find(_.getStackTrace.nonEmpty)
+        .flatMap(firstLib).exists(_.getClassName.startsWith("graft."))
+  }
+
+  /** Raised by the bounded-redelivery circuit breaker: a message whose
+    * batch failed with TRANSIENT-classified errors `max` times in a row.
+    * Deterministic failures misclassified transient (a third-party
+    * `require` fed bad graft arguments, a stackless hot-thrown guard)
+    * replay identically forever — the reference's RMQ nack loop wedges
+    * the same way (`sam_extract/main.py:711-735`); this engine bounds it.
+    * Dead-lettered with this reason, the message stays recoverable via
+    * `RepairJob --redrive`. */
+  final class MaxRedeliveriesExceeded(name: String, attempts: Int, max: Int)
+      extends RuntimeException(
+        s"max-redeliveries: message '$name' delivered $attempts times with transient-" +
+          s"classified failures (limit $max) — dead-lettering to unwedge the queue; " +
+          "recover with RepairJob --redrive once the cause is fixed")
+
+  /** Durable per-message delivery counter under
+    * `<checkpoint>/filequeue-deliveries/<name>`: bump on every delivery
+    * (batch entry), returning the attempt number. Tolerant read like the
+    * acked watermark — a torn/garbage counter degrades to 0, which only
+    * grants extra replays (the safe direction). O(1) filesystem ops per
+    * message per batch; [[clearDeliveries]] retires counters when their
+    * batch completes, so the dir holds only in-flight names. */
+  def bumpDeliveries(checkpointLocation: String, name: String, conf: Configuration): Int = {
+    val dir = new Path(checkpointLocation, "filequeue-deliveries")
+    val fs  = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val p = new Path(dir, name)
+    val prev =
+      if (!fs.exists(p)) 0
+      else
+        try {
+          val src = scala.io.Source.fromInputStream(fs.open(p), "UTF-8")
+          try src.mkString.trim.toInt finally src.close()
+        } catch { case _: Exception => 0 }
+    val n   = prev + 1
+    val out = fs.create(p, true)
+    try out.write(s"$n\n".getBytes("UTF-8")) finally out.close()
+    n
+  }
+
+  /** Retire delivery counters for messages whose batch completed (committed
+    * or dead-lettered). A redriven message re-enters under a fresh
+    * `.redrive` name, so its budget starts over by construction. */
+  def clearDeliveries(checkpointLocation: String, names: Seq[String], conf: Configuration): Unit =
+    if (names.nonEmpty) {
+      val dir = new Path(checkpointLocation, "filequeue-deliveries")
+      val fs  = dir.getFileSystem(conf)
+      names.foreach(n => fs.delete(new Path(dir, n), false))
+    }
 
   /** `basic_reject(requeue=False)`: move a message file out of the queue to
     * `<queue>/.deadletter/` with a `<name>.reason` sidecar carrying the

@@ -221,15 +221,17 @@ class FileQueueStream(
       val p    = new Path(qPath, name)
       val dst  = new Path(ackedDir, name)
       val ok = !fs.exists(p) || fs.rename(p, dst) || {
-        // a crashed copy-rename can leave BOTH src and dst. Completing
-        // the move by dropping src is only safe when dst is a FULL copy
-        // (equal length) — a truncated partial in .acked/ would become
-        // the reader's fallback copy and silently shorten the granule
-        // list. A partial dst is deleted so the next rename retries.
+        // a crashed copy-rename can leave BOTH src and dst — and equal
+        // byte LENGTH is not proof dst is a full copy (a partial
+        // multipart upload of coincidentally equal length, or a
+        // re-created message reusing an acked name with different
+        // content, would delete the only good copy and serve the stale/
+        // partial .acked file to replayed batches). Copy src OVER dst,
+        // then drop src: dst ends a verified full copy, or the copy
+        // fails and the walk halts to retry on the next ack.
         fs.exists(dst) && {
-          if (fs.getFileStatus(dst).getLen == fs.getFileStatus(p).getLen)
-            fs.delete(p, false)
-          else { fs.delete(dst, false); false }
+          try org.apache.hadoop.fs.FileUtil.copy(fs, p, fs, dst, true, true, conf)
+          catch { case _: java.io.IOException => false }
         }
       }
       if (ok) advanced += 1 else halted = true

@@ -58,7 +58,12 @@ object MicroBatchIngest {
     * `GlobalPipeline.toStoreVariables ∘ GlobalPipeline.process`); default
     * is the target-focused `Pipeline.process` over `catalog`/`cfg`.
     * `stateKeys`: climatology state grouping keys (the global store's long
-    * form has no target_id — pass `Seq("variable")`). */
+    * form has no target_id — pass `Seq("variable")`).
+    * `maxRedeliveries`: the bounded-redelivery budget — a message whose
+    * batch keeps failing with TRANSIENT-classified errors is dead-lettered
+    * after this many deliveries instead of replaying forever (the breaker
+    * for deterministic failures the taxonomy misclassifies; see the
+    * circuit-breaker block below). */
   def ingestQueue(
       spark: SparkSession,
       queueDir: String,
@@ -69,7 +74,8 @@ object MicroBatchIngest {
       maxMessagesPerBatch: Int = 1,
       climatologyState: Option[String] = None,
       stateKeys: Seq[String] = Seq("target_id", "variable"),
-      product: Option[(SparkSession, Seq[String]) => DataFrame] = None): StreamingQuery = {
+      product: Option[(SparkSession, Seq[String]) => DataFrame] = None,
+      maxRedeliveries: Int = 5): StreamingQuery = {
     val stream = spark.readStream
       .format("filequeue")
       .option("path", queueDir)
@@ -88,13 +94,36 @@ object MicroBatchIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val hconf = spark.sessionState.newHadoopConf()
-        val byMsg: Seq[(String, Seq[String])] = batch
+        val admitted: Seq[(String, Seq[String])] = batch
           .select(col("message"), col("granule_path")).collect()
           .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSeq.distinct)
           .toSeq.sortBy(_._1)
           // a replayed batch can contain a message rejected just before a
           // crash — already in .deadletter, never re-process it
           .filterNot { case (name, _) => Disposition.isDead(queueDir, name, hconf) }
+        // Bounded-redelivery circuit breaker: the disposition taxonomy can
+        // misclassify a DETERMINISTIC failure as transient (a third-party
+        // `require` fed bad graft arguments — its throw site is the
+        // library, not graft — or a stackless hot-thrown guard under
+        // OmitStackTraceInFastThrow). Such a batch replays identically
+        // forever and wedges the queue; the reference's RMQ nack loop has
+        // the same hazard (`main.py:711-735`). Every delivery bumps a
+        // durable per-message counter; a message past its budget is
+        // dead-lettered with a `max-redeliveries` reason (recoverable via
+        // RepairJob --redrive) and the stream drains the rest. Counters
+        // clear when the batch completes, so a genuinely transient failure
+        // that succeeds within the budget leaves no residue.
+        val attempts = admitted.map { case (name, paths) =>
+          (name, paths, Disposition.bumpDeliveries(checkpoint, name, hconf))
+        }
+        attempts.foreach { case (name, _, n) =>
+          if (n > maxRedeliveries)
+            Disposition.deadLetter(queueDir, name,
+              new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries), hconf)
+        }
+        val byMsg = attempts.collect {
+          case (name, paths, n) if n <= maxRedeliveries => (name, paths)
+        }
         // CacheScope brackets the whole batch: the session table persists
         // across its three consumers WITHIN the batch (same win as batch
         // mode), then unpersists in the scope's finally — a multi-day
@@ -121,25 +150,38 @@ object MicroBatchIngest {
             // an operator-run ClimatologyJob) converges the state. A
             // transient failure still rethrows — Spark replays the batch
             // and the idempotent append makes the replay a no-op.
-            // A deterministic refresh failure (wrong stateKeys, schema
-            // drift) would recur EVERY batch — swallowing it with only a
-            // stdout line would freeze the derived state silently. The
-            // `_REFRESH_FAILED` marker inside the state dir is the
-            // durable alarm (underscore-prefixed, so parquet readers of
-            // the state ignore it); a later healthy refresh clears it.
+            // ANY refresh failure would recur or misattribute if it
+            // propagated from here (the append already committed), and
+            // skipping the refresh is always convergent — the state
+            // recomputes FROM THE STORE on the next batch touching the
+            // same days (or an operator-run ClimatologyJob). So the
+            // post-commit stage swallows ALL NonFatal failures, not just
+            // the nonRetryable taxonomy: a deterministic error OUTSIDE the
+            // taxonomy (an NPE from state-schema drift) used to rethrow
+            // and crash-loop the batch forever, since the idempotent
+            // append makes every replay hit the same failure (ADVICE r18).
+            // Swallowing with only a stdout line would freeze the derived
+            // state silently — the `_REFRESH_FAILED` marker inside the
+            // state dir is the durable alarm (underscore-prefixed, so
+            // parquet readers of the state ignore it); ClimatologyJob
+            // `--state` warns loudly when it finds one. Any later healthy
+            // pass clears it — INCLUDING an empty-day batch: the marker
+            // means "the last refresh attempt failed", and an empty
+            // refresh is vacuously healthy (the failed days themselves
+            // are absent from the state, so the next ClimatologyJob run
+            // or same-day batch still converges them).
             val marker = new org.apache.hadoop.fs.Path(statePath, "_REFRESH_FAILED")
             val mfs    = marker.getFileSystem(hconf)
             try {
               val days = product.select(col("time").cast("date").cast("string"))
                 .distinct().collect().map(_.getString(0)).toSeq
-              if (days.nonEmpty) {
+              if (days.nonEmpty)
                 graft.operators.Climatology.refreshDaysFromStore(
                   graft.sinks.ProductStore.read(spark, storePath),
                   "day", days, "time", "value", stateKeys, statePath)
-                mfs.delete(marker, false)
-              }
+              mfs.delete(marker, false)
             } catch {
-              case e if Disposition.nonRetryable(e) =>
+              case scala.util.control.NonFatal(e) =>
                 try {
                   mfs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
                   val out = mfs.create(marker, true)
@@ -211,6 +253,10 @@ object MicroBatchIngest {
               }
             }
         }
+        // the batch completed (committed or dead-lettered; a transient
+        // rethrow above skips this) — retire the delivery counters so the
+        // breaker dir holds only in-flight names
+        Disposition.clearDeliveries(checkpoint, attempts.map(_._1), hconf)
       }
       .start()
   }

@@ -162,8 +162,33 @@ object ClimatologyJob {
       .collect().map(_.getString(0))
     val stateRoot = new Path(statePath)
     val fs        = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
+    // the streaming loop's durable alarm: a per-batch refresh failed and
+    // the state is stale. Surface it LOUDLY here (the alarm was only
+    // durable, not visible, before r19) — the failed days never entered
+    // the state, so this run's new-day detection refreshes them; clearing
+    // the marker after a healthy run mirrors the streaming loop. A day
+    // REWRITTEN in place around the failure still needs --refresh-days,
+    // as always.
+    val refreshMarker = new Path(stateRoot, "_REFRESH_FAILED")
+    val markerWasPresent = fs.exists(refreshMarker)
+    if (markerWasPresent) {
+      val txt =
+        try {
+          val src = scala.io.Source.fromInputStream(fs.open(refreshMarker), "UTF-8")
+          try src.mkString.trim finally src.close()
+        } catch { case _: Exception => "(unreadable)" }
+      System.err.println(
+        s"[climatology] WARNING: state $statePath carries a _REFRESH_FAILED marker — " +
+          s"a streaming per-batch refresh failed and the state was stale: $txt")
+    }
+    // a state dir can exist WITHOUT day partitions: the streaming loop's
+    // refresh-failure path mkdirs the dir just to write the marker, so a
+    // bare parquet read here would crash with UNABLE_TO_INFER_SCHEMA on
+    // exactly the stale state this job is supposed to heal
     val stateDays =
-      if (fs.exists(stateRoot))
+      if (fs.exists(stateRoot) &&
+          fs.listStatus(stateRoot).exists(s =>
+            s.isDirectory && s.getPath.getName.startsWith("day=")))
         spark.read.parquet(statePath).select(col("day").cast("string")).distinct()
           .collect().map(_.getString(0))
       else Array.empty[String]
@@ -203,8 +228,14 @@ object ClimatologyJob {
       if (doConsolidated) Climatology.consolidateMonthly(means, keys)
       else means
     result.write.mode("overwrite").parquet(out)
+    if (markerWasPresent) {
+      fs.delete(refreshMarker, false)
+      System.err.println(
+        "[climatology] _REFRESH_FAILED marker cleared after a healthy refresh " +
+          s"(${touched.length} day(s) re-aggregated from the store)")
+    }
     s""""format":"parquet","refreshed_days":${touched.length},"dropped_days":${stale.length},""" +
-      s""""absent_refresh_days":${absentRefresh.length}"""
+      s""""absent_refresh_days":${absentRefresh.length},"refresh_failed_marker":$markerWasPresent"""
   }
 
   def main(args: Array[String]): Unit = {

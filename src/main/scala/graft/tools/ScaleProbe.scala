@@ -1757,6 +1757,72 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    if (variant == "delaunaylattice") {
+      // exact-tie adversary at scale (VERDICT r18 #3): a snapped-to-grid
+      // day — EVERY coordinate quantized to a power-of-two step so every
+      // lattice quad is EXACTLY co-circular in fp (step 1/64 ≈ the 0.01°
+      // production mesh; 0.01 itself is not binary-representable and
+      // would break the ties this probe exists to hit). Measures the fast
+      // path's wall + coverage on the shape most likely to bail, and —
+      // via args(5) — the safe path + repair pass at a bounded ladder
+      // (textbook O(n²) insertion: the ladder exposes the curve without
+      // an unbounded run). Full vertex cover is asserted, not sampled:
+      // the r19 coverage guard throws if either path drops a vertex.
+      val safeN = if (args.length > 5) args(5).toInt else 0
+      val step  = 1.0 / 64
+      def lattice(count: Int): (Array[Double], Array[Double], Int) = {
+        val side  = math.max(2, math.sqrt(count.toDouble).ceil.toInt)
+        val total = side * side
+        val xs = new Array[Double](total); val ys = new Array[Double](total)
+        var i = 0
+        while (i < total) { xs(i) = (i % side) * step; ys(i) = (i / side) * step; i += 1 }
+        (xs, ys, side)
+      }
+      def cover(t: graft.functions.Delaunay.Triangulation): Int = {
+        val used = new Array[Boolean](t.px.length)
+        t.triangles.foreach { tr => used(tr(0)) = true; used(tr(1)) = true; used(tr(2)) = true }
+        used.count(identity)
+      }
+      def planar(x: Double, y: Double) = 3.0 * x - 2.0 * y + 7.0
+      val (xs, ys, side) = lattice(n)
+      val t0 = System.nanoTime()
+      val tri = graft.functions.Delaunay.triangulate(xs, ys).get
+      val triSec = (System.nanoTime() - t0) / 1e9
+      val fastCover = cover(tri)
+      val av = tri.alignValues(Array.tabulate(xs.length)(i => planar(xs(i), ys(i))))
+      // queries at interior cell centers (exact halves — still tied grid)
+      val t1 = System.nanoTime()
+      var q = 0; var nan = 0; var worst = 0.0
+      val qn = math.min(xs.length, 2000000)
+      while (q < qn) {
+        val qx = (q % (side - 1) + 0.5) * step
+        val qy = (q / (side - 1) % (side - 1) + 0.5) * step
+        val got = graft.functions.Delaunay.interpolateLinear(tri, av, qx, qy)
+        if (got.isNaN) nan += 1
+        else worst = math.max(worst, math.abs(got - planar(qx, qy)))
+        q += 1
+      }
+      val qSec = (System.nanoTime() - t1) / 1e9
+      val safeJson =
+        if (safeN <= 0) """"safe_points":0"""
+        else {
+          val (sx, sy, _) = lattice(safeN)
+          val s0 = System.nanoTime()
+          val st = graft.functions.Delaunay.triangulateSafe(sx, sy).get
+          val sSec = (System.nanoTime() - s0) / 1e9
+          s""""safe_points":${sx.length},"safe_sec":${BigDecimal(sSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+            s""""safe_cover":${cover(st)},"safe_slivers":${st.nnVerts.length}"""
+        }
+      println(
+        s"""{"probe":"delaunay_lattice","points":${xs.length},"side":$side,""" +
+          s""""triangulate_sec":${BigDecimal(triSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+          s""""stats":"${graft.functions.Delaunay.lastStats}",""" +
+          s""""cover":$fastCover,"dropped":${xs.length - fastCover},""" +
+          s""""queries":$qn,"query_sec":${BigDecimal(qSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+          s""""query_nan":$nan,"planar_worst":$worst,$safeJson}""")
+      spark.stop()
+      return
+    }
     if (variant == "delaunayband") {
       // driver-side decomposition of ONE band-day tile task: the same
       // clustered point geometry h5Soundings produces (640 2°×2° target

@@ -279,6 +279,46 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(stateDays === Array("day=2023-06-15", "day=2023-07-01"))
   }
 
+  test("ClimatologyJob --state: a _REFRESH_FAILED marker is surfaced loudly and cleared by a healthy run") {
+    import graft.sinks.ProductStore
+    import spark.implicits._
+    // the streaming loop's post-commit refresh failure leaves a durable
+    // marker in the state dir; before r19 it was durable but INVISIBLE —
+    // nothing operator-facing read it. The incremental CLI must warn and,
+    // after a healthy refresh, clear it (mirroring the streaming loop).
+    val mkLong = (day: String, v: Double) => (0 until 4).map(i =>
+      ("fossil0001", java.sql.Timestamp.valueOf(f"$day 10:0$i%01d:00"),
+        i, i, 40.0 + i, 10.0 + i, "xco2", v + i))
+      .toDF("target_id", "time", "lat_idx", "lon_idx", "lat", "lon", "variable", "value")
+    val dir   = Files.createTempDirectory("climarker")
+    val store = dir.resolve("store").toString
+    val state = dir.resolve("state")
+    ProductStore.appendIdempotent(mkLong("2023-06-15", 400.0), store)
+    Files.createDirectories(state)
+    val marker = state.resolve("_REFRESH_FAILED")
+    Files.write(marker, "2026-01-01T00:00:00Z simulated streaming refresh failure\n".getBytes("UTF-8"))
+    def run(out: String): String = {
+      val bout = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bout, true, "UTF-8")) {
+        graft.tools.ClimatologyJob.main(
+          Array(store, dir.resolve(out).toString, "month", "--state", state.toString))
+      }
+      new String(bout.toByteArray, "UTF-8")
+    }
+    val out1 = run("out1")
+    assert(out1.contains("\"refresh_failed_marker\":true"), s"marker not surfaced: $out1")
+    assert(!Files.exists(marker), "healthy incremental run did not clear the marker")
+    // and the run still produced correct means (the failed days were
+    // absent from the state, so new-day detection refreshed them)
+    val got = spark.read.parquet(dir.resolve("out1").toString).collect().toSet
+    val full = graft.operators.Climatology.temporalMean(
+      mkLong("2023-06-15", 400.0), "time", "value", "month", Seq("target_id", "variable"))
+      .collect().toSet
+    assert(got === full)
+    val out2 = run("out2")
+    assert(out2.contains("\"refresh_failed_marker\":false"), s"stale flag: $out2")
+  }
+
   test("ClimatologyJob --state: deleting a store day drops its state partition; empty store refuses the drop") {
     import spark.implicits._
     import graft.operators.Climatology

@@ -428,6 +428,52 @@ class DelaunaySpec extends AnyFunSuite {
       }
     }
 
+  test("coverage guard: a residual vertex drop fails hard through the disposition taxonomy") {
+    // r18 surfaced safeDropped/residualDropped as stats and PROCEEDED — a
+    // silent interpolated-value change. The guard now raises instead; the
+    // repair pass makes it unreachable on every known input (the fuzz
+    // above asserts full cover on both paths), so the only way to pin the
+    // behavior is the guard function itself plus its disposition shape.
+    Delaunay.coverageGuard(0, "healthy") // no-op on full cover
+    val e = intercept[IllegalArgumentException](Delaunay.coverageGuard(2, "bail=adjacency"))
+    assert(e.getMessage.contains("coverage guard tripped (bail=adjacency): 2 vertex"))
+    // graft throw site → the streaming loop dead-letters the granule
+    // (recoverable via redrive) instead of replaying the silent failure
+    assert(graft.streaming.Disposition.nonRetryable(e))
+    assert(graft.streaming.Disposition.nonRetryable(new RuntimeException("job aborted", e)))
+  }
+
+  test("repair sliver fallback: a vertex re-attached only via a zero-area sliver reproduces its sample value") {
+    // ADVICE r18: the nearest-edge repair can produce a zero-area triangle
+    // (re-attached point exactly collinear with its host edge); the
+    // interpolation walk's |det| guard skips it, so queries AT the vertex
+    // returned NaN or an overlapping host plane instead of the vertex's
+    // own sample. repairCoverage must flag such vertices and the
+    // interpolation functions must exact-match them first.
+    import scala.collection.mutable.ArrayBuffer
+    val px = Array(0.0, 1.0, 0.0, 2.0)
+    val py = Array(0.0, 0.0, 1.0, 0.0)
+    val tris = ArrayBuffer(Array(0, 1, 2)) // vertex 3 missing, collinear with edge 0-1
+    val nn = Delaunay.repairCoverage(px, py, 4, tris)
+    assert(nn.toSeq === Seq(3),
+      s"sliver-only detection: got ${nn.toSeq}; tris=${tris.map(_.mkString(",")).mkString(" ")}")
+    assert(tris.map(_.toSet).contains(Set(0, 1, 3)), "vertex 3 not re-attached to its nearest edge")
+    val tri  = Delaunay.Triangulation(px, py, Array(0, 1, 2, 3), tris.toArray, nn)
+    val vals = Array(10.0, 20.0, 30.0, 99.0)
+    assert(Delaunay.interpolateLinear(tri, vals, 2.0, 0.0) === 99.0)
+    assert(Delaunay.interpolateCubic(tri, vals, Array.fill(4)((0.0, 0.0)), 2.0, 0.0) === 99.0)
+    // healthy interior queries do not route through the fallback
+    val interior = Delaunay.interpolateLinear(tri, vals, 0.25, 0.25)
+    assert(math.abs(interior - 17.5) < 1e-12, s"interior query perturbed: $interior")
+    // a repaired vertex with a REAL (non-sliver) triangle is NOT flagged:
+    // same layout but the missing vertex sits inside the host triangle
+    val tris2 = ArrayBuffer(Array(0, 1, 2))
+    val nn2 = Delaunay.repairCoverage(
+      Array(0.0, 1.0, 0.0, 0.25), Array(0.0, 0.0, 1.0, 0.25), 4, tris2)
+    assert(nn2.isEmpty, s"3-split interior repair wrongly flagged: ${nn2.toSeq}")
+    assert(tris2.length === 3, "interior repair should 3-split the host")
+  }
+
   test("fuzz: exact-tie layouts across seeds — full vertex cover on BOTH paths, planar exactness") {
     // The r18 degenerate-insert + coverage-repair code deserves its own
     // adversary: coordinates SNAPPED to a coarse grid (exact duplicates,

@@ -110,6 +110,28 @@ class DispositionSpec extends SparkSpec {
     } finally spark.conf.unset(graft.domain.GlobalPipeline.MaxRegionPixelsConfKey)
   }
 
+  test("empty-stack IAE (OmitStackTraceInFastThrow) attributes via the cause chain") {
+    // the JVM's fast-throw optimization strips stacks from repeatedly-
+    // thrown exceptions — precisely during a replay crash loop of a
+    // deterministic guard. Attribution falls back to the nearest CAUSE
+    // that kept a stack. The causes are deliberately NOT IAEs themselves,
+    // so only the fallback can classify them.
+    val graftCause = withFrames(new RuntimeException("guard state"), "graft.domain.Pipeline")
+    val stripped   = new IllegalArgumentException("requirement failed", graftCause)
+    stripped.setStackTrace(Array.empty)
+    assert(Disposition.nonRetryable(stripped))
+    val libCause    = withFrames(new RuntimeException("lib state"),
+      "org.apache.spark.network.util.TransportConf")
+    val strippedLib = new IllegalArgumentException("requirement failed", libCause)
+    strippedLib.setStackTrace(Array.empty)
+    assert(!Disposition.nonRetryable(strippedLib))
+    // nothing in the chain kept a stack → transient; the bounded-
+    // redelivery breaker stops the replay loop instead of this guess
+    val bare = new IllegalArgumentException("stripped")
+    bare.setStackTrace(Array.empty)
+    assert(!Disposition.nonRetryable(bare))
+  }
+
   test("transient failures stay retryable; FileNotFound and raise_error guards reject") {
     assert(!Disposition.nonRetryable(new RuntimeException("executor lost")))
     assert(!Disposition.nonRetryable(new java.io.IOException("connection reset")))

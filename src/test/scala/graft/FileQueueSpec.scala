@@ -411,6 +411,137 @@ class FileQueueSpec extends SparkSpec {
     assert(!Files.exists(marker), "healthy refresh did not clear the failure marker")
   }
 
+  test("bounded redelivery: a deterministic transient-classified failure dead-letters after N replays; a transient one within budget delivers") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    // The disposition taxonomy classifies a library-throw-site IAE as
+    // transient (correctly — most are). When such a failure is actually
+    // DETERMINISTIC (a third-party `require` fed bad graft arguments),
+    // the batch replays identically forever and wedges the queue — the
+    // reference's RMQ nack loop has the same hazard (`main.py:711-735`).
+    // The per-message delivery counter must dead-letter it after
+    // maxRedeliveries with a `max-redeliveries` reason and drain the rest.
+    val queue = Files.createTempDirectory("redeliv-queue")
+    val gran  = Files.createTempDirectory("redeliv-granules")
+    val store = Files.createTempDirectory("redeliv-store").resolve("store").toString
+    val ckpt  = Files.createTempDirectory("redeliv-ckpt").toString
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    def mkNc(name: String, day: String): String = {
+      val ss = (0 until 6).map(i =>
+        sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    val g1 = mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15")
+    val gP = mkNc("oco3_LtCO2_20230616_poison.nc", "2023-06-16")
+    val g3 = mkNc("oco3_LtCO2_20230617_B.nc", "2023-06-17")
+    writeMsg(queue, "m1-ok", Seq(g1))
+    writeMsg(queue, "m2-poison", Seq(gP))
+    writeMsg(queue, "m3-ok", Seq(g3))
+    def libraryIae(): Nothing = {
+      // a deterministic failure whose THROW SITE is a library frame —
+      // transient per the taxonomy, so it rethrows (nack) every replay
+      val e = new IllegalArgumentException("Pathname from graft arguments is not valid")
+      e.setStackTrace(Array(
+        new StackTraceElement("org.apache.hadoop.fs.Path", "checkPathArg", "Path.java", 77),
+        new StackTraceElement("graft.streaming.MicroBatchIngest$", "runBatch", "MicroBatchIngest.scala", 100)))
+      throw e
+    }
+    val product = Some((s: org.apache.spark.sql.SparkSession, paths: Seq[String]) => {
+      if (paths.exists(_.contains("poison"))) libraryIae()
+      graft.domain.Pipeline.process(
+        graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+        catalog, graft.domain.Pipeline.Config())
+    })
+    // each drain = one delivery attempt of the wedged batch (Spark replays
+    // it from the checkpoint on restart — the nack/requeue semantics)
+    def drain(): Boolean =
+      try {
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue.toString, ckpt, store, catalog,
+          product = product, maxRedeliveries = 2).awaitTermination()
+        true
+      } catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+    assert(!drain(), "delivery 1 of the poison batch should fail the query (nack)")
+    assert(!drain(), "delivery 2 is still within the budget — replay, not dead-letter")
+    assert(drain(), "delivery 3 exceeds maxRedeliveries=2 — dead-letter and drain the rest")
+    val dead = new java.io.File(queue.resolve(".deadletter").toString).list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(dead === Set("m2-poison", "m2-poison.reason"))
+    val reason = new String(
+      Files.readAllBytes(queue.resolve(".deadletter").resolve("m2-poison.reason")), "UTF-8")
+    assert(reason.contains("max-redeliveries"), s"reason sidecar: $reason")
+    val acked = new java.io.File(queue.resolve(".acked").toString).list().toSet
+    assert(acked === Set("m1-ok", "m3-ok"))
+    val days = graft.sinks.ProductStore.read(spark, store)
+      .select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    assert(days === Array("2023-06-15", "2023-06-17"))
+    // counters retire with their batches: the breaker dir holds nothing
+    val delivDir = new java.io.File(ckpt, "filequeue-deliveries")
+    assert(!delivDir.exists() || delivDir.list().forall(_.startsWith(".")),
+      s"stale delivery counters: ${Option(delivDir.list()).map(_.toSeq)}")
+
+    // --- a GENUINELY transient failure within the budget still delivers
+    val queue2 = Files.createTempDirectory("redeliv2-queue")
+    val store2 = Files.createTempDirectory("redeliv2-store").resolve("store").toString
+    val ckpt2  = Files.createTempDirectory("redeliv2-ckpt").toString
+    writeMsg(queue2, "m1-flaky", Seq(g1))
+    val failuresLeft = new java.util.concurrent.atomic.AtomicInteger(2)
+    val flaky = Some((s: org.apache.spark.sql.SparkSession, paths: Seq[String]) => {
+      if (failuresLeft.getAndDecrement() > 0) libraryIae()
+      graft.domain.Pipeline.process(
+        graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+        catalog, graft.domain.Pipeline.Config())
+    })
+    def drain2(): Boolean =
+      try {
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue2.toString, ckpt2, store2, catalog,
+          product = flaky, maxRedeliveries = 5).awaitTermination()
+        true
+      } catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+    assert(!drain2()); assert(!drain2())
+    assert(drain2(), "third delivery succeeds inside the budget")
+    assert(new java.io.File(queue2.resolve(".acked").toString).list().toSet === Set("m1-flaky"))
+    assert(!Files.exists(queue2.resolve(".deadletter").resolve("m1-flaky")))
+    assert(graft.sinks.ProductStore.read(spark, store2).count() > 0)
+  }
+
+  test("an empty-day healthy batch clears the refresh-failure marker") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    // The marker means "the LAST refresh attempt failed". A healthy batch
+    // whose product touches no days (all soundings filtered out) is
+    // vacuously healthy — before r19 it left the stale alarm standing
+    // forever on a quiet queue.
+    val queue = Files.createTempDirectory("mkclear-queue")
+    val gran  = Files.createTempDirectory("mkclear-granules")
+    val base  = Files.createTempDirectory("mkclear")
+    val store = base.resolve("store").toString
+    val state = base.resolve("state")
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    // soundings name a target ABSENT from the catalog → empty product
+    val ss = (0 until 6).map(i =>
+      sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil9999",
+        day = "2023-06-15"))
+    val p  = gran.resolve("oco3_LtCO2_20230615_B.nc")
+    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+    try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+    writeMsg(queue, "msg-empty-day", Seq(p.toString))
+    Files.createDirectories(state)
+    val marker = state.resolve("_REFRESH_FAILED")
+    Files.write(marker, "2026-01-01T00:00:00Z previous failure\n".getBytes("UTF-8"))
+    graft.streaming.MicroBatchIngest.ingestQueue(
+      spark, queue.toString, Files.createTempDirectory("mkclear-ckpt").toString, store, catalog,
+      climatologyState = Some(state.toString)).awaitTermination()
+    assert(!Files.exists(marker), "empty-day healthy pass did not clear the alarm")
+    assert(new java.io.File(queue.resolve(".acked").toString).list().toSet === Set("msg-empty-day"))
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")
