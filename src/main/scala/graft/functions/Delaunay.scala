@@ -676,9 +676,20 @@ object Delaunay {
     val real = tris.filterNot(t => t.a >= n || t.b >= n || t.c >= n)
     if (real.isEmpty) return None
     val realT = real.map(t => Array(t.a, t.b, t.c))
-    val nn    = repairCoverage(vx, vy, n, realT)
+    val coverBefore = {
+      val p = new Array[Boolean](n)
+      realT.foreach { t => p(t(0)) = true; p(t(1)) = true; p(t(2)) = true }
+      p.count(identity)
+    }
+    val nn = repairCoverage(vx, vy, n, realT)
+    lastSafeStats = s"n=$n repaired=${n - coverBefore} slivers=${nn.length} nTri=${realT.length}"
     Some(Triangulation(xs, ys, keep.toArray, realT.toArray, nn))
   }
+
+  /** Diagnostic counters from the LAST triangulateSafe() call — probe
+    * introspection for the repair pass (kept separate from [[lastStats]]
+    * so a bail path's fast-path stats are not clobbered). */
+  @volatile private[graft] var lastSafeStats: String = ""
 
   /** Coverage repair (the exact-tie seam of [[triangulateSafe]]): under
     * exact ties a degenerate (non-star-shaped) cavity can swallow an

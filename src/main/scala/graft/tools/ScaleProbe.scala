@@ -1410,13 +1410,28 @@ object ScaleProbe {
             spark, store, days, targetRows = 600L * 1000, zOrder = true)
         }
         val stateRows = spark.read.parquet(state).count()
+        // the two aux listings that only bend late in a long soak
+        // (VERDICT r18 #7): the acked-dir walk the watermark makes O(delta)
+        // and the bounded-redelivery counter dir (must stay empty — every
+        // healthy batch retires its counters)
+        val hfs = new org.apache.hadoop.fs.Path(queue.toString)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        val al0 = System.nanoTime()
+        val ackedFiles = hfs.listStatus(
+          new org.apache.hadoop.fs.Path(queue.toString, ".acked")).length
+        val ackedListMs = (System.nanoTime() - al0) / 1e6
+        val delivDir = new org.apache.hadoop.fs.Path(ckpt, "filequeue-deliveries")
+        val delivCounters =
+          if (hfs.exists(delivDir)) hfs.listStatus(delivDir).length else 0
         def r2(x: Double) = BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP)
         rowsOut += s"""{"decade":$di,"days":${days.length},"drain_sec":${r2(drainSec)},""" +
           s""""mean_day_sec":${r2(batchWalls.sum / math.max(1, batchWalls.length))},""" +
           s""""max_day_sec":${r2(if (batchWalls.isEmpty) 0 else batchWalls.max)},""" +
           s""""compact_sec":${r2(compactSec)},"ckpt_bytes":${du(java.nio.file.Paths.get(ckpt))},""" +
           s""""state_rows":$stateRows,"state_files":${parquetFiles(state)},""" +
-          s""""store_files":${parquetFiles(store)}}"""
+          s""""store_files":${parquetFiles(store)},""" +
+          s""""acked_files":$ackedFiles,"acked_list_ms":${r2(ackedListMs)},""" +
+          s""""delivery_counters":$delivCounters}"""
       }
       // close the loop: fold vs rescan bit-equality, per-mission presence,
       // a z-order box read over the full span
@@ -1811,7 +1826,27 @@ object ScaleProbe {
           val st = graft.functions.Delaunay.triangulateSafe(sx, sy).get
           val sSec = (System.nanoTime() - s0) / 1e9
           s""""safe_points":${sx.length},"safe_sec":${BigDecimal(sSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
-            s""""safe_cover":${cover(st)},"safe_slivers":${st.nnVerts.length}"""
+            s""""safe_cover":${cover(st)},"safe_slivers":${st.nnVerts.length},""" +
+            s""""safe_stats":"${graft.functions.Delaunay.lastSafeStats}""""
+        }
+      // args(6) = ringN: the REPAIR-heavy shape — every point on one
+      // circle, so exact co-circular ties swallow vertices the repair
+      // pass must re-attach; measures whether repair itself goes
+      // quadratic when `missing` scales with n (the lattice's
+      // containment-seeded insert leaves missing=0, so it never
+      // exercises repair)
+      val ringJson =
+        if (args.length <= 6 || args(6).toInt <= 0) """"ring_points":0"""
+        else {
+          val rn = args(6).toInt
+          val rx = Array.tabulate(rn)(i => 5.0 + 3.0 * math.cos(2 * math.Pi * i / rn))
+          val ry = Array.tabulate(rn)(i => 5.0 + 3.0 * math.sin(2 * math.Pi * i / rn))
+          val r0 = System.nanoTime()
+          val rt = graft.functions.Delaunay.triangulateSafe(rx, ry).get
+          val rSec = (System.nanoTime() - r0) / 1e9
+          s""""ring_points":$rn,"ring_sec":${BigDecimal(rSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
+            s""""ring_cover":${cover(rt)},"ring_slivers":${rt.nnVerts.length},""" +
+            s""""ring_stats":"${graft.functions.Delaunay.lastSafeStats}""""
         }
       println(
         s"""{"probe":"delaunay_lattice","points":${xs.length},"side":$side,""" +
@@ -1819,7 +1854,7 @@ object ScaleProbe {
           s""""stats":"${graft.functions.Delaunay.lastStats}",""" +
           s""""cover":$fastCover,"dropped":${xs.length - fastCover},""" +
           s""""queries":$qn,"query_sec":${BigDecimal(qSec).setScale(2, BigDecimal.RoundingMode.HALF_UP)},""" +
-          s""""query_nan":$nan,"planar_worst":$worst,$safeJson}""")
+          s""""query_nan":$nan,"planar_worst":$worst,$safeJson,$ringJson}""")
       spark.stop()
       return
     }
