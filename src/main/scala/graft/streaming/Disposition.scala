@@ -119,11 +119,12 @@ object Disposition {
     * the same way (`sam_extract/main.py:711-735`); this engine bounds it.
     * Dead-lettered with this reason, the message stays recoverable via
     * `RepairJob --redrive`. */
-  final class MaxRedeliveriesExceeded(name: String, attempts: Int, max: Int)
+  final class MaxRedeliveriesExceeded(
+      name: String, attempts: Int, max: Int, cause: Throwable = null)
       extends RuntimeException(
         s"max-redeliveries: message '$name' delivered $attempts times with transient-" +
           s"classified failures (limit $max) — dead-lettering to unwedge the queue; " +
-          "recover with RepairJob --redrive once the cause is fixed")
+          "recover with RepairJob --redrive once the cause is fixed", cause)
 
   /** Durable per-message delivery counter under
     * `<checkpoint>/filequeue-deliveries/<name>`: bump on every delivery

@@ -116,13 +116,41 @@ object MicroBatchIngest {
         val attempts = admitted.map { case (name, paths) =>
           (name, paths, Disposition.bumpDeliveries(checkpoint, name, hconf))
         }
-        attempts.foreach { case (name, _, n) =>
-          if (n > maxRedeliveries)
-            Disposition.deadLetter(queueDir, name,
-              new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries), hconf)
-        }
+        val overBudget = attempts.filter(_._3 > maxRedeliveries)
+        // Attribution at the exhaustion boundary: in a MULTI-message batch
+        // the budget was burned by JOINT failures, so dead-lettering every
+        // over-budget message would punish innocent batch-mates of one
+        // poison message. Probe each over-budget message SOLO with a
+        // catch-ALL (replaying is over at this point, so even transient-
+        // classified failures count against the message here) and
+        // dead-letter only the solo failures — each with its actual error
+        // as the cause under the max-redeliveries reason; survivors rejoin
+        // the batch. A combination-only failure (every solo probe passes,
+        // the joint run keeps failing) gets one bounded second budget:
+        // past 2×maxRedeliveries the whole group dead-letters, so the
+        // breaker can never be argued back into an infinite loop.
+        val exhausted: Seq[(String, Throwable)] =
+          if (overBudget.isEmpty) Nil
+          else if (attempts.sizeIs <= 1 || overBudget.exists(_._3 > 2 * maxRedeliveries))
+            overBudget.map { case (name, _, n) =>
+              (name, new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries))
+            }
+          else
+            overBudget.flatMap { case (name, paths, n) =>
+              val err =
+                try {
+                  graft.CacheScope.withScope {
+                    buildProduct(paths).queryExecution.toRdd.count()
+                  }
+                  None
+                } catch { case scala.util.control.NonFatal(e) => Some(e) }
+              err.map(e =>
+                (name, new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries, e)))
+            }
+        exhausted.foreach { case (name, e) => Disposition.deadLetter(queueDir, name, e, hconf) }
+        val deadNames = exhausted.map(_._1).toSet
         val byMsg = attempts.collect {
-          case (name, paths, n) if n <= maxRedeliveries => (name, paths)
+          case (name, paths, _) if !deadNames(name) => (name, paths)
         }
         // CacheScope brackets the whole batch: the session table persists
         // across its three consumers WITHIN the batch (same win as batch

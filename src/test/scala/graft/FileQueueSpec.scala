@@ -510,6 +510,92 @@ class FileQueueSpec extends SparkSpec {
     assert(graft.sinks.ProductStore.read(spark, store2).count() > 0)
   }
 
+  test("bounded redelivery in a multi-message batch: only the poison message dead-letters; combination-only failures get a bounded second budget") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    // a JOINT transient-classified failure burns every batch-mate's
+    // budget together — at the exhaustion boundary the breaker must
+    // probe each over-budget message SOLO and dead-letter only the real
+    // failure, with its actual error as the cause, not punish innocents
+    val gran  = Files.createTempDirectory("rediso-granules")
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    def mkNc(name: String, day: String): String = {
+      val ss = (0 until 6).map(i =>
+        sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001", day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
+    def libraryIae(msg: String): Nothing = {
+      val e = new IllegalArgumentException(msg)
+      e.setStackTrace(Array(
+        new StackTraceElement("org.apache.hadoop.fs.Path", "checkPathArg", "Path.java", 77),
+        new StackTraceElement("graft.streaming.MicroBatchIngest$", "runBatch", "MicroBatchIngest.scala", 100)))
+      throw e
+    }
+    val gA = mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15")
+    val gB = mkNc("oco3_LtCO2_20230616_B.nc", "2023-06-16")
+    val gP = mkNc("oco3_LtCO2_20230617_poison.nc", "2023-06-17")
+    def pipeline(s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =
+      graft.domain.Pipeline.process(
+        graft.sources.netcdf.NetCDFGranules.readGranules(s, paths).drop("sounding_id"),
+        catalog, graft.domain.Pipeline.Config())
+    def drain(queue: java.nio.file.Path, ckpt: String, store: String,
+        product: (org.apache.spark.sql.SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame): Boolean =
+      try {
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, queue.toString, ckpt, store, catalog,
+          maxMessagesPerBatch = 3, product = Some(product),
+          maxRedeliveries = 1).awaitTermination()
+        true
+      } catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+
+    // --- poison isolation at the exhaustion boundary
+    val q1 = Files.createTempDirectory("rediso-q1")
+    val s1 = Files.createTempDirectory("rediso-s1").resolve("store").toString
+    val c1 = Files.createTempDirectory("rediso-c1").toString
+    writeMsg(q1, "m-a", Seq(gA)); writeMsg(q1, "m-b", Seq(gB)); writeMsg(q1, "m-poison", Seq(gP))
+    val joint: (org.apache.spark.sql.SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame =
+      (s, paths) => {
+        if (paths.exists(_.contains("poison"))) libraryIae("joint failure from the poison granule")
+        pipeline(s, paths)
+      }
+    assert(!drain(q1, c1, s1, joint), "delivery 1 (joint) fails within budget — replay")
+    assert(drain(q1, c1, s1, joint), "delivery 2: budget exhausted — isolate, dead-letter poison, land the rest")
+    val dead1 = new java.io.File(q1.resolve(".deadletter").toString).list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(dead1 === Set("m-poison", "m-poison.reason"))
+    val reason1 = new String(
+      Files.readAllBytes(q1.resolve(".deadletter").resolve("m-poison.reason")), "UTF-8")
+    assert(reason1.contains("max-redeliveries") && reason1.contains("joint failure"),
+      s"reason must carry the breaker AND the actual cause: $reason1")
+    assert(new java.io.File(q1.resolve(".acked").toString).list().toSet === Set("m-a", "m-b"))
+    val days1 = graft.sinks.ProductStore.read(spark, s1)
+      .select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    assert(days1 === Array("2023-06-15", "2023-06-16"),
+      "innocent batch-mates must land, not dead-letter with the poison")
+
+    // --- combination-only failure: every solo probe passes, the joint
+    // run keeps failing — past 2×maxRedeliveries the group dead-letters
+    val q2 = Files.createTempDirectory("rediso-q2")
+    val s2 = Files.createTempDirectory("rediso-s2").resolve("store").toString
+    val c2 = Files.createTempDirectory("rediso-c2").toString
+    writeMsg(q2, "m-a", Seq(gA)); writeMsg(q2, "m-b", Seq(gB))
+    val combo: (org.apache.spark.sql.SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame =
+      (s, paths) => {
+        if (paths.sizeIs > 1) libraryIae("combination-only failure")
+        pipeline(s, paths)
+      }
+    assert(!drain(q2, c2, s2, combo), "delivery 1 (joint) fails within budget")
+    assert(!drain(q2, c2, s2, combo), "delivery 2: probes pass solo, joint rerun still fails — replay")
+    assert(drain(q2, c2, s2, combo), "delivery 3: past 2x budget — group dead-letters, queue unwedged")
+    val dead2 = new java.io.File(q2.resolve(".deadletter").toString).list()
+      .filterNot(_.startsWith(".")).toSet
+    assert(dead2 === Set("m-a", "m-b", "m-a.reason", "m-b.reason"))
+  }
+
   test("an empty-day healthy batch clears the refresh-failure marker") {
     import graft.domain.TargetCatalog
     import graft.domain.TargetCatalog.Target
