@@ -189,6 +189,34 @@ object Disposition {
     fs.exists(new Path(new Path(new Path(queueDir), ".deadletter"), name))
   }
 
+  /** Retention pruning for the `.acked/` audit dir (`RepairJob
+    * --prune-acked`). The reference's `basic_ack` DELETES the consumed
+    * message outright (RMQ keeps no archive, `main.py:733`); this engine
+    * keeps acked files as a replay-readable audit trail, which on an
+    * object store grows one listing entry per message forever (a year at
+    * the reference's 15-min cadence ≈ 35k objects in one prefix). Prune
+    * entries older than `olderThanDays` by modification time: a replayed
+    * batch can only need an acked file within the replay window around
+    * the CURRENT offset (minutes at most — everything older is
+    * terminally committed), so any day-scale cutoff is safe, and the
+    * acked watermark is a name-count over the offset log, unaffected by
+    * dir contents. Returns the pruned count. */
+  def pruneAcked(queueDir: String, olderThanDays: Int, conf: Configuration): Int = {
+    require(olderThanDays >= 1,
+      "prune-acked cutoff must be >= 1 day: a replayed batch around the current " +
+        "offset may still read recently-acked files")
+    val acked = new Path(new Path(queueDir), ".acked")
+    val fs    = acked.getFileSystem(conf)
+    if (!fs.exists(acked)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanDays.toLong * 24 * 3600 * 1000
+    var n = 0
+    fs.listStatus(acked).foreach { s =>
+      if (s.isFile && !s.getPath.getName.startsWith(".") && s.getModificationTime < cutoff)
+        if (fs.delete(s.getPath, false)) n += 1
+    }
+    n
+  }
+
   /** Re-queue every dead-lettered message (`RepairJob --redrive`): move it
     * out of `.deadletter/` back into the queue under `<name>.redrive` and
     * drop its `.reason` sidecar — the operational analog of manually

@@ -62,7 +62,20 @@ object RepairJob {
         s""","redriven":${names.length}"""
       }
       .getOrElse("")
-    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted$redriven}""")
+    // --prune-acked <queueDir> [--older-than-days N] (default 7): retire
+    // old consumed-message files from the .acked/ audit dir — the
+    // reference's basic_ack deletes them outright; we keep a bounded
+    // retention window instead of an ever-growing object-store prefix.
+    val pruned = args.sliding(2)
+      .collectFirst { case Array("--prune-acked", q) =>
+        val days = args.sliding(2)
+          .collectFirst { case Array("--older-than-days", d) => d.toInt }.getOrElse(7)
+        val n = graft.streaming.Disposition.pruneAcked(
+          q, days, spark.sessionState.newHadoopConf())
+        s""","acked_pruned":$n"""
+      }
+      .getOrElse("")
+    println(s"""{"store":"$store","duplicate_groups_repaired":$fixed$compacted$redriven$pruned}""")
     if (!preExisting) spark.stop()
   }
 }

@@ -628,6 +628,41 @@ class FileQueueSpec extends SparkSpec {
     assert(new java.io.File(queue.resolve(".acked").toString).list().toSet === Set("msg-empty-day"))
   }
 
+  test("prune-acked retires only day-old consumed messages; recent ones stay replay-readable") {
+    // the reference's basic_ack DELETES the message (RMQ keeps no
+    // archive); our .acked/ audit dir must not grow one object-store
+    // listing entry per message forever. Age-based retention is safe:
+    // only files within the replay window (minutes) can still be read.
+    val queue = Files.createTempDirectory("prune-queue")
+    val acked = queue.resolve(".acked")
+    Files.createDirectories(acked)
+    Files.write(acked.resolve("m-old"), "g1\n".getBytes("UTF-8"))
+    Files.write(acked.resolve("m-recent"), "g2\n".getBytes("UTF-8"))
+    Files.setLastModifiedTime(acked.resolve("m-old"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    val conf = spark.sessionState.newHadoopConf()
+    val n = graft.streaming.Disposition.pruneAcked(queue.toString, 7, conf)
+    assert(n === 1)
+    val left = new java.io.File(acked.toString).list().filterNot(_.startsWith(".")).toSet
+    assert(left === Set("m-recent"))
+    // a second prune is a no-op; a sub-day cutoff is refused outright
+    assert(graft.streaming.Disposition.pruneAcked(queue.toString, 7, conf) === 0)
+    intercept[IllegalArgumentException](
+      graft.streaming.Disposition.pruneAcked(queue.toString, 0, conf))
+    // and through the operator surface
+    val store = Files.createTempDirectory("prune-store").resolve("store").toString
+    graft.sinks.ProductStore.appendIdempotent(
+      { import spark.implicits._
+        Seq(("t", java.sql.Timestamp.valueOf("2023-06-15 10:00:00"), "xco2", 400.0))
+          .toDF("target_id", "time", "variable", "value") }, store)
+    Files.setLastModifiedTime(acked.resolve("m-recent"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    graft.tools.RepairJob.main(Array(store, "--prune-acked", queue.toString))
+    assert(new java.io.File(acked.toString).list().filterNot(_.startsWith(".")).isEmpty)
+  }
+
   test("restart resumes from the checkpoint and late messages are picked up") {
     val queue = Files.createTempDirectory("fq2-queue")
     val gran  = Files.createTempDirectory("fq2-granules")
