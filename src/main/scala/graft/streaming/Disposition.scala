@@ -195,12 +195,18 @@ object Disposition {
     * keeps acked files as a replay-readable audit trail, which on an
     * object store grows one listing entry per message forever (a year at
     * the reference's 15-min cadence ≈ 35k objects in one prefix). Prune
-    * entries older than `olderThanDays` by modification time: a replayed
-    * batch can only need an acked file within the replay window around
-    * the CURRENT offset (minutes at most — everything older is
-    * terminally committed), so any day-scale cutoff is safe, and the
-    * acked watermark is a name-count over the offset log, unaffected by
-    * dir contents. Returns the pruned count. */
+    * entries older than `olderThanDays` by modification time — which is
+    * the ACK time, not the producer write time: the ack walk stamps a
+    * fresh mtime on the archived copy after the rename (rename preserves
+    * the producer mtime, so a backlog older than the cutoff would
+    * otherwise have just-acked files pruned inside the replay window —
+    * exactly the wedged-queue scenario; the copy-repair path gets a fresh
+    * mtime from the copy itself). A replayed batch can only need an acked
+    * file within the replay window around the CURRENT offset (minutes at
+    * most — everything older is terminally committed), so any day-scale
+    * cutoff over time-since-ack is safe, and the acked watermark is a
+    * name-count over the offset log, unaffected by dir contents. Returns
+    * the pruned count. */
   def pruneAcked(queueDir: String, olderThanDays: Int, conf: Configuration): Int = {
     require(olderThanDays >= 1,
       "prune-acked cutoff must be >= 1 day: a replayed batch around the current " +

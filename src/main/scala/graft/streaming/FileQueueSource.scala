@@ -220,7 +220,19 @@ class FileQueueStream(
       val name = names.next()
       val p    = new Path(qPath, name)
       val dst  = new Path(ackedDir, name)
-      val ok = !fs.exists(p) || fs.rename(p, dst) || {
+      val ok = !fs.exists(p) || (fs.rename(p, dst) && {
+        // stamp ACK time on the archived copy: rename preserves the
+        // producer-written mtime, so retention pruning (Disposition
+        // .pruneAcked) would otherwise measure message AGE, not
+        // time-since-ack — a backlog older than the cutoff could have a
+        // just-acked file pruned inside the post-commit replay window,
+        // and the replayed batch would find it in neither the queue nor
+        // .acked (a spurious nonRetryable FileNotFound → dead-letter of
+        // a committed message). Best-effort: a FS without setTimes
+        // degrades to age-based pruning for that file only.
+        try fs.setTimes(dst, System.currentTimeMillis(), -1) catch { case _: Exception => () }
+        true
+      }) || {
         // a crashed copy-rename can leave BOTH src and dst — and equal
         // byte LENGTH is not proof dst is a full copy (a partial
         // multipart upload of coincidentally equal length, or a
