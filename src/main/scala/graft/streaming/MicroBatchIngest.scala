@@ -63,7 +63,17 @@ object MicroBatchIngest {
     * batch keeps failing with TRANSIENT-classified errors is dead-lettered
     * after this many deliveries instead of replaying forever (the breaker
     * for deterministic failures the taxonomy misclassifies; see the
-    * circuit-breaker block below). */
+    * circuit-breaker block below). Tradeoff note: in a SINGLE-message
+    * batch the budget check precedes the run, so a transient outage that
+    * spans the full budget dead-letters the message (recoverable via
+    * `RepairJob --redrive`); multi-message batches discriminate outages
+    * from poison at the solo-probe stage (all-fail → replay).
+    * `pruneAckedDays`: opt-in `.acked/` retention wired into the loop
+    * (VERDICT r19 #4 — [[Disposition.pruneAcked]] existed but nothing
+    * invoked it on a cadence): after a batch completes, acked messages
+    * older than this many days SINCE ACK are pruned, every
+    * `pruneEveryBatches` batches. The RepairJob `--prune-acked` path
+    * remains for operators. */
   def ingestQueue(
       spark: SparkSession,
       queueDir: String,
@@ -75,7 +85,9 @@ object MicroBatchIngest {
       climatologyState: Option[String] = None,
       stateKeys: Seq[String] = Seq("target_id", "variable"),
       product: Option[(SparkSession, Seq[String]) => DataFrame] = None,
-      maxRedeliveries: Int = 5): StreamingQuery = {
+      maxRedeliveries: Int = 5,
+      pruneAckedDays: Option[Int] = None,
+      pruneEveryBatches: Int = 100): StreamingQuery = {
     val stream = spark.readStream
       .format("filequeue")
       .option("path", queueDir)
@@ -92,7 +104,7 @@ object MicroBatchIngest {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val hconf = spark.sessionState.newHadoopConf()
         val admitted: Seq[(String, Seq[String])] = batch
           .select(col("message"), col("granule_path")).collect()
@@ -129,14 +141,30 @@ object MicroBatchIngest {
         // the joint run keeps failing) gets one bounded second budget:
         // past 2×maxRedeliveries the whole group dead-letters, so the
         // breaker can never be argued back into an infinite loop.
+        //
+        // Outage discrimination (ADVICE r19): the probe's catch must stay
+        // broad — the misclassified-deterministic poison it exists to stop
+        // is transient-CLASSIFIED by construction — but a store/FS OUTAGE
+        // at the exhaustion boundary also fails every probe with
+        // transient-classified errors, and dead-lettering there converts
+        // healthy messages into dead letters needing manual --redrive
+        // after recovery. The distinguishing signal is batch-width: an
+        // outage fails EVERY probed message, a poison message fails ONLY
+        // its own probe. So when every solo probe fails and at least one
+        // failure is transient-classified, rethrow (Spark replays; the
+        // durable counters still bound total replays at the 2× hard stop
+        // below); a MIX of pass and fail is message-specific and
+        // dead-letters exactly the failures. Single-message batches skip
+        // the probe: the joint failure IS the solo failure, already
+        // observed maxRedeliveries times.
         val exhausted: Seq[(String, Throwable)] =
           if (overBudget.isEmpty) Nil
           else if (attempts.sizeIs <= 1 || overBudget.exists(_._3 > 2 * maxRedeliveries))
             overBudget.map { case (name, _, n) =>
               (name, new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries))
             }
-          else
-            overBudget.flatMap { case (name, paths, n) =>
+          else {
+            val probed = overBudget.map { case (name, paths, n) =>
               val err =
                 try {
                   graft.CacheScope.withScope {
@@ -144,9 +172,17 @@ object MicroBatchIngest {
                   }
                   None
                 } catch { case scala.util.control.NonFatal(e) => Some(e) }
-              err.map(e =>
-                (name, new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries, e)))
+              (name, n, err)
             }
+            if (probed.forall(_._3.isDefined) &&
+                probed.exists(p => !Disposition.nonRetryable(p._3.get)))
+              throw probed.collectFirst {
+                case (_, _, Some(e)) if !Disposition.nonRetryable(e) => e
+              }.get
+            probed.collect { case (name, n, Some(e)) =>
+              (name, new Disposition.MaxRedeliveriesExceeded(name, n, maxRedeliveries, e))
+            }
+          }
         exhausted.foreach { case (name, e) => Disposition.deadLetter(queueDir, name, e, hconf) }
         val deadNames = exhausted.map(_._1).toSet
         val byMsg = attempts.collect {
@@ -192,31 +228,52 @@ object MicroBatchIngest {
             // state silently — the `_REFRESH_FAILED` marker inside the
             // state dir is the durable alarm (underscore-prefixed, so
             // parquet readers of the state ignore it); ClimatologyJob
-            // `--state` warns loudly when it finds one. Any later healthy
-            // pass clears it — INCLUDING an empty-day batch: the marker
-            // means "the last refresh attempt failed", and an empty
-            // refresh is vacuously healthy (the failed days themselves
-            // are absent from the state, so the next ClimatologyJob run
-            // or same-day batch still converges them).
+            // `--state` warns loudly when it finds one. The marker body
+            // records WHICH days failed (Climatology.writeRefreshFailedMarker,
+            // merging across consecutive failures), and a later healthy
+            // pass clears it only when its refreshed days COVER them —
+            // clearing on any healthy pass (the r19 behavior) deleted the
+            // only durable alarm while a day that was in both store and
+            // state stayed stale forever (ADVICE r19). A marker whose day
+            // set is unknown (the failure struck before the day collect)
+            // is cleared by ClimatologyJob's full reconcile, never here.
             val marker = new org.apache.hadoop.fs.Path(statePath, "_REFRESH_FAILED")
             val mfs    = marker.getFileSystem(hconf)
+            var days: Option[Seq[String]] = None
             try {
-              val days = product.select(col("time").cast("date").cast("string"))
-                .distinct().collect().map(_.getString(0)).toSeq
-              if (days.nonEmpty)
+              days = Some(product.select(col("time").cast("date").cast("string"))
+                .distinct().collect().map(_.getString(0)).toSeq)
+              days.filter(_.nonEmpty).foreach { ds =>
                 graft.operators.Climatology.refreshDaysFromStore(
                   graft.sinks.ProductStore.read(spark, storePath),
-                  "day", days, "time", "value", stateKeys, statePath)
-              mfs.delete(marker, false)
+                  "day", ds, "time", "value", stateKeys, statePath)
+              }
+              if (mfs.exists(marker)) {
+                val failed    = graft.operators.Climatology.markerFailedDays(mfs, marker)
+                val refreshed = days.get.toSet
+                failed match {
+                  case Some(f) if f.subsetOf(refreshed) =>
+                    mfs.delete(marker, false)
+                  case Some(f) if (f -- refreshed).nonEmpty && f.exists(refreshed) =>
+                    // partial coverage: REPLACE with the still-stale rest
+                    // (delete first — the writer merges with what it finds)
+                    mfs.delete(marker, false)
+                    graft.operators.Climatology.writeRefreshFailedMarker(
+                      mfs, marker, "remaining after partial healthy refresh",
+                      Some(f -- refreshed))
+                  case _ =>
+                    println(s"graft.streaming: _REFRESH_FAILED marker kept — this " +
+                      s"batch's refreshed days do not cover the failed days " +
+                      s"(${failed.fold("unknown")(_.toSeq.sorted.mkString(","))}); " +
+                      "run ClimatologyJob --state to reconcile")
+                }
+              }
             } catch {
               case scala.util.control.NonFatal(e) =>
                 try {
                   mfs.mkdirs(new org.apache.hadoop.fs.Path(statePath))
-                  val out = mfs.create(marker, true)
-                  try out.write(
-                    (java.time.Instant.now().toString + " " + e.toString + "\n")
-                      .getBytes("UTF-8"))
-                  finally out.close()
+                  graft.operators.Climatology.writeRefreshFailedMarker(
+                    mfs, marker, e.toString, days.map(_.toSet))
                 } catch { case _: Exception => () } // the marker is best-effort
                 println(s"graft.streaming: climatology refresh failed post-commit " +
                   s"(store append already durable; state is STALE until a healthy " +
@@ -285,6 +342,21 @@ object MicroBatchIngest {
         // rethrow above skips this) — retire the delivery counters so the
         // breaker dir holds only in-flight names
         Disposition.clearDeliveries(checkpoint, attempts.map(_._1), hconf)
+        // opt-in acked retention on a batch cadence: time-since-ack based
+        // (the ack walk stamps the archive mtime), so only terminally
+        // committed messages ever age past a day-scale cutoff. Best
+        // effort — a prune hiccup must not fail a committed batch.
+        pruneAckedDays.foreach { days =>
+          if (batchId % math.max(1, pruneEveryBatches) == 0)
+            try {
+              val n = Disposition.pruneAcked(queueDir, days, hconf)
+              if (n > 0)
+                println(s"graft.streaming: pruned $n acked message(s) older than $days day(s)")
+            } catch {
+              case scala.util.control.NonFatal(e) =>
+                println(s"graft.streaming: acked-prune failed (non-fatal): ${e.getMessage}")
+            }
+        }
       }
       .start()
   }

@@ -155,7 +155,8 @@ object ClimatologyJob {
     * recompute. */
   private def runParquetIncremental(
       spark: SparkSession, store: String, out: String, span: String,
-      doConsolidated: Boolean, statePath: String, refreshDays: Seq[String]): String = {
+      doConsolidated: Boolean, statePath: String, refreshDays: Seq[String],
+      compactKeep: Option[Int]): String = {
     val keys    = Seq("target_id", "variable")
     val product = ProductStore.read(spark, store)
     val storeDays = product.select(col("day").cast("string")).distinct()
@@ -163,14 +164,19 @@ object ClimatologyJob {
     val stateRoot = new Path(statePath)
     val fs        = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
     // the streaming loop's durable alarm: a per-batch refresh failed and
-    // the state is stale. Surface it LOUDLY here (the alarm was only
-    // durable, not visible, before r19) — the failed days never entered
-    // the state, so this run's new-day detection refreshes them; clearing
-    // the marker after a healthy run mirrors the streaming loop. A day
-    // REWRITTEN in place around the failure still needs --refresh-days,
-    // as always.
+    // the state is stale. Surface it LOUDLY here and AUTO-HEAL: the marker
+    // body names the failed days (Climatology marker protocol), which this
+    // run adds to refreshDays — new-day detection alone misses a day whose
+    // FIRST refresh succeeded and a later same-day refresh failed (it is
+    // in both store and state, so `touched` would exclude it and the stale
+    // values would survive the marker's deletion — ADVICE r19). A marker
+    // with UNKNOWN days (failure before the day set was computable) forces
+    // a full reconcile: every store day re-aggregates. A day REWRITTEN in
+    // place without any refresh failure still needs --refresh-days.
     val refreshMarker = new Path(stateRoot, "_REFRESH_FAILED")
     val markerWasPresent = fs.exists(refreshMarker)
+    val markerDays: Option[Set[String]] =
+      if (markerWasPresent) Climatology.markerFailedDays(fs, refreshMarker) else Some(Set.empty)
     if (markerWasPresent) {
       val txt =
         try {
@@ -180,18 +186,15 @@ object ClimatologyJob {
       System.err.println(
         s"[climatology] WARNING: state $statePath carries a _REFRESH_FAILED marker — " +
           s"a streaming per-batch refresh failed and the state was stale: $txt")
+      if (markerDays.isEmpty)
+        System.err.println(
+          "[climatology] marker names no failed days (unknown) — re-aggregating EVERY " +
+            "store day to reconcile")
     }
-    // a state dir can exist WITHOUT day partitions: the streaming loop's
-    // refresh-failure path mkdirs the dir just to write the marker, so a
-    // bare parquet read here would crash with UNABLE_TO_INFER_SCHEMA on
-    // exactly the stale state this job is supposed to heal
-    val stateDays =
-      if (fs.exists(stateRoot) &&
-          fs.listStatus(stateRoot).exists(s =>
-            s.isDirectory && s.getPath.getName.startsWith("day=")))
-        spark.read.parquet(statePath).select(col("day").cast("string")).distinct()
-          .collect().map(_.getString(0))
-      else Array.empty[String]
+    // both tiers (hot day= partitions + the compacted _base segment); a
+    // state dir holding ONLY the failure marker lists as zero days instead
+    // of crashing the parquet read with UNABLE_TO_INFER_SCHEMA
+    val stateDays = Climatology.stateDays(spark, statePath).toArray
     // stale side: state days whose store partition no longer exists — drop
     // them, or they silently ride every future fold (bounded: one dir/day).
     // Guard: an EMPTY store (empty-but-valid parquet, or a mistyped store
@@ -206,6 +209,7 @@ object ClimatologyJob {
           s"${stale.length} — refusing to drop ALL state days (likely a wrong " +
           "store path or an empty store; delete the state dir manually if intended)")
     stale.foreach { d => fs.delete(new Path(stateRoot, s"day=$d"), true) }
+    Climatology.dropDaysFromBase(spark, statePath, stale.toSeq)
     if (stale.nonEmpty)
       System.err.println(
         s"[climatology] dropped ${stale.length} state day(s) no longer in the store: " +
@@ -218,35 +222,59 @@ object ClimatologyJob {
       System.err.println(
         s"[climatology] WARNING: --refresh-days day(s) not present in the store " +
           s"(check the day strings): ${absentRefresh.mkString(",")}")
-    val touched = (storeDays.diff(stateDays) ++ refreshDays.intersect(storeDays))
+    // marker-driven healing: known failed days join the refresh set
+    // (intersected with the store — a failed day since deleted from the
+    // store has no rows to re-aggregate and its stale state partition is
+    // dropped above); an unknown marker refreshes everything
+    val healDays: Seq[String] = markerDays match {
+      case Some(ds) => ds.toSeq.intersect(storeDays.toSeq)
+      case None     => storeDays.toSeq
+    }
+    val touched = (storeDays.diff(stateDays) ++ refreshDays.intersect(storeDays) ++ healDays)
       .distinct.sorted
     if (touched.nonEmpty)
       Climatology.refreshDaysFromStore(
         product, "day", touched.toSeq, "time", "value", keys, statePath)
+    // opt-in small-file compaction (VERDICT r19 #3): settle all but the
+    // newest `keep` hot days into the month-partitioned base — idempotent,
+    // fold-preserving (limb sums are associative; hot wins on overlap)
+    val compacted = compactKeep.map { keep =>
+      Climatology.compactState(spark, statePath, keep)
+    }
     val means = Climatology.meansFromState(spark, statePath, span, keys)
     val result =
       if (doConsolidated) Climatology.consolidateMonthly(means, keys)
       else means
     result.write.mode("overwrite").parquet(out)
     if (markerWasPresent) {
+      // safe to clear: every marker day still in the store was just
+      // re-aggregated (healDays ⊆ touched; unknown → all store days), and
+      // marker days deleted from the store had their state dropped above
       fs.delete(refreshMarker, false)
       System.err.println(
-        "[climatology] _REFRESH_FAILED marker cleared after a healthy refresh " +
-          s"(${touched.length} day(s) re-aggregated from the store)")
+        "[climatology] _REFRESH_FAILED marker cleared — failed days re-aggregated " +
+          s"(${touched.length} day(s) refreshed, of which ${healDays.length} marker-driven)")
     }
+    val compactDetail = compacted.fold("")(c =>
+      s""","compacted_days":${c._1},"hot_days":${c._2}""")
     s""""format":"parquet","refreshed_days":${touched.length},"dropped_days":${stale.length},""" +
-      s""""absent_refresh_days":${absentRefresh.length},"refresh_failed_marker":$markerWasPresent"""
+      s""""absent_refresh_days":${absentRefresh.length},"refresh_failed_marker":$markerWasPresent""" +
+      compactDetail
   }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: ClimatologyJob <store> <out> [span] [--consolidated] [--variable <v>] " +
-        "[--state <dir> [--refresh-days d1,d2]]  " +
+        "[--state <dir> [--refresh-days d1,d2] [--compact-state [--compact-keep N]]]  " +
         "(--refresh-days is REQUIRED after rewriting a store day in place; " +
-        "new/deleted store days are detected automatically)")
+        "new/deleted store days are detected automatically; --compact-state settles " +
+        "all but the newest N (default 7) hot day partitions into the month-" +
+        "partitioned _base segment)")
     val Array(store, out) = args.take(2)
     val flags = args.drop(2)
-    val span  = flags.find(!_.startsWith("--")).getOrElse("month")
+    // span is positional (before any --flag): a bare find would misread a
+    // flag VALUE ("--compact-keep 7", "--state <dir>") as the span
+    val span = flags.headOption.filterNot(_.startsWith("--")).getOrElse("month")
     val doConsolidated = flags.contains("--consolidated")
     val variable = flags.sliding(2).collectFirst { case Array("--variable", v) => v }
     val from = flags.sliding(2).collectFirst { case Array("--from", d) => java.time.LocalDate.parse(d) }
@@ -255,6 +283,11 @@ object ClimatologyJob {
     val refreshDays = flags.sliding(2)
       .collectFirst { case Array("--refresh-days", d) => d.split(",").map(_.trim).filter(_.nonEmpty).toSeq }
       .getOrElse(Nil)
+    val compactKeep =
+      if (!flags.contains("--compact-state")) None
+      else Some(flags.sliding(2)
+        .collectFirst { case Array("--compact-keep", n) => n.toInt }
+        .getOrElse(7))
     val preExisting = SparkSession.getActiveSession.isDefined
     val spark = Jobs.session("graft-climatology")
     spark.sparkContext.setLogLevel("WARN")
@@ -266,7 +299,8 @@ object ClimatologyJob {
     val detail =
       if (isZarr) runZarr(spark, store, out, span, doConsolidated, variable, from, to)
       else statePath match {
-        case Some(sp) => runParquetIncremental(spark, store, out, span, doConsolidated, sp, refreshDays)
+        case Some(sp) =>
+          runParquetIncremental(spark, store, out, span, doConsolidated, sp, refreshDays, compactKeep)
         case None     => runParquet(spark, store, out, span, doConsolidated)
       }
     println(s"""{"job":"climatology","store":"$store","span":"$span",$detail}""")

@@ -319,6 +319,176 @@ class ClimatologyJobSpec extends SparkSpec {
     assert(out2.contains("\"refresh_failed_marker\":false"), s"stale flag: $out2")
   }
 
+  test("ClimatologyJob --state: marker-named failed days are re-aggregated even when already in the state") {
+    import graft.sinks.ProductStore
+    import spark.implicits._
+    // ADVICE r19: a day whose FIRST refresh succeeded and a later
+    // same-day refresh failed is in both storeDays and stateDays, so
+    // new-day detection excludes it — r19 cleared the marker anyway and
+    // the stale values silently survived. The marker now names its failed
+    // days and the incremental run auto-adds them to the refresh set.
+    val mkLong = (day: String, v: Double) => (0 until 4).map(i =>
+      ("fossil0001", java.sql.Timestamp.valueOf(f"$day 10:0$i%01d:00"),
+        i, i, 40.0 + i, 10.0 + i, "xco2", v + i))
+      .toDF("target_id", "time", "lat_idx", "lon_idx", "lat", "lon", "variable", "value")
+    val dir   = Files.createTempDirectory("climheal")
+    val store = dir.resolve("store").toString
+    val state = dir.resolve("state")
+    // day enters store AND state healthily
+    ProductStore.appendIdempotent(mkLong("2023-06-15", 400.0), store)
+    graft.tools.ClimatologyJob.main(
+      Array(store, dir.resolve("out0").toString, "month", "--state", state.toString))
+    // the day is REWRITTEN in the store (reprocessing), and the follow-up
+    // streaming refresh fails — simulated by the day-carrying marker
+    ProductStore.appendIdempotent(mkLong("2023-06-15", 500.0), store)
+    val marker = state.resolve("_REFRESH_FAILED")
+    Files.write(marker,
+      "2026-01-01T00:00:00Z simulated refresh failure\nfailed_days=2023-06-15\n"
+        .getBytes("UTF-8"))
+    // the incremental run must re-aggregate the marker day FROM THE STORE
+    // (no --refresh-days needed) and only then clear the alarm
+    graft.tools.ClimatologyJob.main(
+      Array(store, dir.resolve("out1").toString, "month", "--state", state.toString))
+    assert(!Files.exists(marker), "marker must clear after its days were healed")
+    val got = spark.read.parquet(dir.resolve("out1").toString).collect().toSet
+    val full = graft.operators.Climatology.temporalMean(
+      mkLong("2023-06-15", 500.0), "time", "value", "month", Seq("target_id", "variable"))
+      .collect().toSet
+    assert(got === full, "marker-named day still stale after the incremental run")
+  }
+
+  test("state compaction: fold bit-identical before/after, idempotent, hot wins over base on refresh") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    // VERDICT r19 #3: the state dir grows one parquet file per day with no
+    // compaction (~365 objects/yr). compactState settles old hot days into
+    // a month-partitioned _base segment (~one file per month) without
+    // changing a single folded bit.
+    val ev = (for (m <- 1 to 3; d <- 1 to 14; i <- 0 until 3) yield (
+      java.sql.Timestamp.valueOf(f"2023-$m%02d-$d%02d 0$i%01d:30:00"),
+      if (i == 0) "a" else "b",
+      m * 100.0 + d + i * 0.25
+    )).toDF("ts", "event_type", "value")
+    val state = Files.createTempDirectory("compactstate").toString
+    Climatology.updateDailyState(ev, "ts", "value", Seq("event_type"), state)
+    def hotDirs() = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("day=")).sorted
+    def baseMonths() = {
+      val b = new java.io.File(state, "_base")
+      if (!b.exists()) Array.empty[String]
+      else b.listFiles().map(_.getName).filter(_.startsWith("month=")).sorted
+    }
+    def stateParquetFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(state)).count(f =>
+        f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    }
+    assert(hotDirs().length === 42)
+    val before = Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet
+    val filesBefore = stateParquetFiles()
+
+    // compact all but the newest 7 days
+    val (compacted, hotLeft) = Climatology.compactState(spark, state, keepDays = 7)
+    assert(compacted === 35 && hotLeft === 7)
+    assert(hotDirs().length === 7)
+    assert(baseMonths() === Array("month=2023-01", "month=2023-02", "month=2023-03"))
+    val filesAfter = stateParquetFiles()
+    assert(filesAfter < filesBefore / 3,
+      s"small-file pressure must drop: $filesBefore -> $filesAfter")
+    val after = Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet
+    assert(after === before, "fold must be bit-identical across compaction")
+
+    // idempotent: nothing left to settle, fold unchanged
+    assert(Climatology.compactState(spark, state, keepDays = 7) === ((0, 7)))
+    assert(Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet === before)
+
+    // refresh of a COMPACTED day (the reprocessing flow): the hot rewrite
+    // wins over the base's stale rows without touching the base
+    val corrected = ev.filter(col("ts").cast("date") =!= lit("2023-01-03").cast("date"))
+      .unionByName(Seq(
+        (java.sql.Timestamp.valueOf("2023-01-03 09:00:00"), "a", 9999.0))
+        .toDF("ts", "event_type", "value"))
+    Climatology.updateDailyState(
+      corrected.filter(col("ts").cast("date") === lit("2023-01-03").cast("date")),
+      "ts", "value", Seq("event_type"), state)
+    val incCorrected = Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet
+    val fullCorrected = Climatology.temporalMean(
+      corrected, "ts", "value", "month", Seq("event_type")).collect().toSet
+    assert(incCorrected === fullCorrected,
+      "hot rewrite of a compacted day must win over the stale base rows")
+
+    // re-compaction merges the fresh hot day and DROPS the base's stale
+    // rows for it (keepDays=0 settles everything)
+    assert(Climatology.compactState(spark, state, keepDays = 0)._2 === 0)
+    assert(hotDirs().isEmpty)
+    assert(Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet === fullCorrected)
+
+    // stale-day eviction from the base (store day deleted outright)
+    val janDays = (1 to 14).map(d => f"2023-01-$d%02d")
+    Climatology.dropDaysFromBase(spark, state, janDays)
+    assert(baseMonths() === Array("month=2023-02", "month=2023-03"),
+      "a month whose every day dropped must lose its partition dir")
+    val withoutJan = Climatology.temporalMean(
+      corrected.filter(month(col("ts")) =!= 1), "ts", "value", "month", Seq("event_type"))
+      .collect().toSet
+    assert(Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet === withoutJan)
+    // partial-month eviction rewrites, not deletes
+    Climatology.dropDaysFromBase(spark, state, Seq("2023-02-01"))
+    assert(baseMonths() === Array("month=2023-02", "month=2023-03"))
+    val withoutFeb1 = Climatology.temporalMean(
+      corrected.filter(month(col("ts")) =!= 1)
+        .filter(col("ts").cast("date") =!= lit("2023-02-01").cast("date")),
+      "ts", "value", "month", Seq("event_type")).collect().toSet
+    assert(Climatology.meansFromState(spark, state, "month", Seq("event_type"))
+      .collect().toSet === withoutFeb1)
+  }
+
+  test("ClimatologyJob --compact-state CLI: nightly run compacts, means stay bit-identical, stale days evict from base") {
+    import spark.implicits._
+    import graft.operators.Climatology
+    import graft.sinks.ProductStore
+    val mkLong = (day: String, v: Double) => (0 until 4).map(i =>
+      ("fossil0001", java.sql.Timestamp.valueOf(f"$day 10:0$i%01d:00"),
+        i, i, 40.0 + i, 10.0 + i, "xco2", v + i))
+      .toDF("target_id", "time", "lat_idx", "lon_idx", "lat", "lon", "variable", "value")
+    val dir   = Files.createTempDirectory("clicompact")
+    val store = dir.resolve("store").toString
+    val state = dir.resolve("state").toString
+    val days  = (1 to 12).map(d => f"2023-06-$d%02d")
+    days.foreach(d => ProductStore.appendIdempotent(mkLong(d, 400.0 + d.takeRight(2).toInt), store))
+    def run(out: String, extra: String*): Unit =
+      graft.tools.ClimatologyJob.main(
+        Array(store, dir.resolve(out).toString, "month", "--state", state) ++ extra)
+    // plain incremental seeds the state; compacting run settles 12-3=9 days
+    run("out1")
+    run("out2", "--compact-state", "--compact-keep", "3")
+    val hot = new java.io.File(state).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(hot.length === 3, s"hot tier after compaction: ${hot.toSeq}")
+    assert(new java.io.File(state, "_base/month=2023-06").exists())
+    val full = Climatology.temporalMean(
+      days.map(d => mkLong(d, 400.0 + d.takeRight(2).toInt)).reduce(_.unionByName(_)),
+      "time", "value", "month", Seq("target_id", "variable")).collect().toSet
+    assert(spark.read.parquet(dir.resolve("out2").toString).collect().toSet === full)
+    // a compacted day deleted from the store evicts from the BASE on the
+    // next incremental run (hot-tier staleness alone would not cover it)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(store, "day=2023-06-01"), true)
+    run("out3")
+    val fullMinus = Climatology.temporalMean(
+      days.drop(1).map(d => mkLong(d, 400.0 + d.takeRight(2).toInt)).reduce(_.unionByName(_)),
+      "time", "value", "month", Seq("target_id", "variable")).collect().toSet
+    assert(spark.read.parquet(dir.resolve("out3").toString).collect().toSet === fullMinus,
+      "a store-deleted compacted day must leave the base-backed fold")
+  }
+
   test("ClimatologyJob --state: deleting a store day drops its state partition; empty store refuses the drop") {
     import spark.implicits._
     import graft.operators.Climatology

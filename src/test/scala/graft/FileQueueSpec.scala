@@ -594,38 +594,104 @@ class FileQueueSpec extends SparkSpec {
     val dead2 = new java.io.File(q2.resolve(".deadletter").toString).list()
       .filterNot(_.startsWith(".")).toSet
     assert(dead2 === Set("m-a", "m-b", "m-a.reason", "m-b.reason"))
+
+    // --- outage discrimination at the exhaustion boundary (ADVICE r19):
+    // a transient OUTAGE (store/FS down) fails EVERY solo probe, which
+    // must replay (rethrow) rather than convert healthy messages into
+    // dead letters needing manual --redrive after recovery; once the
+    // outage ends, the batch lands clean. A poison message, by contrast,
+    // fails ONLY its own probe (the mixed case above).
+    val q3 = Files.createTempDirectory("rediso-q3")
+    val s3 = Files.createTempDirectory("rediso-s3").resolve("store").toString
+    val c3 = Files.createTempDirectory("rediso-c3").toString
+    writeMsg(q3, "m-a", Seq(gA)); writeMsg(q3, "m-b", Seq(gB))
+    val outage = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val outageProduct: (org.apache.spark.sql.SparkSession, Seq[String]) => org.apache.spark.sql.DataFrame =
+      (s, paths) => {
+        if (outage.get()) libraryIae("store unavailable (simulated outage)")
+        pipeline(s, paths)
+      }
+    def drain3(): Boolean =
+      try {
+        graft.streaming.MicroBatchIngest.ingestQueue(
+          spark, q3.toString, c3, s3, catalog,
+          maxMessagesPerBatch = 2, product = Some(outageProduct),
+          maxRedeliveries = 2).awaitTermination()
+        true
+      } catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => false }
+    assert(!drain3(), "delivery 1: outage fails the joint run within budget — replay")
+    assert(!drain3(), "delivery 2: still within budget — replay")
+    assert(!drain3(), "delivery 3: over budget, but EVERY solo probe fails → outage, replay")
+    assert(!Files.exists(q3.resolve(".deadletter").resolve("m-a")) &&
+      !Files.exists(q3.resolve(".deadletter").resolve("m-b")),
+      "an outage at the exhaustion boundary must not dead-letter healthy messages")
+    outage.set(false)
+    assert(drain3(), "outage over: probes pass, batch lands")
+    assert(new java.io.File(q3.resolve(".acked").toString).list().toSet === Set("m-a", "m-b"))
+    val days3 = graft.sinks.ProductStore.read(spark, s3)
+      .select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    assert(days3 === Array("2023-06-15", "2023-06-16"))
+    assert(new java.io.File(q3.resolve(".deadletter").toString).list() == null ||
+      new java.io.File(q3.resolve(".deadletter").toString).list()
+        .filterNot(_.startsWith(".")).isEmpty)
   }
 
-  test("an empty-day healthy batch clears the refresh-failure marker") {
+  test("the refresh-failure marker clears only when a healthy batch's days COVER the failed days") {
     import graft.domain.TargetCatalog
     import graft.domain.TargetCatalog.Target
     import graft.sources.SyntheticGranule.sounding
-    // The marker means "the LAST refresh attempt failed". A healthy batch
-    // whose product touches no days (all soundings filtered out) is
-    // vacuously healthy — before r19 it left the stale alarm standing
-    // forever on a quiet queue.
-    val queue = Files.createTempDirectory("mkclear-queue")
-    val gran  = Files.createTempDirectory("mkclear-granules")
-    val base  = Files.createTempDirectory("mkclear")
+    // ADVICE r19: r19 cleared the marker on ANY healthy pass — but a day
+    // whose FIRST refresh succeeded and a later same-day refresh failed
+    // is in both store and state, so nothing re-aggregates it and the
+    // clear deleted the only durable alarm while the staleness remained.
+    // The marker now records its failed days and survives healthy batches
+    // that don't cover them (empty-day batches included); a batch
+    // covering a SUBSET rewrites the marker with the remainder; full
+    // coverage clears it.
+    val queue = Files.createTempDirectory("mkcover-queue")
+    val gran  = Files.createTempDirectory("mkcover-granules")
+    val base  = Files.createTempDirectory("mkcover")
     val store = base.resolve("store").toString
     val state = base.resolve("state")
     val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
-    // soundings name a target ABSENT from the catalog → empty product
-    val ss = (0 until 6).map(i =>
-      sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil9999",
-        day = "2023-06-15"))
-    val p  = gran.resolve("oco3_LtCO2_20230615_B.nc")
-    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
-    try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
-    writeMsg(queue, "msg-empty-day", Seq(p.toString))
+    def mkNc(name: String, day: String, target: String = "fossil0001"): String = {
+      val ss = (0 until 6).map(i =>
+        sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = target, day = day))
+      val p  = gran.resolve(name)
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+      try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+      p.toString
+    }
     Files.createDirectories(state)
     val marker = state.resolve("_REFRESH_FAILED")
-    Files.write(marker, "2026-01-01T00:00:00Z previous failure\n".getBytes("UTF-8"))
-    graft.streaming.MicroBatchIngest.ingestQueue(
-      spark, queue.toString, Files.createTempDirectory("mkclear-ckpt").toString, store, catalog,
-      climatologyState = Some(state.toString)).awaitTermination()
-    assert(!Files.exists(marker), "empty-day healthy pass did not clear the alarm")
-    assert(new java.io.File(queue.resolve(".acked").toString).list().toSet === Set("msg-empty-day"))
+    Files.write(marker,
+      "2026-01-01T00:00:00Z previous failure\nfailed_days=2023-06-15,2023-06-16\n"
+        .getBytes("UTF-8"))
+    def ingest(msg: String, granule: String): Unit = {
+      writeMsg(queue, msg, Seq(granule))
+      graft.streaming.MicroBatchIngest.ingestQueue(
+        spark, queue.toString, Files.createTempDirectory("mkcover-ckpt").toString, store,
+        catalog, climatologyState = Some(state.toString)).awaitTermination()
+    }
+    // 1) empty-day healthy batch (target absent from catalog → no days):
+    //    vacuously healthy, but it covers nothing — the alarm must stand
+    ingest("msg-empty", mkNc("oco3_LtCO2_20230614_B.nc", "2023-06-14", target = "fossil9999"))
+    assert(Files.exists(marker), "empty-day pass must NOT clear an uncovered alarm")
+    // 2) partial coverage: a healthy batch for day 15 rewrites the marker
+    //    down to the still-stale day 16
+    ingest("msg-d15", mkNc("oco3_LtCO2_20230615_B.nc", "2023-06-15"))
+    assert(Files.exists(marker), "partially covered alarm must survive")
+    val rest = new String(Files.readAllBytes(marker), "UTF-8")
+    assert(rest.contains("failed_days=2023-06-16") && !rest.contains("2023-06-15"),
+      s"marker must carry exactly the uncovered remainder: $rest")
+    // 3) full coverage: a healthy batch for day 16 clears it
+    ingest("msg-d16", mkNc("oco3_LtCO2_20230616_B.nc", "2023-06-16"))
+    assert(!Files.exists(marker), "covering healthy refresh did not clear the alarm")
+    // 4) a legacy/unknown marker (no failed_days line) never auto-clears in
+    //    streaming — only ClimatologyJob's full reconcile may drop it
+    Files.write(marker, "2026-01-01T00:00:00Z legacy failure\n".getBytes("UTF-8"))
+    ingest("msg-d17", mkNc("oco3_LtCO2_20230617_B.nc", "2023-06-17"))
+    assert(Files.exists(marker), "unknown-days marker must survive streaming passes")
   }
 
   test("prune-acked retires only day-old consumed messages; recent ones stay replay-readable") {
@@ -661,6 +727,65 @@ class FileQueueSpec extends SparkSpec {
         System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
     graft.tools.RepairJob.main(Array(store, "--prune-acked", queue.toString))
     assert(new java.io.File(acked.toString).list().filterNot(_.startsWith(".")).isEmpty)
+
+    // ADVICE r19: the ack rename preserves the PRODUCER-written mtime, so
+    // a backlog older than the cutoff would have a just-acked file pruned
+    // inside the replay window (the replayed batch then finds it in
+    // neither the queue nor .acked → spurious dead-letter of a committed
+    // message). The ack walk must stamp ACK time on the archived copy:
+    // prune measures time-since-ack, not message age.
+    val queueB = Files.createTempDirectory("prune-backlog-queue")
+    val ckptB  = Files.createTempDirectory("prune-backlog-ckpt")
+    val granB  = Files.createTempDirectory("prune-backlog-granules")
+    val gB     = mkGranule(granB, "b.nc")
+    writeMsg(queueB, "m-backlog", Seq(gB))
+    // the message sat unconsumed in the queue for 8 days
+    Files.setLastModifiedTime(queueB.resolve("m-backlog"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    val streamB = new graft.streaming.FileQueueStream(
+      queueB.toString, 3, ckptB.toString, conf)
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    streamB.latestOffset(graft.streaming.MsgOffset(0L), ReadLimit.maxRows(3L))
+    streamB.commit(graft.streaming.MsgOffset(1L)) // ack NOW
+    assert(Files.exists(queueB.resolve(".acked").resolve("m-backlog")))
+    assert(graft.streaming.Disposition.pruneAcked(queueB.toString, 7, conf) === 0,
+      "a file acked minutes ago must survive pruning regardless of message age")
+    assert(Files.exists(queueB.resolve(".acked").resolve("m-backlog")))
+  }
+
+  test("pruneAckedDays wires acked retention into the ingest loop itself") {
+    import graft.domain.TargetCatalog
+    import graft.domain.TargetCatalog.Target
+    import graft.sources.SyntheticGranule.sounding
+    // VERDICT r19 #4: pruneAcked existed but only RepairJob invoked it —
+    // retention was operator-remembered. The loop now prunes post-commit
+    // on a batch cadence: a long-acked file retires, the replay window
+    // (recently-acked files) survives.
+    val queue = Files.createTempDirectory("loopprune-queue")
+    val gran  = Files.createTempDirectory("loopprune-granules")
+    val store = Files.createTempDirectory("loopprune-store").resolve("store").toString
+    val ckpt  = Files.createTempDirectory("loopprune-ckpt").toString
+    val catalog = TargetCatalog.toDF(spark, Seq(Target("fossil0001", "A", 10.0, 40.0, 12.0, 42.0)))
+    val acked = queue.resolve(".acked")
+    Files.createDirectories(acked)
+    Files.write(acked.resolve("m-ancient"), "g-old\n".getBytes("UTF-8"))
+    Files.setLastModifiedTime(acked.resolve("m-ancient"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 9L * 24 * 3600 * 1000))
+    val ss = (0 until 6).map(i =>
+      sounding(i, 41.0 + 0.1 * i, 11.0 + 0.1 * i, mode = 4, target = "fossil0001",
+        day = "2023-06-15"))
+    val p  = gran.resolve("oco3_LtCO2_20230615_B.nc")
+    val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(p.toFile))
+    try graft.sources.netcdf.NetCDFGranules.writeGranule(os, ss) finally os.close()
+    writeMsg(queue, "m-live", Seq(p.toString))
+    graft.streaming.MicroBatchIngest.ingestQueue(
+      spark, queue.toString, ckpt, store, catalog,
+      pruneAckedDays = Some(7), pruneEveryBatches = 1).awaitTermination()
+    val left = new java.io.File(acked.toString).list().filterNot(_.startsWith(".")).toSet
+    assert(!left.contains("m-ancient"), "the loop must prune a long-acked file itself")
+    assert(graft.sinks.ProductStore.read(spark, store).count() > 0)
   }
 
   test("restart resumes from the checkpoint and late messages are picked up") {
