@@ -33,7 +33,17 @@ object Delaunay {
       // triangles, so interpolation exact-matches these to their sample
       // value before walking. Empty on healthy input — the interpolation
       // hot path pays one length check.
-      nnVerts: Array[Int] = Array.empty
+      nnVerts: Array[Int] = Array.empty,
+      // per-nnVert blend radius (half the distance to the nearest other
+      // vertex): queries NEAR a sliver-only vertex — not bit-equal to it —
+      // fall to the triangle walk, which skips the sliver's zero-area
+      // triangles and interpolates from a neighboring host plane that
+      // never saw that sample (VERDICT r19 #1). Within this radius the
+      // walk result is blended toward the vertex's own sample value
+      // (weight 1 at the vertex, 0 at the radius), restoring the sample's
+      // local influence continuously. Parallel to nnVerts; empty on
+      // healthy input.
+      nnRadius: Array[Double] = Array.empty
   ) {
     /** Align a per-original-point value array with the deduped vertices. */
     def alignValues(original: Array[Double]): Array[Double] = keptIdx.map(original)
@@ -596,10 +606,31 @@ object Delaunay {
           "missing from the triangulation — interpolated values would silently change; " +
           "failing the granule (dead-letter + redrive) instead")
 
+  /** Size ceiling for [[triangulateSafe]] (system property
+    * `graft.delaunay.safeCeiling`, default 20 000 points). The safe path's
+    * global-rescan insertion is super-quadratic on tie-inflated inputs
+    * (the exact co-circular ring ladder measured nTri ≈ n^1.8 — 75.5 s at
+    * n=4 096, dev/PLANS_r19), so a fast-path bail on a pathological
+    * ~100k-point region would run unbounded for hours. Every observed bail
+    * input is far below this ceiling (regions are tile-capped upstream,
+    * [[graft.domain.GlobalPipeline]]; the 1M-point exact-tie lattice
+    * resolves on the fast path and never reaches here). The reference
+    * would hang identically inside Qhull
+    * (`sam_extract/processors/OCO3SamProcessor.py:161-182`). */
+  private[graft] def safeCeiling: Int =
+    sys.props.get("graft.delaunay.safeCeiling").map(_.toInt).getOrElse(20000)
+
   /** The textbook O(n²) Bowyer–Watson (global bad-triangle rescan per
     * insertion) — retained as the fallback for inputs whose fp-degenerate
     * adjacency overflows the fast path's two-triangles-per-edge invariant.
-    * Handles every configuration because it never tracks adjacency. */
+    * Handles every configuration because it never tracks adjacency.
+    *
+    * Raises a graft-site IllegalArgumentException past [[safeCeiling]]
+    * points — through the disposition taxonomy that classifies
+    * non-retryable → dead-letter + redrive ([[graft.streaming
+    * .Disposition.nonRetryable]]) — instead of running an unbounded
+    * super-quadratic insertion (VERDICT r19 #2: slow-but-bounded beats
+    * silently hung). */
   private[graft] def triangulateSafe(xsIn: Array[Double], ysIn: Array[Double]): Option[Triangulation] = {
     val seen = scala.collection.mutable.HashSet.empty[(Double, Double)]
     val keep = ArrayBuffer.empty[Int]
@@ -612,6 +643,13 @@ object Delaunay {
     val ys = keep.map(ysIn).toArray
     val n  = xs.length
     if (n < 3) return None
+    val ceiling = safeCeiling
+    if (n > ceiling)
+      throw new IllegalArgumentException(
+        s"graft.functions.Delaunay: safe-path triangulation ceiling exceeded ($n points > " +
+          s"$ceiling): the O(n²) degenerate-input fallback would run unbounded on an input " +
+          "this size — failing the granule (dead-letter + redrive) instead; raise " +
+          "-Dgraft.delaunay.safeCeiling to override")
     val minX = xs.min; val maxX = xs.max
     val minY = ys.min; val maxY = ys.max
     val dmax = math.max(maxX - minX, maxY - minY) max 1e-12
@@ -682,8 +720,25 @@ object Delaunay {
       p.count(identity)
     }
     val nn = repairCoverage(vx, vy, n, realT)
+    // blend radius per sliver-only vertex: half the distance to its
+    // nearest other vertex — inside it the vertex's sample regains its
+    // local influence (see Triangulation.nnRadius). nn is ≤6 on every
+    // observed input, so the O(|nn|·n) scan is negligible.
+    val nnR = nn.map { v =>
+      var best = Double.MaxValue
+      var j = 0
+      while (j < n) {
+        if (j != v) {
+          val dx = vx(j) - vx(v); val dy = vy(j) - vy(v)
+          val d2 = dx * dx + dy * dy
+          if (d2 < best) best = d2
+        }
+        j += 1
+      }
+      if (best == Double.MaxValue) 0.0 else 0.5 * math.sqrt(best)
+    }
     lastSafeStats = s"n=$n repaired=${n - coverBefore} slivers=${nn.length} nTri=${realT.length}"
-    Some(Triangulation(xs, ys, keep.toArray, realT.toArray, nn))
+    Some(Triangulation(xs, ys, keep.toArray, realT.toArray, nn, nnR))
   }
 
   /** Diagnostic counters from the LAST triangulateSafe() call — probe
@@ -841,11 +896,23 @@ object Delaunay {
       gradients: Array[(Double, Double)],
       qx: Double,
       qy: Double): Double = {
-    val eps  = 1e-12
     if (tri.nnVerts.length > 0) { // repair-sliver vertices: exact-match first
       val m = nnMatch(tri, qx, qy)
       if (m >= 0) return values(m)
     }
+    val res = walkCubic(tri, values, gradients, qx, qy)
+    if (tri.nnVerts.length > 0)
+      nnBlend(tri, values, qx, qy, res, walkCubic(tri, values, gradients, _, _))
+    else res
+  }
+
+  private def walkCubic(
+      tri: Triangulation,
+      values: Array[Double],
+      gradients: Array[(Double, Double)],
+      qx: Double,
+      qy: Double): Double = {
+    val eps  = 1e-12
     val cand = tri.candidateTris(qx, qy)
     var i = 0
     while (i < cand.length) {
@@ -903,6 +970,52 @@ object Delaunay {
     -1
   }
 
+  /** Near-sliver blend (see [[Triangulation.nnRadius]]): a query within a
+    * sliver-only vertex's radius adds that vertex's DISCREPANCY — its
+    * sample value minus the host plane the walk evaluates AT the vertex —
+    * scaled by weight 1−d/r. Blending the discrepancy rather than the raw
+    * value keeps linear/cubic reproduction of planar (affine) fields
+    * exact: there the sample lies ON the host plane and the correction is
+    * identically zero, while a sample the overlapping host plane never
+    * saw regains its local influence, decaying continuously to zero at
+    * the radius. At the vertex (w=1) the result is the sample value —
+    * consistent with the exact-coordinate match. A walk that found
+    * nothing (query inside sliver-only coverage) yields the nearest
+    * in-radius vertex's value outright. Only called when nnVerts is
+    * non-empty; a triangulation built without radii (legacy construction)
+    * blends nothing. */
+  private def nnBlend(
+      tri: Triangulation, values: Array[Double],
+      qx: Double, qy: Double, walk: Double,
+      walkAt: (Double, Double) => Double): Double = {
+    var bestW = 0.0; var bestK = -1
+    var k = 0
+    val kr = math.min(tri.nnVerts.length, tri.nnRadius.length)
+    while (k < kr) {
+      val v = tri.nnVerts(k)
+      val r = tri.nnRadius(k)
+      if (r > 0) {
+        val dx = qx - tri.px(v); val dy = qy - tri.py(v)
+        val d  = math.sqrt(dx * dx + dy * dy)
+        if (d < r) {
+          val w = 1.0 - d / r
+          if (w > bestW) { bestW = w; bestK = k }
+        }
+      }
+      k += 1
+    }
+    if (bestK < 0) return walk
+    val v = tri.nnVerts(bestK)
+    if (walk.isNaN) return values(v)
+    val hostAtV = walkAt(tri.px(v), tri.py(v))
+    // hostAtV NaN: the vertex is a hull-extension spike outside every
+    // real triangle — its influence zone is exactly the walk's own NaN
+    // zone (served above); correcting a well-defined walk result with it
+    // would break planar exactness, so leave the walk untouched
+    if (hostAtV.isNaN) walk
+    else walk + bestW * (values(v) - hostAtV)
+  }
+
   /** Barycentric linear interpolation of (qx, qy) against a triangulation
     * with per-vertex values. NaN outside the hull. */
   def interpolateLinear(
@@ -910,11 +1023,22 @@ object Delaunay {
       values: Array[Double],
       qx: Double,
       qy: Double): Double = {
-    val eps  = 1e-12
     if (tri.nnVerts.length > 0) { // repair-sliver vertices: exact-match first
       val m = nnMatch(tri, qx, qy)
       if (m >= 0) return values(m)
     }
+    val res = walkLinear(tri, values, qx, qy)
+    if (tri.nnVerts.length > 0)
+      nnBlend(tri, values, qx, qy, res, walkLinear(tri, values, _, _))
+    else res
+  }
+
+  private def walkLinear(
+      tri: Triangulation,
+      values: Array[Double],
+      qx: Double,
+      qy: Double): Double = {
+    val eps  = 1e-12
     val cand = tri.candidateTris(qx, qy)
     var i = 0
     while (i < cand.length) {

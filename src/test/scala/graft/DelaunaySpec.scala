@@ -524,4 +524,96 @@ class DelaunaySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("safe-path size ceiling: an over-ceiling input fails through the disposition taxonomy") {
+    // VERDICT r19 #2: the safe path's global-rescan insertion is
+    // super-quadratic on tie-inflated inputs (nTri ≈ n^1.8 on the exact
+    // co-circular ring ladder) — a fast-path bail on a pathological
+    // ~100k-point region would run unbounded for hours. Past the ceiling
+    // it must fail LOUDLY through the graft-site IAE → nonRetryable →
+    // dead-letter (redrivable) chain instead.
+    val prev = sys.props.get("graft.delaunay.safeCeiling")
+    try {
+      sys.props("graft.delaunay.safeCeiling") = "500"
+      val r  = new scala.util.Random(7)
+      val xs = Array.fill(600)(r.nextDouble() * 10)
+      val ys = Array.fill(600)(r.nextDouble() * 10)
+      val e = intercept[IllegalArgumentException](Delaunay.triangulateSafe(xs, ys))
+      assert(e.getMessage.contains("safe-path triangulation ceiling exceeded"),
+        s"documented message missing: ${e.getMessage}")
+      assert(e.getMessage.contains("600 points > 500"))
+      // disposition shape: graft throw site → non-retryable → the
+      // streaming loop dead-letters the granule instead of crash-looping
+      assert(graft.streaming.Disposition.nonRetryable(e))
+      assert(graft.streaming.Disposition.nonRetryable(new RuntimeException("job aborted", e)))
+      // at-or-under the ceiling still triangulates (the ceiling is a
+      // guard, not a behavior change below it)
+      val ok = Delaunay.triangulateSafe(xs.take(500), ys.take(500))
+      assert(ok.exists(_.triangles.nonEmpty))
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.delaunay.safeCeiling") = v
+        case None    => sys.props.remove("graft.delaunay.safeCeiling")
+      }
+    }
+    // the default ceiling is far above every observed bail input (regions
+    // are tile-capped upstream; PLANS_r20 records the probed maxima)
+    assert(Delaunay.safeCeiling === 20000)
+  }
+
+  test("near-sliver blend: queries NEAR a repair-sliver vertex regain its sample's influence; planar fields stay exact") {
+    // VERDICT r19 #1: a query NEAR a sliver-only vertex (not bit-equal)
+    // fell to the triangle walk, which skips the sliver's zero-area
+    // triangles — the value came from a neighboring host plane that never
+    // saw that sample. The blend adds the vertex's discrepancy (sample −
+    // host plane AT the vertex) scaled by 1−d/r, so the influence decays
+    // continuously and planar fields (discrepancy ≡ 0) stay exact.
+    import scala.collection.mutable.ArrayBuffer
+    // overlapping-host layout (the shape a degenerate-host 3-split leaves
+    // behind in triangulateSafe): vertex 4 sits ON edge 0-1, its only
+    // incident triangle {0,1,4} is zero-area, and the walk AT and NEAR it
+    // lands in the real host {0,1,2} — whose plane never saw sample 4
+    val px = Array(0.0, 2.0, 0.0, 2.0, 1.0)
+    val py = Array(0.0, 0.0, 2.0, 2.0, 0.0)
+    val tris = ArrayBuffer(Array(0, 1, 2), Array(1, 3, 2), Array(0, 1, 4))
+    val nn  = Array(4)   // sliver-only, as repairCoverage flags it
+    val nnR = Array(0.5) // half the distance to the nearest vertex (0 or 1 at d=1)
+    val tri = Delaunay.Triangulation(px, py, Array(0, 1, 2, 3, 4), tris.toArray, nn, nnR)
+
+    // a field the host plane never saw: corners 0, vertex 4 carries 10
+    val vals = Array(0.0, 0.0, 0.0, 0.0, 10.0)
+    assert(Delaunay.interpolateLinear(tri, vals, 1.0, 0.0) === 10.0, "exact match at the vertex")
+    val near = Delaunay.interpolateLinear(tri, vals, 1.0, 0.1) // d=0.1, w=0.8
+    assert(math.abs(near - 8.0) < 1e-12,
+      s"near query must carry 0.8 of the sample's discrepancy: $near")
+    val atRadius = Delaunay.interpolateLinear(tri, vals, 1.0, 0.5)
+    assert(math.abs(atRadius - 0.0) < 1e-12, s"influence must vanish at the radius: $atRadius")
+    val outside = Delaunay.interpolateLinear(tri, vals, 1.0, 1.2)
+    assert(math.abs(outside - 0.0) < 1e-12, s"beyond the radius the walk result stands: $outside")
+
+    // planar exactness through the blend: discrepancy is identically zero
+    def plane(x: Double, y: Double) = 3.0 + 2.0 * x - 0.5 * y
+    val pvals = px.zip(py).map { case (x, y) => plane(x, y) }
+    Seq((1.0, 0.1), (0.9, 0.05), (1.0, 0.49), (0.5, 1.0)).foreach { case (qx, qy) =>
+      val got = Delaunay.interpolateLinear(tri, pvals, qx, qy)
+      assert(math.abs(got - plane(qx, qy)) < 1e-12, s"planar drift at ($qx,$qy): $got")
+      val gotC = Delaunay.interpolateCubic(
+        tri, pvals, px.indices.map(_ => (2.0, -0.5)).toArray, qx, qy)
+      assert(math.abs(gotC - plane(qx, qy)) < 1e-9, s"cubic planar drift at ($qx,$qy): $gotC")
+    }
+
+    // hull-spike layout (the r18 fixture): vertex 3 outside every real
+    // triangle — walk is NaN in its zone, which serves the sample value;
+    // a well-defined walk elsewhere is NOT perturbed (planarity)
+    val sx = Array(0.0, 1.0, 0.0, 2.0)
+    val sy = Array(0.0, 0.0, 1.0, 0.0)
+    val stris = ArrayBuffer(Array(0, 1, 2))
+    val snn = Delaunay.repairCoverage(sx, sy, 4, stris)
+    val striT = Delaunay.Triangulation(sx, sy, Array(0, 1, 2, 3), stris.toArray, snn, Array(0.5))
+    val svals = Array(0.0, 0.0, 0.0, 7.0)
+    assert(Delaunay.interpolateLinear(striT, svals, 1.9, 0.01) === 7.0,
+      "inside the spike zone (walk NaN, within radius) the sample value is served")
+    val interior = Delaunay.interpolateLinear(striT, svals, 0.25, 0.25)
+    assert(math.abs(interior - 0.0) < 1e-12, "interior walk results are untouched")
+  }
 }
