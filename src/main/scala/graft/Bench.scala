@@ -117,7 +117,7 @@ object Bench {
     // contaminated pass without forensic adjudication.
     val passes = sys.env.get("SPARK_GRAFT_BENCH_PASSES").map(_.toInt).getOrElse(3)
     val passLoads = new scala.collection.mutable.ArrayBuffer[Double]
-    val samples = (1 to passes).map { _ =>
+    def runPass(): Seq[(String, Double, Boolean)] = {
       passLoads += load1m()
       ordered.map { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -130,21 +130,16 @@ object Bench {
         (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
-    val results = ordered.map { case (name, _) =>
-      val runs = samples.map(_.find(_._1 == name).get)
+    val samples = scala.collection.mutable.ArrayBuffer.tabulate(passes)(_ => runPass())
+    def summarize(ss: Seq[Seq[(String, Double, Boolean)]]) = ordered.map { case (name, _) =>
+      val runs = ss.map(_.find(_._1 == name).get)
       val byTime = runs.zipWithIndex.sortBy(_._1._2)
       val (medRun, medIdx) = byTime(runs.size / 2)
-      (name, medRun._2, runs.forall(_._3), medIdx + 1)
+      // (name, median, allOk, 1-based pass of the median, min, max)
+      (name, medRun._2, runs.forall(_._3), medIdx + 1,
+        byTime.head._1._2, byTime.last._1._2)
     }
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
-    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val loadPasses = passLoads.map(v => fmt(v).toString).mkString("[", ",", "]")
-    val medianPass = results.map { case (k, _, _, p) => "\"" + k + "\":" + p }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
     // per-query deltas vs the most COMPLETE parseable baseline among the
     // committed bench artifacts: driver-written BENCH_r*.json tails can be
     // truncated before the "queries" block (r3's was), while the
@@ -165,8 +160,52 @@ object Bench {
       .filter(_._2.nonEmpty)
       .sortBy { case (f, m) => (m.size, f.lastModified) }
       .lastOption
+    // Noise adjudication (VERDICT r19 #2: three consecutive round records
+    // contaminated by driver-box load): when the median-based total moves
+    // >15% against the baseline over a (near-)complete query match, run ONE
+    // extra pass and report whether the move survives the per-query MINIMUM
+    // total — medians absorb one bad pass out of three, minima absorb all
+    // but one, so `move_survives_min=false` marks the move as box noise
+    // from the record alone, no forensic A/B needed.
+    var results = summarize(samples.toSeq)
+    val prevTotalOpt = prev.flatMap { case (_, prevQ) =>
+      val matched = results.flatMap { case (k, _, _, _, _, _) => baselineFor(prevQ, k) }
+      if (matched.size >= (results.size * 9) / 10 && matched.nonEmpty) Some(matched.sum) else None
+    }
+    val movedVsPrev = prevTotalOpt.map { pt =>
+      math.abs(results.map(_._2).sum - pt) / pt > 0.15
+    }
+    val extraPass = movedVsPrev.contains(true)
+    if (extraPass) {
+      System.err.println(
+        f"[bench] median total ${results.map(_._2).sum}%.1f s moved >15%% vs baseline " +
+          f"${prevTotalOpt.get}%.1f s — running one extra pass to adjudicate")
+      samples += runPass()
+      results = summarize(samples.toSeq)
+    }
+    val moveSurvivesMin = prevTotalOpt.map { pt =>
+      math.abs(results.map(_._5).sum - pt) / pt > 0.15
+    }
+    val qs = results.map { case (k, v, _, _, _, _) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val loadPasses = passLoads.map(v => fmt(v).toString).mkString("[", ",", "]")
+    val medianPass = results.map { case (k, _, _, p, _, _) => "\"" + k + "\":" + p }
+      .mkString("{", ",", "}")
+    val total    = results.map(_._2).sum
+    val minTotal = results.map(_._5).sum
+    // per-query minima travel with the record: a noisy median is
+    // re-adjudicable from min_total without rerunning the bench
+    val qsMin = results.map { case (k, _, _, _, mn, _) => "\"" + k + "\":" + fmt(mn) }
+      .mkString("{", ",", "}")
+    // spread flags: a query whose max/min exceeds 3× ran under interference
+    // in at least one pass — its median is suspect
+    val noisy = results.collect {
+      case (k, _, _, _, mn, mx) if mn > 0 && mx / mn > 3.0 => "\"" + k + "\""
+    }.mkString("[", ",", "]")
     val deltas = prev.map { case (f, prevQ) =>
-      val ds = results.flatMap { case (k, v, _, _) =>
+      val ds = results.flatMap { case (k, v, _, _, _, _) =>
         baselineFor(prevQ, k).map(p => "\"" + k + "\":" + fmt(v - p))
       }
       // stamp the baseline's mtime: a bare filename stops identifying the
@@ -175,13 +214,20 @@ object Bench {
         .toString.replaceAll("\\.\\d+Z$", "Z")
       s""","delta_vs":"${f.getName}@$stamp","delta_sec":${ds.mkString("{", ",", "}")}"""
     }.getOrElse("")
+    val moveBlock = (movedVsPrev, moveSurvivesMin, prevTotalOpt) match {
+      case (Some(m), Some(s), Some(pt)) =>
+        s""","baseline_total":${fmt(pt)},"moved_gt15pct":$m,"extra_pass":$extraPass,""" +
+          s""""move_survives_min":$s"""
+      case _ => ""
+    }
     // failures are machine-visible in the metric line, not just stderr;
     // load stamps make drift-vs-regression adjudicable after the fact
     // (load = [1m, 5m, 15m, runnable-tasks] at run start / end)
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":$passes,""" +
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","passes":${samples.size},""" +
         s""""load_start":$loadStart,"load_end":${loadStamp()},"contaminated":$contaminated,""" +
         s""""load_passes":$loadPasses,"median_pass":$medianPass,""" +
+        s""""min_total":${fmt(minTotal)},"queries_min":$qsMin,"noisy":$noisy$moveBlock,""" +
         s""""queries":$qs,"failed":$failed,"sf":"$sfDir"$deltas}"""
     println(detail)
     // persist the FULL metric JSON next to the round artifacts: the driver
@@ -199,13 +245,14 @@ object Bench {
     // prefixes from the contract's own example ("queries":{"q1":sec,…}) —
     // ~1.4 KB for ~100 queries, safely inside the tail. Full names and the
     // delta block live in the detail line above and in BENCH_SELF.json.
-    val prefixes = results.map { case (k, _, _, _) => k.takeWhile(_ != '_') }
+    val prefixes = results.map { case (k, _, _, _, _, _) => k.takeWhile(_ != '_') }
     val shortKeys = prefixes.distinct.size == prefixes.size
-    val qsShort = results.map { case (k, v, _, _) =>
+    val qsShort = results.map { case (k, v, _, _, _, _) =>
       "\"" + (if (shortKeys) k.takeWhile(_ != '_') else k) + "\":" + fmt(v)
     }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","contaminated":$contaminated,""" +
+        s""""min_total":${fmt(minTotal)},"noisy":$noisy$moveBlock,""" +
         s""""queries":$qsShort,"failed":$failed,"sf":"$sfDir","detail":"$out"}""")
   }
 }

@@ -1388,6 +1388,12 @@ object ScaleProbe {
       val product3 = Some(
         (s: org.apache.spark.sql.SparkSession, paths: Seq[String]) =>
           threeMissionGlobalProduct(s, paths, mesh, cfg))
+      // r20 retention/compaction knobs (default off — the r19 curves stay
+      // reproducible): SPARK_GRAFT_SOAK_PRUNE=<days> wires pruneAckedDays
+      // into the loop itself; SPARK_GRAFT_SOAK_COMPACT_KEEP=<n> settles
+      // all but the newest n state days into the _base segment per chunk
+      val pruneDays   = sys.env.get("SPARK_GRAFT_SOAK_PRUNE").map(_.toInt)
+      val compactKeep = sys.env.get("SPARK_GRAFT_SOAK_COMPACT_KEEP").map(_.toInt)
       val decades = (startDay until startDay + nDays).grouped(chunk).toSeq
       val rowsOut = scala.collection.mutable.ArrayBuffer.empty[String]
       decades.foreach { dayIdxs =>
@@ -1400,7 +1406,8 @@ object ScaleProbe {
           val q = graft.streaming.MicroBatchIngest.ingestQueue(
             spark, queue.toString, ckpt, store, catalog, cfg,
             maxMessagesPerBatch = 1, climatologyState = Some(state),
-            stateKeys = keys, product = product3)
+            stateKeys = keys, product = product3,
+            pruneAckedDays = pruneDays, pruneEveryBatches = 1)
           q.awaitTermination(); q
         }
         val batchWalls = q.recentProgress.toSeq.filter(_.numInputRows > 0)
@@ -1409,7 +1416,9 @@ object ScaleProbe {
           graft.sinks.ProductStore.compact(
             spark, store, days, targetRows = 600L * 1000, zOrder = true)
         }
-        val stateRows = spark.read.parquet(state).count()
+        val stateCompacted = compactKeep.map(k =>
+          graft.operators.Climatology.compactState(spark, state, k))
+        val stateRows = graft.operators.Climatology.readState(spark, state).count()
         // the two aux listings that only bend late in a long soak
         // (VERDICT r18 #7): the acked-dir walk the watermark makes O(delta)
         // and the bounded-redelivery counter dir (must stay empty — every
@@ -1429,6 +1438,7 @@ object ScaleProbe {
           s""""max_day_sec":${r2(if (batchWalls.isEmpty) 0 else batchWalls.max)},""" +
           s""""compact_sec":${r2(compactSec)},"ckpt_bytes":${du(java.nio.file.Paths.get(ckpt))},""" +
           s""""state_rows":$stateRows,"state_files":${parquetFiles(state)},""" +
+          stateCompacted.fold("")(c => s""""state_compacted_days":${c._1},"state_hot_days":${c._2},""") +
           s""""store_files":${parquetFiles(store)},""" +
           s""""acked_files":$ackedFiles,"acked_list_ms":${r2(ackedListMs)},""" +
           s""""delivery_counters":$delivCounters}"""
