@@ -67,6 +67,49 @@ object TextKernelFns {
     }
   }
 
+  /** Word n-gram OCCURRENCE counts of a single-space-tokenized string:
+    * (gram, occ) struct rows in first-occurrence order — the per-row form
+    * of `groupBy(id, gram).count()` over the exploded gram stream (one
+    * document's grams all come from one source row, so the aggregate needs
+    * no exchange). Same tokenization and byte-slice gram construction as
+    * [[wordGrams]]; empty array for null input or fewer than n tokens. */
+  def wordGramCounts(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return new GenericArrayData(Array.empty[Any])
+    val b = text.getBytes
+    var nTok = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') nTok += 1; i += 1 }
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](nTok)
+    val ends   = new Array[Int](nTok)
+    var t = 0
+    i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') { ends(t) = i; t += 1; starts(t) = i + 1 }
+      i += 1
+    }
+    ends(t) = b.length
+    val m = nTok - n + 1
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Long]](m * 2)
+    var j = 0
+    while (j < m) {
+      val g = UTF8String.fromBytes(b, starts(j), ends(j + n - 1) - starts(j))
+      val c = counts.get(g)
+      if (c == null) counts.put(g, Array(1L)) else c(0) += 1L
+      j += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it  = counts.entrySet().iterator()
+    var o = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Character (code point) start offsets of a UTF-8 byte array. A char
     * start is any byte not matching 10xxxxxx. */
   private def charStarts(b: Array[Byte]): Array[Int] = {
@@ -716,4 +759,51 @@ object DeflateStats {
   def apply(text: Column, level: Int = 6): Column =
     GraftSqlBridge.column(new DeflateStats(
       GraftSqlBridge.expression(text.cast("string")), level))
+}
+
+/** `wordGramCounts(text, n)` as a codegen scalar expression →
+  * array<struct<gram: string, occ: long>> of word n-gram OCCURRENCE
+  * counts in first-occurrence order — the per-row replacement for
+  * `groupBy(id, gram).count` over the exploded gram stream. Each
+  * document's gram multiset lives in one source string, so the whole
+  * per-(doc, gram) aggregate is a pure projection: exploding this array
+  * yields exactly the rows the relational aggregate produced, with NO
+  * exchange (the gram stream was the largest intermediate in the
+  * dup-span / tf-idf / rarity plans — guide §2.4: remove shuffles
+  * outright). Same byte-slice tokenization as [[WordGrams]]
+  * (split(text, ' ') semantics, empty tokens kept); empty array for
+  * null input or docs shorter than n words. */
+case class WordGramCounts(child: Expression, n: Int) extends Expression {
+  require(n >= 1)
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(
+        "gram", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("occ", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any =
+    TextKernelFns.wordGramCounts(child.eval(input).asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c      = child.genCode(ctx)
+    val kernel = TextKernelFns.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          $kernel.wordGramCounts(${c.isNull} ? null : ${c.value}, $n);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0))
+}
+
+object WordGramCounts {
+  def apply(text: Column, n: Int): Column =
+    GraftSqlBridge.column(new WordGramCounts(
+      GraftSqlBridge.expression(text.cast("string")), n))
 }

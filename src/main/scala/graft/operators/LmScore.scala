@@ -171,9 +171,17 @@ object LmScore {
       textCol: String,
       trainPred: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (id, score_milli) feeds BOTH the histogram and the final bucket
+    // projection; without a materialization the entire scoring subtree
+    // (model training + scoring joins, ~20 exchanges) executes twice. The
+    // frame is two integer columns × scored docs — localCheckpoint pins it
+    // once, and everything downstream runs over the sliver (guide §3.3:
+    // materialize shared intermediates to truncate duplicated plans).
     val scored = referenceLmStats(df, idCol, textCol, trainPred)
       .filter(col("n_bigrams") > 0L)
       .withColumn("score_milli", expr("(1000 * surprisal_q) div n_bigrams"))
+      .select(col(idCol), col("score_milli"))
+      .localCheckpoint()
     val hist = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("_c"))
     // bounded-table window (≤ 64 001 rows): cumulative counts in score order
     val cum = hist.withColumn("_cum", sum(col("_c")).over(Window.orderBy(col("score_milli"))))
@@ -295,25 +303,33 @@ object LmScore {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     // evaluate the target predicate BEFORE exploding features — it may
     // reference any input column (source, lang, …), which the feature
-    // projection drops
+    // projection drops. Features explode COUNTED (the WordGramCounts
+    // kernel): one row per DISTINCT feature per doc with its occurrence
+    // count, so the md5 bucket hash runs once per distinct feature instead
+    // of once per occurrence and every exploded stream shrinks by the
+    // within-doc repetition factor (guide §2.3); a unigram can never equal
+    // a bigram (bigrams contain the separator), so the concat never merges
+    // counts across n.
     val feats = df
       .withColumn("_t", targetPred)
       .select(
         col(idCol),
         col("_t"),
         explode(concat(
-          WordGrams(col(textCol), 1, distinct = false),
-          WordGrams(col(textCol), 2, distinct = false))).as("feat"))
+          graft.functions.WordGramCounts(col(textCol), 1),
+          graft.functions.WordGramCounts(col(textCol), 2))).as("_g"))
+      .select(col(idCol), col("_t"), col("_g.gram").as("feat"), col("_g.occ").as("_occ"))
       .withColumn("bkt", Sampling.hashBucket(col("feat"), nBuckets))
 
-    // bounded model tables: ≤ nBuckets rows each
-    val tCounts = feats.filter(col("_t")).groupBy(col("bkt")).agg(count(lit(1)).as("_ct"))
-    val rCounts = feats.filter(!col("_t")).groupBy(col("bkt")).agg(count(lit(1)).as("_cr"))
+    // bounded model tables: ≤ nBuckets rows each (occurrence-weighted sums
+    // — identical integers to counting the un-counted stream)
+    val tCounts = feats.filter(col("_t")).groupBy(col("bkt")).agg(sum(col("_occ")).as("_ct"))
+    val rCounts = feats.filter(!col("_t")).groupBy(col("bkt")).agg(sum(col("_occ")).as("_cr"))
     val tTotal  = tCounts.agg(sum(col("_ct")).as("_T"))
     val rTotal  = rCounts.agg(sum(col("_cr")).as("_R"))
 
     val docBuckets = feats.filter(!col("_t"))
-      .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("_n"))
+      .groupBy(col(idCol), col("bkt")).agg(sum(col("_occ")).as("_n"))
 
     val b = lit(nBuckets.toLong)
     val scored = docBuckets

@@ -88,9 +88,13 @@ object Packing {
     require(seqLen > 0, "seqLen must be positive")
     val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
     val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
-    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
-    toks
-      .join(off, idCol)
+    // join BEFORE exploding (guide §3.3): the offset attaches to one row
+    // per document, not one per token — the join never carries the
+    // exploded token stream
+    df.select(col(idCol), col(textCol))
+      .join(off, Seq(idCol))
+      .select(col(idCol), col("_off"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
       .select(
         col(idCol),
         ((col("_off") + col("_pos")) / seqLen).cast("long").as("seq_idx"),
@@ -128,10 +132,13 @@ object Packing {
       seqLen: Int): DataFrame = {
     require(seqLen > 0, "seqLen must be positive")
     val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
-    val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
-    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
-    toks
-      .join(off, idCol)
+    val off   = prefixSum(withN, idCol, "_n", "_off")
+    // boundaries never need the token STRINGS — positions suffice, so the
+    // explode is a numeric sequence off the (id, n, offset) row (join
+    // before explode, guide §3.3; split arrays never reach the exchange)
+    off
+      .select(col(idCol), col("_off"),
+        explode(sequence(lit(0L), col("_n") - 1)).as("_pos"))
       .select(
         col(idCol),
         (col("_off") + col("_pos")).as("_g"),
@@ -179,9 +186,11 @@ object Packing {
     require(stride > 0 && stride <= seqLen, "stride must be in [1, seqLen]")
     val withN = df.select(col(idCol), size(split(col(textCol), " ")).cast("long").as("_n"))
     val off   = prefixSum(withN, idCol, "_n", "_off").select(col(idCol), col("_off"))
-    val toks  = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
-    toks
-      .join(off, idCol)
+    // join before exploding (guide §3.3) — same shape as packSequences
+    df.select(col(idCol), col(textCol))
+      .join(off, Seq(idCol))
+      .select(col(idCol), col("_off"),
+        posexplode(split(col(textCol), " ")).as(Seq("_pos", "_tok")))
       .withColumn("_g", col("_off") + col("_pos"))
       .withColumn("_wlo",
         greatest(lit(0L), expr(s"(_g - ${seqLen - stride}) div $stride")))

@@ -66,9 +66,29 @@ object SetSimilarity {
       .groupBy(col("shingle"))
       .agg(array_sort(collect_list(col(idCol))).as("ids"))
 
+  /** Per-document distinct-shingle set sizes straight off the raw texts:
+    * `size(WordGrams(distinct))` is a pure codegen projection, so callers
+    * that still hold the document frame get the (id, n) table with ZERO
+    * shuffle — where deriving the same sizes from the postings pays one
+    * full explode + hash aggregate over the postings intermediate (two of
+    * them, since each join side re-evaluates the subtree). Identical
+    * values by construction: a doc's posting count IS its distinct-shingle
+    * count. Docs with no shingles (< shingleLen words) have no postings
+    * and are filtered to keep the frame row-identical to the
+    * postings-derived form (guide §2.4: remove shuffles outright). */
+  def shingleSizes(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleLen: Int = 3): DataFrame =
+    df.select(
+        col(idCol).as("_id"),
+        size(MinHashLSH.shingleArray(col(textCol), shingleLen)).cast("long").as("n"))
+      .filter(col("n") >= 1L)
+
   /** Near-duplicate (doc_a, doc_b, n_common, jaccard) pairs with exact
     * n-gram Jaccard ≥ `minJaccard`, candidates from df-capped postings.
-    * `persist` caches the postings aggregate so its three consumers read
+    * `persist` caches the postings aggregate so its consumers read
     * it instead of re-running it (see object scaladoc for lifecycle). */
   def ngramJaccardNearDup(
       df: DataFrame,
@@ -80,17 +100,22 @@ object SetSimilarity {
       persist: Option[StorageLevel] = None): DataFrame = {
     val post    = shinglePostings(df, idCol, textCol, shingleLen)
     val buckets = persist.map(post.persist).getOrElse(post)
-    ngramJaccardFromPostings(buckets, minJaccard, maxDocFreq)
+    ngramJaccardFromPostings(buckets, minJaccard, maxDocFreq,
+      sizes = Some(shingleSizes(df, idCol, textCol, shingleLen)))
   }
 
   /** The pair join over a prebuilt [[shinglePostings]] frame — callers that
     * persist the postings themselves get the materialize-once plan with an
-    * explicit `unpersist()` point. */
+    * explicit `unpersist()` point. `sizes` (optional, (_id, n)): pass
+    * [[shingleSizes]] when the raw documents are still in hand — the
+    * kernel projection replaces two postings-explode aggregates; default
+    * derives sizes from the postings (identical values). */
   def ngramJaccardFromPostings(
       buckets: DataFrame,
       minJaccard: Double = 0.5,
-      maxDocFreq: Int = 100): DataFrame =
-    pairsWithSizes(buckets, maxDocFreq)
+      maxDocFreq: Int = 100,
+      sizes: Option[DataFrame] = None): DataFrame =
+    pairsWithSizes(buckets, maxDocFreq, sizes)
       .withColumn(
         "jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
@@ -107,8 +132,9 @@ object SetSimilarity {
   def containmentFromPostings(
       buckets: DataFrame,
       minContainment: Double = 0.8,
-      maxDocFreq: Int = 100): DataFrame =
-    pairsWithSizes(buckets, maxDocFreq)
+      maxDocFreq: Int = 100,
+      sizes: Option[DataFrame] = None): DataFrame =
+    pairsWithSizes(buckets, maxDocFreq, sizes)
       .withColumn(
         "containment",
         col("n_common").cast("double") / least(col("n_a"), col("n_b")))
@@ -126,24 +152,25 @@ object SetSimilarity {
       persist: Option[StorageLevel] = None): DataFrame = {
     val post    = shinglePostings(df, idCol, textCol, shingleLen)
     val buckets = persist.map(post.persist).getOrElse(post)
-    containmentFromPostings(buckets, minContainment, maxDocFreq)
+    containmentFromPostings(buckets, minContainment, maxDocFreq,
+      sizes = Some(shingleSizes(df, idCol, textCol, shingleLen)))
   }
 
   /** Shared pair core: candidate (doc_a, doc_b) pairs from df-capped
     * postings with exact n_common (sub-cap count + hot-shingle
-    * correction) and both set sizes attached. */
+    * correction) and both set sizes attached. `sizesOpt`: a prebuilt
+    * (_id, n) table ([[shingleSizes]] — a zero-shuffle kernel projection
+    * off the raw texts); when absent, sizes re-derive from the postings
+    * (one explode + aggregate per join side). */
   private def pairsWithSizes(
       buckets: DataFrame,
-      maxDocFreq: Int): DataFrame = {
+      maxDocFreq: Int,
+      sizesOpt: Option[DataFrame] = None): DataFrame = {
     require(maxDocFreq >= 2, "maxDocFreq < 2 can never produce a candidate pair")
-    // per-doc set sizes re-derived from the postings rather than a second
-    // pass over the texts: every branch below then shares the ONE shingle
-    // scan + bucket aggregate (persisted once, or deduplicated by AQE
-    // exchange reuse when not)
-    val sizes = buckets
+    val sizes = sizesOpt.getOrElse(buckets
       .select(explode(col("ids")).as("_id"))
       .groupBy(col("_id"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
     // candidate pairs + their sub-cap intersection count, in one aggregate:
     // each in-bucket pair row is one shared sub-cap shingle. The guard
     // predicate (its own filter, between the codegen df >= 2 pre-filter and

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
+  /** Per-thread reusable (hasher, digest buffer) for the heavy-hitter
+    * probe UDF — one allocation per executor thread, not per row. */
+  private[operators] val threadMd5
+      : ThreadLocal[(graft.functions.FastMD5, Array[Byte])] =
+    ThreadLocal.withInitial(() => (new graft.functions.FastMD5, new Array[Byte](16)))
+
   /** Standard HLL bias constant for `m = 2^p` registers. */
   def alphaFor(m: Long): Double =
     if (m == 16L) 0.673
@@ -277,21 +283,25 @@ object Sketches {
     // JVM twin of cmsBucket: md5("d|v") first 15 hex chars as a 60-bit
     // long, mod width. 15 hex chars = the digest's first 7.5 bytes, i.e.
     // the first 8 bytes as an unsigned big-endian long shifted right a
-    // nibble — no hex-string round-trip in the per-row hot path.
+    // nibble — no hex-string round-trip in the per-row hot path. The
+    // hasher is the repo's allocation-free [[graft.functions.FastMD5]]
+    // held per thread: the previous MessageDigest.getInstance allocated a
+    // fresh digest object PER ROW, which at corpus scale is the probe's
+    // dominant cost (this filter runs on every input row by design).
     val est = udf { (g: String, v: String) =>
       if (v == null) 0L
       else {
-        val md = java.security.MessageDigest.getInstance("MD5")
+        val (md, dig) = Sketches.threadMd5.get()
         var minCnt = Long.MaxValue
         var d = 0
         while (d < depth) {
-          val dig = md.digest(s"$d|$v".getBytes("UTF-8"))
+          val bytes = (d.toString + "|" + v).getBytes("UTF-8")
+          md.digest(graft.functions.FastMD5.EmptyPrefix, bytes, 0, bytes.length, dig)
           var h = 0L
           var i = 0
           while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
           val bucket = (h >>> 4) % width
           minCnt = math.min(minCnt, bc.value.getOrElse((g, d, bucket), 0L))
-          md.reset()
           d += 1
         }
         minCnt

@@ -19,16 +19,41 @@ object TextAnalysis {
     df.select(col(idCol), explode(split(col(textCol), " ")).as("token"))
 
   /** Per-document quality stats: token count, distinct tokens, mean token
-    * length, stopword ratio (integer-exact double divisions). */
+    * length, stopword ratio (integer-exact double divisions).
+    *
+    * Plain-alphanumeric stopword lists take the PURE PER-ROW path — zero
+    * shuffle, zero aggregation: token count is the split-array size, the
+    * length sum uses the single-space separator identity (`Σ len(token) =
+    * length(text) − (n−1)`, exact, the [[gopherRulesProjection]] device),
+    * distinct tokens via `array_distinct`, stopword hits via one codegen
+    * `regexp_count` with lookahead word boundaries. Identical integers to
+    * the explode + groupBy form (pinned in TextPipelineSpec), which
+    * remains the fallback for stopwords that can't splice into a regex. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String, stopwords: Seq[String]): DataFrame =
-    tokens(df, idCol, textCol)
-      .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        countDistinct(col("token")).as("n_distinct"),
-        (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"),
-        (sum(when(col("token").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
-          count(lit(1))).as("stopword_ratio"))
+    if (stopwords.nonEmpty && stopwords.forall(_.matches("[A-Za-z0-9]+"))) {
+      val t      = col(textCol)
+      val arr    = split(t, " ")
+      val n      = size(arr).cast("long")
+      val sumLen = (length(t) - (n - lit(1L))).cast("long")
+      val nStop  = regexp_count(
+        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |$$)")).cast("long")
+      // the aggregate form drops null-text docs (explode of a null split
+      // emits no rows) — mirror that so the forms stay row-identical
+      df.filter(t.isNotNull).select(
+        col(idCol),
+        n.as("n_tokens"),
+        size(array_distinct(arr)).cast("long").as("n_distinct"),
+        (sumLen.cast("double") / n).as("avg_token_len"),
+        (nStop.cast("double") / n).as("stopword_ratio"))
+    } else
+      tokens(df, idCol, textCol)
+        .groupBy(col(idCol))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("token")).as("n_distinct"),
+          (sum(length(col("token"))).cast("double") / count(lit(1))).as("avg_token_len"),
+          (sum(when(col("token").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
+            count(lit(1))).as("stopword_ratio"))
 
   /** Gopher-style within-document repetition signals (the "repetitive
     * document" quality gates of the Gopher/MassiveText filtering rules):
@@ -394,8 +419,35 @@ object TextAnalysis {
       textCol: String,
       stopwords: Seq[(String, Seq[String])] // (lang, words), langs distinct
   ): DataFrame = {
-    val (bestLang, bestScore) = languageBest(col(textCol), stopwords)
-    df.select(
+    // TWO projections, not one: the argmax fold nests each language's
+    // regexp_count inside `when` branches, and codegen subexpression
+    // elimination skips conditional branches — a single-select form
+    // re-evaluated every regex once per fold level (measured 4× the whole
+    // query at sf0.1). Materializing the per-language scores as columns
+    // first makes the fold duplicate only cheap column references;
+    // CollapseProject keeps the non-cheap regexes in their own layer.
+    require(stopwords.nonEmpty && stopwords.map(_._1).distinct.size == stopwords.size,
+      "need a non-empty (lang, words) list with distinct langs")
+    require(stopwords.forall { case (_, ws) =>
+        ws.nonEmpty && ws.distinct.size == ws.size && ws.forall(_.matches("[A-Za-z0-9]+"))
+      },
+      "each language needs distinct plain alphanumeric stopwords")
+    val sorted = stopwords.sortBy(_._1)
+    val scoreCols = sorted.map { case (lang, words) =>
+      regexp_count(
+        col(textCol), lit(s"(?:^| )(?:${words.mkString("|")})(?= |$$)"))
+        .cast("long").as(s"_sc_$lang")
+    }
+    val scored = df.select(col(idCol) +: scoreCols: _*)
+    // argmax by (score desc, lang asc) over the materialized columns:
+    // replace only on STRICT improvement so ties keep the earlier lang
+    val (bestLang, bestScore) = sorted.tail.foldLeft(
+      (lit(sorted.head._1), col(s"_sc_${sorted.head._1}"))) {
+      case ((bl, bs), (lang, _)) =>
+        val sc = col(s"_sc_$lang")
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    scored.select(
       col(idCol),
       when(bestScore > 0L, bestLang).otherwise(lit("und")).as("pred_lang"),
       when(bestScore > 0L, bestScore).otherwise(lit(0L)).as("score"))
@@ -458,15 +510,24 @@ object TextAnalysis {
       idCol: String,
       textCol: String,
       rareBelow: Long = 5L): DataFrame = {
-    val toks  = tokens(df, idCol, textCol)
-    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("_tf"))
-    toks
+    // per-(doc, token) occurrence counts as a pure projection (the
+    // WordGramCounts kernel at n = 1): the model aggregates and the
+    // scoring join run over the DISTINCT (doc, token) stream with the
+    // occurrence count as a weight — identical sums, one exchange less,
+    // and the join probe shrinks from token occurrences to distinct
+    // tokens per doc (guide §2.3: shuffle fewer bytes)
+    val counted = df.select(
+        col(idCol),
+        explode(graft.functions.WordGramCounts(col(textCol), 1)).as("_g"))
+      .select(col(idCol), col("_g.gram").as("token"), col("_g.occ").as("_occ"))
+    val model = counted.groupBy(col("token")).agg(sum(col("_occ")).as("_tf"))
+    counted
       .join(model, "token")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_tokens"),
-        (sum(col("_tf")).cast("double") / count(lit(1))).as("mean_tf"),
-        sum(when(col("_tf") < rareBelow, 1L).otherwise(0L)).as("n_rare"))
+        sum(col("_occ")).as("n_tokens"),
+        (sum(col("_occ") * col("_tf")).cast("double") / sum(col("_occ"))).as("mean_tf"),
+        sum(when(col("_tf") < rareBelow, col("_occ")).otherwise(0L)).as("n_rare"))
   }
 
   /** Cross-document duplicated-span statistics — the corpus-level signal
@@ -503,10 +564,15 @@ object TextAnalysis {
       textCol: String,
       n: Int = 3,
       persist: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
-    val grams = df.select(
-      col(idCol),
-      explode(graft.functions.WordGrams(col(textCol), n, distinct = false)).as("gram"))
-    val perDoc0 = grams.groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("occ"))
+    // per-(doc, gram) occurrence counts as a PURE PROJECTION: one doc's
+    // grams all live in its one source row, so the aggregate needs no
+    // exchange — the WordGramCounts kernel replaces the explode +
+    // groupBy(id, gram) hash aggregate (one full exchange of the gram
+    // stream, the largest intermediate in this plan; guide §2.4)
+    val perDoc0 = df.select(
+        col(idCol),
+        explode(graft.functions.WordGramCounts(col(textCol), n)).as("_g"))
+      .select(col(idCol), col("_g.gram").as("gram"), col("_g.occ").as("occ"))
     val perDoc  = persist.map(perDoc0.persist).getOrElse(perDoc0)
     val docFreq = perDoc.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val stats = perDoc
@@ -563,7 +629,11 @@ object TextAnalysis {
       posexplode(graft.functions.WordGrams(col(textCol), n, distinct = false))
         .as(Seq("start", "gram")))
     val grams = persist.map(grams0.persist).getOrElse(grams0)
-    val dupGrams = grams.select(col(idCol), col("gram")).distinct()
+    // corpus document frequency off the per-row DISTINCT gram arrays: the
+    // kernel dedup replaces the (id, gram) .distinct() exchange — only the
+    // already-distinct gram stream shuffles into the df aggregate
+    val dupGrams = df
+      .select(explode(graft.functions.WordGrams(col(textCol), n, distinct = true)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select(col("gram"))
@@ -665,8 +735,12 @@ object TextAnalysis {
       persist: Option[org.apache.spark.storage.StorageLevel] = None): DataFrame = {
     require(k >= 1)
     import org.apache.spark.sql.expressions.Window
-    val tf0    = tokens(df, idCol, textCol).groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+    // the (doc, token) tf table as a pure projection (WordGramCounts at
+    // n = 1) — no exchange; see dupSpanStats for the shape rationale
+    val tf0 = df.select(
+        col(idCol),
+        explode(graft.functions.WordGramCounts(col(textCol), 1)).as("_g"))
+      .select(col(idCol), col("_g.gram").as("token"), col("_g.occ").as("tf"))
     val tf     = persist.map(tf0.persist).getOrElse(tf0)
     val dfreq  = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs  = df.select(countDistinct(col(idCol)).as("n_docs"))

@@ -39,6 +39,10 @@ object SamplingQueries {
   private val q54: Q = (s, dir) => {
     val d     = Tables.documents(s, dir)
     val stats = TextAnalysis.tokenStats(d, "doc_id", "text", Seq("the", "a"))
+    // language ID stays in the table-join aggregate form HERE: the
+    // downstream pred_lang filter would be predicate-pushed INTO a
+    // projection form, re-inlining (and double-evaluating) the per-language
+    // regex scores — the aggregate's score table takes the filter for free
     val lang  = TextAnalysis.languageId(d, "doc_id", "text", TextQueries.stopwordTable(s))
     val clean = stats
       .join(lang, Seq("doc_id"))

@@ -17,16 +17,23 @@ object SetOpQueries {
   /** Semi + anti join: customers with ≥1 open order (EXISTS) and customers
     * with none (NOT EXISTS), as one labeled union. */
   private val q35: Q = (s, dir) => {
+    // one pass instead of semi ∪ anti: the two joins scanned customer and
+    // orders twice each to split rows a single LEFT join against the
+    // DISTINCT open-order keys labels in one go (EXISTS ⟺ key present) —
+    // half the scans, one join, no union (guide §2.4). Row-identical: the
+    // distinct key set makes the left join emit each customer exactly
+    // once, flag = key matched.
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "O")
-    val withO = c
-      .join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-      .withColumn("has_open_order", lit(true))
-    val withoutO = c
-      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
-      .withColumn("has_open_order", lit(false))
-    withO.unionByName(withoutO)
-      .select(col("c_custkey"), col("c_mktsegment"), col("has_open_order"))
+    val openKeys = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey").as("c_custkey"))
+      .distinct()
+      .withColumn("_hit", lit(true))
+    c.join(openKeys, Seq("c_custkey"), "left")
+      .select(
+        col("c_custkey"),
+        col("c_mktsegment"),
+        coalesce(col("_hit"), lit(false)).as("has_open_order"))
       .orderBy(col("c_custkey"))
   }
 
@@ -86,13 +93,20 @@ object SetOpQueries {
   /** Set operators: brands shipped in both 1996 and 1997 (INTERSECT) and
     * only in 1996 (EXCEPT), labeled union. */
   private val q38b: Q = (s, dir) => {
+    // each year's brand set feeds BOTH set operators; without a
+    // materialization the lineitem⋈part subtree executes twice per side
+    // (4 fact scans). The sets are brand-bounded (≤ |p_brand| rows), so an
+    // eager localCheckpoint pins each once — 2 fact scans, the set ops run
+    // over checkpointed slivers (guide §3.3: materialize shared subtrees).
     val li = Tables.lineitem(s, dir)
     def brandsIn(year: Int) =
       li.filter(col("l_shipdate") >= lit(s"$year-01-01") && col("l_shipdate") < lit(s"${year + 1}-01-01"))
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-        .select(col("p_brand")).distinct()
-    val both = brandsIn(1996).intersect(brandsIn(1997)).withColumn("cohort", lit("both"))
-    val only96 = brandsIn(1996).except(brandsIn(1997)).withColumn("cohort", lit("only_1996"))
+        .select(col("p_brand")).distinct().localCheckpoint()
+    val b96 = brandsIn(1996)
+    val b97 = brandsIn(1997)
+    val both = b96.intersect(b97).withColumn("cohort", lit("both"))
+    val only96 = b96.except(b97).withColumn("cohort", lit("only_1996"))
     both.unionByName(only96).orderBy(col("cohort"), col("p_brand"))
   }
 

@@ -50,6 +50,14 @@ object TextQueries {
     ).toDF("lang", "word")
   }
 
+  /** [[stopwordTable]] as the compile-time (lang, words) list the per-row
+    * projection form takes — same 20 rows, same languages. */
+  private[queries] val stopwordList: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "fr" -> Seq("le", "la", "et", "de", "un"),
+    "de" -> Seq("der", "die", "und", "ein", "das"),
+    "es" -> Seq("el", "los", "y", "de", "un"))
+
   private[queries] val stopwordSql =
     """SELECT * FROM (VALUES
       |  ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),
@@ -57,10 +65,14 @@ object TextQueries {
       |  ('de','der'),('de','die'),('de','und'),('de','ein'),('de','das'),
       |  ('es','el'),('es','los'),('es','y'),('es','de'),('es','un')) sw(lang, word)""".stripMargin
 
-  /** Heuristic n-gram language ID: per-language stopword hits, argmax. */
+  /** Heuristic n-gram language ID: per-language stopword hits, argmax.
+    * Runs the PER-ROW projection form (one regexp_count per language,
+    * zero shuffle — row-for-row parity with the table-join aggregate form
+    * pinned in CorpusIngestSpec); the table form remains the operator for
+    * arbitrary-size stopword tables. */
   private val q24: Q = (s, dir) =>
     TextAnalysis
-      .languageId(Tables.documents(s, dir), "doc_id", "text", stopwordTable(s))
+      .languageIdProjection(Tables.documents(s, dir), "doc_id", "text", stopwordList)
       .orderBy(col("doc_id"))
 
   private val q24Sql =
@@ -135,11 +147,15 @@ object TextQueries {
     * recompute honestly — nothing lingers in the session cache), and the
     * checkpointed PAIR TABLE is what q57 clusters. */
   private def computeNearDupPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
     val post = SetSimilarity
-      .shinglePostings(Tables.documents(s, dir), "doc_id", "text", shingleLen = 3)
+      .shinglePostings(docs, "doc_id", "text", shingleLen = 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = SetSimilarity
-      .ngramJaccardFromPostings(post, minJaccard = 0.5, maxDocFreq = 100)
+      .ngramJaccardFromPostings(post, minJaccard = 0.5, maxDocFreq = 100,
+        // sizes off the raw texts: a kernel projection, not two more
+        // postings-explode aggregates (guide §2.4)
+        sizes = Some(SetSimilarity.shingleSizes(docs, "doc_id", "text", shingleLen = 3)))
       .localCheckpoint()
     post.unpersist(false)
     pairs
@@ -928,7 +944,9 @@ object TextQueries {
     * corpus; mean-len/symbol/alpha columns are still hash-verified. */
   private val q74: Q = (s, dir) =>
     TextAnalysis
-      .gopherRules(Tables.documents(s, dir), "doc_id", "text",
+      // per-row projection form: zero shuffle, row-for-row parity with the
+      // explode+groupBy form pinned in TextPipelineSpec
+      .gopherRulesProjection(Tables.documents(s, dir), "doc_id", "text",
         stopwords = Seq("the", "a", "and", "of", "to"),
         minWords = 30L, maxWords = 90L)
       .orderBy(col("doc_id"))
