@@ -87,9 +87,16 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     Checkpoints.free(p0) // edges materialized; the directed blocks are dead
+    // round 1 fused into the init: comp₀(v) = min(v, min neighbor) is
+    // exactly one propagation step from comp = id, computed as ONE
+    // map-side-combined aggregate over the mirrored edges — this replaces
+    // both the vertex-distinct aggregate AND the first join round (every
+    // vertex appears as src in the mirrored edge list), so dense near-dup
+    // clusters (diameter ≤ 2) converge after a single loop iteration.
     var labels = edges
-      .select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+      .groupBy(col("src"))
+      .agg(min(col("dst")).as("_mn"))
+      .select(col("src").as("id"), least(col("src"), col("_mn")).as("comp"))
     var it   = 0
     var done = false
     while (!done && it < maxIter) {

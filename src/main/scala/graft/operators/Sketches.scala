@@ -143,12 +143,20 @@ object Sketches {
       regsB: DataFrame,
       groupCols: Seq[String],
       p: Int): DataFrame = {
+    // each register table feeds TWO consumers (its own estimate + the
+    // union sketch); un-materialized, the full upstream scan re-executes
+    // per consumer. The tables are sketch-bounded (≤ 2^p rows per group),
+    // so an eager localCheckpoint pins each once and the three estimates
+    // run over kilobyte slivers (guide §3.3 — materialize shared
+    // subtrees; same device as connectedComponents' per-round pin).
+    val a = regsA.localCheckpoint()
+    val b = regsB.localCheckpoint()
     def est(r: DataFrame, name: String) =
       hllEstimate(r, groupCols, p)
         .select(groupCols.map(col) :+ col("estimate").as(name): _*)
-    est(regsA, "est_a")
-      .join(est(regsB, "est_b"), groupCols)
-      .join(est(hllMergeRegisters(regsA, regsB), "est_union"), groupCols)
+    est(a, "est_a")
+      .join(est(b, "est_b"), groupCols)
+      .join(est(hllMergeRegisters(a, b), "est_union"), groupCols)
       .withColumn("est_intersection",
         round(col("est_a") + col("est_b") - col("est_union"), 6))
   }

@@ -687,7 +687,16 @@ object TextAnalysis {
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim)))
         .as(Seq("pos", "line")))
       .withColumn("_lh", md5(col("line").cast("binary")))
-    val boiler = lines.select(col("_lh"), col(idCol)).distinct()
+    // distinct-doc count per line hash off per-row DISTINCT hash arrays:
+    // one doc's lines live in its one source row, so the per-(line, doc)
+    // dedup is array_distinct in a projection — this drops the
+    // (_lh, id) .distinct() exchange the count previously needed (the
+    // dedupSpans df-side device); only the already-distinct 32-byte
+    // hashes shuffle into the count
+    val boiler = df.select(
+        explode(array_distinct(transform(
+          split(col(textCol), java.util.regex.Pattern.quote(delim)),
+          l => md5(l.cast("binary"))))).as("_lh"))
       .groupBy(col("_lh")).agg(count(lit(1)).as("_nd"))
       .filter(col("_nd") >= minDocs)
       .select(col("_lh"))
