@@ -320,15 +320,54 @@ object Similarity {
       m: Int,
       k: Int,
       iters: Int = 5): Array[Array[Array[Double]]] = {
-    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    // BATCHED across subspaces: the per-subspace KMeans.fit form paid
+    // ~2m corpus passes (an init top-k sort + an update aggregate per
+    // subspace, plus a dim probe); here ONE init collect seeds all m
+    // books (same first-k-by-order rows, sliced after) and each Lloyd
+    // iteration is ONE pass — per row, every subspace's assignment and
+    // (s, c, d, x) contributions explode together into a single
+    // map-side-combined decimal aggregate (grouping by (s, c, d) yields
+    // the identical per-subspace decimal sums, so the means are
+    // bit-identical to the sequential form — spec- and oracle-pinned).
+    val vecs = df.select(
+        col(orderCol).as("_ord"), col(vecCol).cast("array<double>").as("_v"))
+      .filter(col("_v").isNotNull)
+    val initRows = vecs.orderBy(col("_ord")).limit(k).collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(initRows.nonEmpty, "kmeans: no vectors to fit")
+    val dim = initRows.head.length
     require(m >= 1 && dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val dsub = dim / m
-    (0 until m).map { s =>
-      val sliced = df.select(
-        col(orderCol).as("_ord"),
-        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("_sv"))
-      KMeans.fit(sliced, "_sv", "_ord", k, iters)
-    }.toArray
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => initRows.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    var it = 0
+    while (it < iters) {
+      val perSub = (0 until m).map { s =>
+        val sv = slice(col("_v"), s * dsub + 1, dsub)
+        struct(
+          lit(s).as("_s"),
+          graft.functions.NearestCentroid(sv, books(s)).as("_c"),
+          sv.as("_sv"))
+      }
+      val sums = vecs
+        .select(explode(array(perSub: _*)).as("_a"))
+        .select(col("_a._s").as("_s"), col("_a._c").as("_c"),
+          posexplode(col("_a._sv")).as(Seq("_d", "_x")))
+        .groupBy(col("_s"), col("_c"), col("_d"))
+        .agg(
+          sum(col("_x").cast("decimal(24,14)")).cast("double").as("_sum"),
+          count(lit(1)).as("_n"))
+        .collect() // bounded: m · k · dsub = dim · k rows
+      val next = books.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val s = r.getInt(0); val c = r.getInt(1); val d = r.getInt(2)
+        val n = r.getLong(4)
+        if (n > 0 && d < dsub) next(s)(c)(d) = r.getDouble(3) / n
+      }
+      books = next
+      it += 1
+    }
+    books
   }
 
   /** Encode every vector as m small codes — one [[graft.functions.NearestCentroid]]
