@@ -109,7 +109,14 @@ object SetSimilarity {
     * explicit `unpersist()` point. `sizes` (optional, (_id, n)): pass
     * [[shingleSizes]] when the raw documents are still in hand — the
     * kernel projection replaces two postings-explode aggregates; default
-    * derives sizes from the postings (identical values). */
+    * derives sizes from the postings (identical values).
+    *
+    * CONTRACT: a supplied `sizes` frame MUST be [[shingleSizes]] over the
+    * SAME documents and the SAME `shingleLen` that built `buckets` — a
+    * filtered or differently-shingled frame silently corrupts `n_a`/`n_b`
+    * and every downstream jaccard value (there is no cross-validation;
+    * the invariant is "a doc's posting count IS its distinct-shingle
+    * count"). */
   def ngramJaccardFromPostings(
       buckets: DataFrame,
       minJaccard: Double = 0.5,
@@ -128,7 +135,9 @@ object SetSimilarity {
     * structurally misses: a short document fully embedded in a long one
     * has Jaccard |A|/|B| (arbitrarily small) but containment 1. Same
     * candidates, caps, and exact hot-shingle correction as
-    * [[ngramJaccardFromPostings]]. */
+    * [[ngramJaccardFromPostings]] — including its `sizes` CONTRACT (same
+    * documents, same `shingleLen` as `buckets`, or containment values are
+    * silently wrong). */
   def containmentFromPostings(
       buckets: DataFrame,
       minContainment: Double = 0.8,

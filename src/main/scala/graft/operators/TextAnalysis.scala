@@ -35,8 +35,11 @@ object TextAnalysis {
       val arr    = split(t, " ")
       val n      = size(arr).cast("long")
       val sumLen = (length(t) - (n - lit(1L))).cast("long")
+      // \z, not $: Java's non-MULTILINE $ also matches just before a FINAL
+      // line terminator, so "…the\n" would count a stopword hit while the
+      // aggregate form's split-on-space token is "the\n" and counts zero
       val nStop  = regexp_count(
-        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |$$)")).cast("long")
+        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |\\z)")).cast("long")
       // the aggregate form drops null-text docs (explode of a null split
       // emits no rows) — mirror that so the forms stay row-identical
       df.filter(t.isNotNull).select(
@@ -179,8 +182,8 @@ object TextAnalysis {
       nWords = nWords,
       sumLen = (length(t) - (nWords - lit(1L))).cast("long"),
       nAlpha = regexp_count(t, lit("(?:^| )[^ ]*[A-Za-z]")).cast("long"),
-      nStop  = regexp_count(
-        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |$$)")).cast("long"),
+      nStop  = regexp_count( // \z not $ — see tokenStats
+        t, lit(s"(?:^| )(?:${stopwords.mkString("|")})(?= |\\z)")).cast("long"),
       nSym   = (nHash + nDots + nElli).cast("long"))
   }
 
@@ -401,8 +404,8 @@ object TextAnalysis {
         "(they are spliced into a regex; duplicates would diverge from the " +
         "aggregate form, which counts table rows)")
     val scoreCols = stopwords.map { case (lang, words) =>
-      lang -> regexp_count(
-        t, lit(s"(?:^| )(?:${words.mkString("|")})(?= |$$)")).cast("long")
+      lang -> regexp_count( // \z not $ — see tokenStats
+        t, lit(s"(?:^| )(?:${words.mkString("|")})(?= |\\z)")).cast("long")
     }
     // argmax by (score desc, lang asc): fold langs in ascending order and
     // replace only on STRICT improvement, so ties keep the earlier lang
@@ -434,8 +437,8 @@ object TextAnalysis {
       "each language needs distinct plain alphanumeric stopwords")
     val sorted = stopwords.sortBy(_._1)
     val scoreCols = sorted.map { case (lang, words) =>
-      regexp_count(
-        col(textCol), lit(s"(?:^| )(?:${words.mkString("|")})(?= |$$)"))
+      regexp_count( // \z not $ — see tokenStats
+        col(textCol), lit(s"(?:^| )(?:${words.mkString("|")})(?= |\\z)"))
         .cast("long").as(s"_sc_$lang")
     }
     val scored = df.select(col(idCol) +: scoreCols: _*)
@@ -615,7 +618,13 @@ object TextAnalysis {
     * expands dup gram STARTS (≤ n rows per start, never gram × gram), and
     * reassembly is one per-doc aggregate of (pos, token) structs — bounded
     * by document length, the same contract as every per-doc kernel
-    * here. */
+    * here.
+    *
+    * PRECONDITION: `df` must carry ONE ROW PER `idCol` value (the same
+    * contract as [[MinHashLSH.shingles]]). The per-row kernel dedup that
+    * replaced the (id, gram) `.distinct()` exchange dedups WITHIN a row:
+    * duplicate-id rows would each contribute to the document frequency,
+    * inflating `df` and changing which grams count as duplicated. */
   def dedupSpans(
       df: DataFrame,
       idCol: String,
@@ -674,7 +683,13 @@ object TextAnalysis {
     * boilerplate set joins back on the same key under AQE skew handling,
     * and reassembly is a per-doc sort of its own lines — no global
     * window, no driver materialization. Returns one row per input
-    * document: (id, clean_text, n_lines, n_removed). */
+    * document: (id, clean_text, n_lines, n_removed).
+    *
+    * PRECONDITION: `df` must carry ONE ROW PER `idCol` value (the same
+    * contract as [[MinHashLSH.shingles]] and [[dedupSpans]]): the
+    * boilerplate count dedups a doc's lines within its one source row via
+    * `array_distinct`, so duplicate-id rows would each count toward the
+    * distinct-document threshold. */
   def lineDedup(
       df: DataFrame,
       idCol: String,

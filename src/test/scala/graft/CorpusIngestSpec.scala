@@ -17,7 +17,9 @@ class CorpusIngestSpec extends SparkSpec {
     3L -> "x9 9x abc 123 #tag wait... more… done",  // mixed alpha/symbols
     4L -> "double  space and   runs the a end",     // empty tokens
     5L -> "",                                       // empty text
-    6L -> "them theory andante tothe a")            // stopword prefixes, not words
+    6L -> "them theory andante tothe a",            // stopword prefixes, not words
+    7L -> "doc that ends with the\n",                // trailing newline: \z vs $
+    8L -> "a the\nand more the")                     // embedded newline token
 
   test("gopherRulesProjection matches the aggregate form row for row") {
     val d     = docs(tricky: _*)
@@ -78,13 +80,15 @@ class CorpusIngestSpec extends SparkSpec {
       3L -> "el perro de un amigo",
       4L -> "de de de",            // fr/es tie on shared word → lang asc → es
       5L -> "nothing matches here",
-      6L -> "")
+      6L -> "",
+      7L -> "chat de\n")            // trailing newline: the split token is
+                                    // "de\n" (no hit) — \z must agree
     val agg = TextAnalysis.languageId(d, "doc_id", "text", tableDf)
       .orderBy($"doc_id").collect().map(_.toSeq)
     val proj = TextAnalysis.languageIdProjection(d, "doc_id", "text", table)
       .orderBy($"doc_id").collect().map(_.toSeq)
     assert(proj === agg)
-    assert(proj.map(_.apply(1)) === Seq("en", "fr", "es", "es", "und", "und"))
+    assert(proj.map(_.apply(1)) === Seq("en", "fr", "es", "es", "und", "und", "und"))
   }
 
   test("streaming gate matches the same gate run in batch") {

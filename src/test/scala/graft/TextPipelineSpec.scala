@@ -489,7 +489,10 @@ class TextPipelineSpec extends SparkSpec {
       3L -> "ab the-x athe thea a",  // substrings of stopwords must not count
       4L -> "solo",
       5L -> "x  y",                  // doubled space → empty token
-      6L -> "")
+      6L -> "",
+      7L -> "sat on the\n",          // trailing newline: the token is
+                                     // "the\n" (no stopword hit) — \z vs $
+      8L -> "the\n")
     val stops = Seq("the", "a")
     // per-row path (alphanumeric stopwords)
     val fast = TextAnalysis.tokenStats(d, "doc_id", "text", stops)
